@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (driver-side tooling only;
+not part of the engine). Compares graft.Verify parquet dumps against the
+DuckDB oracle SQL in oracle_sql.json.
+
+Usage: verify_local.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; stringify cells."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    rr.append("NaN")
+                else:
+                    rr.append(repr(round(v, 9)))
+            else:
+                rr.append(repr(v))
+        out.append(tuple(rr))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            g_cols, g_rows = canon(got.fetchall(), [d[0] for d in got.description])
+            exp = con.execute(sql)
+            e_cols, e_rows = canon(exp.fetchall(), [d[0] for d in exp.description])
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        if g_cols != e_cols:
+            print(f"FAIL {name}: columns {g_cols} != {e_cols}")
+            n_bad += 1
+        elif g_rows != e_rows:
+            diff = [(a, b) for a, b in zip(g_rows, e_rows) if a != b]
+            print(f"FAIL {name}: {len(g_rows)} vs {len(e_rows)} rows; "
+                  f"first diffs: {diff[:3]}"
+                  + (f" extra_got={g_rows[len(e_rows):][:2]}" if len(g_rows) > len(e_rows) else "")
+                  + (f" extra_exp={e_rows[len(g_rows):][:2]}" if len(e_rows) > len(g_rows) else ""))
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(g_rows)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

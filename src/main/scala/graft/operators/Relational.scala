@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational combinators — the reference's recurring query shapes
+  * (SURVEY.md §2.4-§2.6) factored into reusable, shuffle-aware operators.
+  */
+object Relational {
+
+  /** Per-group top-k via `row_number` over a deterministic ordering
+    * (reference: code/nlp/NFL_Processing.py:504-506 — rank game-thread
+    * tokens by TF-IDF and keep 1..5). One shuffle on `partitionCols`.
+    * Callers must include a unique tie-breaker in `orderCols` when the
+    * primary sort key can tie, or results are nondeterministic. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Running aggregate per key with a RANGE unboundedPreceding..currentRow
+    * frame (reference: code/eda/project_eda.py:482-510 — per-author running
+    * score sum / post count). RANGE (not ROWS) so peer rows with the same
+    * order value share a frame — deterministic under order-key ties. */
+  def runningAggs(df: DataFrame, partitionCol: Column, orderCol: Column,
+                  aggs: (Column => Column, String)*): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (f, name)) =>
+      d.withColumn(name, f(orderCol).over(w))
+    }
+  }
+
+  /** Value-histogram with a running cumulative count, the engine-side
+    * version of the reference's driver-side pandas `cumsum` over a
+    * comment-length histogram (code/nlp/NFL_Processing.py:56-77). The
+    * cumsum window is unpartitioned but runs AFTER the aggregation, so at
+    * scale it sees only |distinct buckets| rows, not the input. */
+  def histogramWithCumsum(df: DataFrame, bucket: Column,
+                          bucketName: String = "bucket"): DataFrame = {
+    val w = Window.orderBy(col(bucketName))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(bucket.as(bucketName))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+  }
+
+  /** Cross-tab counts (reference confusion matrix,
+    * code/ml/ML_Modeling.py:410 / ML_Sentiment.py:277, kept in-engine as
+    * groupBy+pivot per SURVEY.md §2.11). `colValues` must be the explicit
+    * pivot domain: it keeps the plan to one shuffle (no distinct-value
+    * pre-scan) and a stable column order. */
+  def crossTab(df: DataFrame, rowKey: Column, colKey: Column,
+               colValues: Seq[String]): DataFrame =
+    df.groupBy(rowKey).pivot(colKey, colValues).count().na.fill(0L)
+
+  /** Exact deduplication keeping the smallest `tieBreaker` row per key —
+    * one hash-aggregate shuffle on the (hashed) key. The training-data
+    * dedup baseline (builder brief): at 100 TB the groupBy key is
+    * `xxhash64(text)` rather than the full text so shuffle rows stay
+    * small; collisions at 64-bit are negligible (~5e-8 at 1e9 docs). */
+  def dedupExactKeepFirst(df: DataFrame, key: Column, tieBreaker: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(tieBreaker).as("keeper"), count(lit(1)).as("n_dups"))
+}

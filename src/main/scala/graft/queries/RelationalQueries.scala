@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Buckets
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** The relational operator surface of SURVEY.md §2.1–§2.8, expressed as
+  * named queries over the TESTDATA tables, each hash-checked against a
+  * DuckDB oracle. Query shapes mirror the reference's (scan→filter→derive→
+  * join→agg→window→sort); scale notes inline.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- scans + aggregation -------------------------------------------
+
+    // Multi-aggregate summary after a pushed-down timestamp range filter.
+    // Shape of the reference's grouped stats (project_eda.py:352-354,448);
+    // partial (map-side) aggregation + single hash shuffle on 6 groups.
+    Q("q01_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-09-02 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))),
+
+    // Row-level projection + range predicate: both must reach the parquet
+    // scan (PushedFilters + 4-column ReadSchema over an 11-column table).
+    Q("q02_scan_pushdown",
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+             |                     AND TIMESTAMP '1997-03-31 00:00:00'
+             |  AND l_quantity > 45""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1997-01-01 00:00:00").cast("timestamp"),
+            lit("1997-03-31 00:00:00").cast("timestamp")) && col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")),
+
+    // Set membership / negated membership / not-equal (SURVEY §2.2 P5,P6,P8).
+    Q("q03_membership",
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R')
+             |  AND l_linestatus NOT IN ('O')
+             |  AND l_discount <> 0.0
+             |GROUP BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R")
+            && !col("l_linestatus").isin("O")
+            && col("l_discount") =!= 0.0)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
+
+    // Regex + substring predicates (reference rlike game-thread filter,
+    // Data_Gathering.py:45; video-url regex project_eda.py:253).
+    Q("q04_regex_filter",
+      Some("""SELECT p_brand, count(*) AS n
+             |FROM part
+             |WHERE regexp_matches(p_name, '^(red|blue) ') AND contains(p_type, 'ECO')
+             |GROUP BY p_brand""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_name").rlike("^(red|blue) ") && col("p_type").contains("ECO"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"))),
+
+    // NULL plumbing: nullif/coalesce/isnull counters (reference missing-value
+    // scan, project_eda.py:657-674).
+    Q("q05_null_handling",
+      Some("""SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_date
+             |FROM orders GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("status",
+            coalesce(when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")), lit("OPEN")))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderdate").isNull, 1).otherwise(0)).cast("long").as("n_null_date"))),
+
+    // The reference's four time-bucketing UDFs as when-chains over event
+    // timestamps (project_eda.py:304-333, 690-701) — entirely codegen'd.
+    Q("q06_time_buckets",
+      Some("""SELECT
+             |  CASE WHEN hour(ts) < 9 THEN 'sleep_hours'
+             |       WHEN hour(ts) <= 17 THEN 'workday'
+             |       ELSE 'afternoon' END AS time_of_day,
+             |  CASE WHEN dayname(ts) IN ('Saturday','Sunday') THEN 'weekend'
+             |       ELSE 'weekday' END AS is_weekday,
+             |  CASE CAST(floor((month(ts) + 1) / 4.0) AS INT)
+             |       WHEN 0 THEN 'winter' WHEN 1 THEN 'spring'
+             |       WHEN 2 THEN 'summer' ELSE 'fall' END AS season,
+             |  CASE WHEN hour(ts) BETWEEN 0 AND 2 THEN '00:00-03:00'
+             |       WHEN hour(ts) BETWEEN 3 AND 5 THEN '03:00-06:00'
+             |       WHEN hour(ts) BETWEEN 6 AND 8 THEN '06:00-09:00'
+             |       WHEN hour(ts) BETWEEN 9 AND 11 THEN '09:00-12:00'
+             |       WHEN hour(ts) BETWEEN 12 AND 14 THEN '12:00-15:00'
+             |       WHEN hour(ts) BETWEEN 15 AND 17 THEN '15:00-18:00'
+             |       WHEN hour(ts) BETWEEN 18 AND 20 THEN '18:00-21:00'
+             |       WHEN hour(ts) BETWEEN 21 AND 23 THEN '21:00-00:00'
+             |       ELSE '0' END AS time_slot,
+             |  count(*) AS n, round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY 1, 2, 3, 4""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("time_of_day", Buckets.timeOfDay(hour(col("ts"))))
+          .withColumn("is_weekday", Buckets.weekendFromDayName(date_format(col("ts"), "EEEE")))
+          .withColumn("season", Buckets.season(month(col("ts"))))
+          .withColumn("time_slot", Buckets.timeSlot(hour(col("ts"))))
+          .groupBy("time_of_day", "is_weekday", "season", "time_slot")
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))),
+
+    // Derived columns: concat key synthesis (Data_Gathering.py:165),
+    // casts (project_eda.py:253,446), floor-arithmetic.
+    Q("q07_derive_cast_concat",
+      Some("""SELECT concat('ord_', CAST(o_orderkey AS VARCHAR)) AS okey,
+             |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_rank,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+             |FROM orders WHERE o_orderkey < 100""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 100)
+          .select(
+            concat(lit("ord_"), col("o_orderkey").cast("string")).as("okey"),
+            substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_rank"),
+            floor(col("o_totalprice")).cast("long").as("price_floor"))),
+
+    // ---- joins ----------------------------------------------------------
+
+    // Star join through three broadcast dimensions (reference J1/J2 small-dim
+    // joins, Data_Gathering.py:155,214). All three dims are broadcast: zero
+    // shuffles of the fact table before the final 5-group aggregate.
+    Q("q08_join_dims",
+      Some("""SELECT r_name, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))),
+
+    // Fact-to-fact equi join (lineitem ⋈ orders shuffles on orderkey; part
+    // is broadcast). The 100 TB shape of the reference's "absurdly long"
+    // comments join (Data_Gathering.py:214-224) with the dim broadcast.
+    Q("q09_join_facts",
+      Some("""SELECT p_brand, o_orderpriority, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY p_brand, o_orderpriority""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("p_brand", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+
+    // Left-semi join (EXISTS) — not in the reference but part of the engine
+    // join surface (SURVEY.md §2.3 note): semi avoids materializing the
+    // probe side's payload through the shuffle.
+    Q("q10_semi_join",
+      Some("""SELECT c_mktsegment, count(*) AS n_cust
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 400000)
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))
+      }),
+
+    // Left-anti join (NOT EXISTS): customers with no high-value order.
+    Q("q11_anti_join",
+      Some("""SELECT c_mktsegment, count(*) AS n_cust
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_totalprice > 400000)
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))
+      }),
+
+    // Left-outer join with NULL-aware aggregation over the unmatched side.
+    Q("q12_outer_join",
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      }),
+
+    // ---- windows --------------------------------------------------------
+
+    // Running sum + running count per key, RANGE unboundedPreceding..current
+    // (reference W1/W2: per-author running score, project_eda.py:482-510).
+    // RANGE frame → peer rows (same date) share a value → deterministic.
+    Q("q13_window_running",
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(sum(o_totalprice) OVER w, 2) AS running_spend,
+             |  count(*) OVER w AS running_n
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_spend"),
+            count(lit(1)).over(w).as("running_n"))
+      }),
+
+    // Per-group top-k by row_number with a unique tie-breaker (reference
+    // W3/W4 top-5 TF-IDF tokens per thread, NFL_Processing.py:504-506).
+    Q("q14_window_topk",
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) WHERE rnk <= 3""".stripMargin),
+      (s, dir) =>
+        Relational.topKPerGroup(
+          t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)),
+
+    // ---- sort / limit / distinct / set ops ------------------------------
+
+    // Global top-N: Spark plans TakeOrderedAndProject (no full sort of the
+    // table; per-partition heaps + driver merge) — the scale-correct form of
+    // the reference's orderBy().collect()[:10] (project_starter_script.py:80).
+    Q("q15_global_topn",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)),
+
+    // Distinct aggregates (value-counts scan, ML_Modeling.py:128-132).
+    Q("q16_distinct_agg",
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))),
+
+    // UNION with dedup (engine set-op surface, SURVEY.md §2.7).
+    Q("q17_union_distinct",
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 9900""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("custkey"))
+          .union(t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+            .select(col("c_custkey").as("custkey")))
+          .distinct()),
+
+    // Correlation / stddev / min-max stats (reference df.stat.corr sites,
+    // project_eda.py:229-261; summary() ML_Modeling.py:145).
+    Q("q18_stats",
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |  round(min(l_extendedprice), 2) AS min_price,
+             |  round(max(l_extendedprice), 2) AS max_price,
+             |  round(avg(l_extendedprice), 4) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"))),
+
+    // Histogram + engine-side cumulative sum (reference comment-length
+    // histogram + pandas cumsum, NFL_Processing.py:56-77 → SURVEY §2.4 A12).
+    Q("q19_hist_cumsum",
+      Some("""WITH h AS (
+             |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS bucket,
+             |         count(*) AS n
+             |  FROM documents GROUP BY 1)
+             |SELECT bucket, n,
+             |  CAST(sum(n) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+             |FROM h""".stripMargin),
+      (s, dir) =>
+        Relational.histogramWithCumsum(
+          t(s, dir, "documents"),
+          size(split(trim(col("text")), "\\s+")).cast("long"))),
+
+    // Multi-key grouping incl. a derived time key (SURVEY §2.4 A4).
+    Q("q20_multikey_agg",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(year(l_shipdate) AS INT) AS ship_year,
+             |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem GROUP BY 1, 2, 3""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            year(col("l_shipdate")).as("ship_year"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
+
+    // Date/time function surface: date_trunc, epoch seconds (reference
+    // from_unixtime/to_date/hour/month sites, SURVEY §2.8).
+    Q("q21_date_trunc",
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS sum_value,
+             |  CAST(max(floor(epoch(ts))) AS BIGINT) AS max_epoch
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+            max(unix_timestamp(col("ts"))).as("max_epoch"))),
+
+    // Interval arithmetic: the reference's UTC→EST shift
+    // (project_eda.py:286: datetime - INTERVAL 5 HOURS).
+    Q("q22_interval_shift",
+      Some("""SELECT dayname(ts - INTERVAL 5 HOUR) AS dow_est,
+             |  count(*) AS n, round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("est", col("ts") - expr("INTERVAL 5 HOURS"))
+          .groupBy(date_format(col("est"), "EEEE").as("dow_est"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))),
+
+    // Cross-tab (the reference's confusion matrix / judge-sanchez cross-tab,
+    // ML_Modeling.py:410, Yankees_Processing_with_NLP.py:737-744).
+    Q("q23_crosstab",
+      Some("""SELECT event_type,
+             |  count(*) FILTER (WHERE dayname(ts) NOT IN ('Saturday','Sunday')) AS weekday,
+             |  count(*) FILTER (WHERE dayname(ts) IN ('Saturday','Sunday')) AS weekend
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) =>
+        Relational.crossTab(
+          t(s, dir, "events").withColumn("wd",
+            Buckets.weekendFromDayName(date_format(col("ts"), "EEEE"))),
+          col("event_type"), col("wd"), Seq("weekday", "weekend"))),
+
+    // ROLLUP grouping sets (engine extension past the reference's flat
+    // groupBys; NULL super-aggregate semantics match ANSI).
+    Q("q24_rollup",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
+
+    // Sessionization via lag + conditional cumulative sum — the gaps-and-
+    // islands pattern a 100 TB event pipeline needs (engine extension;
+    // exercises lag + two stacked windows over one partition shuffle).
+    Q("q25_sessionize",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+             |            - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+             |            > 3600
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events
+             |FROM s GROUP BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_epoch", unix_timestamp(lag(col("ts"), 1).over(byUser)))
+          .withColumn("new_session",
+            when(col("prev_epoch").isNull
+              || unix_timestamp(col("ts")) - col("prev_epoch") > 3600, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(cum).cast("long"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+      })
+  )
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table readers for the engine's corpus (TESTDATA.md).
+  *
+  * The reference reads its base tables straight from self-describing
+  * parquet (reference: code/project_starter_script.py:24-25); we keep that
+  * contract but centralize path handling so queries, bench and verify all
+  * load identically. At cluster scale the same entry point is where
+  * partition-discovery / bucketed-table metadata would be attached.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
+    * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * We read it as raw long nanos (legacy conf) and rebuild a microsecond
+    * timestamp with integer `div` — double division would lose precision
+    * above 2^53 ns. Truncation (not rounding) matches how other engines
+    * narrow ns→µs. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame  = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir).withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+}
