@@ -1,0 +1,143 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard. Each is designed
+  * around its 100 TB shuffle shape (noted per op); the oracle queries
+  * bind them to the `documents` table with the portable hash family.
+  */
+object Dedup {
+
+  /** Exact dedup: group on a hash of the content, keep the smallest id.
+    * Shuffles (hash, id) pairs only — never the document bodies. */
+  def exactGroups(df: DataFrame, idCol: Column, textCol: Column,
+                  hash: Column => Column = fastHash): DataFrame =
+    df.groupBy(hash(textCol).as("content_hash"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** (doc, shingle-hash) rows with multiplicity, via posexplode + window
+    * `lead` — the whole pipeline (tokenize, per-token hash, arithmetic
+    * 3-gram combine) stays in codegen'd projections; the only exchange is
+    * the per-doc window shuffle. */
+  def shingleHashes(df: DataFrame, idCol: Column, textCol: Column,
+                    hash: Column => Column = portableHash): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    df.select(idCol.as("doc"), posexplode(tokens(textCol)).as(Seq("pos", "t")))
+      .select(col("doc"), col("pos"), (hash(col("t")) % ShingleM).as("h0"))
+      .withColumn("h1", lead(col("h0"), 1).over(w))
+      .withColumn("h2", lead(col("h0"), 2).over(w))
+      .filter(col("h2").isNotNull)
+      .select(col("doc"),
+        combineShingle(j => col(s"h$j")).as("sh"))
+  }
+
+  /** Per-doc MinHash signature over 3-token shingles: one grouped
+    * aggregation with a min() per permutation — map-side partials make the
+    * shuffle carry 4 longs per doc regardless of document size. */
+  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                        shingleK: Int = 3,
+                        hash: Column => Column = portableHash): DataFrame = {
+    val aggs = MinHashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * (col("sh") % MinHashP) + lit(b)) % MinHashP).as(s"mh$i")
+    }
+    shingleHashes(df, idCol, textCol, hash)
+      .groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide on at least one
+    * band (here 2 bands × 2 rows from the 4 perms). One equi-join shuffle
+    * per band, keyed on the band hash — the scale path that avoids the
+    * all-pairs cross join entirely. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    // Single pass: explode both bands per doc, one equi-join on
+    // (band_idx, band_key) — the signature pipeline is evaluated once,
+    // not once per band as a per-band union of joins would.
+    val bands = sigs.select(col("doc"), posexplode(array(
+      concat_ws(":", col("mh0"), col("mh1")),
+      concat_ws(":", col("mh2"), col("mh3")))).as(Seq("band_idx", "band_key")))
+    bands.as("a").join(bands.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for doc pairs, via the counting formulation:
+    * explode distinct (doc, shingle-hash) pairs, equi-join on the hash,
+    * count intersections, derive |union| = |A|+|B|-|A∩B|. All equi-join/
+    * groupBy shuffles — no arrays or shingle strings cross the wire (8-byte
+    * join keys), no cross join. 60-bit hash collisions are negligible and
+    * the oracle hashes identically, so both engines see the same sets. */
+  def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   shingleK: Int = 3,
+                   hash: Column => Column = portableHash,
+                   minIntersection: Long = 1L): DataFrame = {
+    val pairs = shingleHashes(df, idCol, textCol, hash).distinct()
+    val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // minIntersection prunes the long tail of 1-shingle-collision pairs
+    // before the size joins — callers filtering on jaccard >= τ can derive
+    // a safe bound (j >= τ needs |A∩B| >= τ(|A|+|B|)/(1+τ)).
+    val inter = pairs.as("a").join(pairs.as("b"), Seq("sh"))
+      .filter(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") >= minIntersection)
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+  }
+
+  /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification of the candidate pairs only. That
+    * restriction is the whole point of LSH: exact verification touches
+    * |candidates| rows, not |corpus|² — at 100 TB the candidate joins are
+    * broadcasts. Verification uses per-pair array set-ops rather than the
+    * counting self-join: with only candidate rows left, two broadcast
+    * joins + a per-row intersect beat four more shuffle stages. */
+  def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+                     threshold: Double, shingleK: Int = 3,
+                     hash: Column => Column = portableHash): DataFrame = {
+    // cand is reused twice (doc restriction + pair join) and one use sits
+    // under a broadcast exchange — cache AND materialize eagerly, or the
+    // broadcast thread and the main plan each recompute the whole
+    // signature pipeline concurrently.
+    val cand = lshCandidates(minhashSignatures(df, idCol, textCol, shingleK, hash)).cache()
+    cand.count()
+    val candDocs = cand.select(col("d1").as("cdoc"))
+      .union(cand.select(col("d2").as("cdoc"))).distinct()
+    val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
+    val shSets = shingleHashes(candCorpus, idCol, textCol, hash)
+      .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
+    cand
+      .join(shSets.select(col("doc").as("d1"), col("shs").as("s1")), "d1")
+      .join(shSets.select(col("doc").as("d2"), col("shs").as("s2")), "d2")
+      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (size(col("s1")) + size(col("s2")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** 16-bit SimHash per doc via explode + grouped bit-weight sums — the
+    * distributed-aggregate formulation (map-side partials, one shuffle on
+    * doc id), not a per-row array fold. */
+  def simhash16(df: DataFrame, idCol: Column, textCol: Column,
+                hash: Column => Column = portableHash): DataFrame = {
+    val tokHash = df.select(idCol.as("doc"), explode(tokens(textCol)).as("t"))
+      .withColumn("h", hash(col("t")) % 65536)
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"w$b")
+    }
+    tokHash.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select("doc", "simhash")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the text-analysis / dedup / similarity
+  * operators. Everything here is built-in-expression-only (codegen'd, no
+  * UDFs), per the engine rule that the reference's Python row-UDFs lower
+  * to native expressions (SURVEY.md §2.9).
+  *
+  * Two hash families:
+  *  - `fastHash` (xxhash64) — the 100 TB path: one 64-bit mix per value,
+  *    vectorized, no allocation.
+  *  - `portableHash` (md5-prefix) — bit-identical across engines, used by
+  *    the oracle-checked queries so DuckDB can replay every pipeline.
+  *    `*Sql` twins emit the equivalent DuckDB expression from the same
+  *    constants, so engine and oracle can never drift apart.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (reference tokenizer semantics:
+    * split on \s+ after trim; code/nlp/NFL_Processing.py:147-156). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  val tokensSql: String => String = e => s"regexp_split_to_array(trim($e), '\\s+')"
+
+  /** Scale-path 64-bit hash. */
+  def fastHash(c: Column): Column = xxhash64(c)
+
+  /** 60-bit engine-portable hash: first 15 hex chars of md5 as a long.
+    * 60 bits keeps all downstream modular arithmetic inside int64. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def portableHashSql(e: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($e),1,15),''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+
+  /** k-token shingles ("w1 w2 w3") for MinHash / n-gram Jaccard. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*)))
+
+  /** DuckDB twin of [[shingles]]; `toksE` must be a (CTE-bound) expression
+    * named such that `<toksE>[i]` indexes it. */
+  def shinglesSql(toksE: String, k: Int): String = {
+    val parts = (0 until k).map(j => s"$toksE[i+$j]").mkString(", ")
+    s"CASE WHEN len($toksE) < $k THEN []::VARCHAR[] " +
+      s"ELSE list_transform(generate_series(1, len($toksE)-${k - 1}), i -> concat_ws(' ', $parts)) END"
+  }
+
+  // ---- Arithmetic shingle hashes ---------------------------------------
+  /** Shingle hashes are combined arithmetically from per-token hashes
+    * (fold: ((h1*8191 + h2) % M)*8191 + h3 % M …) instead of hashing a
+    * concatenated shingle string: Spark computes one codegen'd token hash
+    * and combines with integer ops — no per-shingle string building, no
+    * interpreted higher-order functions in the hot path. */
+  val ShingleM: Long = 2147483647L
+
+  /** Fold `k` per-position token-hash expressions into one shingle hash;
+    * `h(j)` must yield a value already reduced mod [[ShingleM]]. */
+  def combineShingle(h: Int => Column): Column =
+    (1 until 3).foldLeft(h(0))((acc, j) => (acc * 8191L + h(j)) % ShingleM)
+
+  /** DuckDB twin: 3-shingle hash list from a token-array expression. */
+  def shingleHashesSql(tkE: String): String = {
+    val h = (j: Int) => s"(${portableHashSql(s"$tkE[i+$j]")} % $ShingleM)"
+    val combined = (1 until 3).foldLeft(h(0))((acc, j) => s"(($acc * 8191 + ${h(j)}) % $ShingleM)")
+    s"CASE WHEN len($tkE) < 3 THEN []::BIGINT[] " +
+      s"ELSE list_transform(generate_series(1, len($tkE)-2), i -> $combined) END"
+  }
+
+  // ---- MinHash ----------------------------------------------------------
+  /** Universal-hash permutations (a*h + b) mod P over 31-bit-reduced
+    * shingle hashes; all arithmetic stays < 2^46. */
+  val MinHashP: Long = 2147483647L
+  val MinHashPerms: Seq[(Long, Long)] =
+    Seq((2971L, 104729L), (5683L, 224737L), (7919L, 350377L), (9973L, 479909L))
+
+  def minhash(shingleHashes: Column, a: Long, b: Long): Column =
+    array_min(transform(shingleHashes, h => (lit(a) * (h % MinHashP) + lit(b)) % MinHashP))
+
+  def minhashSql(hashesE: String, a: Long, b: Long): String =
+    s"list_min(list_transform($hashesE, h -> ($a * (h % $MinHashP) + $b) % $MinHashP))"
+
+  // ---- Fingerprint ------------------------------------------------------
+  /** Polynomial rolling fingerprint over token hashes:
+    * fold (acc*31 + h_t mod 1000003) mod 1e9+7. Order-sensitive, so
+    * "a b" and "b a" differ — unlike a bag-of-words hash. */
+  val FpTokenMod = 1000003L
+  val FpMod = 1000000007L
+
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => portableHash(t) % FpTokenMod),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % FpMod)
+
+  def fingerprintSql(toksE: String): String =
+    s"list_reduce(list_transform($toksE, t -> ${portableHashSql("t")} % $FpTokenMod), " +
+      s"(a, b) -> (a*31 + b) % $FpMod)"
+
+  // ---- Lexicons ---------------------------------------------------------
+  /** Language-ID stopword lists (n-gram/stopword heuristic). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "en", "une"))
+
+  /** Deterministic sentiment lexicon (the self-contained stand-in for the
+    * reference's downloaded pretrained model — SURVEY.md §2.10: pluggable
+    * scorer, lexicon default). */
+  val PosWords: Seq[String] = Seq("fast", "big", "good", "great")
+  val NegWords: Seq[String] = Seq("slow", "small", "bad", "broken")
+
+  /** Count of tokens that fall in `words`. */
+  def lexiconHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  def lexiconHitsSql(toksE: String, words: Seq[String]): String =
+    s"len(list_filter($toksE, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication suite over `documents`: exact, MinHash signatures,
+  * MinHash-LSH near-dup detection, exact n-gram Jaccard, SimHash.
+  * The sf corpus ships 25 planted near-duplicate pairs (shingle-Jaccard
+  * ≥ 0.9), so the LSH pipeline has a real signal to find.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private val toksSql = tokensSql("text")
+  private val shSql = shingleHashesSql("tk")
+
+  /** Shared CTE prefix: tokens + distinct (doc, shingle-hash) pairs —
+    * the base of the counting formulation of set Jaccard. */
+  private val baseCtes =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |p AS (SELECT doc_id, unnest(list_distinct($shSql)) AS sh FROM t)""".stripMargin
+
+  private val minhashExprs: String = MinHashPerms.zipWithIndex
+    .map { case ((a, b), i) => s"    ${minhashSql("hs", a, b)} AS mh$i" }
+    .mkString(",\n")
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup keep-first over a corpus with planted exact duplicates
+    // (ids re-offset through a union — the corpus itself is dup-free).
+    Q("q31_exact_dedup",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+             |SELECT min(doc_id) AS keeper, count(*) AS n_dups
+             |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.union(
+          d.filter(col("doc_id") < 50).select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.exactGroups(corpus, col("doc_id"), col("text"), md5)
+          .filter(col("n_dups") > 1)
+          .select("keeper", "n_dups")
+      }),
+
+    // Per-doc MinHash signatures (4 permutations over 3-token shingles).
+    Q("q35_minhash_sig",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |sh AS (SELECT doc_id, $shSql AS hs FROM t)
+              |SELECT doc_id AS doc,
+              |$minhashExprs
+              |FROM sh""".stripMargin),
+      (s, dir) =>
+        Dedup.minhashSignatures(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Full MinHash-LSH near-dup pipeline: banded candidates → exact-Jaccard
+    // verification ≥ 0.8. Finds the 25 planted pairs (minus any the two
+    // bands miss — deterministic either way).
+    Q("q36_lsh_neardup",
+      Some(s"""$baseCtes,
+              |sig AS (
+              |  SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM t))),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t)
+              |SELECT c.d1, c.d2,
+              |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jaccard_r
+              |FROM cand c
+              |JOIN shs a ON a.doc_id = c.d1
+              |JOIN shs b ON b.doc_id = c.d2
+              |WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8""".stripMargin),
+      (s, dir) =>
+        Dedup.nearDuplicates(docs(s, dir), col("doc_id"), col("text"), 0.8)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
+
+    // Exact all-pairs n-gram Jaccard (no LSH prefilter) at a 0.5 floor —
+    // the ground truth the LSH pipeline approximates.
+    // minIntersection=2 is a safe prune for the 0.5 floor: j >= 0.5 needs
+    // |A∩B| >= (|A|+|B|)/3 >= 2 for any docs with >= 3 shingles each.
+    Q("q37_jaccard_pairs",
+      Some(s"""$baseCtes,
+              |sz AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+              |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT i.d1, i.d2,
+              |  round(CAST(ni AS DOUBLE) / (s1.n + s2.n - ni), 4) AS jaccard_r
+              |FROM inter i
+              |JOIN sz s1 ON s1.doc_id = i.d1
+              |JOIN sz s2 ON s2.doc_id = i.d2
+              |WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= 0.5""".stripMargin),
+      (s, dir) =>
+        Dedup.jaccardPairs(docs(s, dir), col("doc_id"), col("text"), minIntersection = 2L)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
+
+    // 16-bit SimHash per doc, distributed-aggregate formulation.
+    Q("q38_simhash", {
+      val bitTerms = (0 until 16).map { b =>
+        s"CASE WHEN sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("\n    + ")
+      Some(s"""WITH p AS (SELECT doc_id AS doc, unnest($toksSql) AS t FROM documents),
+              |h AS (SELECT doc, ${portableHashSql("t")} % 65536 AS hv FROM p)
+              |SELECT doc, CAST($bitTerms AS BIGINT) AS simhash
+              |FROM h GROUP BY doc""".stripMargin)
+    },
+      (s, dir) =>
+        Dedup.simhash16(docs(s, dir), col("doc_id"), col("text")))
+  )
+}

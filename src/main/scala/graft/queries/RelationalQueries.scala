@@ -270,8 +270,8 @@ object RelationalQueries {
     Q("q14_window_topk",
       Some("""SELECT * FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
-             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
              |  FROM orders) WHERE rnk <= 3""".stripMargin),
       (s, dir) =>
         Relational.topKPerGroup(

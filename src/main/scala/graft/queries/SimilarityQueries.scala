@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** Similarity-search suite over `embeddings` (array<float> ⨯ 64):
+  * brute-force cosine top-k, hyperplane-LSH bucketing, bucketed ANN,
+  * and embedding-cosine near-dup pairs.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private val eCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  val queries: Seq[Q] = Seq(
+
+    // Brute-force cosine top-10 against the vec_id=0 query vector.
+    Q("q39_knn_cosine",
+      Some(s"""WITH $eCte,
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+              |SELECT vec_id, round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |FROM e, q WHERE vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.knnBrute(
+          e.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") === 0), col("embedding"), 10)
+      }),
+
+    // Hyperplane-LSH bucket histogram (planes = vectors 1..4, shared with
+    // the oracle so bucketing is engine-portable).
+    Q("q40_lsh_buckets",
+      Some(s"""WITH $eCte,
+              |p AS (SELECT vec_id AS plane_rank, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 4),
+              |b AS (SELECT e.vec_id,
+              |    CAST(sum(CASE WHEN ${Similarity.dotSql("v", "pv")} > 0
+              |             THEN (1 << (plane_rank - 1)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id)
+              |SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.withLshBucket(e, col("vec_id"), col("embedding"),
+            e.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vectors"))
+      }),
+
+    // Bucketed ANN: top-5 within the query vector's LSH bucket only —
+    // the candidate-reduction path that replaces the 100 TB cross join.
+    Q("q41_ann_bucket",
+      Some(s"""WITH $eCte,
+              |p AS (SELECT vec_id AS plane_rank, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 4),
+              |b AS (SELECT e.vec_id,
+              |    CAST(sum(CASE WHEN ${Similarity.dotSql("v", "pv")} > 0
+              |             THEN (1 << (plane_rank - 1)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id),
+              |ev AS (SELECT b.vec_id, bucket, v FROM b JOIN e USING (vec_id)),
+              |qq AS (SELECT bucket AS qbucket, v AS qv FROM ev WHERE vec_id = 0)
+              |SELECT ev.vec_id, ev.bucket,
+              |  round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |FROM ev, qq WHERE ev.bucket = qbucket AND ev.vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val bucketed = Similarity.withLshBucket(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"))
+        Similarity.annInBucket(bucketed, 0L, 5)
+      }),
+
+    // Embedding-cosine near-duplicates over a corpus with 20 planted
+    // exact-duplicate vectors (cos = 1.0; corpus max off-diagonal is 0.51).
+    Q("q42_embed_neardup",
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
+              |pr AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+              |    round(${Similarity.cosineSql("a.v", "b.v")}, 4) AS cos_sim
+              |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+              |SELECT d1, d2, cos_sim FROM pr WHERE cos_sim >= 0.99""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val corpus = e.union(
+          e.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Similarity.nearDupPairs(corpus, col("vec_id"), col("embedding"), 0.99)
+      })
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions._
+import graft.operators.Relational
+import graft.sources.Tables
+import graft.text.{TextAnalysis, TfIdf}
+
+/** Text-analysis operator suite over the `documents` table: token stats,
+  * language-ID, quality scoring, fingerprinting, TF-IDF, sentiment, and
+  * per-source top tokens. Oracle SQL is generated from the same lexicon /
+  * hash constants the Spark ops use, so the two can't drift.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private val toksSql = tokensSql("text")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(",")
+
+  val queries: Seq[Q] = Seq(
+
+    // Token counting + per-language stats (SURVEY §2.8 split/size; the
+    // word-count histogram input of NFL_Processing.py:35).
+    Q("q30_token_stats",
+      Some(s"""WITH d AS (SELECT lang, n_chars, len($toksSql) AS n_tok FROM documents)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              |  round(avg(n_tok), 4) AS avg_tokens,
+              |  round(avg(n_chars), 4) AS avg_chars,
+              |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+              |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+              |FROM d GROUP BY lang""".stripMargin),
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"),
+            round(avg(col("n_tok")), 4).as("avg_tokens"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            min(col("n_tok")).as("min_tokens"),
+            max(col("n_tok")).as("max_tokens"))),
+
+    // Language-ID by stopword-hit argmax; output is the confusion matrix
+    // against the table's ground-truth lang column.
+    Q("q32_lang_id", {
+      val scores = LangStopwords.map { case (l, ws) =>
+        s"  len(list_filter(tk, t -> t IN (${inList(ws)}))) AS score_$l"
+      }.mkString(",\n")
+      val langs = LangStopwords.map(_._1)
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH t AS (SELECT lang, $toksSql AS tk FROM documents),
+              |s AS (SELECT lang,
+              |$scores
+              |FROM t)
+              |SELECT lang, CASE $caseChain ELSE '${langs.last}' END AS pred_lang,
+              |  count(*) AS n
+              |FROM s GROUP BY 1, 2""".stripMargin)
+    },
+      (s, dir) =>
+        TextAnalysis.withLangId(docs(s, dir), col("text"))
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))),
+
+    // Quality scoring: stopword-ratio + length term, bucketed by decile.
+    Q("q33_quality_score",
+      Some(s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+              |q AS (SELECT
+              |  0.4 * (CAST(len(list_filter(tk, t -> t IN (${inList(LangStopwords.head._2)}))) AS DOUBLE)
+              |         / CAST(len(tk) AS DOUBLE))
+              |  + 0.6 * least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) AS quality FROM t)
+              |SELECT CAST(floor(quality * 10) AS BIGINT) AS quality_bucket,
+              |  count(*) AS n, round(avg(quality), 4) AS avg_quality
+              |FROM q GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.withQuality(docs(s, dir), col("text"))
+          .groupBy("quality_bucket")
+          .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_quality"))),
+
+    // Order-sensitive polynomial document fingerprint (rolling hash over
+    // token hashes) — identical fold in both engines.
+    Q("q34_fingerprint",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+              |SELECT doc_id, ${fingerprintSql("tk")} AS fp FROM t""".stripMargin),
+      (s, dir) =>
+        docs(s, dir).select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))),
+
+    // TF-IDF with corpus-derived N (fixing the reference's hard-coded 7511,
+    // NFL_Processing.py:486) + per-doc top-5 (NFL_Processing.py:504-506).
+    Q("q43_tfidf_topk",
+      Some(s"""WITH pairs AS (SELECT doc_id AS doc, unnest($toksSql) AS token FROM documents),
+              |tf AS (SELECT doc, token, count(*) AS tf FROM pairs GROUP BY 1, 2),
+              |dfreq AS (SELECT token, count(DISTINCT doc) AS df FROM pairs GROUP BY 1),
+              |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              |scored AS (SELECT doc, tf.token AS token, tf,
+              |    log10(CAST(n_docs AS DOUBLE) / df) AS idf,
+              |    tf * log10(CAST(n_docs AS DOUBLE) / df) AS tfidf
+              |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+              |ranked AS (SELECT doc, token, tf,
+              |    round(idf, 4) AS idf_r, round(tfidf, 4) AS tfidf_r,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY doc
+              |      ORDER BY round(tfidf, 6) DESC, token) AS INT) AS rnk
+              |  FROM scored)
+              |SELECT doc, token, tf, idf_r, tfidf_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin),
+      (s, dir) =>
+        TfIdf.topKPerDoc(docs(s, dir), col("doc_id"), tokens(col("text")), 5)
+          .select(col("doc"), col("token"), col("tf"),
+            round(col("idf"), 4).as("idf_r"), round(col("tfidf"), 4).as("tfidf_r"),
+            col("rnk"))),
+
+    // Deterministic lexicon sentiment (the engine's self-contained stand-in
+    // for the reference's pretrained model, SURVEY §2.10).
+    Q("q44_sentiment",
+      Some(s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+              |s AS (SELECT
+              |  len(list_filter(tk, t -> t IN (${inList(PosWords)}))) AS np,
+              |  len(list_filter(tk, t -> t IN (${inList(NegWords)}))) AS nn,
+              |  len(tk) AS ntok FROM t)
+              |SELECT CASE WHEN np > nn THEN 'positive'
+              |            WHEN np < nn THEN 'negative'
+              |            ELSE 'neutral' END AS sentiment,
+              |  count(*) AS n,
+              |  round(avg(CAST(np - nn AS DOUBLE) / CAST(ntok AS DOUBLE)), 4) AS avg_polarity
+              |FROM s GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.withSentiment(docs(s, dir), col("text"))
+          .groupBy("sentiment")
+          .agg(count(lit(1)).as("n"), round(avg(col("polarity")), 4).as("avg_polarity"))),
+
+    // Per-source top-5 tokens by frequency — the reference's word-count +
+    // per-group ranking shape (A9 + W3/W4) without the RDD detour.
+    Q("q45_top_tokens",
+      Some(s"""WITH pairs AS (SELECT source, unnest($toksSql) AS token FROM documents),
+              |c AS (SELECT source, token, count(*) AS n FROM pairs GROUP BY 1, 2)
+              |SELECT * FROM (
+              |  SELECT source, token, n,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY n DESC, token) AS INT) AS rnk
+              |  FROM c) WHERE rnk <= 5""".stripMargin),
+      (s, dir) =>
+        Relational.topKPerGroup(
+          docs(s, dir)
+            .select(col("source"), explode(tokens(col("text"))).as("token"))
+            .groupBy("source", "token")
+            .agg(count(lit(1)).as("n")),
+          Seq(col("source")), Seq(col("n").desc, col("token")), 5))
+  )
+}

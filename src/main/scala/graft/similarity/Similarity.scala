@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine is the correctness baseline (broadcast the query
+  * vector; one pass, no shuffle). The scale path is hyperplane-LSH
+  * bucketing: assign each vector a bucket from sign-bits against shared
+  * hyperplanes, shuffle once on bucket, and search only the query's
+  * bucket — the IVF-style candidate reduction.
+  */
+object Similarity {
+
+  /** Strict left-to-right dot product — deterministic summation order, so
+    * results are reproducible across engines and runs (a floating `sum()`
+    * over a shuffled frame is not). Backed by the codegen'd [[DotProduct]]
+    * expression: the composable `aggregate(zip_with(...))` form is an
+    * interpreted higher-order function and cost ~49s on the sf0.1 all-pairs
+    * scan; the native loop runs inside WholeStageCodegen. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.Native.dotProduct(a, b)
+
+  /** DuckDB twin of [[dot]] (same fold order). */
+  def dotSql(aE: String, bE: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($aE)), i -> $aE[i]*$bE[i]), (x,y) -> x+y)"
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(aE: String, bE: String): String =
+    s"(${dotSql(aE, bE)}) / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"
+
+  /** Brute-force top-k by cosine against one query vector (broadcast).
+    * Plans as broadcast-nested-loop of a single row + TakeOrderedAndProject:
+    * one scan, no shuffle of the corpus. */
+  def knnBrute(vectors: DataFrame, idCol: Column, vecCol: Column,
+               query: DataFrame, queryVecCol: Column, k: Int): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val q = queryVecCol.cast("array<double>").as("qv")
+    vectors.select(idCol.as("vec_id"), v.as("v"))
+      .crossJoin(broadcast(query.select(q)))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select("vec_id", "cos_sim")
+      .limit(k)
+  }
+
+  /** Hyperplane-LSH bucket id from sign-bits of dot(v, plane_i), planes
+    * broadcast. Bucket count = 2^planes; one narrow shuffle if the caller
+    * groups by bucket. */
+  def withLshBucket(vectors: DataFrame, idCol: Column, vecCol: Column,
+                    planes: DataFrame, planeIdCol: Column, planeVecCol: Column): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    vectors.select(idCol.as("vec_id"), v.as("v"))
+      .crossJoin(broadcast(planes.select(planeIdCol.as("plane_rank"), planeVecCol.cast("array<double>").as("pv"))))
+      .withColumn("bit", when(dot(col("v"), col("pv")) > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy("vec_id")
+      .agg(sum(col("bit") * pow(lit(2.0), col("plane_rank") - 1)).cast("long").as("bucket"),
+        first(col("v")).as("v"))
+  }
+
+  /** Bucketed ANN: top-k within the query's LSH bucket only. */
+  def annInBucket(bucketed: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("qbucket"), col("v").as("qv"))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select("vec_id", "bucket", "cos_sim")
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
+    * all-pairs here (correctness baseline); the scale path prefilters
+    * with [[withLshBucket]] and joins within buckets only. */
+  def nearDupPairs(vectors: DataFrame, idCol: Column, vecCol: Column,
+                   threshold: Double): DataFrame = {
+    val v = vectors.select(idCol.as("vid"), vecCol.cast("array<double>").as("vv"))
+    val a = v.select(col("vid").as("d1"), col("vv").as("v1"))
+    val b = v.select(col("vid").as("d2"), col("vv").as("v2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("d1", "d2", "cos_sim")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document-level text analysis: language-ID, quality scoring, token
+  * stats. All per-row expression pipelines — embarrassingly parallel, no
+  * shuffle until the caller aggregates, so they scale linearly with input
+  * splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword-hit scores + argmax language guess.
+    * Ties resolve in `LangStopwords` declaration order (en first) —
+    * mirrored exactly by the oracle's CASE chain. */
+  def withLangId(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val scored = LangStopwords.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", lexiconHits(toks, words))
+    }
+    val langs = LangStopwords.map(_._1)
+    val pred = langs.init.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (lang, i)) =>
+        val rest = langs.drop(i + 1).map(l => col(s"score_$lang") >= col(s"score_$l"))
+        val cond = rest.reduce(_ && _)
+        Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
+    }.get.otherwise(langs.last)
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality score in [0,1]: 0.4·stopword-ratio + 0.6·min(n_tokens/50, 1).
+    * Both terms are exact IEEE double ops from integer inputs, so the
+    * score (and its decile bucket) is bit-identical across engines. */
+  def withQuality(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val nTok = size(toks).cast("double")
+    val stopRatio = lexiconHits(toks, LangStopwords.head._2).cast("double") / nTok
+    val lenTerm = least(nTok / 50.0, lit(1.0))
+    df.withColumn("quality", lit(0.4) * stopRatio + lit(0.6) * lenTerm)
+      .withColumn("quality_bucket", floor(col("quality") * 10).cast("long"))
+  }
+
+  /** Lexicon sentiment counts + 3-way label. Integer comparison for the
+    * label (no float threshold), so labeling can't drift across engines. */
+  def withSentiment(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    df.withColumn("n_pos", lexiconHits(toks, PosWords))
+      .withColumn("n_neg", lexiconHits(toks, NegWords))
+      .withColumn("sentiment",
+        when(col("n_pos") > col("n_neg"), "positive")
+          .when(col("n_pos") < col("n_neg"), "negative")
+          .otherwise("neutral"))
+      .withColumn("polarity",
+        (col("n_pos") - col("n_neg")).cast("double") / size(toks).cast("double"))
+  }
+}
