@@ -1,0 +1,60 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("identical docs get identical minhash signatures") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, col("doc_id"), col("text"))
+      .orderBy("doc").collect()
+    assert((0 to 3).forall(i => sigs(0).getLong(i + 1) == sigs(1).getLong(i + 1)))
+  }
+
+  test("lsh finds the corpus's planted near-dup pairs") {
+    val nd = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8)
+    val n = nd.count()
+    assert(n >= 20 && n <= 30, s"expected ~25 planted pairs, got $n")
+    assert(nd.filter($"jaccard" < 0.8).count() == 0)
+  }
+
+  test("jaccardPairs agrees with LSH-verified jaccard on planted pairs") {
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), minIntersection = 2L)
+      .filter($"jaccard" >= 0.8).select("d1", "d2", "jaccard")
+    val lsh = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8)
+      .select($"d1", $"d2", $"jaccard".as("j2"))
+    // every LSH pair appears in the exact set with the same score
+    val joined = lsh.join(exact, Seq("d1", "d2"))
+    assert(joined.count() == lsh.count())
+    assert(joined.filter(abs($"jaccard" - $"j2") > 1e-12).count() == 0)
+  }
+
+  test("simhash: near-dup docs are close in hamming distance, random docs far") {
+    val sh = Dedup.simhash16(docs, col("doc_id"), col("text"))
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.9)
+      .select("d1", "d2")
+    def ham = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      bit_count(a.bitwiseXOR(b))
+    val nearHam = pairs
+      .join(sh.select($"doc".as("d1"), $"simhash".as("s1")), "d1")
+      .join(sh.select($"doc".as("d2"), $"simhash".as("s2")), "d2")
+      .agg(avg(ham($"s1", $"s2"))).head.getDouble(0)
+    val randHam = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc" < $"b.doc" && ($"a.doc" + $"b.doc") % 97 === 0)
+      .agg(avg(ham($"a.simhash", $"b.simhash"))).head.getDouble(0)
+    assert(nearHam < randHam, s"near=$nearHam rand=$randHam")
+  }
+
+  test("exactGroups: dup rows collapse to min id") {
+    val df = Seq((5L, "t"), (3L, "t"), (9L, "u")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, col("doc_id"), col("text"))
+      .orderBy("keeper").collect()
+    assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((3L, 2L), (9L, 1L)))
+  }
+}

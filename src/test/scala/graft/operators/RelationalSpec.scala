@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val orders = Tables.orders(spark, sfDir).cache()
+
+  test("topKPerGroup returns at most k rows per group, ranked correctly") {
+    val top = Relational.topKPerGroup(orders,
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    val counts = top.groupBy("o_custkey").count().agg(max("count")).head.getLong(0)
+    assert(counts <= 3)
+    // rank-1 row per customer holds that customer's max price
+    val r1 = top.filter($"rnk" === 1).select($"o_custkey", $"o_totalprice".as("p1"))
+    val mx = orders.groupBy($"o_custkey").agg(max($"o_totalprice").as("mx"))
+    assert(r1.join(mx, "o_custkey").filter($"p1" =!= $"mx").count() == 0)
+  }
+
+  test("runningAggs final value per key equals the group total (W1 invariant)") {
+    val run = Relational.runningAggs(orders, col("o_custkey"), col("o_orderdate"),
+      (_ => sum(col("o_totalprice")), "running_spend"))
+    val last = run.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)))
+      .filter($"rn" === 1).select($"o_custkey", $"running_spend")
+    val tot = orders.groupBy($"o_custkey").agg(sum($"o_totalprice").as("total"))
+    val bad = last.join(tot, "o_custkey")
+      .filter(abs($"running_spend" - $"total") > 1e-6).count()
+    assert(bad == 0)
+  }
+
+  test("histogramWithCumsum is monotone and ends at the row count") {
+    val h = Relational.histogramWithCumsum(orders, col("o_orderpriority"))
+    val cums = h.orderBy("bucket").select("cum_n").collect().map(_.getLong(0))
+    assert(cums.sameElements(cums.sorted))
+    assert(cums.last == orders.count())
+  }
+
+  test("dedupExactKeepFirst keeps min id and counts dups") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
+    val got = Relational.dedupExactKeepFirst(df, col("v"), col("id"))
+      .orderBy("keeper").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("crossTab fills empty cells with zero") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("r", "c")
+    val got = Relational.crossTab(df, col("r"), col("c"), Seq("x", "y"))
+      .orderBy("r").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 0L), ("b", 0L, 1L)))
+  }
+}

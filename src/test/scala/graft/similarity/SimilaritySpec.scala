@@ -1,0 +1,60 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("native DotProduct is bit-identical to the interpreted HOF fold") {
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val df = Seq((Seq(1.5, 2.5, -3.0), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
+    val Array(native, interp) = df
+      .select(Similarity.dot(col("a"), col("b")), hof).head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(native == interp)
+    // and against the corpus: every vector dotted with itself == |v|^2, > 0
+    val self = emb.select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    assert(self.filter($"d" <= 0).count() == 0)
+  }
+
+  test("cosine of a vector with itself rounds to 1") {
+    val bad = emb.select(round(Similarity.cosine(col("embedding"), col("embedding")), 6).as("c"))
+      .filter($"c" =!= 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("knnBrute returns k rows ordered by similarity desc") {
+    val got = Similarity.knnBrute(
+      emb.filter($"vec_id" =!= 0), col("vec_id"), col("embedding"),
+      emb.filter($"vec_id" === 0), col("embedding"), 10).collect()
+    assert(got.length == 10)
+    val sims = got.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("bucketed ANN results are a subset of brute-force candidates' bucket") {
+    val bucketed = Similarity.withLshBucket(emb, col("vec_id"), col("embedding"),
+      emb.filter($"vec_id".between(1, 4)), col("vec_id"), col("embedding")).cache()
+    val qBucket = bucketed.filter($"vec_id" === 0).head.getLong(1)
+    val ann = Similarity.annInBucket(bucketed, 0L, 5).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(_.getLong(1) == qBucket))
+  }
+
+  test("nearDupPairs finds exactly the planted duplicates") {
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.union(e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val got = Similarity.nearDupPairs(corpus, col("vec_id"), col("embedding"), 0.99)
+      .orderBy("d1").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 5L).map(i => (i, i + 100000)))
+    assert(got.forall(_.getDouble(2) == 1.0))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens trims and splits on whitespace runs") {
+    val got = Seq("  a  b\tc ").toDF("t")
+      .select(tokens(col("t")).as("tk")).head.getSeq[String](0)
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("portableHash matches the known md5-prefix value") {
+    // first 15 hex chars of md5('hello') = 0x5d41402abc4b2a7
+    val got = Seq("hello").toDF("t").select(portableHash(col("t"))).head.getLong(0)
+    assert(got == 419982666956583591L)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fps = Seq("a b c", "c b a").toDF("t")
+      .select(fingerprint(tokens(col("t"))).as("fp")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("identical text gives identical fingerprint") {
+    val fps = Seq("x y z", "x y z").toDF("t")
+      .select(fingerprint(tokens(col("t")))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("langId: all-scores-zero ties resolve to en (declaration order)") {
+    val got = TextAnalysis.withLangId(Seq("zzz qqq").toDF("text"), col("text"))
+      .select("pred_lang").head.getString(0)
+    assert(got == "en")
+  }
+
+  test("langId prefers the language with most stopword hits") {
+    val got = TextAnalysis.withLangId(Seq("el la de y que xxx").toDF("text"), col("text"))
+      .select("pred_lang").head.getString(0)
+    assert(got == "es")
+  }
+
+  test("quality score stays in [0,1]") {
+    val q = TextAnalysis.withQuality(Tables.documents(spark, sfDir), col("text"))
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("sentiment: labels follow pos/neg counts; polarity sign matches") {
+    val df = Seq("fast big fast", "slow small slow", "data table").toDF("text")
+    val got = TextAnalysis.withSentiment(df, col("text"))
+      .select("sentiment").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("positive", "negative", "neutral"))
+  }
+
+  test("tfidf: a token present in every doc has idf 0") {
+    val df = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
+    val t = TfIdf.tfidf(df, col("doc_id"), tokens(col("text")))
+    assert(t.filter($"token" === "x").select("idf").collect().forall(_.getDouble(0) == 0.0))
+  }
+
+  test("tfidf rank-1 token has the max score per doc (E3 invariant)") {
+    val top = TfIdf.topKPerDoc(Tables.documents(spark, sfDir), col("doc_id"),
+      tokens(col("text")), 5)
+    val r1 = top.filter($"rnk" === 1).select($"doc", $"tfidf".as("s1"))
+    val mx = TfIdf.tfidf(Tables.documents(spark, sfDir), col("doc_id"), tokens(col("text")))
+      .groupBy($"doc").agg(max($"tfidf").as("mx"))
+    assert(r1.join(mx, "doc").filter($"s1" < $"mx" - 1e-12).count() == 0)
+  }
+}
