@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming over the events table — the engine's streaming
+  * extension (SURVEY.md §2.12: the reference is batch-only; this mirrors
+  * its time-slot aggregations as watermarked windowed streams).
+  *
+  * The events parquet stores TIMESTAMP(NANOS), which Spark's reader
+  * rejects; the stream reads the raw long nanos with an explicit schema
+  * and rebuilds a microsecond timestamp — same convention as
+  * [[graft.sources.Tables.events]].
+  */
+object EventsStream {
+
+  /** Explicit source schema (streaming reads can't infer): ts as raw
+    * nanos long. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory of events parquet. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling-window counts per event type with a watermark — the
+    * streaming twin of the batch time-slot aggregates (q06/q21). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window average value. */
+  def slidingAvg(events: DataFrame, window_ : String = "1 hour",
+                 slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(avg(col("value")).as("avg_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** Custom per-key state via mapGroupsWithState: running per-user totals
+    * (the stateful-op surface — KeyValueGroupedDataset state API). */
+  def userTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a stream to completion against static input and return the
+    * result (memory sink) — the synchronous harness for tests/verify. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Media.synthesize(Tables.documents(spark, sfDir)).cache()
+
+  test("synthesized media has typed schema and all three kinds") {
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "payload", "width", "height", "duration_ms"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("decodeFeatures is deterministic and preserves row count") {
+    val f1 = Media.decodeFeatures(media)
+    val f2 = Media.decodeFeatures(media)
+    assert(f1.count() == media.count())
+    val j = f1.toDF().select($"media_id", $"checksum".as("c1"))
+      .join(f2.toDF().select($"media_id", $"checksum".as("c2")), "media_id")
+    assert(j.filter($"c1" =!= $"c2").count() == 0)
+  }
+
+  test("feature vectors have the requested dimension and finite values") {
+    val f = Media.decodeFeatures(media, dim = 8)
+    val sizes = f.toDF().select(size($"feature").as("s")).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(8))
+    assert(f.toDF().filter(exists($"feature", v => v.isNaN || v < 0)).count() == 0)
+  }
+
+  test("decode stage preserves partitioning (no shuffle in the plan)") {
+    val planned = Media.decodeFeatures(media.repartition(7)).toDF()
+    assert(planned.rdd.getNumPartitions == 7)
+    // the only Exchange is the explicit repartition(7); decode adds none
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"unexpected shuffle:\n$plan")
+  }
+
+  test("frameSample emits n offsets per av row, within duration") {
+    val fs = Media.frameSample(media, nFrames = 4)
+    val avRows = media.filter($"kind".isin("video", "audio")).count()
+    assert(fs.count() == avRows * 4)
+    assert(fs.toDF().filter($"offset_ms" < 0 || $"offset_ms" > $"media_id" * 0 + Long.MaxValue).count() == 0)
+    val bad = fs.toDF().join(media.toDF().select($"media_id", $"duration_ms"), "media_id")
+      .filter($"offset_ms" > $"duration_ms").count()
+    assert(bad == 0)
+  }
+}
