@@ -416,6 +416,28 @@ object RelationalQueries {
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
 
+    // JSON/map access: parse the props JSON and bucket by its key — the
+    // engine's version of the reference's map<string,string> key lookup
+    // (Sentiment_Analysis.py:89-94 getItem) over serialized props.
+    Q("q26_json_props",
+      Some("""SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_bucket,
+             |  count(*) AS n, round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))),
+
+    // CUBE grouping sets over two dims (engine extension past ROLLUP).
+    Q("q27_cube",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))),
+
     // Sessionization via lag + conditional cumulative sum — the gaps-and-
     // islands pattern a 100 TB event pipeline needs (engine extension;
     // exercises lag + two stacked windows over one partition shuffle).

@@ -26,10 +26,17 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream source over a directory of events parquet. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
+  /** File-stream source over a directory; `glob` selects which parquet
+    * files inside it belong to the stream (the source requires a
+    * directory basePath, not a file). */
+  def read(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
+    // same legacy-nanos handling as the batch reader (Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Tumbling-window counts per event type with a watermark — the
     * streaming twin of the batch time-slot aggregates (q06/q21). */
