@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region: the first query
+    // otherwise absorbs several seconds of JIT + reader initialization
+    // that a long-running cluster never sees per-query.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink: materializes EVERY column of every row (a count() lets
     // Spark prune the plan down to a row count); failures print loudly
     // instead of masquerading as fast queries.

@@ -27,10 +27,15 @@ object TextFunctions {
   /** Scale-path 64-bit hash. */
   def fastHash(c: Column): Column = xxhash64(c)
 
-  /** 60-bit engine-portable hash: first 15 hex chars of md5 as a long.
-    * 60 bits keeps all downstream modular arithmetic inside int64. */
+  /** 60-bit engine-portable hash: first 15 hex chars of md5 as a long
+    * (60 bits keeps all downstream modular arithmetic inside int64).
+    * Computed by the codegen'd [[graft.functions.expressions.PortableHash]]
+    * expression — same value as `conv(substring(md5(c),1,15),16,10)`
+    * without the hex render/reparse round-trip. */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.PortableHash(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
 
   def portableHashSql(e: String): String =
     s"list_reduce(list_transform(string_split(substr(md5($e),1,15),''), " +

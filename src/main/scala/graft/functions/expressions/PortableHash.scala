@@ -1,0 +1,49 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 60-bit portable string hash: the first 15 hex digits of md5 as a long —
+  * numerically identical to `conv(substring(md5(s),1,15),16,10)` (and to
+  * the DuckDB oracle expression), but computed straight from the digest
+  * bytes: no hex-string render, no base-16 reparse, no intermediate
+  * allocations. This chain sits under every shingle/minhash/fingerprint
+  * query, so the constant factor matters at corpus scale. */
+case class PortableHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "portable_hash"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.md5Prefix60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashUtil.md5Prefix60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashUtil {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5 as a long: bytes 0..6 fully, plus the
+    * high nibble of byte 7. */
+  def md5Prefix60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    (v << 4) | ((digest(7) & 0xffL) >>> 4)
+  }
+}

@@ -416,6 +416,23 @@ object RelationalQueries {
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
 
+    // Exact interpolated percentiles (engine extension: the reference has
+    // summary() only; exact quantiles ARE cross-engine checkable, unlike
+    // approx sketches).
+    Q("q29_percentiles",
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))),
+
     // JSON/map access: parse the props JSON and bucket by its key — the
     // engine's version of the reference's map<string,string> key lookup
     // (Sentiment_Analysis.py:89-94 getItem) over serialized props.
