@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.expressions.HashUtil
+import graft.text.Porter
+
+/** ScalaCheck properties for the pure engine functions (SURVEY.md §5.4). */
+object FunctionProperties extends Properties("graft.functions") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val anyStr = Gen.asciiPrintableStr
+
+  property("md5Prefix60 equals the hex-prefix reference definition") =
+    Prop.forAll(anyStr) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(UTF8String.fromString(s).getBytes)
+        .map("%02x".format(_)).mkString.take(15)
+      HashUtil.md5Prefix60(UTF8String.fromString(s)) == java.lang.Long.parseLong(hex, 16)
+    }
+
+  property("md5Prefix60 is non-negative (fits 60 bits)") =
+    Prop.forAll(anyStr) { s =>
+      val v = HashUtil.md5Prefix60(UTF8String.fromString(s))
+      v >= 0 && v < (1L << 60)
+    }
+
+  property("Porter stem of a lowercase word is nonempty, lowercase, no longer") =
+    Prop.forAll(word) { w =>
+      val s = Porter.stem(w)
+      s.nonEmpty && s == s.toLowerCase && s.length <= w.length + 1
+    }
+
+  property("Porter stem is stable for already-short words") =
+    Prop.forAll(Gen.oneOf("a", "be", "go", "it")) { w => Porter.stem(w) == w }
+
+  property("fingerprint fold stays inside the modulus") = {
+    val hashes = Gen.listOf(Gen.chooseNum(0L, TextFunctions.FpTokenMod - 1))
+    Prop.forAll(hashes) { hs =>
+      val fp = hs.foldLeft(0L)((a, x) => (a * 31 + x) % TextFunctions.FpMod)
+      fp >= 0 && fp < TextFunctions.FpMod
+    }
+  }
+
+  property("minhash permutation output stays inside P for 60-bit inputs") = {
+    val h = Gen.chooseNum(0L, (1L << 60) - 1)
+    Prop.forAll(h) { v =>
+      TextFunctions.MinHashPerms.forall { case (a, b) =>
+        val m = (a * (v % TextFunctions.MinHashP) + b) % TextFunctions.MinHashP
+        m >= 0 && m < TextFunctions.MinHashP
+      }
+    }
+  }
+}
