@@ -57,6 +57,23 @@ object Relational {
                colValues: Seq[String]): DataFrame =
     df.groupBy(rowKey).pivot(colKey, colValues).count().na.fill(0L)
 
+  /** Salted equi-join for skewed keys: the left (skewed) side gets a
+    * deterministic salt derived from a caller-chosen distributor column;
+    * the right side is replicated across all `buckets` salt values. Same
+    * result as a plain inner equi-join, but the hot key's rows spread over
+    * `buckets` tasks instead of one straggler. AQE's skew-join handles
+    * moderate skew automatically; salting is the explicit tool for the
+    * pathological keys (reference hazard: the Zipfian link_id join,
+    * SURVEY.md §4 "Skew"). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 distributor: Column, buckets: Int): DataFrame = {
+    val salted = left.withColumn("_salt", pmod(xxhash64(distributor), lit(buckets)))
+    val replicated = right
+      .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn("_salt", col("_salt").cast("long"))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Exact deduplication keeping the smallest `tieBreaker` row per key —
     * one hash-aggregate shuffle on the (hashed) key. The training-data
     * dedup baseline (builder brief): at 100 TB the groupBy key is

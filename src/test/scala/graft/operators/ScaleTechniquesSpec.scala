@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The explicit scale techniques: salted skew joins, bucketed co-located
+  * joins, approximate aggregates — each proven against its exact
+  * counterpart. */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows under heavy skew") {
+    // skewed left: 90% of rows share one key
+    val left = spark.range(2000)
+      .select((when($"id" % 10 === 0, $"id" % 5 + 100).otherwise(0L)).as("k"),
+        $"id".as("payload"))
+    val right = Seq((0L, "hot"), (100L, "a"), (101L, "b"), (102L, "c"),
+      (103L, "d"), (104L, "e")).toDF("k", "v")
+    val plain = left.join(right, "k")
+    val salted = Relational.saltedJoin(left, right, "k", col("payload"), 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "v")
+      .exceptAll(plain.select("k", "payload", "v")).count() == 0)
+    // the join shuffle key must include the salt
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange (SURVEY §4)") {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    c.withColumn("c_key", $"c_custkey").write.mode("overwrite")
+      .bucketBy(8, "c_key").sortBy("c_key").saveAsTable("customer_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"), $"o_custkey" === $"c_key")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() == o.join(c, $"o_custkey" === $"c_custkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approx_count_distinct lands within 5% of exact; approx percentile sane") {
+    val li = Tables.lineitem(spark, sfDir)
+    val Array(approx, exact) = li.select(
+      approx_count_distinct($"l_partkey").cast("double"),
+      countDistinct($"l_partkey").cast("double")).head.toSeq
+      .map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    val (lo, hi) = (
+      li.agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))).head.getDouble(0),
+      li.agg(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0))
+    assert(math.abs(lo - hi) / hi < 0.02, s"approx_median=$lo exact=$hi")
+  }
+}
