@@ -64,6 +64,18 @@ class MiscOpsSpec extends SparkSpec {
     assert(pruned.count() == orders.filter($"o_orderstatus" === "F").count())
   }
 
+  test("JSON sink/scan round-trip with explicit schema (north-star: JSON/Parquet)") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/events"
+    val src = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value", $"props")
+    src.write.json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.count() == src.count())
+    // JSON column inside JSON text still parses through get_json_object
+    val k = back.select(get_json_object($"props", "$.k").cast("int").as("k"))
+    assert(k.filter($"k".isNull).count() == 0)
+  }
+
   test("Hadoop FS ops replace dbutils.fs (S7, project_starter_script.py:20)") {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(sfDir)
