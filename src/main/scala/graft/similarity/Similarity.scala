@@ -75,9 +75,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Near-dup pairs restricted to same-LSH-bucket candidates — the scale
+    * path: the pair join runs per bucket (|corpus|²/2^planes expected
+    * pairs) instead of all-pairs. Identical vectors always collide on
+    * every hyperplane, so exact duplicates can never be missed; high-but-
+    * not-1.0 cosine pairs trade a small miss probability per plane, like
+    * any LSH scheme. */
+  def nearDupPairsBucketed(vectors: DataFrame, idCol: Column, vecCol: Column,
+                           planes: DataFrame, planeIdCol: Column, planeVecCol: Column,
+                           threshold: Double): DataFrame = {
+    val b = withLshBucket(vectors, idCol, vecCol, planes, planeIdCol, planeVecCol)
+    val a = b.select(col("vec_id").as("d1"), col("bucket"), col("v").as("v1"))
+    val c = b.select(col("vec_id").as("d2"), col("bucket"), col("v").as("v2"))
+    a.join(c, "bucket").filter(col("d1") < col("d2"))
+      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("d1", "d2", "cos_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
-    * all-pairs here (correctness baseline); the scale path prefilters
-    * with [[withLshBucket]] and joins within buckets only. */
+    * all-pairs (the correctness baseline [[nearDupPairsBucketed]] is
+    * checked against in tests). */
   def nearDupPairs(vectors: DataFrame, idCol: Column, vecCol: Column,
                    threshold: Double): DataFrame = {
     val v = vectors.select(idCol.as("vid"), vecCol.cast("array<double>").as("vv"))

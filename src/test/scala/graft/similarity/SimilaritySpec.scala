@@ -47,6 +47,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(_.getLong(1) == qBucket))
   }
 
+  test("bucketed near-dup equals the brute-force baseline on planted dups") {
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.union(e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val brute = Similarity.nearDupPairs(corpus, col("vec_id"), col("embedding"), 0.99)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bucketed = Similarity.nearDupPairsBucketed(corpus, col("vec_id"), col("embedding"),
+        corpus.filter($"vec_id".between(1, 4)), col("vec_id"), col("embedding"), 0.99)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bucketed == brute)
+  }
+
   test("nearDupPairs finds exactly the planted duplicates") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(e.filter($"vec_id" < 5)
