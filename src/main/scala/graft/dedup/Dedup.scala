@@ -19,33 +19,27 @@ object Dedup {
     df.groupBy(hash(textCol).as("content_hash"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** (doc, shingle-hash) rows with multiplicity, via posexplode + window
-    * `lead` — the whole pipeline (tokenize, per-token hash, arithmetic
-    * 3-gram combine) stays in codegen'd projections; the only exchange is
-    * the per-doc window shuffle. */
-  def shingleHashes(df: DataFrame, idCol: Column, textCol: Column,
-                    hash: Column => Column = portableHash): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("pos"))
-    df.select(idCol.as("doc"), posexplode(tokens(textCol)).as(Seq("pos", "t")))
-      .select(col("doc"), col("pos"), (hash(col("t")) % ShingleM).as("h0"))
-      .withColumn("h1", lead(col("h0"), 1).over(w))
-      .withColumn("h2", lead(col("h0"), 2).over(w))
-      .filter(col("h2").isNotNull)
-      .select(col("doc"),
-        combineShingle(j => col(s"h$j")).as("sh"))
+  /** (doc, shingle-hash) rows with multiplicity, emitted by the custom
+    * [[graft.functions.expressions.ShingleHashGenerator]] — a pure
+    * map-side Generate (the window-lead formulation this replaces needed
+    * an Exchange + Sort per evaluation just to see adjacent tokens).
+    * Values are unchanged: per-token portable hash mod M folded with the
+    * same constants the oracle uses. */
+  def shingleHashes(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.select(idCol.as("doc"),
+      Bridge.column(graft.functions.expressions.ShingleHashGenerator(
+        Bridge.expression(tokens(textCol)), 3)).as("sh"))
   }
 
   /** Per-doc MinHash signature over 3-token shingles: one grouped
     * aggregation with a min() per permutation — map-side partials make the
     * shuffle carry 4 longs per doc regardless of document size. */
-  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
-                        shingleK: Int = 3,
-                        hash: Column => Column = portableHash): DataFrame = {
+  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val aggs = MinHashPerms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * (col("sh") % MinHashP) + lit(b)) % MinHashP).as(s"mh$i")
     }
-    shingleHashes(df, idCol, textCol, hash)
+    shingleHashes(df, idCol, textCol)
       .groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -73,10 +67,8 @@ object Dedup {
     * join keys), no cross join. 60-bit hash collisions are negligible and
     * the oracle hashes identically, so both engines see the same sets. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   shingleK: Int = 3,
-                   hash: Column => Column = portableHash,
                    minIntersection: Long = 1L): DataFrame = {
-    val pairs = shingleHashes(df, idCol, textCol, hash).distinct()
+    val pairs = shingleHashes(df, idCol, textCol).distinct()
     val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     // minIntersection prunes the long tail of 1-shingle-collision pairs
     // before the size joins — callers filtering on jaccard >= τ can derive
@@ -101,18 +93,17 @@ object Dedup {
     * counting self-join: with only candidate rows left, two broadcast
     * joins + a per-row intersect beat four more shuffle stages. */
   def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
-                     threshold: Double, shingleK: Int = 3,
-                     hash: Column => Column = portableHash): DataFrame = {
+                     threshold: Double): DataFrame = {
     // cand is reused twice (doc restriction + pair join) and one use sits
     // under a broadcast exchange — cache AND materialize eagerly, or the
     // broadcast thread and the main plan each recompute the whole
     // signature pipeline concurrently.
-    val cand = lshCandidates(minhashSignatures(df, idCol, textCol, shingleK, hash)).cache()
+    val cand = lshCandidates(minhashSignatures(df, idCol, textCol)).cache()
     cand.count()
     val candDocs = cand.select(col("d1").as("cdoc"))
       .union(cand.select(col("d2").as("cdoc"))).distinct()
     val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
-    val shSets = shingleHashes(candCorpus, idCol, textCol, hash)
+    val shSets = shingleHashes(candCorpus, idCol, textCol)
       .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
     cand
       .join(shSets.select(col("doc").as("d1"), col("shs").as("s1")), "d1")
