@@ -100,6 +100,21 @@ object Pipelines {
     new MulticlassClassificationEvaluator().setLabelCol(labelCol)
       .setPredictionCol("prediction").setMetricName("f1")
 
+  /** Decode predicted label indices back to their string values
+    * (IndexToString, code/ml/ML_Sentiment.py:189-191). */
+  def labelDecoder(labels: Array[String]): IndexToString =
+    new IndexToString().setInputCol("prediction")
+      .setOutputCol("predicted_label").setLabels(labels)
+
+  /** VectorIndexer stage for auto-detecting categorical features inside an
+    * assembled vector (maxCategories per the reference,
+    * code/ml/ML_Modeling.py:198,310). */
+  def vectorIndexer(inputCol: String = "features",
+                    outputCol: String = "features_indexed",
+                    maxCategories: Int = 999): VectorIndexer =
+    new VectorIndexer().setInputCol(inputCol).setOutputCol(outputCol)
+      .setMaxCategories(maxCategories)
+
   /** Pearson correlation matrix over numeric columns
     * (code/ml/feature_correlation.py:41-49). */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): Matrix = {

@@ -73,6 +73,26 @@ class PipelinesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IndexToString decodes predictions back to label strings (ML_Sentiment.py:189)") {
+    val stages = Pipelines.featureStages(Seq("status"), Seq("l_quantity", "l_discount"))
+    val pred = new Pipeline()
+      .setStages((stages :+ Pipelines.rfClassifier("label", numTrees = 5)).toArray)
+      .fit(data).transform(data)
+    val decoded = Pipelines.labelDecoder(Array("A", "N", "R")).transform(pred)
+    assert(decoded.select("predicted_label").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("VectorIndexer flags low-cardinality vector slots as categorical") {
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount")).setOutputCol("features")
+      .transform(data.limit(2000))
+    val model = Pipelines.vectorIndexer(maxCategories = 60).fit(assembled)
+    // l_quantity has 50 distinct integral values -> categorical; keep both slots
+    assert(model.categoryMaps.keySet.contains(0))
+    assert(model.transform(assembled).columns.contains("features_indexed"))
+  }
+
   test("correlation matrix is symmetric with unit diagonal (feature_correlation.py)") {
     val m = Pipelines.correlationMatrix(data, Seq("l_quantity", "l_discount", "l_tax", "price"))
     assert(m.numRows == 4 && m.numCols == 4)

@@ -110,6 +110,18 @@ class RedditOpsSpec extends SparkSpec {
     assert(counts.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("games CSV round-trips quoted column names with an explicit schema (S3)") {
+    // the reference ingests this file via a pandas hop (Data_Gathering.py:113,137);
+    // the engine reads CSV with a declared StructType - no inference, no pandas
+    val dir = java.nio.file.Files.createTempDirectory("graft_games").toString + "/games"
+    games.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(RedditSchema.games).csv(dir)
+    assert(back.count() == games.count())
+    assert(back.columns.contains("W/L") && back.columns.contains("Unnamed: 4"))
+    assert(back.select(col("`W/L`")).distinct().count() ==
+      games.select(col("`W/L`")).distinct().count())
+  }
+
   test("nested crosspost column survives the schema (array<struct>)") {
     val exploded = submissions
       .select(col("id"), explode(col("crosspost_parent_list")).as("xp"))
