@@ -1,5 +1,25 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, MinHashConfig}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** Per-round benchmark harness. Emits ONE JSON line (driver contract:
+  * {"metric","value","unit","queries","sf"}) to stdout AND to
+  * `bench_out.json` in the working directory — the stdout copy drowns in
+  * sbt log noise, so the file is the machine-readable artifact. Failed
+  * queries are honest: their `queries` entry is the sentinel -1 and they
+  * are listed in `failed` (round 1 let failures masquerade as timings).
+  *
+  * Two non-oracle extras bench the xxhash64 fast path of the dedup
+  * pipeline (the claimed 100 TB hash family) against the md5-portable
+  * path the oracle queries must use — the md5-vs-xxhash delta is the
+  * number behind the "fast path" claim.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,21 +35,53 @@ object Bench {
     // that a long-running cluster never sees per-query.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
     // noop sink: materializes EVERY column of every row (a count() lets
-    // Spark prune the plan down to a row count); failures print loudly
-    // instead of masquerading as fast queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Spark prune the plan down to a row count).
+    def toNoop(run: (SparkSession, String) => org.apache.spark.sql.DataFrame): SparkSession => Unit =
+      s => run(s, sfDir).write.format("noop").mode("overwrite").save()
+
+    val fastCfg = MinHashConfig.OraclePinned.copy(portable = false)
+    val base: Seq[(String, SparkSession => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map {
+        // Bench the streaming agg the way it scales: Append mode into the
+        // noop sink (watermark bounds state; nothing collects on the
+        // driver). The Complete-mode memory sink stays in Verify only.
+        case ("q28_stream_tumbling", _) =>
+          "q28_stream_tumbling" -> ((s: SparkSession) =>
+            EventsStream.runToNoop(
+              EventsStream.tumblingCounts(EventsStream.read(s, sfDir))))
+        case (name, fn) => name -> toNoop(fn)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    val fastPath: Seq[(String, SparkSession => Unit)] = Seq(
+      "x34_fingerprint_fast" -> toNoop((s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.fingerprintFast(TextFunctions.tokens(col("text"))).as("fp"))),
+      "x35_minhash_fast" -> toNoop((s, dir) =>
+        Dedup.minhashSignatures(Tables.documents(s, dir),
+          col("doc_id"), col("text"), fastCfg)),
+      "x36_lsh_neardup_fast" -> toNoop((s, dir) =>
+        Dedup.nearDuplicates(Tables.documents(s, dir),
+          col("doc_id"), col("text"), 0.8, fastCfg)))
+
+    val results = (base ++ fastPath).map { case (name, run) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(spark); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) secs else -1d, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

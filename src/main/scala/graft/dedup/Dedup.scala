@@ -5,6 +5,50 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 
+/** MinHash/LSH tuning knobs. The 4-perm / 2-band default is the
+  * oracle-pinned toy configuration (DuckDB replays it bit-for-bit); a real
+  * 100 TB dedup wants ~64–128 permutations with b×r tuned to the target
+  * Jaccard threshold (P[candidate] = 1−(1−j^r)^b). `portable` selects the
+  * hash family: md5-prefix (engine-portable, oracle-replayable) vs
+  * xxhash64 (the fast path — one mix per token, no digest allocation).
+  */
+final case class MinHashConfig(perms: IndexedSeq[(Long, Long)],
+                               bands: Int,
+                               shingleK: Int = 3,
+                               portable: Boolean = true) {
+  require(perms.nonEmpty && bands > 0 && perms.size % bands == 0,
+    s"perms (${perms.size}) must divide evenly into bands ($bands)")
+  def rowsPerBand: Int = perms.size / bands
+}
+
+object MinHashConfig {
+  import graft.functions.TextFunctions
+
+  /** The DuckDB-replayable default: 4 hand-picked prime perms, 2 bands. */
+  val OraclePinned: MinHashConfig =
+    MinHashConfig(TextFunctions.MinHashPerms.toIndexedSeq, bands = 2)
+
+  /** Deterministically generated (a, b) permutation parameters — a
+    * splitmix64 stream with fixed public-domain constants, so every run
+    * and every executor derives the identical family. a ∈ [1, P),
+    * b ∈ [0, P); products stay < 2^62 (P < 2^31). */
+  def generated(nPerms: Int, bands: Int, shingleK: Int = 3,
+                portable: Boolean = true): MinHashConfig = {
+    val P = TextFunctions.MinHashP
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val perms = IndexedSeq.fill(nPerms)(
+      (Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P)))
+    MinHashConfig(perms, bands, shingleK, portable)
+  }
+}
+
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and exact n-gram Jaccard. Each is designed
   * around its 100 TB shuffle shape (noted per op); the oracle queries
@@ -25,35 +69,41 @@ object Dedup {
     * an Exchange + Sort per evaluation just to see adjacent tokens).
     * Values are unchanged: per-token portable hash mod M folded with the
     * same constants the oracle uses. */
-  def shingleHashes(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+  def shingleHashes(df: DataFrame, idCol: Column, textCol: Column,
+                    k: Int = 3, portable: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     df.select(idCol.as("doc"),
       Bridge.column(graft.functions.expressions.ShingleHashGenerator(
-        Bridge.expression(tokens(textCol)), 3)).as("sh"))
+        Bridge.expression(tokens(textCol)), k, portable)).as("sh"))
   }
 
-  /** Per-doc MinHash signature over 3-token shingles: one grouped
+  /** Per-doc MinHash signature over k-token shingles: one grouped
     * aggregation with a min() per permutation — map-side partials make the
-    * shuffle carry 4 longs per doc regardless of document size. */
-  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val aggs = MinHashPerms.zipWithIndex.map { case ((a, b), i) =>
+    * shuffle carry |perms| longs per doc regardless of document size. */
+  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                        cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+    val aggs = cfg.perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * (col("sh") % MinHashP) + lit(b)) % MinHashP).as(s"mh$i")
     }
-    shingleHashes(df, idCol, textCol)
+    shingleHashes(df, idCol, textCol, cfg.shingleK, cfg.portable)
       .groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: candidate pairs whose signatures collide on at least one
-    * band (here 2 bands × 2 rows from the 4 perms). One equi-join shuffle
-    * per band, keyed on the band hash — the scale path that avoids the
+    * band (b bands × r rows from the b·r perms). One equi-join shuffle
+    * keyed on (band_idx, band_key) — the scale path that avoids the
     * all-pairs cross join entirely. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    // Single pass: explode both bands per doc, one equi-join on
+  def lshCandidates(sigs: DataFrame,
+                    cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+    // Single pass: explode all bands per doc, one equi-join on
     // (band_idx, band_key) — the signature pipeline is evaluated once,
     // not once per band as a per-band union of joins would.
-    val bands = sigs.select(col("doc"), posexplode(array(
-      concat_ws(":", col("mh0"), col("mh1")),
-      concat_ws(":", col("mh2"), col("mh3")))).as(Seq("band_idx", "band_key")))
+    val r = cfg.rowsPerBand
+    val bandKeys = (0 until cfg.bands).map { b =>
+      concat_ws(":", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
+    }
+    val bands = sigs.select(col("doc"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
     bands.as("a").join(bands.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
@@ -93,17 +143,27 @@ object Dedup {
     * counting self-join: with only candidate rows left, two broadcast
     * joins + a per-row intersect beat four more shuffle stages. */
   def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
-                     threshold: Double): DataFrame = {
-    // cand is reused twice (doc restriction + pair join) and one use sits
-    // under a broadcast exchange — cache AND materialize eagerly, or the
-    // broadcast thread and the main plan each recompute the whole
-    // signature pipeline concurrently.
-    val cand = lshCandidates(minhashSignatures(df, idCol, textCol)).cache()
-    cand.count()
+                     threshold: Double,
+                     cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+    // The per-token hash scan is the expensive stage, and the plan reads
+    // its result four times (band self-join ×2, candidate-doc broadcast,
+    // pair join). Persist the *signature* frame — |perms| longs per doc,
+    // the smallest per-doc frame in the pipeline — so every consumer
+    // replays the corpus scan from cache; persist the candidate pairs too
+    // (|candidates| ≪ |corpus| by LSH design) so the candidate-doc
+    // broadcast and the verify join don't re-run the band self-join.
+    // Round 1 instead cache+counted only `cand`, which left the corpus
+    // scan running once per band-join side — the 26 s → 8 s fix.
+    val sigs = minhashSignatures(df, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sigs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("d1").as("cdoc"))
       .union(cand.select(col("d2").as("cdoc"))).distinct()
     val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
-    val shSets = shingleHashes(candCorpus, idCol, textCol)
+    // Exact verification re-shingles only the candidate docs (the LSH
+    // point: |candidates| ≪ |corpus|), so the md5 cost here is bounded.
+    val shSets = shingleHashes(candCorpus, idCol, textCol, cfg.shingleK, cfg.portable)
       .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
     cand
       .join(shSets.select(col("doc").as("d1"), col("shs").as("s1")), "d1")

@@ -102,6 +102,14 @@ object TextFunctions {
       lit(0L),
       (acc, x) => (acc * 31L + x) % FpMod)
 
+  /** Fast-path fingerprint: same rolling fold over xxhash64 token hashes
+    * (no md5 digest per token). Not oracle-replayable — bench/scale only. */
+  def fingerprintFast(toks: Column): Column =
+    aggregate(
+      transform(toks, t => pmod(xxhash64(t), lit(FpTokenMod))),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % FpMod)
+
   def fingerprintSql(toksE: String): String =
     s"list_reduce(list_transform($toksE, t -> ${portableHashSql("t")} % $FpTokenMod), " +
       s"(a, b) -> (a*31 + b) % $FpMod)"

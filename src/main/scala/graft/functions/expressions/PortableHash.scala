@@ -35,6 +35,13 @@ object HashUtil {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** xxhash64 of the string bytes, seed 42 — the same value Spark's
+    * built-in `xxhash64()` produces for a string column, so the fast-path
+    * generator and the column-level `fastHash` agree. */
+  def xx64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      s, org.apache.spark.sql.types.StringType, 42L)
+
   /** First 15 hex nibbles of md5 as a long: bytes 0..6 fully, plus the
     * high nibble of byte 7. */
   def md5Prefix60(s: UTF8String): Long = {

@@ -24,7 +24,8 @@ import graft.functions.TextFunctions
   * (not per output element), and the surrounding Generate node still
   * pipelines into the parent codegen stage.
   */
-case class ShingleHashGenerator(child: Expression, k: Int)
+case class ShingleHashGenerator(child: Expression, k: Int,
+                                portable: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
 
   private val M = TextFunctions.ShingleM
@@ -39,7 +40,11 @@ case class ShingleHashGenerator(child: Expression, k: Int)
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = HashUtil.md5Prefix60(arr.getUTF8String(i)) % M
+      // portable = md5-prefix (oracle-replayable); fast = xxhash64, the
+      // 100 TB path (one mix per token, no digest allocation).
+      hs(i) =
+        if (portable) HashUtil.md5Prefix60(arr.getUTF8String(i)) % M
+        else (HashUtil.xx64(arr.getUTF8String(i)) & Long.MaxValue) % M
       i += 1
     }
     (0 to n - k).iterator.map { j =>

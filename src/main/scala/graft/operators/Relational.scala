@@ -74,6 +74,53 @@ object Relational {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Exact interpolated quantiles per group (`quantile_cont` semantics:
+    * value at 0-based position p·(n-1), linearly interpolated), computed
+    * by RANK, not by buffering.
+    *
+    * Spark's `percentile(...)` aggregate is a TypedImperativeAggregate that
+    * holds every value of the group in executor memory — 14 s at sf0.1 and
+    * an OOM at 100 TB (a 3-group corpus would buffer billions of values in
+    * the three final tasks). This formulation melts the requested value
+    * columns to (group, metric, v) rows, sorts each (group, metric)
+    * partition once through a *spillable* window (`row_number` + partition
+    * count), keeps only the ≤2 ranked rows each quantile needs, and
+    * interpolates. One shuffle, bounded memory, identical answers
+    * (same lower + frac·(higher−lower) lerp as Spark's exact percentile).
+    *
+    * `specs`: (valueColumn, probability in [0,1], outputAlias). Output:
+    * one row per group, one column per spec, values rounded to `scale`.
+    */
+  def groupedQuantilesExact(df: DataFrame, groupCol: String,
+                            specs: Seq[(String, Double, String)],
+                            scale: Int = 4): DataFrame = {
+    val metrics = specs.map(_._1).distinct
+    val stackExpr = expr(
+      s"stack(${metrics.size}, ${metrics.map(m => s"'$m', CAST($m AS DOUBLE)").mkString(", ")}) AS (metric, v)")
+    val melted = df.select(col(groupCol), stackExpr).where(col("v").isNotNull)
+    val part = Window.partitionBy(col(groupCol), col("metric"))
+    val ranked = melted
+      .withColumn("rn", row_number().over(part.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(part))
+    // 0-based target position p·(n−1), expressed against the 1-based rn.
+    def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double") + 1d
+    def loRn(p: Double): Column = floor(pos(p)).cast("long")
+    def hiRn(p: Double): Column = least(loRn(p) + 1, col("n"))
+    val isNeeded = specs.map { case (m, p, _) =>
+      col("metric") === m && (col("rn") === loRn(p) || col("rn") === hiRn(p))
+    }.reduce(_ || _)
+    val aggs = specs.map { case (m, p, alias) =>
+      val onMetric = col("metric") === m
+      val lo = max(when(onMetric && col("rn") === loRn(p), col("v")))
+      val hi = max(when(onMetric && col("rn") === hiRn(p), col("v")))
+      val frac = max(when(onMetric, pos(p) - floor(pos(p))))
+      round(lo + frac * (hi - lo), scale).as(alias)
+    }
+    ranked.filter(isNeeded)
+      .groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact deduplication keeping the smallest `tieBreaker` row per key —
     * one hash-aggregate shuffle on the (hashed) key. The training-data
     * dedup baseline (builder brief): at 100 TB the groupBy key is

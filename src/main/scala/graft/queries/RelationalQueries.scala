@@ -418,7 +418,9 @@ object RelationalQueries {
 
     // Exact interpolated percentiles (engine extension: the reference has
     // summary() only; exact quantiles ARE cross-engine checkable, unlike
-    // approx sketches).
+    // approx sketches). Rank-based, not buffer-based: see
+    // Relational.groupedQuantilesExact — Spark's percentile() aggregate
+    // buffers whole groups in memory and is a 100 TB OOM.
     Q("q29_percentiles",
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -426,12 +428,11 @@ object RelationalQueries {
              |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))),
+        Relational.groupedQuantilesExact(
+          t(s, dir, "lineitem"), "l_returnflag",
+          Seq(("l_quantity", 0.5, "median_qty"),
+            ("l_extendedprice", 0.9, "p90_price"),
+            ("l_extendedprice", 0.99, "p99_price")))),
 
     // JSON/map access: parse the props JSON and bucket by its key — the
     // engine's version of the reference's map<string,string> key lookup

@@ -77,6 +77,22 @@ object EventsStream {
       }
   }
 
+  /** Drive a stream to completion into the noop sink in Append mode — the
+    * BENCH harness. Append + a distributed sink is the shape that scales:
+    * the watermark actually evicts window state (it is inert in Complete
+    * mode) and nothing is materialized on the driver. The Complete-mode
+    * memory sink ([[runToMemory]]) stays verify-only: it re-collects every
+    * window into driver memory each trigger. */
+  def runToNoop(df: DataFrame): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    ckpt.toFile.deleteOnExit()
+    val q = df.writeStream.format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a stream to completion against static input and return the
     * result (memory sink) — the synchronous harness for tests/verify. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -21,17 +21,22 @@ object TfIdf {
 
   /** Per-(doc, token) TF, IDF = log10(N/df), score = tf·idf.
     *
-    * Single corpus pass: `tf` is the only aggregation that sees raw
-    * text; `df` (docs-per-token) and `N` both derive from `tf`, which
+    * Single corpus pass over raw text: `tf` is the only aggregation that
+    * explodes tokens; `df` (docs-per-token) derives from `tf`, which
     * already holds one row per distinct (doc, token) — re-exploding the
-    * corpus for them would double the scan (27s → 10s on 100k docs).
-    * tf is cached for its three consumers. */
+    * corpus for it would double the scan (27s → 10s on 100k docs).
+    * tf is cached for its two consumers.
+    *
+    * N is counted from the *input* frame (a column-pruned scan of the doc
+    * ids, broadcast as a 1-row frame — still fully lazy): counting it from
+    * `tf` would silently exclude docs whose token array is NULL/empty — a
+    * latent IDF divergence vs a corpus-level oracle. */
   def tfidf(df: DataFrame, docCol: Column, toksCol: Column): DataFrame = {
+    val n = df.select(countDistinct(docCol).as("n_docs"))
     val tf = df.select(docCol.as("doc"), explode(toksCol).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
       .cache()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = tf.select(countDistinct(col("doc")).as("n_docs"))
     // dfreq and n are tiny post-aggregation — broadcast both so tf never
     // reshuffles: its (doc,token) grouping already co-locates rows.
     tf.join(broadcast(dfreq), "token")
