@@ -25,12 +25,20 @@ case class DotProduct(left: Expression, right: Expression)
   // Inputs are guaranteed array<double> by the Native wrapper's cast.
   override def dataType: DataType = DoubleType
 
+  // NULL for null inputs AND for mismatched dimensions (below) — so a
+  // dimension bug surfaces as NULL, exactly like the zip_with form.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Dimension mismatch → NULL, matching aggregate(zip_with(a,b,_*_)):
+    // zip_with null-pads the short side and the null poisons the sum.
+    // Truncating would return a plausible-looking number instead.
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -46,12 +54,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

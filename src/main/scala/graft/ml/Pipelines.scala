@@ -41,15 +41,39 @@ object Pipelines {
   }
 
   /** Inverse-frequency class weights (the reference hard-codes
-    * 0.934/6.50/0.56 — code/ml/ML_Sentiment.py:119-121; we derive them). */
+    * 0.934/6.50/0.56 — code/ml/ML_Sentiment.py:119-121; we derive them).
+    * One aggregation pass: n and k come from windows over the tiny
+    * per-class count frame, not separate count()/distinct() jobs. */
   def withClassWeights(df: DataFrame, labelCol: String): DataFrame = {
-    val n = df.count().toDouble
-    val k = df.select(labelCol).distinct().count().toDouble
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
     val freqs = df.groupBy(labelCol).agg(count(lit(1)).as("cnt"))
-      .withColumn("weight", lit(n) / (lit(k) * col("cnt")))
+      .withColumn("weight",
+        sum(col("cnt")).over(all).cast("double")
+          / (count(lit(1)).over(all) * col("cnt")))
       .select(col(labelCol), col("weight"))
     df.join(broadcast(freqs), Seq(labelCol))
   }
+
+  /** MLlib hashed-features TF-IDF: HashingTF → IDF over a pre-tokenized
+    * array column — the reference's declared MLlib alternative to its
+    * hand-rolled TF-IDF (code/nlp/NFL_Processing.py:421-431; SURVEY
+    * §2.10). Hashing needs no vocabulary fit, so at 100 TB it is a pure
+    * map-side stage: fixed 2^18 feature space, no driver-held dictionary. */
+  def hashedTfIdfStages(tokensCol: String,
+                        numFeatures: Int = 1 << 18): Seq[PipelineStage] = Seq(
+    new HashingTF().setInputCol(tokensCol).setOutputCol("tf_features")
+      .setNumFeatures(numFeatures),
+    new IDF().setInputCol("tf_features").setOutputCol("features"))
+
+  /** CountVectorizer → IDF variant: exact vocabulary (one distributed fit
+    * pass, vocab broadcast to executors) where reversible feature indices
+    * matter more than the hashing trick's fixed memory. */
+  def countVectorizedStages(tokensCol: String, vocabSize: Int = 1 << 16,
+                            minDF: Double = 1.0): Seq[PipelineStage] = Seq(
+    new CountVectorizer().setInputCol(tokensCol).setOutputCol("tf_features")
+      .setVocabSize(vocabSize).setMinDF(minDF),
+    new IDF().setInputCol("tf_features").setOutputCol("features"))
 
   /** RF classifier (reference: 2000 trees entropy; sized down-callable). */
   def rfClassifier(labelCol: String, numTrees: Int = 50,

@@ -101,10 +101,10 @@ object RedditOps {
       .withColumn("game_length",
         regexp_replace(col("Time"), ":", ".").cast("float"))
 
-  /** W/L distribution + per-outcome comment aggregates
-    * (Data_Gathering.py:238-284 → data/csv/yankees_wl*.csv shapes). */
+  /** W/L distribution in the reference's sink shape
+    * (Data_Gathering.py:238-284 → data/csv/yankees_wl.csv: W/L,count). */
   def outcomeCounts(games: DataFrame): DataFrame =
-    games.groupBy(col("`W/L`").as("wl")).count()
+    games.groupBy(col("`W/L`")).count()
 
   def commentStatsByOutcome(joined: DataFrame): DataFrame =
     joined.groupBy(col("`W/L`").as("wl"))
@@ -121,15 +121,28 @@ object RedditOps {
   def mentionCrossTab(df: DataFrame, a: String, b: String): DataFrame =
     df.groupBy(s"has_$a", s"has_$b").count()
 
-  /** Comment word-count histogram + cumulative sum
-    * (NFL_Processing.py:35-77 → data/csv/hist_comment_length.csv shape). */
+  /** Comment word-count histogram + cumulative sum, in the reference's
+    * sink shape (NFL_Processing.py:35-77 →
+    * data/csv/hist_comment_length.csv: comment_length,count,cum_count). */
   def commentLengthHistogram(comments: DataFrame): DataFrame =
     Relational.histogramWithCumsum(
-      comments, size(split(col("body"), " ")), "comment_length")
+        comments, size(split(col("body"), " ")), "comment_length")
+      .withColumnRenamed("n", "count")
+      .withColumnRenamed("cum_n", "cum_count")
 
   /** Per-thread comment counts, busiest first (NFL_Processing.py:273-283
     * → data/csv/all_*_comments_count.csv shape). */
   def threadCommentCounts(joined: DataFrame, titleCol: String): DataFrame =
     joined.groupBy(col(titleCol).as("title")).count()
       .orderBy(col("count").desc, col("title"))
+
+  /** Top-k TF-IDF tokens per thread in the reference's sink shape
+    * (NFL_Processing.py:504-513 → data/csv/top5_tfidfpd.csv:
+    * title,Token,TF,IDF,TF-IDF,rank). */
+  def topTfidfTokens(comments: DataFrame, titleCol: String, k: Int): DataFrame =
+    graft.text.TfIdf.topKPerDoc(comments, col(titleCol),
+        graft.functions.TextFunctions.tokens(lower(col("body"))), k)
+      .select(col("doc").as("title"), col("token").as("Token"),
+        col("tf").as("TF"), col("idf").as("IDF"),
+        col("tfidf").as("TF-IDF"), col("rnk").as("rank"))
 }

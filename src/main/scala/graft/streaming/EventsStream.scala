@@ -77,6 +77,66 @@ object EventsStream {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Open-session state: id assigned in event-time order per user. */
+  case class OpenSession(session_id: Long, last_ts_ms: Long, n_events: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Streaming gaps-and-islands sessionization — the streaming twin of the
+    * batch lag+cumsum form (q25), via `flatMapGroupsWithState` with an
+    * event-time timeout (the stateful surface beyond running totals).
+    *
+    * A session closes and emits when a gap > `gapSec` is observed within
+    * a batch, or when the watermark passes last_ts + gapSec (timeout) —
+    * so state is bounded by |active users|, not history. Session ids
+    * count from 1 per user in event-time order, matching q25's cumsum. */
+  def sessionize(events: DataFrame, gapSec: Long = 3600,
+                 watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.session_id, s.n_events))
+          } else {
+            // All of a batch's rows for the key arrive unordered; sort by
+            // event time within the batch (bounded by the batch, not
+            // history). Late data beyond the watermark was dropped.
+            val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts.getTime - s.last_ts_ms <= gapMs =>
+                  Some(OpenSession(s.session_id,
+                    math.max(s.last_ts_ms, e.ts.getTime), s.n_events + 1))
+                case Some(s) =>
+                  closed ::= Session(uid, s.session_id, s.n_events)
+                  Some(OpenSession(s.session_id + 1, e.ts.getTime, 1))
+                case None =>
+                  Some(OpenSession(1L, e.ts.getTime, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // clamp: a timeout timestamp at/below the current watermark
+              // is rejected; an already-expired session then closes on the
+              // next trigger instead of throwing.
+              state.setTimeoutTimestamp(
+                math.max(s.last_ts_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Drive a stream to completion into the noop sink in Append mode — the
     * BENCH harness. Append + a distributed sink is the shape that scales:
     * the watermark actually evicts window state (it is inert in Complete

@@ -60,9 +60,13 @@ object Porter {
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
     "ical" -> "ic", "ful" -> "", "ness" -> "")
 
+  // Classic step-4 list order (longest-match encoded by ordering, e.g.
+  // ement ≺ ment ≺ ent); "ion" carries its *S/*T precondition inline in
+  // the match below. At most ONE rule fires per step, per the original
+  // algorithm: "affectionate" → "affection", never → "affect".
   private val step4Suffixes = Seq(
     "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
 
   def stem(word: String): String = {
     var w = word.toLowerCase
@@ -103,15 +107,13 @@ object Porter {
       if (measure(stem) > 0) w = stem + r
     }
 
-    // Step 4
+    // Step 4 — single longest-match rule application
     val s4 = step4Suffixes.find(s => w.endsWith(s) &&
       (s != "ion" || (w.length > s.length && "st".contains(w.charAt(w.length - s.length - 1)))))
     s4.foreach { s =>
       val stem = w.dropRight(s.length)
       if (measure(stem) > 1) w = stem
     }
-    if (w.endsWith("ion") && measure(w.dropRight(3)) > 1 &&
-      w.length > 3 && "st".contains(w.charAt(w.length - 4))) w = w.dropRight(3)
 
     // Step 5a
     if (w.endsWith("e")) {

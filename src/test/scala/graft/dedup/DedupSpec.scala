@@ -51,6 +51,28 @@ class DedupSpec extends SparkSpec {
     assert(nearHam < randHam, s"near=$nearHam rand=$randHam")
   }
 
+  test("64-perm/16-band generated config: recall on planted pairs >= pinned 4-perm config") {
+    // 16 bands × 4 rows: P[candidate | j = 0.8] = 1-(1-0.8^4)^16 ≈ 0.9997,
+    // so the wide config must see at least the pairs the toy config finds.
+    val wide = MinHashConfig.generated(64, 16)
+    assert(wide.rowsPerBand == 4 && wide.perms.size == 64)
+    assert(wide.perms.distinct.size == 64, "generated perms must be distinct")
+    val pinned = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8)
+      .select("d1", "d2")
+    val wideNd = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8, wide)
+      .select("d1", "d2")
+    assert(pinned.exceptAll(wideNd).count() == 0,
+      "wide config missed pairs the pinned config found")
+  }
+
+  test("fast-hash (xxhash64) config finds the planted pairs with true-jaccard verification") {
+    val fast = MinHashConfig.OraclePinned.copy(portable = false)
+    val nd = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8, fast)
+    val n = nd.count()
+    assert(n >= 20 && n <= 30, s"expected ~25 planted pairs, got $n")
+    assert(nd.filter($"jaccard" < 0.8).count() == 0)
+  }
+
   test("exactGroups: dup rows collapse to min id") {
     val df = Seq((5L, "t"), (3L, "t"), (9L, "u")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, col("doc_id"), col("text"))

@@ -42,6 +42,37 @@ class PipelinesSpec extends SparkSpec {
     assert(sorted.head._1 >= sorted.last._1)
   }
 
+  /** Tiny labeled text corpus for the TF-IDF featurizer variants. */
+  lazy val textData = Tables.documents(spark, sfDir)
+    .select(split(lower(col("text")), "\\s+").as("tokens"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+    .cache()
+
+  test("HashingTF/IDF pipeline featurizes and trains (NFL_Processing.py:421-431)") {
+    val stages = Pipelines.hashedTfIdfStages("tokens", numFeatures = 1 << 12)
+    val model = new Pipeline()
+      .setStages((stages :+ Pipelines.rfClassifier("label", numTrees = 5)).toArray)
+      .fit(textData)
+    val pred = model.transform(textData)
+    assert(pred.columns.contains("features") && pred.columns.contains("prediction"))
+    // hashed vectors are non-empty for non-empty docs
+    val v = pred.select("features").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.numNonzeros > 0)
+  }
+
+  test("CountVectorizer/IDF pipeline builds a vocabulary and featurizes") {
+    val stages = Pipelines.countVectorizedStages("tokens", vocabSize = 1000)
+    val model = new Pipeline().setStages(stages.toArray).fit(textData)
+    val cv = model.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.CountVectorizerModel => m
+    }.get
+    assert(cv.vocabulary.nonEmpty && cv.vocabulary.length <= 1000)
+    val v = model.transform(textData).select("features").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.numNonzeros > 0)
+  }
+
   test("GBT regressor beats predicting the mean (XGBoost substitute)") {
     val stages = Pipelines.featureStages(Seq("flag", "status"), Seq("l_quantity", "l_discount"))
     val model = new Pipeline()

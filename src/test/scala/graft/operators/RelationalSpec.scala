@@ -48,6 +48,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("groupedQuantilesExact matches Spark's exact percentile aggregate") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Relational.groupedQuantilesExact(li, "l_returnflag",
+      Seq(("l_quantity", 0.5, "med_q"), ("l_extendedprice", 0.9, "p90_p"),
+        ("l_extendedprice", 0.99, "p99_p")), scale = 6)
+    val want = li.groupBy("l_returnflag").agg(
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("w_med"),
+      round(expr("percentile(l_extendedprice, 0.9)"), 6).as("w_p90"),
+      round(expr("percentile(l_extendedprice, 0.99)"), 6).as("w_p99"))
+    val bad = got.join(want, "l_returnflag")
+      .filter($"med_q" =!= $"w_med" || $"p90_p" =!= $"w_p90" || $"p99_p" =!= $"w_p99")
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
+  test("groupedQuantilesExact: single-row group and p=0/p=1 edges") {
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val got = Relational.groupedQuantilesExact(df, "g",
+      Seq(("v", 0.0, "q0"), ("v", 0.5, "q50"), ("v", 1.0, "q100")))
+      .orderBy("g").collect()
+    assert(got(0).getDouble(1) == 10.0 && got(0).getDouble(2) == 10.0
+      && got(0).getDouble(3) == 10.0)
+    assert(got(1).getDouble(1) == 1.0 && got(1).getDouble(2) == 2.5
+      && got(1).getDouble(3) == 4.0)
+  }
+
   test("crossTab fills empty cells with zero") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("r", "c")
     val got = Relational.crossTab(df, col("r"), col("c"), Seq("x", "y"))

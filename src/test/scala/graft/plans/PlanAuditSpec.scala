@@ -44,6 +44,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("q40: LSH bucket assignment is one shuffle-free projection") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val b = graft.similarity.Similarity.withLshBucket(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"))
+    b.collect()
+    val p = b.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("first("), "no row-reassembly aggregate: " + p)
+  }
+
   test("q39: knn is broadcast + TakeOrdered — corpus never shuffles") {
     val p = plan("q39_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p)

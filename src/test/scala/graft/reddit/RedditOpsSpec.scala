@@ -97,7 +97,7 @@ class RedditOpsSpec extends SparkSpec {
 
   test("comment length histogram cumsum ends at total comments") {
     val h = RedditOps.commentLengthHistogram(comments)
-    assert(h.orderBy(col("comment_length").desc).select("cum_n").head.getLong(0) == comments.count())
+    assert(h.orderBy(col("comment_length").desc).select("cum_count").head.getLong(0) == comments.count())
   }
 
   test("thread comment counts: busiest-first ordering (golden csv shape)") {

@@ -23,6 +23,15 @@ class SimilaritySpec extends SparkSpec {
     assert(self.filter($"d" <= 0).count() == 0)
   }
 
+  test("DotProduct of mismatched dimensions is NULL, same as the HOF form") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val row = df.select(Similarity.dot(col("a"), col("b")), hof).head
+    assert(row.isNullAt(0), "native must be NULL on dimension mismatch")
+    assert(row.isNullAt(1), "HOF reference is NULL on dimension mismatch")
+  }
+
   test("cosine of a vector with itself rounds to 1") {
     val bad = emb.select(round(Similarity.cosine(col("embedding"), col("embedding")), 6).as("c"))
       .filter($"c" =!= 1.0).count()

@@ -45,6 +45,36 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.select("window").distinct().count() > tumbling)
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands (q25)") {
+    val streamed = EventsStream.runToMemory(
+      EventsStream.sessionize(EventsStream.read(spark, streamDir)).toDF(),
+      "session_test", OutputMode.Append())
+    // Batch twin: lag + cumulative sum session ids (the q25 formulation),
+    // with each session's last event time for the emission-boundary check.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("prev", unix_timestamp(lag($"ts", 1).over(w)))
+      .withColumn("new_s",
+        when($"prev".isNull || unix_timestamp($"ts") - $"prev" > 3600, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_batch"), max(unix_timestamp($"ts")).as("last_epoch"))
+    // Watermark delay 0 => final watermark = max event time; every session
+    // that ended more than one gap before it must have been emitted, and
+    // nothing emitted may disagree with the batch result.
+    val joined = streamed.join(batch, Seq("user_id", "session_id"), "left")
+    assert(joined.filter($"n_batch".isNull || $"n_events" =!= $"n_batch").count() == 0,
+      "stream emitted a session the batch result disagrees with")
+    val maxEpoch = Tables.events(spark, sfDir)
+      .agg(max(unix_timestamp($"ts"))).head.getLong(0)
+    val mustEmit = batch.filter($"last_epoch" + 3600 < maxEpoch)
+    val missing = mustEmit.join(streamed, Seq("user_id", "session_id"), "left_anti").count()
+    assert(missing == 0, s"$missing closed sessions were never emitted")
+    assert(streamed.count() > 0)
+  }
+
   test("mapGroupsWithState per-user totals equal the batch group-by") {
     val streamed = EventsStream.runToMemory(
       EventsStream.userTotals(EventsStream.read(spark, streamDir)).toDF(),
