@@ -114,6 +114,21 @@ object TextFunctions {
     s"list_reduce(list_transform($toksE, t -> ${portableHashSql("t")} % $FpTokenMod), " +
       s"(a, b) -> (a*31 + b) % $FpMod)"
 
+  // ---- BPE-ish pre-tokenization ----------------------------------------
+  /** GPT-2-style pre-tokenizer regex, simplified to the subset shared by
+    * Java regex (Spark) and RE2 (DuckDB) — no lookahead: letter runs,
+    * digit runs, punctuation runs (each with an optional leading space),
+    * or whitespace runs. Piece counts approximate BPE token counts the
+    * way a training-data pipeline budgets documents before running the
+    * real (merge-table) tokenizer. */
+  val BpePattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpePiecesSql(e: String): String =
+    s"regexp_extract_all($e, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')"
+
   // ---- Lexicons ---------------------------------------------------------
   /** Language-ID stopword lists (n-gram/stopword heuristic). */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

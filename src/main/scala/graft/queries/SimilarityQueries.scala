@@ -73,6 +73,22 @@ object SimilarityQueries {
         Similarity.annInBucket(bucketed, 0L, 5)
       }),
 
+    // IVF ANN: k-means coarse quantizer (fixed seed), nearest-2-cells
+    // probe around the vec_id=0 query. Not ANSI-expressible (KMeans fit),
+    // so no oracle — the driver records rows-only and SimilaritySpec
+    // carries correctness (full-probe == brute force).
+    Q("q47_ann_ivf", None,
+      (s, dir) => {
+        val e = emb(s, dir)
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val queryVec = e.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val cents = Similarity.trainCentroids(corpus, col("embedding"), k = 8)
+        val cells = Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"), cents)
+        Similarity.annIvf(cells, queryVec, cents, nProbe = 2, k = 5)
+      }),
+
     // Embedding-cosine near-duplicates over a corpus with 20 planted
     // exact-duplicate vectors (cos = 1.0; corpus max off-diagonal is 0.51),
     // LSH-bucket prefiltered on both sides: pair joins run within buckets,

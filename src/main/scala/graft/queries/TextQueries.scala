@@ -94,6 +94,25 @@ object TextQueries {
       (s, dir) =>
         docs(s, dir).select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))),
 
+    // BPE-ish pre-tokenizer piece counts (the token-budget pass of a
+    // training-data pipeline; pattern restricted to the Java-regex ∩ RE2
+    // subset so the oracle replays it exactly).
+    Q("q46_bpe_tokens",
+      Some(s"""WITH p AS (SELECT lang, len(${bpePiecesSql("text")}) AS n_pieces FROM documents)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+              |  round(avg(n_pieces), 4) AS avg_pieces,
+              |  CAST(max(n_pieces) AS BIGINT) AS max_pieces
+              |FROM p GROUP BY lang""".stripMargin),
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_pieces", size(bpePieces(col("text"))).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_pieces")).as("sum_pieces"),
+            round(avg(col("n_pieces")), 4).as("avg_pieces"),
+            max(col("n_pieces")).as("max_pieces"))),
+
     // TF-IDF with corpus-derived N (fixing the reference's hard-coded 7511,
     // NFL_Processing.py:486) + per-doc top-5 (NFL_Processing.py:504-506).
     Q("q43_tfidf_topk",

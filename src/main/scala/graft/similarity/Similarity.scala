@@ -106,6 +106,61 @@ object Similarity {
       .select("d1", "d2", "cos_sim")
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained once
+    * (MLlib, fixed seed), then every vector is assigned its nearest cell
+    * in ONE map-side projection against the inlined codebook — same
+    * zero-shuffle shape as [[withLshBucket]], but the cells adapt to the
+    * data distribution instead of being random hyperplane cuts. The
+    * centroid count is the classic √N-ish knob; the codebook is tiny by
+    * construction, so inlining it as literals is free.
+    *
+    * argmin(dist) is expressed as `array_min` over (distance, cell)
+    * structs — lexicographic struct ordering gives the nearest cell, with
+    * the cell index as a deterministic tie-break. dot(v,v) is common to
+    * every cell's distance so it drops out of the argmin:
+    * rank by |c|² − 2·v·c. */
+  def trainCentroids(vectors: DataFrame, vecCol: Column, k: Int,
+                     seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = vectors
+      .select(array_to_vector(vecCol.cast("array<double>")).as("features"))
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(assembled).clusterCenters.map(_.toArray)
+  }
+
+  def withIvfCell(vectors: DataFrame, idCol: Column, vecCol: Column,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = typedLit(c.toSeq)
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("v"), cLit)).as("d"),
+        lit(i).as("cell"))
+    }
+    vectors.select(idCol.as("vec_id"), v.as("v"))
+      .withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  /** IVF ANN: search only the `nProbe` cells nearest to the query vector
+    * (cells ranked driver-side against the tiny codebook). One scan,
+    * cell filter, TakeOrdered — no corpus shuffle. */
+  def annIvf(cellAssigned: DataFrame, queryVec: Array[Double],
+             centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val t = c(i) - queryVec(i); s += t * t; i += 1 }
+      s
+    }
+    val probes = centroids.zipWithIndex.sortBy { case (c, i) => (d2(c), i) }
+      .take(nProbe).map(_._2)
+    val q = typedLit(queryVec.toSeq)
+    cellAssigned.filter(col("cell").isin(probes: _*))
+      .withColumn("cos_sim", round(cosine(col("v"), q), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select("vec_id", "cell", "cos_sim")
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
     * all-pairs (the correctness baseline [[nearDupPairsBucketed]] is
     * checked against in tests). */

@@ -68,6 +68,41 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed == brute)
   }
 
+  test("IVF ANN with full probe equals brute-force top-k; cell assignment is shuffle-free") {
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val queryVec = emb.filter($"vec_id" === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val cents = Similarity.trainCentroids(corpus, col("embedding"), k = 4)
+    val cells = Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"), cents)
+    // probing every cell must reduce IVF to exact brute-force search
+    val ivf = Similarity.annIvf(cells, queryVec, cents, nProbe = 4, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.knnBrute(corpus, col("vec_id"), col("embedding"),
+        emb.filter($"vec_id" === 0), col("embedding"), 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+    // the codebook is inlined: assignment plans with zero exchanges
+    cells.collect()
+    assert(!cells.queryExecution.executedPlan.toString.contains("Exchange"))
+    // nProbe=1 searches only the query's nearest cell
+    val one = Similarity.annIvf(cells, queryVec, cents, nProbe = 1, k = 5)
+    assert(one.select("cell").distinct().count() == 1)
+  }
+
+  test("withIvfCell assigns every vector to its nearest centroid") {
+    val cents = Similarity.trainCentroids(emb, col("embedding"), k = 4)
+    val cells = Similarity.withIvfCell(emb, col("vec_id"), col("embedding"), cents)
+      .collect()
+    def d2(v: Seq[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val bad = cells.filter { r =>
+      val v = r.getSeq[Double](1)
+      val best = cents.zipWithIndex.minBy { case (c, i) => (d2(v, c), i) }._2
+      r.getInt(2) != best
+    }
+    assert(bad.isEmpty, s"${bad.length} misassigned vectors")
+  }
+
   test("nearDupPairs finds exactly the planted duplicates") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(e.filter($"vec_id" < 5)
