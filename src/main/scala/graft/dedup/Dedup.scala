@@ -118,7 +118,11 @@ object Dedup {
     * the oracle hashes identically, so both engines see the same sets. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                    minIntersection: Long = 1L): DataFrame = {
+    // distinct (doc, sh) pairs feed three consumers (sizes + both sides
+    // of the intersection self-join): persist so the per-token hash scan
+    // runs once, not three times — same fix as nearDuplicates.
     val pairs = shingleHashes(df, idCol, textCol).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     // minIntersection prunes the long tail of 1-shingle-collision pairs
     // before the size joins — callers filtering on jaccard >= τ can derive

@@ -53,6 +53,36 @@ object Media {
     }
   }
 
+  /** Decode → resize → re-encode, keeping the typed-metadata invariant
+    * (width/height updated alongside the payload). Batched per partition
+    * like [[decodeFeatures]]; the pixel work is the stubbed codec seam. */
+  def resized(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind == "image")
+          r.copy(payload = MediaCodec.resize(MediaCodec.decode(r.payload), w, h),
+            width = w, height = h)
+        else r
+      }
+    }
+  }
+
+  /** Multimodal × similarity composition: embed every payload via the
+    * codec seam, then brute-force cosine top-k against one query media id
+    * — the same broadcast + TakeOrdered shape as
+    * [[graft.similarity.Similarity.knnBrute]], over decoded features
+    * instead of pre-computed embeddings. */
+  def nearestMedia(media: Dataset[MediaRow], queryId: Long, k: Int,
+                   dim: Int = 8): DataFrame = {
+    val feats = decodeFeatures(media, dim)
+      .select(col("media_id"), col("feature").cast("array<double>").as("feature"))
+    graft.similarity.Similarity.knnBrute(
+      feats.filter(col("media_id") =!= queryId), col("media_id"), col("feature"),
+      feats.filter(col("media_id") === queryId), col("feature"), k)
+  }
+
   /** Evenly spaced frame-sample offsets for video/audio payloads; the
     * frame bytes come from the stubbed codec. */
   def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): Dataset[FrameSample] = {
@@ -85,6 +115,19 @@ object MediaCodec {
       i += 1
     }
     acc
+  }
+
+  /** STUB resize: a real impl would rescale pixels; the stand-in
+    * deterministically resamples the byte stream to w·h length so output
+    * size tracks the requested dimensions like a real bitmap would. */
+  def resize(decoded: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(w * h, 1)
+    val out = new Array[Byte](n)
+    if (decoded.nonEmpty) {
+      var i = 0
+      while (i < n) { out(i) = decoded((i.toLong * decoded.length / n).toInt); i += 1 }
+    }
+    out
   }
 
   /** STUB: a real impl would seek the container to `offsetMs`. */

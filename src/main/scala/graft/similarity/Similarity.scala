@@ -125,7 +125,9 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val assembled = vectors
       .select(array_to_vector(vecCol.cast("array<double>")).as("features"))
-    new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+    // coarse quantization needs stable cells, not converged ones: a few
+    // Lloyd iterations give the same recall at a fraction of the fit cost
+    new KMeans().setK(k).setSeed(seed).setMaxIter(8).setFeaturesCol("features")
       .fit(assembled).clusterCenters.map(_.toArray)
   }
 

@@ -41,6 +41,28 @@ class MediaSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, s"unexpected shuffle:\n$plan")
   }
 
+  test("resized updates payload size and metadata together, images only") {
+    val r = Media.resized(media, 16, 16)
+    val img = r.filter($"kind" === "image")
+    assert(img.filter($"width" =!= 16 || $"height" =!= 16).count() == 0)
+    assert(img.toDF().filter(length($"payload") =!= 256).count() == 0)
+    // non-image rows pass through untouched
+    val others = r.filter($"kind" =!= "image").toDF()
+      .select($"media_id", $"width".as("w2"))
+      .join(media.toDF().select($"media_id", $"width"), "media_id")
+    assert(others.filter($"w2" =!= $"width").count() == 0)
+  }
+
+  test("nearestMedia composes the codec seam with knn: self-similar dup found first") {
+    // plant an exact payload duplicate of media 1 under a new id
+    val dup = media.toDF().filter($"media_id" === 1)
+      .withColumn("media_id", lit(900001L)).as[Media.MediaRow](media.encoder)
+    val corpus = media.union(dup)
+    val top = Media.nearestMedia(corpus, queryId = 1L, k = 3).collect()
+    assert(top.head.getLong(0) == 900001L, top.mkString(";"))
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
   test("frameSample emits n offsets per av row, within duration") {
     val fs = Media.frameSample(media, nFrames = 4)
     val avRows = media.filter($"kind".isin("video", "audio")).count()
