@@ -65,6 +65,10 @@ object Bench {
           col("doc_id"), col("text"), 0.8, fastCfg)))
 
     val results = (base ++ fastPath).map { case (name, run) =>
+      // per-query isolation: drop frames persisted inside pipeline builders
+      // (dedup signatures, tf cache) so no query is timed against another
+      // query's leftover storage memory.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { run(spark); true }

@@ -106,10 +106,17 @@ object RedditOps {
   def outcomeCounts(games: DataFrame): DataFrame =
     games.groupBy(col("`W/L`")).count()
 
+  /** Comment volume + average per outcome; column names match the
+    * reference's two sinks (yankees_wl_comcount.csv: W/L,num_comments and
+    * yankees_wl_avgcom.csv: W/L,avg_comments — each a projection of this). */
   def commentStatsByOutcome(joined: DataFrame): DataFrame =
-    joined.groupBy(col("`W/L`").as("wl"))
-      .agg(sum(col("num_comments")).as("total_comments"),
+    joined.groupBy(col("`W/L`"))
+      .agg(sum(col("num_comments")).as("num_comments"),
         avg(col("num_comments")).as("avg_comments"))
+
+  /** Single-mention counts (aaron_judge_count.csv: has_<name>,count). */
+  def mentionCounts(df: DataFrame, name: String): DataFrame =
+    df.groupBy(s"has_$name").count()
 
   /** Player-mention dummies (Yankees_Processing_with_NLP.py:695-744):
     * case-insensitive alternation regex per player + cross-tab counts. */

@@ -40,6 +40,26 @@ class GoldenShapeSpec extends SparkSpec {
       Seq("title" -> "string", "count" -> "long"))
   }
 
+  test("commentStatsByOutcome == yankees_wl_comcount/avgcom.csv headers (Data_Gathering.py:238-284)") {
+    // yankees_wl_comcount.csv: W/L,num_comments ; yankees_wl_avgcom.csv: W/L,avg_comments
+    val joined = games.withColumn("num_comments",
+      org.apache.spark.sql.functions.lit(3L))
+    assert(shape(RedditOps.commentStatsByOutcome(joined)) ==
+      Seq("W/L" -> "string", "num_comments" -> "long", "avg_comments" -> "double"))
+  }
+
+  test("mention counts == judge_sanchez_count.csv / aaron_judge_count.csv headers") {
+    // judge_sanchez_count.csv: ,has_aaron_judge,has_gary_sanchez,count
+    val m = RedditOps.withMentionDummies(comments, Map(
+      "aaron_judge" -> "(?i)judge", "gary_sanchez" -> "(?i)sanchez"))
+    assert(shape(RedditOps.mentionCrossTab(m, "aaron_judge", "gary_sanchez")) ==
+      Seq("has_aaron_judge" -> "boolean", "has_gary_sanchez" -> "boolean",
+        "count" -> "long"))
+    // aaron_judge_count.csv: ,has_aaron_judge,count
+    assert(shape(RedditOps.mentionCounts(m, "aaron_judge")) ==
+      Seq("has_aaron_judge" -> "boolean", "count" -> "long"))
+  }
+
   test("topTfidfTokens == top5_tfidfpd.csv header (NFL_Processing.py:504-513)") {
     // top5_tfidfpd.csv: ,title,Token,TF,IDF,TF-IDF,rank
     val withTitle = comments.withColumn("title",
