@@ -179,6 +179,30 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Train/eval contamination: for each eval doc, the fraction of its
+    * distinct shingles that appear ANYWHERE in the train corpus — the
+    * benchmark-leakage check an LLM data pipeline runs before training.
+    *
+    * Scale shape: the train side collapses to distinct 8-byte shingle
+    * hashes before the join (no doc ids, no text cross the wire), the
+    * join is a plain equi-join on that hash, and the per-doc ratio is one
+    * grouped count — no pair enumeration anywhere, so cost is linear in
+    * corpus size, not |train|×|eval|. */
+  def contamination(train: DataFrame, trainId: Column, trainText: Column,
+                    eval: DataFrame, evalId: Column, evalText: Column,
+                    cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+    val trainSh = shingleHashes(train, trainId, trainText, cfg.shingleK, cfg.portable)
+      .select("sh").distinct()
+    val evalSh = shingleHashes(eval, evalId, evalText, cfg.shingleK, cfg.portable)
+      .distinct()
+    val sizes = evalSh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val hits = evalSh.join(trainSh, "sh")
+      .groupBy("doc").agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_sh"))
+  }
+
   /** 16-bit SimHash per doc via explode + grouped bit-weight sums — the
     * distributed-aggregate formulation (map-side partials, one shuffle on
     * doc id), not a per-row array fold. */

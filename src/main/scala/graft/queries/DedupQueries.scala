@@ -110,6 +110,33 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
 
+    // Train/eval contamination over an even/odd doc_id split — the
+    // planted near-dup pairs that straddle the split surface as
+    // contaminated eval docs (overlap >= 0.5).
+    Q("q48_contamination",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |tr AS (SELECT DISTINCT unnest(list_distinct($shSql)) AS sh
+              |  FROM t WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id, unnest(list_distinct($shSql)) AS sh
+              |  FROM t WHERE doc_id % 2 = 1),
+              |sz AS (SELECT doc_id, count(*) AS n_sh FROM ev GROUP BY 1),
+              |hit AS (SELECT ev.doc_id, count(*) AS n_hit
+              |  FROM ev JOIN tr USING (sh) GROUP BY 1)
+              |SELECT sz.doc_id AS doc, n_sh,
+              |  COALESCE(n_hit, 0) AS n_hit,
+              |  round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS overlap_r
+              |FROM sz LEFT JOIN hit ON sz.doc_id = hit.doc_id
+              |WHERE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh >= 0.5""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.contamination(
+            d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+            d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+          .filter(col("overlap") >= 0.5)
+          .select(col("doc"), col("n_sh"), col("n_hit"),
+            round(col("overlap"), 4).as("overlap_r"))
+      }),
+
     // 16-bit SimHash per doc, distributed-aggregate formulation.
     Q("q38_simhash", {
       val bitTerms = (0 until 16).map { b =>

@@ -113,6 +113,20 @@ object TextQueries {
             round(avg(col("n_pieces")), 4).as("avg_pieces"),
             max(col("n_pieces")).as("max_pieces"))),
 
+    // Repetition-ratio quality signal: distinct/total tokens per doc,
+    // decile-bucketed (low bucket = heavy repetition = spam-ish).
+    Q("q49_repetition_ratio",
+      Some(s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+              |r AS (SELECT CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dr FROM t)
+              |SELECT CAST(floor(dr * 10) AS BIGINT) AS repetition_bucket,
+              |  count(*) AS n, round(avg(dr), 4) AS avg_ratio
+              |FROM r GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.withRepetition(docs(s, dir), col("text"))
+          .groupBy("repetition_bucket")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("distinct_ratio")), 4).as("avg_ratio"))),
+
     // TF-IDF with corpus-derived N (fixing the reference's hard-coded 7511,
     // NFL_Processing.py:486) + per-doc top-5 (NFL_Processing.py:504-506).
     Q("q43_tfidf_topk",

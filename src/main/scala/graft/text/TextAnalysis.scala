@@ -42,6 +42,18 @@ object TextAnalysis {
       .withColumn("quality_bucket", floor(col("quality") * 10).cast("long"))
   }
 
+  /** Repetition ratio in [0,1]: distinct tokens / total tokens — the
+    * boilerplate/spam signal (low ratio = heavy repetition) a quality
+    * filter combines with [[withQuality]]. Exact integer inputs to one
+    * IEEE division, so bit-identical across engines. */
+  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    df.withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .withColumn("repetition_bucket",
+        floor(col("distinct_ratio") * 10).cast("long"))
+  }
+
   /** Lexicon sentiment counts + 3-way label. Integer comparison for the
     * label (no float threshold), so labeling can't drift across engines. */
   def withSentiment(df: DataFrame, textCol: Column): DataFrame = {

@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(nd.filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("contamination: an eval doc duplicated from train has overlap 1.0, others < 1") {
+    // plant: eval doc 900001 is an exact copy of train doc 0's text
+    val train = docs.filter($"doc_id" % 2 === 0).select("doc_id", "text")
+    val planted = train.filter($"doc_id" === 0)
+      .select(lit(900001L).as("doc_id"), $"text")
+    val eval_ = docs.filter($"doc_id" % 2 === 1).select("doc_id", "text")
+      .union(planted)
+    val c = Dedup.contamination(train, col("doc_id"), col("text"),
+      eval_, col("doc_id"), col("text"))
+    assert(c.filter($"doc" === 900001L).head.getDouble(3) == 1.0)
+    // ratio is well-formed for every eval doc
+    assert(c.filter($"overlap" < 0 || $"overlap" > 1).count() == 0)
+    assert(c.count() == eval_.count())
+  }
+
   test("exactGroups: dup rows collapse to min id") {
     val df = Seq((5L, "t"), (3L, "t"), (9L, "u")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, col("doc_id"), col("text"))

@@ -54,6 +54,17 @@ class MiscOpsSpec extends SparkSpec {
     assert(back.columns.toSeq == src.columns.toSeq)
   }
 
+  test("ORC sink/scan round-trip with predicate pushdown (columnar source beyond parquet)") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/out"
+    val src = orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir).filter($"o_totalprice" > 1000.0)
+    assert(back.count() == src.filter($"o_totalprice" > 1000.0).count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"expected ORC pushdown in:\n$plan")
+  }
+
   test("partitioned parquet sink enables partition pruning (S4 + §4)") {
     val dir = Files.createTempDirectory("graft_part").toString + "/by_status"
     orders.write.partitionBy("o_orderstatus").parquet(dir)
