@@ -44,6 +44,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("q14: per-group top-k gets rank-limit pushdown (WindowGroupLimit before the shuffle)") {
+    // row_number + filter(rnk <= k) must not sort whole groups: Spark's
+    // WindowGroupLimit keeps per-partition bounded heaps ahead of the
+    // exchange — the property that makes topKPerGroup viable at 100 TB.
+    val p = plan("q14_window_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q40: LSH bucket assignment is one shuffle-free projection") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val b = graft.similarity.Similarity.withLshBucket(
