@@ -121,6 +121,70 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** As-of join (pandas merge_asof / DuckDB ASOF JOIN): for every left
+    * row, the single right row with the largest `rightTime` <= `leftTime`
+    * within the same key (inclusive, left-outer). Spark has no native
+    * operator; a direct inequality join would plan as a per-key cross
+    * product. This is the union+window re-expression: tag the sides,
+    * union them, sort each key partition ONCE by (time, side) — right
+    * rows ahead of left rows at equal timestamps for the inclusive
+    * match — and carry the last-seen right values forward with
+    * `last(_, ignoreNulls)`. One spillable-sort shuffle on the key, the
+    * same cost class as a sort-merge join, at any scale.
+    *
+    * `right` must be unique per (key, rightTime) — pre-aggregate if not
+    * (ties would otherwise resolve by union order). Output: every left
+    * row + `rightCols` (null where no right row precedes). `rightCols`
+    * must not collide with left column names. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val rightTypes = rightCols.map(c => c -> right.schema(c).dataType)
+    val lSide = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0))
+    val lPadded = rightTypes.foldLeft(lSide) { case (d, (c, dt)) =>
+      d.withColumn(c, lit(null).cast(dt))
+    }
+    val leftPad = left.columns.filterNot(_ == key)
+      .map(c => c -> left.schema(c).dataType)
+    val rSide0 = right
+      .select((Seq(key, rightTime) ++ rightCols).distinct.map(col): _*)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(1))
+    val rPadded = leftPad.foldLeft(rSide0) { case (d, (c, dt)) =>
+      d.withColumn(c, lit(null).cast(dt))
+    }
+    val unioned = lPadded.unionByName(rPadded.select(lPadded.columns.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 0).drop("_t", "_side")
+  }
+
+  /** Bucketed range join: point-in-interval matching as an equi-join.
+    * Spark plans `point BETWEEN lo AND hi` as a broadcast-nested-loop (or
+    * cartesian) — quadratic. Chunking the number line makes it linear:
+    * every interval explodes to the chunks it overlaps
+    * (⌈width/chunk⌉+1 rows), every point probes exactly its own chunk,
+    * and the exact BETWEEN filter runs on the equi-join's survivors. No
+    * duplicates by construction (a point lives in one chunk). Pick
+    * `chunk` ≈ the typical interval width. */
+  def rangeJoin(points: DataFrame, pointCol: Column,
+                intervals: DataFrame, loCol: Column, hiCol: Column,
+                chunk: Double): DataFrame = {
+    val p = points.withColumn("_chunk", floor(pointCol / chunk).cast("long"))
+    val iv = intervals.withColumn("_chunk",
+      explode(sequence(floor(loCol / chunk).cast("long"),
+        floor(hiCol / chunk).cast("long"))))
+    p.join(iv, "_chunk")
+      .filter(pointCol >= loCol && pointCol <= hiCol)
+      .drop("_chunk")
+  }
+
   /** Exact deduplication keeping the smallest `tieBreaker` row per key —
     * one hash-aggregate shuffle on the (hashed) key. The training-data
     * dedup baseline (builder brief): at 100 TB the groupBy key is

@@ -456,6 +456,43 @@ object RelationalQueries {
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"))),
 
+    // As-of join (merge_asof): each click joined to the user's latest
+    // purchase at-or-before it. Spark has no native ASOF; the engine's
+    // union+window re-expression is oracle-checked against DuckDB's
+    // native ASOF LEFT JOIN (see Relational.asOfJoin for the plan shape).
+    Q("q50_asof_join",
+      Some("""WITH l AS (SELECT user_id, ts, value AS lval FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts AS rts, max(value) AS rval
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT l.user_id, l.ts, l.lval, r.rts, r.rval
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value").as("lval"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("rval"))
+          .withColumn("rts", col("ts"))
+        Relational.asOfJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("rts", "rval"))
+      }),
+
+    // Bucketed range join: customers matched into supplier balance
+    // intervals via chunked equi-join, not a quadratic nested loop
+    // (Relational.rangeJoin; oracle is DuckDB's native BETWEEN join).
+    Q("q51_range_join",
+      Some("""SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal AS lo
+             |FROM customer JOIN supplier
+             |  ON c_acctbal BETWEEN s_acctbal AND s_acctbal + 100""".stripMargin),
+      (s, dir) =>
+        Relational.rangeJoin(
+            t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+            col("c_acctbal"),
+            t(s, dir, "supplier").select(col("s_suppkey"),
+              col("s_acctbal").as("lo"), (col("s_acctbal") + 100).as("hi")),
+            col("lo"), col("hi"), chunk = 100.0)
+          .select("c_custkey", "s_suppkey", "c_acctbal", "lo")),
+
     // Sessionization via lag + conditional cumulative sum — the gaps-and-
     // islands pattern a 100 TB event pipeline needs (engine extension;
     // exercises lag + two stacked windows over one partition shuffle).

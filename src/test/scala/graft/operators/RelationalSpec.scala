@@ -74,6 +74,38 @@ class RelationalSpec extends SparkSpec {
       && got(1).getDouble(3) == 4.0)
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left time, per key") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("k", "t", "v")
+    val r = Seq((1L, 10L, 100L), (1L, 18L, 200L), (2L, 99L, 300L))
+      .toDF("k", "rt", "x")
+    val got = Relational.asOfJoin(l, r, "k", "t", "rt", Seq("rt", "x"))
+      .orderBy("k", "t")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getString(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3),
+        if (row.isNullAt(4)) -1L else row.getLong(4))).toSeq
+    // (1,10) matches the equal-timestamp right row (inclusive); (2,15)
+    // precedes every right row for key 2 -> nulls
+    assert(got == Seq((1L, 10L, "a", 10L, 100L), (1L, 20L, "b", 18L, 200L),
+      (2L, 15L, "c", -1L, -1L)), got)
+  }
+
+  test("rangeJoin equals the naive inequality join, with no nested-loop in the plan") {
+    val pts = Seq(1.0, 49.9, 50.0, 99.9, 150.0, -20.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 50.0), (11L, 40.0, 90.0), (12L, -50.0, -10.0))
+      .toDF("iid", "lo", "hi")
+    val got = Relational.rangeJoin(pts, col("p"), ivs, col("lo"), col("hi"), 50.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(ivs).filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got=$got naive=$naive")
+    val plan = Relational.rangeJoin(pts, col("p"), ivs, col("lo"), col("hi"), 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("crossTab fills empty cells with zero") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("r", "c")
     val got = Relational.crossTab(df, col("r"), col("c"), Seq("x", "y"))
