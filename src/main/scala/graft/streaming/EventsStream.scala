@@ -77,6 +77,16 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * hash-group dedup: drop rows whose `event_id` was already seen within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keeps one
+    * state entry per id and evicts it once the watermark passes, so state
+    * is bounded by the ingest rate × watermark window, not history — the
+    * property that lets a 100 TB/day stream dedupe at all. */
+  def dedupe(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   /** Open-session state: id assigned in event-time order per user. */
   case class OpenSession(session_id: Long, last_ts_ms: Long, n_events: Long)

@@ -48,6 +48,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("HLL sketches are mergeable across partitions (hll_sketch_agg/union/estimate)") {
+    // the re-aggregatable form a 100 TB rollup needs: per-group sketches
+    // built independently, merged, estimated — no re-scan of raw data
+    val li = Tables.lineitem(spark, sfDir)
+    val perFlag = li.groupBy("l_returnflag")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"),
+        countDistinct($"l_partkey").as("exact"))
+    val bad = perFlag
+      .select(hll_sketch_estimate($"sk").cast("double").as("est"),
+        $"exact".cast("double"))
+      .filter(abs($"est" - $"exact") / $"exact" > 0.05)
+    assert(bad.count() == 0)
+    // merging the per-group sketches estimates the global cardinality
+    val merged = perFlag.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).cast("double")).head.getDouble(0)
+    val global = li.select(countDistinct($"l_partkey").cast("double")).head.getDouble(0)
+    assert(math.abs(merged - global) / global < 0.05, s"merged=$merged global=$global")
+  }
+
   test("approx_count_distinct lands within 5% of exact; approx percentile sane") {
     val li = Tables.lineitem(spark, sfDir)
     val Array(approx, exact) = li.select(

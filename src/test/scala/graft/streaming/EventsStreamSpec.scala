@@ -45,6 +45,19 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.select("window").distinct().count() > tumbling)
   }
 
+  test("streaming dedupe drops replayed events within the watermark") {
+    // stage the same parquet twice: every event arrives as a duplicate
+    val d = Files.createTempDirectory("graft_dup_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), d.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), d.resolve("b.parquet"))
+    val streamed = EventsStream.runToMemory(
+      EventsStream.dedupe(EventsStream.read(spark, d.toString, glob = "*.parquet")),
+      "dedupe_test", OutputMode.Append())
+    val batch = Tables.events(spark, sfDir)
+    assert(streamed.count() == batch.select("event_id").distinct().count())
+    assert(streamed.select("event_id").distinct().count() == streamed.count())
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands (q25)") {
     val streamed = EventsStream.runToMemory(
       EventsStream.sessionize(EventsStream.read(spark, streamDir)).toDF(),
