@@ -203,20 +203,65 @@ object Dedup {
       .withColumn("overlap", col("n_hit").cast("double") / col("n_sh"))
   }
 
-  /** 16-bit SimHash per doc via explode + grouped bit-weight sums — the
-    * distributed-aggregate formulation (map-side partials, one shuffle on
-    * doc id), not a per-row array fold. */
-  def simhash16(df: DataFrame, idCol: Column, textCol: Column,
-                hash: Column => Column = portableHash): DataFrame = {
+  /** N-bit SimHash (generalizes [[simhash16]]): same distributed
+    * bit-weight aggregate, `bits` wide. 16 bits is the compact
+    * oracle-demo width; the near-dup path uses the full 60-bit portable
+    * hash — band selectivity grows with width, which is what keeps the
+    * banding join linear on large corpora. */
+  def simhashN(df: DataFrame, idCol: Column, textCol: Column, bits: Int,
+               hash: Column => Column = portableHash): DataFrame = {
+    require(bits > 0 && bits <= 62, s"bits=$bits out of range")
     val tokHash = df.select(idCol.as("doc"), explode(tokens(textCol)).as("t"))
-      .withColumn("h", hash(col("t")) % 65536)
-    val bitSums = (0 until 16).map { b =>
+      .withColumn("h", hash(col("t")) % (1L << bits))
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"w$b")
     }
     tokHash.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
-        (0 until 16).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until bits).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _))
       .select("doc", "simhash")
   }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits — EXACT, via
+    * pigeonhole banding: split the simhash into maxHamming+1 equal
+    * bands; a pair within the radius must agree exactly on at least one
+    * band (≤ maxHamming differing bits cannot touch all maxHamming+1
+    * bands). Band equi-joins enumerate a candidate superset (one shuffle
+    * on (band, value), no all-pairs anywhere); `bit_count(xor)` verifies
+    * the exact distance on candidates only — the same
+    * candidates-then-verify shape as the MinHash pipeline.
+    *
+    * Defaults to the full 60-bit hash: 15-bit bands give 32768 values
+    * per band, so random collisions — and with them the join fan-out —
+    * stay negligible as the corpus grows. (4-bit bands over a 16-bit
+    * hash would go quadratic: only 16 values per band.) */
+  def simhashNearDup(df: DataFrame, idCol: Column, textCol: Column,
+                     maxHamming: Int = 3, bits: Int = 60,
+                     hash: Column => Column = portableHash): DataFrame = {
+    require(bits % (maxHamming + 1) == 0, "bands must divide the hash width")
+    val nBands = maxHamming + 1
+    val width = bits / nBands
+    val mask = (1L << width) - 1
+    val sigs = simhashN(df, idCol, textCol, bits, hash)
+    val bandVals = (0 until nBands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(mask))
+    val bands = sigs.select(col("doc"), col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+
+  /** 16-bit SimHash per doc via explode + grouped bit-weight sums — the
+    * distributed-aggregate formulation (map-side partials, one shuffle on
+    * doc id), not a per-row array fold. */
+  def simhash16(df: DataFrame, idCol: Column, textCol: Column,
+                hash: Column => Column = portableHash): DataFrame =
+    simhashN(df, idCol, textCol, 16, hash)
 }

@@ -148,6 +148,29 @@ object DedupQueries {
               |FROM h GROUP BY doc""".stripMargin)
     },
       (s, dir) =>
-        Dedup.simhash16(docs(s, dir), col("doc_id"), col("text")))
+        Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))),
+
+    // SimHash hamming-radius pairs, exact via pigeonhole banding on the
+    // full 60-bit hash (4 bands × 15 bits for radius 3): a within-radius
+    // pair must collide on one band, and 32768 values per band keep the
+    // candidate join linear in the corpus.
+    Q("q52_simhash_neardup", {
+      val bitTerms = (0 until 60).map { b =>
+        s"CASE WHEN sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("\n    + ")
+      Some(s"""WITH p AS (SELECT doc_id AS doc, unnest($toksSql) AS t FROM documents),
+              |hh AS (SELECT doc, ${portableHashSql("t")} AS hv FROM p),
+              |sig AS (SELECT doc, CAST($bitTerms AS BIGINT) AS simhash FROM hh GROUP BY doc),
+              |bands AS (SELECT doc, simhash, band, (simhash >> (band * 15)) & 32767 AS bv
+              |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+              |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+              |    a.simhash AS s1, b.simhash AS s2
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc)
+              |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin)
+    },
+      (s, dir) =>
+        Dedup.simhashNearDup(docs(s, dir), col("doc_id"), col("text")))
   )
 }

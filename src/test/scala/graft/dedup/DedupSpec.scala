@@ -73,6 +73,19 @@ class DedupSpec extends SparkSpec {
     assert(nd.filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("simhashNearDup equals brute-force hamming pairs (pigeonhole is exact)") {
+    val sh = Dedup.simhashN(docs, col("doc_id"), col("text"), 60)
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc" < $"b.doc")
+      .withColumn("hamming",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"a.doc".as("d1"), $"b.doc".as("d2"), $"hamming")
+    val banded = Dedup.simhashNearDup(docs, col("doc_id"), col("text"))
+    assert(banded.exceptAll(brute).count() == 0, "banded emitted a non-pair")
+    assert(brute.exceptAll(banded).count() == 0, "banding missed a within-radius pair")
+  }
+
   test("contamination: an eval doc duplicated from train has overlap 1.0, others < 1") {
     // plant: eval doc 900001 is an exact copy of train doc 0's text
     val train = docs.filter($"doc_id" % 2 === 0).select("doc_id", "text")
