@@ -140,7 +140,13 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification of the candidate pairs only. That
+    * exact-Jaccard verification of the candidate pairs only.
+    *
+    * NOTE this op (and [[jaccardPairs]]) persists small intermediate
+    * frames (signatures, candidate pairs) that stay registered with the
+    * session's cache manager after the action completes. Long-lived
+    * applications calling it repeatedly should `spark.catalog.clearCache()`
+    * between batches (the shipped Bench/Verify harnesses do). That
     * restriction is the whole point of LSH: exact verification touches
     * |candidates| rows, not |corpus|² — at 100 TB the candidate joins are
     * broadcasts. Verification uses per-pair array set-ops rather than the

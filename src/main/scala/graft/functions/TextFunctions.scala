@@ -118,16 +118,20 @@ object TextFunctions {
   /** GPT-2-style pre-tokenizer regex, simplified to the subset shared by
     * Java regex (Spark) and RE2 (DuckDB) — no lookahead: letter runs,
     * digit runs, punctuation runs (each with an optional leading space),
-    * or whitespace runs. Piece counts approximate BPE token counts the
-    * way a training-data pipeline budgets documents before running the
-    * real (merge-table) tokenizer. */
-  val BpePattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * or whitespace runs. Whitespace is an EXPLICIT class, not `\s`: Java's
+    * `\s` includes vertical tab, RE2's does not, and that one character
+    * would silently skew piece counts between engine and oracle. Piece
+    * counts approximate BPE token counts the way a training-data pipeline
+    * budgets documents before running the real (merge-table) tokenizer. */
+  private val ws = "\\t\\n\\f\\r \\x0B"
+  val BpePattern: String =
+    s" ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
 
   def bpePieces(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
   def bpePiecesSql(e: String): String =
-    s"regexp_extract_all($e, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')"
+    s"regexp_extract_all($e, '$BpePattern')"
 
   // ---- Lexicons ---------------------------------------------------------
   /** Language-ID stopword lists (n-gram/stopword heuristic). */

@@ -76,11 +76,13 @@ object Media {
     * instead of pre-computed embeddings. */
   def nearestMedia(media: Dataset[MediaRow], queryId: Long, k: Int,
                    dim: Int = 8): DataFrame = {
-    val feats = decodeFeatures(media, dim)
+    // filter BEFORE decode on both sides: the broadcast (query) branch
+    // would otherwise re-run the whole-corpus codec pass to extract one row
+    def feats(rows: Dataset[MediaRow]) = decodeFeatures(rows, dim)
       .select(col("media_id"), col("feature").cast("array<double>").as("feature"))
     graft.similarity.Similarity.knnBrute(
-      feats.filter(col("media_id") =!= queryId), col("media_id"), col("feature"),
-      feats.filter(col("media_id") === queryId), col("feature"), k)
+      feats(media.filter(col("media_id") =!= queryId)), col("media_id"), col("feature"),
+      feats(media.filter(col("media_id") === queryId)), col("feature"), k)
   }
 
   /** Evenly spaced frame-sample offsets for video/audio payloads; the

@@ -139,19 +139,25 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightCols: Seq[String]): DataFrame = {
-    val rightTypes = rightCols.map(c => c -> right.schema(c).dataType)
-    val lSide = left
+    // The right row is carried as ONE struct, not per-column: a struct is
+    // non-null on every right row even when its fields are null, so
+    // last(ignoreNulls) always picks the latest right ROW atomically.
+    // Carrying columns independently would resurrect an older row's value
+    // wherever the latest row holds a null — a merged row that never
+    // existed (diverging from merge_asof / DuckDB ASOF semantics).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val lPadded = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(0))
-    val lPadded = rightTypes.foldLeft(lSide) { case (d, (c, dt)) =>
-      d.withColumn(c, lit(null).cast(dt))
-    }
+      .withColumn("_r", lit(null).cast(rStructType))
     val leftPad = left.columns.filterNot(_ == key)
       .map(c => c -> left.schema(c).dataType)
     val rSide0 = right
       .select((Seq(key, rightTime) ++ rightCols).distinct.map(col): _*)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(1))
+      .withColumn("_r", struct(rightCols.map(col): _*))
     val rPadded = leftPad.foldLeft(rSide0) { case (d, (c, dt)) =>
       d.withColumn(c, lit(null).cast(dt))
     }
@@ -159,10 +165,9 @@ object Relational {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 0).drop("_t", "_side")
+    val carried = unioned.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried) { (d, c) => d.withColumn(c, col("_r").getField(c)) }
+      .filter(col("_side") === 0).drop("_t", "_side", "_r")
   }
 
   /** Bucketed range join: point-in-interval matching as an equi-join.

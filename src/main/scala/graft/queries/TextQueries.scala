@@ -117,7 +117,7 @@ object TextQueries {
     // decile-bucketed (low bucket = heavy repetition = spam-ish).
     Q("q49_repetition_ratio",
       Some(s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
-              |r AS (SELECT CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dr FROM t)
+              |r AS (SELECT CAST(len(list_distinct(tk)) AS DOUBLE) / nullif(len(tk), 0) AS dr FROM t)
               |SELECT CAST(floor(dr * 10) AS BIGINT) AS repetition_bucket,
               |  count(*) AS n, round(avg(dr), 4) AS avg_ratio
               |FROM r GROUP BY 1""".stripMargin),

@@ -90,6 +90,16 @@ class RelationalSpec extends SparkSpec {
       (2L, 15L, "c", -1L, -1L)), got)
   }
 
+  test("asOfJoin carries the latest right ROW atomically — a null field must not resurrect older values") {
+    val l = Seq((1L, 25L)).toDF("k", "t")
+    val r = Seq((1L, 10L, Some(5L)), (1L, 20L, None))
+      .toDF("k", "rt", "x")
+    val row = Relational.asOfJoin(l, r, "k", "t", "rt", Seq("rt", "x")).head
+    // latest right row is (rt=20, x=NULL): rt and x must come from THAT row
+    assert(row.getLong(2) == 20L, s"rt must be 20, got $row")
+    assert(row.isNullAt(3), s"x must be NULL (not resurrected 5), got $row")
+  }
+
   test("rangeJoin equals the naive inequality join, with no nested-loop in the plan") {
     val pts = Seq(1.0, 49.9, 50.0, 99.9, 150.0, -20.0).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
