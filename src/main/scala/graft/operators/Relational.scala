@@ -190,6 +190,23 @@ object Relational {
       .drop("_chunk")
   }
 
+  /** Fuzzy (edit-distance) self-pairs over a dimension: id-ordered pairs
+    * within `maxDist` edits. The length-difference prune — a necessary
+    * condition for edit distance — sits in the join condition so it cuts
+    * pairs before levenshtein evaluates. For genuinely large sides, block
+    * on a cheap equi-key first (length band, first char, phonetic code)
+    * so the pair space never materializes; this direct form is for
+    * dimension-sized inputs (name canonicalization, key reconciliation). */
+  def fuzzyPairs(df: DataFrame, idCol: Column, nameCol: Column,
+                 maxDist: Int): DataFrame = {
+    val a = df.select(idCol.as("id1"), nameCol.as("name1"))
+    val b = df.select(idCol.as("id2"), nameCol.as("name2"))
+    a.join(b, col("id1") < col("id2")
+        && abs(length(col("name1")) - length(col("name2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact deduplication keeping the smallest `tieBreaker` row per key —
     * one hash-aggregate shuffle on the (hashed) key. The training-data
     * dedup baseline (builder brief): at 100 TB the groupBy key is

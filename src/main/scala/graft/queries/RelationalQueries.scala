@@ -493,6 +493,106 @@ object RelationalQueries {
             col("lo"), col("hi"), chunk = 100.0)
           .select("c_custkey", "s_suppkey", "c_acctbal", "lo")),
 
+    // Ranking-function family over one shared window: ntile quartiles,
+    // percent_rank, cume_dist, dense_rank, and a lag with default —
+    // widens §2.5 beyond row_number/running sums. One shuffle; the
+    // (price, orderkey) tie-break keeps every rank deterministic.
+    Q("q53_window_ranks",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 4) AS pr,
+             |  round(cume_dist() OVER w, 4) AS cd,
+             |  CAST(dense_rank() OVER w AS INT) AS dr,
+             |  round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"),
+            dense_rank().over(w).as("dr"),
+            round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+              .as("prev_price"))
+      }),
+
+    // Explicit GROUPING SETS with grouping() flags (finer than
+    // rollup/cube: exactly the three requested groupings).
+    Q("q54_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+              .cast("long").as("gid"))),
+
+    // Unpivot (melt): wide metric columns to (metric, value) rows then
+    // re-aggregate — the inverse of crossTab's pivot.
+    Q("q55_unpivot",
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, 'l_quantity' AS metric,
+             |    CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem)
+             |SELECT l_returnflag, metric, round(sum(value), 2) AS sum_value,
+             |  count(*) AS n
+             |FROM m GROUP BY 1, 2""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("double").as("l_quantity"),
+            col("l_extendedprice"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice")), "metric", "value")
+          .groupBy("l_returnflag", "metric")
+          .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))),
+
+    // Fuzzy (edit-distance) pair matching over the nation dimension —
+    // levenshtein is deterministic and identical across engines. Scale
+    // note in Relational.fuzzyPairs: length-difference prune + blocking
+    // before the distance on large sides.
+    Q("q56_fuzzy_pairs",
+      Some("""SELECT a.n_name AS name1, b.n_name AS name2,
+             |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+             |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+             |WHERE levenshtein(a.n_name, b.n_name) <= 5
+             |  AND abs(len(a.n_name) - len(b.n_name)) <= 5""".stripMargin),
+      (s, dir) =>
+        Relational.fuzzyPairs(t(s, dir, "nation"),
+          col("n_nationkey"), col("n_name"), maxDist = 5)
+          .select(col("name1"), col("name2"), col("dist"))),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other, unlike plain equality.
+    Q("q57_nullsafe_join",
+      Some("""WITH a AS (SELECT o_orderkey,
+             |    nullif(o_orderpriority, '3-MEDIUM') AS p
+             |  FROM orders WHERE o_orderkey <= 1000),
+             |b AS (SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS p FROM orders)
+             |SELECT b.p, count(*) AS n
+             |FROM a JOIN b ON a.p IS NOT DISTINCT FROM b.p
+             |GROUP BY b.p""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"),
+            nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"))
+        val b = o.select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"))
+          .distinct().withColumnRenamed("p", "bp")
+        a.join(b, col("p") <=> col("bp"))
+          .groupBy(col("bp").as("p"))
+          .agg(count(lit(1)).as("n"))
+      }),
+
     // Sessionization via lag + conditional cumulative sum — the gaps-and-
     // islands pattern a 100 TB event pipeline needs (engine extension;
     // exercises lag + two stacked windows over one partition shuffle).
