@@ -62,7 +62,12 @@ object Bench {
           col("doc_id"), col("text"), fastCfg)),
       "x36_lsh_neardup_fast" -> toNoop((s, dir) =>
         Dedup.nearDuplicates(Tables.documents(s, dir),
-          col("doc_id"), col("text"), 0.8, fastCfg)))
+          col("doc_id"), col("text"), 0.8, fastCfg)),
+      // the production-shaped config: 64 perms / 16 bands, xxhash64 —
+      // the number behind "parameterize MinHash for real scale"
+      "x36_lsh_wide64" -> toNoop((s, dir) =>
+        Dedup.nearDuplicates(Tables.documents(s, dir), col("doc_id"),
+          col("text"), 0.8, MinHashConfig.generated(64, 16, portable = false))))
 
     val results = (base ++ fastPath).map { case (name, run) =>
       // per-query isolation: drop frames persisted inside pipeline builders
