@@ -43,6 +43,17 @@ object FunctionProperties extends Properties("graft.functions") {
     }
   }
 
+  property("MinHashConfig.generated is deterministic with in-range distinct params") =
+    Prop.forAll(Gen.chooseNum(1, 16)) { bands =>
+      val n = bands * 4
+      val c1 = graft.dedup.MinHashConfig.generated(n, bands)
+      val c2 = graft.dedup.MinHashConfig.generated(n, bands)
+      val P = TextFunctions.MinHashP
+      c1.perms == c2.perms && c1.perms.size == n &&
+        c1.perms.forall { case (a, b) => a >= 1 && a < P && b >= 0 && b < P } &&
+        c1.perms.distinct.size == n
+    }
+
   property("minhash permutation output stays inside P for 60-bit inputs") = {
     val h = Gen.chooseNum(0L, (1L << 60) - 1)
     Prop.forAll(h) { v =>

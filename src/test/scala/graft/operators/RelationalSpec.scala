@@ -100,6 +100,28 @@ class RelationalSpec extends SparkSpec {
     assert(row.isNullAt(3), s"x must be NULL (not resurrected 5), got $row")
   }
 
+  test("asOfJoin matches a driver-side reference on randomized seeded data") {
+    val rng = new scala.util.Random(7)
+    val lRows = Seq.fill(300)((rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
+    val rRows = Seq.fill(200)((rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, rng.nextInt(100).toLong) }
+    val l = lRows.toDF("k", "t")
+    val r = rRows.toDF("k", "rt", "x")
+    val got = Relational.asOfJoin(l, r, "k", "t", "rt", Seq("rt", "x"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some((row.getLong(2), row.getLong(3)))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val byKey = rRows.groupBy(_._1)
+    val want = lRows.map { case (k, t) =>
+      val m = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+      (k, t, if (m.isEmpty) None else Some {
+        val best = m.maxBy(_._2); (best._2, best._3)
+      })
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want)
+  }
+
   test("rangeJoin equals the naive inequality join, with no nested-loop in the plan") {
     val pts = Seq(1.0, 49.9, 50.0, 99.9, 150.0, -20.0).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
