@@ -154,6 +154,10 @@ object Relational {
     val leftPad = left.columns.filterNot(_ == key)
       .map(c => c -> left.schema(c).dataType)
     val rSide0 = right
+      // a NULL right timestamp can never satisfy "largest rt <= t"
+      // (merge_asof/ASOF semantics) — drop it here, or it would sort
+      // nulls-first and be carried as the "earliest" row
+      .filter(col(rightTime).isNotNull)
       .select((Seq(key, rightTime) ++ rightCols).distinct.map(col): _*)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(1))

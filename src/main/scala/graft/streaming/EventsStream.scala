@@ -155,16 +155,22 @@ object EventsStream {
     * window into driver memory each trigger. */
   def runToNoop(df: DataFrame): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    val q = df.writeStream.format("noop")
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(OutputMode.Append()).start()
-    q.processAllAvailable()
-    q.stop()
-    // deleteOnExit can't remove a populated directory — walk it
-    // depth-first so repeated bench runs don't accumulate checkpoints
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    try {
+      val q = df.writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      // deleteOnExit can't remove a populated directory — walk it
+      // depth-first (and close the walk's directory handles) so repeated
+      // or FAILED bench runs don't accumulate checkpoints
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** Drive a stream to completion against static input and return the

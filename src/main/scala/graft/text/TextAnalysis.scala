@@ -48,8 +48,13 @@ object TextAnalysis {
     * IEEE division, so bit-identical across engines. */
   def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
     val toks = tokens(textCol)
+    // try_divide mirrors the oracle's nullif-guard: a zero-token doc (not
+    // producible by the current tokenizer, which never returns an empty
+    // array, but reachable if it ever drops empty tokens) yields NULL on
+    // both engines instead of an ANSI DIVIDE_BY_ZERO on the Spark side.
     df.withColumn("distinct_ratio",
-        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        try_divide(size(array_distinct(toks)).cast("double"),
+          size(toks).cast("double")))
       .withColumn("repetition_bucket",
         floor(col("distinct_ratio") * 10).cast("long"))
   }

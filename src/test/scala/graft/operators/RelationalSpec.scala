@@ -100,6 +100,14 @@ class RelationalSpec extends SparkSpec {
     assert(row.isNullAt(3), s"x must be NULL (not resurrected 5), got $row")
   }
 
+  test("asOfJoin never matches a NULL right timestamp (ASOF semantics)") {
+    val l = Seq((1L, 5L)).toDF("k", "t")
+    val r = Seq((1L, Option.empty[Long], 7L)).toDF("k", "rt", "x")
+    val row = Relational.asOfJoin(l, r, "k", "t", "rt", Seq("rt", "x")).head
+    assert(row.isNullAt(2) && row.isNullAt(3),
+      s"NULL-rt right row must not match, got $row")
+  }
+
   test("asOfJoin matches a driver-side reference on randomized seeded data") {
     val rng = new scala.util.Random(7)
     val lRows = Seq.fill(300)((rng.nextInt(20).toLong, rng.nextInt(1000).toLong))
