@@ -51,6 +51,10 @@ object Bench {
           "q28_stream_tumbling" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
               EventsStream.tumblingCounts(EventsStream.read(s, sfDir))))
+        case ("q58_stream_interval_join", _) =>
+          "q58_stream_interval_join" -> ((s: SparkSession) =>
+            EventsStream.runToNoop(
+              EventsStream.clickPurchaseJoin(EventsStream.read(s, sfDir))))
         case (name, fn) => name -> toNoop(fn)
       }
     val fastPath: Seq[(String, SparkSession => Unit)] = Seq(

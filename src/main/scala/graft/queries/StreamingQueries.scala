@@ -28,6 +28,24 @@ object StreamingQueries {
           s"q28_stream_${runId.incrementAndGet()}", OutputMode.Complete())
         out.select(col("window.start").as("ws"), col("event_type"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
+      }),
+
+    // Stream-stream interval join (clicks ⋈ purchases within ±1h per
+    // user, watermarked state on both sides) — oracle is the equivalent
+    // batch interval join; on static input the streaming inner join must
+    // emit exactly the batch result.
+    Q("q58_stream_interval_join",
+      Some("""SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+             |  c.value AS click_value, p.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id
+             | AND p.ts >= c.ts - INTERVAL '1 hour'
+             | AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin),
+      (s, dir) => {
+        val joined = EventsStream.clickPurchaseJoin(EventsStream.read(s, dir))
+        EventsStream.runToMemory(joined,
+          s"q58_join_${runId.incrementAndGet()}", OutputMode.Append())
       })
   )
 }

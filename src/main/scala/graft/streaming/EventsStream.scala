@@ -77,6 +77,30 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream inner join: clicks joined to the same user's purchases
+    * within ±`range` of the click, both sides watermarked so the join
+    * STATE evicts — Spark buffers each side only until the other side's
+    * watermark clears the time-range bound, which is what keeps a
+    * perpetual two-stream join runnable at all. Self-join of one source
+    * stream through two filtered branches. */
+  def clickPurchaseJoin(events: DataFrame, range: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $range")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $range"))
+      .select("user_id", "click_ts", "purchase_ts",
+        "click_value", "purchase_value")
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch
     * hash-group dedup: drop rows whose `event_id` was already seen within
     * the watermark horizon. `dropDuplicatesWithinWatermark` keeps one
