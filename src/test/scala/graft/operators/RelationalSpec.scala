@@ -146,6 +146,27 @@ class RelationalSpec extends SparkSpec {
       plan)
   }
 
+  test("TopKSmallest aggregator equals sort+limit per group; sampleBy stratifies deterministically") {
+    val agg = new TopKSmallest(3).toColumn
+    val got = orders
+      .groupByKey(r => r.getAs[Long]("o_custkey"))(org.apache.spark.sql.Encoders.scalaLong)
+      .mapValues(r => r.getAs[Double]("o_totalprice").toLong)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .agg(agg.name("top3"))
+      .collect().toMap
+    val want = orders.select($"o_custkey", $"o_totalprice".cast("long").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(3).toSeq).toMap
+    assert(got.size == want.size)
+    assert(got.forall { case (k, v) => want(k) == v },
+      got.collectFirst { case (k, v) if want(k) != v => s"$k: $v vs ${want(k)}" })
+    // stratified sampling (P14 family): seeded fractions per stratum
+    val fracs = Map("F" -> 0.5, "O" -> 0.1, "P" -> 0.9)
+    val s1 = orders.stat.sampleBy("o_orderstatus", fracs, 42L).count()
+    val s2 = orders.stat.sampleBy("o_orderstatus", fracs, 42L).count()
+    assert(s1 == s2 && s1 > 0 && s1 < orders.count())
+  }
+
   test("crossTab fills empty cells with zero") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("r", "c")
     val got = Relational.crossTab(df, col("r"), col("c"), Seq("x", "y"))
