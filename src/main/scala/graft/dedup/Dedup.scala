@@ -139,6 +139,33 @@ object Dedup {
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
   }
 
+  /** Containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) ≥ τ — the ASYMMETRIC
+    * near-dup test symmetric Jaccard misses: a short document wholly
+    * quoted inside a long one has tiny Jaccard but containment ≈ 1.
+    * Same counting formulation and shuffle shape as [[jaccardPairs]]
+    * (equi-joins on 8-byte shingle hashes, no pair enumeration beyond
+    * colliding pairs). `minIntersection` prunes the collision tail:
+    * containment ≥ τ needs |A∩B| ≥ τ·min(|A|,|B|). */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                       minContainment: Double,
+                       minIntersection: Long = 1L): DataFrame = {
+    val pairs = shingleHashes(df, idCol, textCol).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs.as("a").join(pairs.as("b"), Seq("sh"))
+      .filter(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") >= minIntersection)
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("containment",
+        greatest(col("n_inter").cast("double") / col("n1"),
+          col("n_inter").cast("double") / col("n2")))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification of the candidate pairs only.
     *

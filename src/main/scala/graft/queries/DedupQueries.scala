@@ -110,6 +110,41 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.5)
           .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
 
+    // Asymmetric containment: a corpus where each doc's first-half
+    // "excerpt" is planted as a new doc — tiny Jaccard against its
+    // source (≈0.5) but containment ≈ 1.0 catches it. minIntersection=20
+    // prunes the collision tail identically on both engines (a valid
+    // bound for any pair whose smaller side has ≥ 23 shingles; shorter
+    // planted excerpts are consistently pruned on both sides).
+    Q("q59_containment",
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000,
+              |    array_to_string(($toksSql)[1:len($toksSql)//2], ' ')
+              |  FROM documents WHERE doc_id < 40),
+              |t AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM corpus),
+              |p AS (SELECT doc_id, unnest(list_distinct(${shingleHashesSql("tk")})) AS sh FROM t),
+              |sz AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+              |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 20)
+              |SELECT d1, d2,
+              |  round(greatest(CAST(ni AS DOUBLE) / s1.n, CAST(ni AS DOUBLE) / s2.n), 4) AS containment_r
+              |FROM inter i JOIN sz s1 ON s1.doc_id = i.d1 JOIN sz s2 ON s2.doc_id = i.d2
+              |WHERE greatest(CAST(ni AS DOUBLE) / s1.n, CAST(ni AS DOUBLE) / s2.n) >= 0.9""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val excerpts = d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), (size(toks) / 2).cast("int"))).as("text"))
+        Dedup.containmentPairs(d.union(excerpts), col("doc_id"), col("text"),
+            minContainment = 0.9, minIntersection = 20L)
+          .select(col("d1"), col("d2"),
+            round(col("containment"), 4).as("containment_r"))
+      }),
+
     // Train/eval contamination over an even/odd doc_id split — the
     // planted near-dup pairs that straddle the split surface as
     // contaminated eval docs (overlap >= 0.5).
