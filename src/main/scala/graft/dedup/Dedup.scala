@@ -117,26 +117,31 @@ object Dedup {
     * join keys), no cross join. 60-bit hash collisions are negligible and
     * the oracle hashes identically, so both engines see the same sets. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   minIntersection: Long = 1L): DataFrame = {
-    // distinct (doc, sh) pairs feed three consumers (sizes + both sides
-    // of the intersection self-join): persist so the per-token hash scan
-    // runs once, not three times — same fix as nearDuplicates.
-    val pairs = shingleHashes(df, idCol, textCol).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+                   minIntersection: Long = 1L): DataFrame =
     // minIntersection prunes the long tail of 1-shingle-collision pairs
     // before the size joins — callers filtering on jaccard >= τ can derive
     // a safe bound (j >= τ needs |A∩B| >= τ(|A|+|B|)/(1+τ)).
-    val inter = pairs.as("a").join(pairs.as("b"), Seq("sh"))
+    intersectionCounts(df, idCol, textCol, minIntersection)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+
+  /** Shared core of the pairwise set-overlap operators: distinct
+    * (doc, shingle-hash) rows → per-doc sizes + per-pair intersection
+    * counts, with a consistent `minIntersection` prune. The pairs frame
+    * feeds three consumers, so it is persisted (see the cache NOTE on
+    * [[nearDuplicates]] — applies to every caller of this). */
+  private def intersectionCounts(df: DataFrame, idCol: Column, textCol: Column,
+                                 minIntersection: Long): DataFrame = {
+    val pairs = shingleHashes(df, idCol, textCol).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    pairs.as("a").join(pairs.as("b"), Seq("sh"))
       .filter(col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
       .filter(col("n_inter") >= minIntersection)
-    inter
       .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
   }
 
   /** Containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) ≥ τ — the ASYMMETRIC
@@ -148,28 +153,18 @@ object Dedup {
     * containment ≥ τ needs |A∩B| ≥ τ·min(|A|,|B|). */
   def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
                        minContainment: Double,
-                       minIntersection: Long = 1L): DataFrame = {
-    val pairs = shingleHashes(df, idCol, textCol).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val inter = pairs.as("a").join(pairs.as("b"), Seq("sh"))
-      .filter(col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("n_inter"))
-      .filter(col("n_inter") >= minIntersection)
-    inter
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+                       minIntersection: Long = 1L): DataFrame =
+    intersectionCounts(df, idCol, textCol, minIntersection)
       .withColumn("containment",
         greatest(col("n_inter").cast("double") / col("n1"),
           col("n_inter").cast("double") / col("n2")))
       .filter(col("containment") >= minContainment)
-  }
 
   /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification of the candidate pairs only.
     *
-    * NOTE this op (and [[jaccardPairs]]) persists small intermediate
+    * NOTE this op (and [[jaccardPairs]] / [[containmentPairs]], via their
+    * shared intersection core) persists small intermediate
     * frames (signatures, candidate pairs) that stay registered with the
     * session's cache manager after the action completes. Long-lived
     * applications calling it repeatedly should `spark.catalog.clearCache()`

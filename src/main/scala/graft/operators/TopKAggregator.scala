@@ -13,19 +13,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * [[Relational.topKPerGroup]] (WindowGroupLimit gives the same
   * bounded-heap property, plan-audited in PlanAuditSpec).
   *
-  * The buffer is a sorted ascending array capped at k; merge is a merge
-  * of sorted runs. Deterministic: values are compared as longs, ties
-  * keep duplicates (it is a top-k multiset, not distinct).
+  * The buffer is a sorted ascending vector capped at k: reduce is an
+  * O(k) binary-search insertion (the per-row hot path — no re-sort),
+  * merge sorts the ≤2k combined values. Deterministic: values are
+  * compared as longs, ties keep duplicates (a top-k multiset, not
+  * distinct).
   */
 class TopKSmallest(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k > 0)
 
   override def zero: Seq[Long] = Vector.empty
 
-  private def insert(buf: Seq[Long], v: Long): Seq[Long] =
-    if (buf.size < k) (buf :+ v).sorted
-    else if (v < buf.last) (buf.init :+ v).sorted
-    else buf
+  private def insert(buf: Seq[Long], v: Long): Seq[Long] = {
+    if (buf.size >= k && v >= buf.last) return buf
+    val i = buf.search(v)(Ordering.Long).insertionPoint
+    val grown = (buf.take(i) :+ v) ++ buf.drop(i)
+    if (grown.size > k) grown.init else grown
+  }
 
   override def reduce(buf: Seq[Long], v: Long): Seq[Long] = insert(buf, v)
 
