@@ -571,6 +571,27 @@ object RelationalQueries {
           col("n_nationkey"), col("n_name"), maxDist = 5)
           .select(col("name1"), col("name2"), col("dist"))),
 
+    // Date arithmetic family: day offsets, day diffs, month-end, clamped
+    // month addition — the date function subset whose semantics (incl.
+    // end-of-month clamping) agree exactly across engines.
+    Q("q60_date_arith",
+      Some("""WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+             |  FROM orders WHERE o_orderkey <= 500)
+             |SELECT o_orderkey, d,
+             |  CAST(d + INTERVAL 30 DAY AS DATE) AS due_date,
+             |  CAST(date_diff('day', d, DATE '1998-12-31') AS INT) AS days_to_eoy,
+             |  last_day(d) AS month_end,
+             |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_q
+             |FROM o""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+          .select(col("o_orderkey"), col("d"),
+            date_add(col("d"), 30).as("due_date"),
+            datediff(lit("1998-12-31").cast("date"), col("d")).as("days_to_eoy"),
+            last_day(col("d")).as("month_end"),
+            add_months(col("d"), 3).as("plus_q"))),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // match each other, unlike plain equality.
     Q("q57_nullsafe_join",
