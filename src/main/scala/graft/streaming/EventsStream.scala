@@ -171,6 +171,42 @@ object EventsStream {
       }
   }
 
+  /** foreachBatch sink pattern — the production shape for sinks
+    * Structured Streaming lacks natively (upsert/merge): each microbatch
+    * is deduped within itself AND anti-joined against what the target
+    * already holds before appending, so replayed or re-delivered events
+    * never duplicate (idempotent at-least-once → effectively-once).
+    * The per-batch target read is the price of merge-on-write without a
+    * transactional table format; at scale the anti-join's right side is
+    * a key-only column scan. */
+  def runToParquetDedup(df: DataFrame, outDir: String,
+                        keyCol: String = "event_id"): Unit = {
+    val spark = df.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-febatch-ckpt")
+    try {
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val fresh = batch.dropDuplicates(keyCol)
+          val existing =
+            try Some(spark.read.parquet(outDir).select(keyCol))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          val toWrite = existing.fold(fresh)(e =>
+            fresh.join(e, Seq(keyCol), "left_anti"))
+          toWrite.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** Drive a stream to completion into the noop sink in Append mode — the
     * BENCH harness. Append + a distributed sink is the shape that scales:
     * the watermark actually evicts window state (it is inert in Complete

@@ -45,6 +45,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.select("window").distinct().count() > tumbling)
   }
 
+  test("foreachBatch parquet sink is idempotent across batches (replayed file dedupes)") {
+    val src = Files.createTempDirectory("graft_febatch_src")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), src.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), src.resolve("b.parquet"))
+    val out = Files.createTempDirectory("graft_febatch_out").toString + "/events"
+    // one file per trigger forces the duplicate copy into a SECOND batch,
+    // exercising the anti-join-against-target path, not just in-batch dedup
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(EventsStream.rawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    EventsStream.runToParquetDedup(stream, out)
+    val written = spark.read.parquet(out)
+    val batch = Tables.events(spark, sfDir)
+    assert(written.count() == batch.count(),
+      s"expected ${batch.count()} deduped rows, got ${written.count()}")
+    assert(written.select("event_id").distinct().count() == written.count())
+  }
+
   test("streaming dedupe drops replayed events within the watermark") {
     // stage the same parquet twice: every event arrives as a duplicate
     val d = Files.createTempDirectory("graft_dup_stream")
