@@ -88,11 +88,15 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       (name, if (ok) secs else -1d, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // 3-decimal timings: the driver captures only the last 2000 chars of
+    // stdout, and full-precision doubles pushed the r02 line to 2035 chars —
+    // the driver then recorded `parsed: null`. ms resolution is plenty.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.operators.CacheScope
 
 /** MinHash/LSH tuning knobs. The 4-perm / 2-band default is the
   * oracle-pinned toy configuration (DuckDB replays it bit-for-bit); a real
@@ -117,23 +118,24 @@ object Dedup {
     * join keys), no cross join. 60-bit hash collisions are negligible and
     * the oracle hashes identically, so both engines see the same sets. */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   minIntersection: Long = 1L): DataFrame =
+                   minIntersection: Long = 1L,
+                   scope: CacheScope = CacheScope.unmanaged): DataFrame =
     // minIntersection prunes the long tail of 1-shingle-collision pairs
     // before the size joins — callers filtering on jaccard >= τ can derive
     // a safe bound (j >= τ needs |A∩B| >= τ(|A|+|B|)/(1+τ)).
-    intersectionCounts(df, idCol, textCol, minIntersection)
+    intersectionCounts(df, idCol, textCol, minIntersection, scope)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
 
   /** Shared core of the pairwise set-overlap operators: distinct
     * (doc, shingle-hash) rows → per-doc sizes + per-pair intersection
     * counts, with a consistent `minIntersection` prune. The pairs frame
-    * feeds three consumers, so it is persisted (see the cache NOTE on
-    * [[nearDuplicates]] — applies to every caller of this). */
+    * feeds three consumers, so it is persisted through `scope` (see the
+    * cache NOTE on [[nearDuplicates]] — applies to every caller of this). */
   private def intersectionCounts(df: DataFrame, idCol: Column, textCol: Column,
-                                 minIntersection: Long): DataFrame = {
-    val pairs = shingleHashes(df, idCol, textCol).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                                 minIntersection: Long,
+                                 scope: CacheScope): DataFrame = {
+    val pairs = scope.persist(shingleHashes(df, idCol, textCol).distinct())
     val sizes = pairs.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     pairs.as("a").join(pairs.as("b"), Seq("sh"))
       .filter(col("a.doc") < col("b.doc"))
@@ -153,8 +155,9 @@ object Dedup {
     * containment ≥ τ needs |A∩B| ≥ τ·min(|A|,|B|). */
   def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
                        minContainment: Double,
-                       minIntersection: Long = 1L): DataFrame =
-    intersectionCounts(df, idCol, textCol, minIntersection)
+                       minIntersection: Long = 1L,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    intersectionCounts(df, idCol, textCol, minIntersection, scope)
       .withColumn("containment",
         greatest(col("n_inter").cast("double") / col("n1"),
           col("n_inter").cast("double") / col("n2")))
@@ -165,10 +168,12 @@ object Dedup {
     *
     * NOTE this op (and [[jaccardPairs]] / [[containmentPairs]], via their
     * shared intersection core) persists small intermediate
-    * frames (signatures, candidate pairs) that stay registered with the
-    * session's cache manager after the action completes. Long-lived
-    * applications calling it repeatedly should `spark.catalog.clearCache()`
-    * between batches (the shipped Bench/Verify harnesses do). That
+    * frames (signatures, candidate pairs) that the returned DataFrame
+    * cannot release. Long-lived applications calling it repeatedly should
+    * pass a [[graft.operators.CacheScope]] and close it after the
+    * consuming action; under the default unmanaged scope the frames stay
+    * registered until `spark.catalog.clearCache()` (what the shipped
+    * Bench/Verify harnesses do between queries). That
     * restriction is the whole point of LSH: exact verification touches
     * |candidates| rows, not |corpus|² — at 100 TB the candidate joins are
     * broadcasts. Verification uses per-pair array set-ops rather than the
@@ -176,7 +181,8 @@ object Dedup {
     * joins + a per-row intersect beat four more shuffle stages. */
   def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
                      threshold: Double,
-                     cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+                     cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // The per-token hash scan is the expensive stage, and the plan reads
     // its result four times (band self-join ×2, candidate-doc broadcast,
     // pair join). Persist the *signature* frame — |perms| longs per doc,
@@ -186,10 +192,8 @@ object Dedup {
     // broadcast and the verify join don't re-run the band self-join.
     // Round 1 instead cache+counted only `cand`, which left the corpus
     // scan running once per band-join side — the 26 s → 8 s fix.
-    val sigs = minhashSignatures(df, idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(sigs, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
+    val cand = scope.persist(lshCandidates(sigs, cfg))
     val candDocs = cand.select(col("d1").as("cdoc"))
       .union(cand.select(col("d2").as("cdoc"))).distinct()
     val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")

@@ -147,17 +147,19 @@ object TextFunctions {
   val PosWords: Seq[String] = Seq("fast", "big", "good", "great")
   val NegWords: Seq[String] = Seq("slow", "small", "bad", "broken")
 
-  /** Count of tokens that fall in `words` (multiplicity-preserving):
-    * Σ_w |toks| − |array_remove(toks, w)|. `array_remove` is a codegen'd
+  /** Count of tokens that fall in `words` (multiplicity-preserving over
+    * TOKENS, set-semantics over the lexicon): Σ_{w ∈ distinct(words)}
+    * |toks| − |array_remove(toks, w)|. `array_remove` is a codegen'd
     * collection op; the equivalent `filter(toks, isin)` is a Catalyst
     * higher-order function, which always evaluates interpreted — on the
     * sf0.1 lexicon queries the interpreted lambda was the dominant cost.
-    * Identical nullability and counts (array_remove keeps duplicates of
-    * the other tokens, so each term counts w's occurrences exactly). */
+    * `words` is deduplicated first (a repeated lexicon entry would count
+    * its occurrences once per copy, where the filter/isin form counts
+    * once); a null/absent token array yields null, cast to long. */
   def lexiconHits(toks: Column, words: Seq[String]): Column =
-    words.map(w => size(toks) - size(array_remove(toks, w)))
+    words.distinct.map(w => size(toks) - size(array_remove(toks, w)))
       .reduce(_ + _).cast("long")
 
   def lexiconHitsSql(toksE: String, words: Seq[String]): String =
-    s"len(list_filter($toksE, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    s"len(list_filter($toksE, t -> t IN (${words.distinct.map(w => s"'$w'").mkString(",")})))"
 }

@@ -58,7 +58,17 @@ object Similarity {
     * corpus. Zero shuffle, zero row blow-up; the earlier crossJoin→groupBy
     * formulation shuffled |corpus|×|planes| rows *carrying the embedding
     * payload* just to reassemble 4 bits (judge round 1, "What's wrong #3").
-    * Asserted shuffle-free in PlanAuditSpec. */
+    * Asserted shuffle-free in PlanAuditSpec.
+    *
+    * Contract notes (deliberate trade-offs of the inlined form):
+    *  - the `planes` frame is collected EAGERLY at plan-build time — it is
+    *    a handful of rows by construction (2^planes buckets), and the
+    *    inlining is what removes the corpus shuffle;
+    *  - an empty `planes` frame folds to bucket 0 for every vector
+    *    (one bucket = brute force) instead of throwing;
+    *  - duplicate `vec_id`s pass through one row each (the old
+    *    crossJoin→groupBy incidentally collapsed them; a projection keeps
+    *    input cardinality, matching every other per-row operator here). */
   def withLshBucket(vectors: DataFrame, idCol: Column, vecCol: Column,
                     planes: DataFrame, planeIdCol: Column, planeVecCol: Column): DataFrame = {
     val planeVecs: Array[(Long, Seq[Double])] = planes
@@ -68,9 +78,9 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     val v = vecCol.cast("array<double>")
-    val bucket = planeVecs.map { case (rank, pv) =>
-      when(dot(col("v"), typedLit(pv)) > 0, lit(1L << (rank - 1).toInt)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bucket = planeVecs.foldLeft(lit(0L)) { case (acc, (rank, pv)) =>
+      acc + when(dot(col("v"), typedLit(pv)) > 0, lit(1L << (rank - 1).toInt)).otherwise(lit(0L))
+    }
     vectors.select(idCol.as("vec_id"), v.as("v"))
       .withColumn("bucket", bucket)
       .select(col("vec_id"), col("bucket"), col("v"))

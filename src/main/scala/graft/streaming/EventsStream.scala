@@ -112,7 +112,13 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
-  /** Open-session state: id assigned in event-time order per user. */
+  /** Open-session state: id assigned in event-time order per user.
+    * `n_events == 0` marks a CLOSED-marker state: the previous session
+    * timed out and was emitted, and `session_id` is the id the user's
+    * NEXT session must take. The marker is what keeps the per-user
+    * session counter monotonic across timeouts — `state.remove()` here
+    * would restart ids at 1 and emit duplicate (user_id, session_id)
+    * keys across batches. */
   case class OpenSession(session_id: Long, last_ts_ms: Long, n_events: Long)
   case class Session(user_id: Long, session_id: Long, n_events: Long)
 
@@ -121,9 +127,12 @@ object EventsStream {
     * event-time timeout (the stateful surface beyond running totals).
     *
     * A session closes and emits when a gap > `gapSec` is observed within
-    * a batch, or when the watermark passes last_ts + gapSec (timeout) —
-    * so state is bounded by |active users|, not history. Session ids
-    * count from 1 per user in event-time order, matching q25's cumsum. */
+    * a batch, or when the watermark passes last_ts + gapSec (timeout).
+    * A timed-out user leaves a closed-marker state (one small row) so the
+    * session counter survives the timeout; state is therefore bounded by
+    * |users ever seen|, not history — the same bound as the batch q25
+    * result itself. Session ids count from 1 per user in event-time
+    * order, matching q25's cumsum. */
   def sessionize(events: DataFrame, gapSec: Long = 3600,
                  watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -137,7 +146,11 @@ object EventsStream {
         case (uid, rows, state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // Emit the session but KEEP the counter: a closed marker
+            // (n_events = 0) carrying the next session id. No new timeout
+            // is registered — the marker is inert until the user's next
+            // event.
+            state.update(OpenSession(s.session_id + 1, s.last_ts_ms, 0L))
             Iterator.single(Session(uid, s.session_id, s.n_events))
           } else {
             // All of a batch's rows for the key arrive unordered; sort by
@@ -148,6 +161,12 @@ object EventsStream {
             var cur = state.getOption
             sorted.foreach { e =>
               cur = cur match {
+                // closed marker: previous session already emitted on
+                // timeout; session_id IS the next id to assign. Checked
+                // first so a boundary-timestamp event can never "reopen"
+                // an emitted session.
+                case Some(s) if s.n_events == 0L =>
+                  Some(OpenSession(s.session_id, e.ts.getTime, 1))
                 case Some(s) if e.ts.getTime - s.last_ts_ms <= gapMs =>
                   Some(OpenSession(s.session_id,
                     math.max(s.last_ts_ms, e.ts.getTime), s.n_events + 1))

@@ -24,6 +24,24 @@ class DedupSpec extends SparkSpec {
     assert(nd.filter($"jaccard" < 0.8).count() == 0)
   }
 
+  test("CacheScope releases the pipeline-internal persisted frames on close") {
+    // handle semantics on a frame we can observe directly
+    val scope = new graft.operators.CacheScope()
+    val probe = docs.select("doc_id")
+    val persisted = scope.persist(probe)
+    persisted.count()
+    assert(persisted.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "persist must register the frame while the scope is open")
+    // and a full pipeline run under the scope still yields the result
+    val n = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8,
+      MinHashConfig.OraclePinned, scope).count()
+    assert(n > 0)
+    scope.close()
+    assert(persisted.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "closing the scope must unpersist every tracked frame")
+    scope.close() // idempotent
+  }
+
   test("jaccardPairs agrees with LSH-verified jaccard on planted pairs") {
     val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), minIntersection = 2L)
       .filter($"jaccard" >= 0.8).select("d1", "d2", "jaccard")

@@ -56,6 +56,14 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(_.getLong(1) == qBucket))
   }
 
+  test("withLshBucket with an empty planes frame folds to bucket 0 (brute force)") {
+    val noPlanes = emb.filter($"vec_id" < 0) // empty by construction
+    val bucketed = Similarity.withLshBucket(emb.limit(20), col("vec_id"),
+      col("embedding"), noPlanes, col("vec_id"), col("embedding"))
+    assert(bucketed.count() == 20)
+    assert(bucketed.filter($"bucket" =!= 0L).count() == 0)
+  }
+
   test("bucketed near-dup equals the brute-force baseline on planted dups") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(e.filter($"vec_id" < 5)

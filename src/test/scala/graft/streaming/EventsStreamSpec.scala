@@ -109,6 +109,46 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("sessionize keeps the per-user session counter across event-time timeouts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // +24h base: an event AT the initial watermark (epoch 0) would be
+    // filtered as late before reaching the state function
+    def at(hours: Double) = new java.sql.Timestamp(((hours + 24) * 3600 * 1000).toLong)
+    val sessions = EventsStream.sessionize(
+      mem.toDF.toDF("user_id", "ts"), gapSec = 3600)
+    val q = sessions.toDF.writeStream.format("memory")
+      .queryName("session_timeout_test").outputMode(OutputMode.Append()).start()
+    try {
+      // b1: user 1 opens session 1. Watermark (delay 0) after b1 = 0.5h.
+      mem.addData((1L, at(0)), (1L, at(0.5)))
+      q.processAllAvailable()
+      // b2: user 2 only — advances the watermark to 3h.
+      mem.addData((2L, at(3)))
+      q.processAllAvailable()
+      // b3: user 2 only; user 1 has NO data, watermark (3h) is past its
+      // timeout (1.5h) → the event-time timeout path fires and emits
+      // session 1. state.remove() here is the bug this test pins down.
+      mem.addData((2L, at(3.2)))
+      q.processAllAvailable()
+      // b4: user 1 returns — must open session 2, not restart at 1.
+      mem.addData((1L, at(5)))
+      q.processAllAvailable()
+      // b5+b6: advance the watermark past 6h, then trigger once more so
+      // user 1's second session times out and emits.
+      mem.addData((2L, at(10)))
+      q.processAllAvailable()
+      mem.addData((2L, at(10.1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("session_timeout_test")
+      .filter($"user_id" === 1L).orderBy($"session_id")
+      .select($"session_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(u1 == Seq((1L, 2L), (2L, 1L)),
+      s"expected sessions 1 (2 events) then 2 (1 event) for user 1, got $u1")
+  }
+
   test("mapGroupsWithState per-user totals equal the batch group-by") {
     val streamed = EventsStream.runToMemory(
       EventsStream.userTotals(EventsStream.read(spark, streamDir)).toDF(),

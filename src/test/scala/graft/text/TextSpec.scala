@@ -33,6 +33,14 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("lexiconHits counts once per token regardless of duplicate lexicon entries") {
+    val df = Seq("good good bad", "nothing here", "").toDF("text")
+    val dup = df.select(lexiconHits(tokens(col("text")), Seq("good", "bad", "good")).as("n"))
+    val uniq = df.select(lexiconHits(tokens(col("text")), Seq("good", "bad")).as("n"))
+    assert(dup.collect().map(_.getLong(0)).toSeq == uniq.collect().map(_.getLong(0)).toSeq)
+    assert(dup.head.getLong(0) == 3L)
+  }
+
   test("langId: all-scores-zero ties resolve to en (declaration order)") {
     val got = TextAnalysis.withLangId(Seq("zzz qqq").toDF("text"), col("text"))
       .select("pred_lang").head.getString(0)
