@@ -47,14 +47,19 @@ object Bench {
         // Bench the streaming agg the way it scales: Append mode into the
         // noop sink (watermark bounds state; nothing collects on the
         // driver). The Complete-mode memory sink stays in Verify only.
+        // statePartitions=8: state-store partition count sized to the
+        // events stream's state volume (see runToNoop scaladoc) — at 32,
+        // per-partition state-store open/commit costs 3× the query.
         case ("q28_stream_tumbling", _) =>
           "q28_stream_tumbling" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
-              EventsStream.tumblingCounts(EventsStream.read(s, sfDir))))
+              EventsStream.tumblingCounts(EventsStream.read(s, sfDir)),
+              statePartitions = Some(8)))
         case ("q58_stream_interval_join", _) =>
           "q58_stream_interval_join" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
-              EventsStream.clickPurchaseJoin(EventsStream.read(s, sfDir))))
+              EventsStream.clickPurchaseJoin(EventsStream.read(s, sfDir)),
+              statePartitions = Some(8)))
         case (name, fn) => name -> toNoop(fn)
       }
     val fastPath: Seq[(String, SparkSession => Unit)] = Seq(
@@ -88,17 +93,40 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       (name, if (ok) secs else -1d, ok)
     }
-    // 3-decimal timings: the driver captures only the last 2000 chars of
-    // stdout, and full-precision doubles pushed the r02 line to 2035 chars —
-    // the driver then recorded `parsed: null`. ms resolution is plenty.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    // The driver captures only the last ~2000 chars of stdout (r02's
+    // full-precision line hit 2035 chars → `parsed: null`), and sbt appends
+    // a ~70-char [success] line after ours. Full precision + full names go
+    // to bench_out.json; the stdout line uses 2-decimal timings and, if the
+    // query list outgrows the window anyway, degrades the keys to their
+    // qNN prefix rather than ever emitting an unparseable line.
+    def fmt(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    def jsonLine(names: Seq[String], scale: Int): String = {
+      val qs = results.zip(names).map { case ((_, v, _), n) => s"\"$n\":${fmt(v, scale)}" }
+        .mkString("{", ",", "}")
+      val failed = results.zip(names).collect { case ((_, _, false), n) => s"\"$n\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true) => v }.sum
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    val fullNames = results.map(_._1)
+    // qNN prefixes are unique; the xNN extras can collide (x36_fast vs
+    // x36_wide64) — disambiguate with a letter suffix
+    val shortNames = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      fullNames.map { n =>
+        val p = n.takeWhile(_ != '_')
+        val k = seen.getOrElse(p, 0); seen(p) = k + 1
+        if (k == 0) p else s"$p${('a' + k).toChar}"
+      }
+    }
+    val full = jsonLine(fullNames, 3)
+    val stdout = {
+      val compact = jsonLine(fullNames, 2)
+      if (compact.length <= 1800) compact else jsonLine(shortNames, 2)
+    }
+    println(stdout)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     spark.stop()
   }
 }

