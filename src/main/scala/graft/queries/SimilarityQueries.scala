@@ -73,18 +73,42 @@ object SimilarityQueries {
         Similarity.annInBucket(bucketed, 0L, 5)
       }),
 
-    // IVF ANN: k-means coarse quantizer (fixed seed), nearest-2-cells
-    // probe around the vec_id=0 query. Not ANSI-expressible (KMeans fit),
-    // so no oracle — the driver records rows-only and SimilaritySpec
-    // carries correctness (full-probe == brute force).
-    Q("q47_ann_ivf", None,
+    // IVF ANN: coarse quantizer → cell assignment → nearest-2-cells probe
+    // around the vec_id=0 query. The oracle query uses the deterministic
+    // seeded codebook (embeddings 1..8, cell = rank) so DuckDB replays the
+    // whole assign→probe→search pipeline bit-for-bit; the production
+    // k-means fit (trainCentroids) is covered by SimilaritySpec's
+    // full-probe == brute-force property instead — the fit itself is the
+    // only non-ANSI-expressible stage.
+    Q("q47_ann_ivf",
+      Some(s"""WITH $eCte,
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |corpus AS (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+              |asgn AS (SELECT vec_id, cell FROM (
+              |    SELECT corpus.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY corpus.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM corpus CROSS JOIN c) WHERE rn = 1),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |probes AS (SELECT cell FROM c CROSS JOIN q
+              |  ORDER BY list_reduce(list_transform(generate_series(1, len(cv)),
+              |      i -> (cv[i]-qv[i])*(cv[i]-qv[i])), (x,y) -> x+y), cell
+              |  LIMIT 2)
+              |SELECT corpus.vec_id, asgn.cell,
+              |  round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |FROM corpus
+              |JOIN asgn USING (vec_id)
+              |JOIN probes ON asgn.cell = probes.cell
+              |CROSS JOIN q
+              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin),
       (s, dir) => {
         val e = emb(s, dir)
         val corpus = e.filter(col("vec_id") =!= 0)
         val queryVec = e.filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>"))
           .head.getSeq[Double](0).toArray
-        val cents = Similarity.trainCentroids(corpus, col("embedding"), k = 8)
+        val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
         val cells = Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"), cents)
         Similarity.annIvf(cells, queryVec, cents, nProbe = 2, k = 5)
       }),

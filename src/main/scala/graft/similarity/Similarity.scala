@@ -141,6 +141,20 @@ object Similarity {
       .fit(assembled).clusterCenters.map(_.toArray)
   }
 
+  /** Deterministic codebook: the embeddings of `ids`, sorted by id (cell i
+    * = i-th id). Not a substitute for [[trainCentroids]] in production —
+    * seeded cells don't adapt to the distribution — but fully replayable by
+    * any engine, which makes the IVF *pipeline* (assign → probe → search)
+    * oracle-checkable end-to-end; the k-means fit itself is covered by the
+    * full-probe == brute-force property in SimilaritySpec. */
+  def seededCentroids(vectors: DataFrame, idCol: Column, vecCol: Column,
+                      ids: Seq[Long]): Array[Array[Double]] =
+    vectors.filter(idCol.isin(ids: _*))
+      .select(idCol.cast("long").as("id"), vecCol.cast("array<double>").as("v"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+
   def withIvfCell(vectors: DataFrame, idCol: Column, vecCol: Column,
                   centroids: Array[Array[Double]]): DataFrame = {
     val v = vecCol.cast("array<double>")
