@@ -39,6 +39,25 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame =
     eventsRaw(s, dir).withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
-  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+  /** Repair pathological scan under-parallelism. A single-file, single-
+    * row-group parquet table plans as ONE scan task no matter how many
+    * cores the cluster has (extra byte-range splits of one row group read
+    * zero rows), which serializes every CPU-bound per-row stage downstream
+    * — per-token hashing over `documents` was running on 1 of 32 cores.
+    * When the scan already has >= defaultParallelism splits (any real
+    * multi-file corpus, e.g. the 100 TB case) this is a no-op; otherwise
+    * one cheap round-robin exchange of the raw rows buys full-width
+    * parallelism for everything after it. Filters/pruning still reach the
+    * scan — Catalyst pushes both through a Repartition. */
+  private def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** documents/embeddings feed the CPU-heavy per-row pipelines (shingle
+    * hashing, simhash, dot products), so their readers go through
+    * [[balanced]]; the relational tables keep the raw scan — their queries
+    * are shuffle-bound at the aggregation, not map-bound at the scan. */
+  def documents(s: SparkSession, dir: String): DataFrame = balanced(load(s, dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = balanced(load(s, dir, "embeddings"))
 }

