@@ -211,6 +211,60 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: every node gets the
+    * smallest doc id reachable from it (`canon`) — the canonical-id step
+    * that turns pairwise near-dup output into dedup CLUSTERS ("keep one
+    * doc per component"), which is what a training-data pipeline actually
+    * deletes against. Only nodes that appear in `pairs` are returned;
+    * absent docs are implicitly their own singleton cluster.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes min(own label, neighbors' labels) — two shuffles per round
+    * (edge⋈label join + grouped min), data fully distributed, the driver
+    * only checks the per-round changed-count. Rounds needed = graph
+    * diameter: for dedup graphs that is small by construction (duplicate
+    * clusters are near-cliques — LSH emits most intra-cluster pairs
+    * directly), which is why the simple propagation beats the O(log n)
+    * large-star/small-star scheme (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") here — each of its rounds costs ~2× more.
+    * `maxIter` bounds pathological chain inputs; hitting it throws rather
+    * than silently returning a partial clustering. `localCheckpoint`
+    * truncates the per-round lineage (the changed-count action pays the
+    * materialization anyway). */
+  def connectedComponents(pairs: DataFrame, d1: Column, d2: Column,
+                          maxIter: Int = 25): DataFrame = {
+    // the symmetric edge list is re-joined every round — materialize it
+    // once instead of replaying the (possibly expensive) pairs pipeline
+    val edges = pairs.select(d1.as("src"), d2.as("dst"))
+      .union(pairs.select(d2.as("src"), d1.as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("canon", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(graph diameter exceeds maxIter — raise it or pre-cluster)")
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("canon")).as("nbr_canon"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("canon"), coalesce(col("nbr_canon"), col("canon"))).as("canon"),
+          (coalesce(col("nbr_canon"), col("canon")) < col("canon")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      it += 1
+    }
+    labels
+  }
+
   /** Train/eval contamination: for each eval doc, the fraction of its
     * distinct shingles that appear ANYWHERE in the train corpus — the
     * benchmark-leakage check an LLM data pipeline runs before training.

@@ -133,6 +133,46 @@ object TextFunctions {
   def bpePiecesSql(e: String): String =
     s"regexp_extract_all($e, '$BpePattern')"
 
+  // ---- PII scrubbing ----------------------------------------------------
+  /** Redaction patterns for the PII-scrub pass a training-data pipeline
+    * runs before anything else sees the text. Same regex discipline as
+    * [[BpePattern]]: Java ∩ RE2 subset only (no backrefs, no lookaround,
+    * explicit character classes), so Spark's `regexp_replace` (Java) and
+    * DuckDB's (RE2) rewrite byte-identically. Scrub order is part of the
+    * contract — URLs first, or the email pattern would eat
+    * `user@host` tails inside URL query strings. */
+  val UrlRe: String = "https?://[^\\t\\n\\f\\r ]+"
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhoneRe: String = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
+
+  private val PiiRules: Seq[(String, String)] = Seq(
+    UrlRe -> "<URL>", EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")
+
+  /** Replace every URL/email/phone occurrence with a typed placeholder —
+    * one chained per-row projection, no UDF, fully codegen'd. */
+  def scrubPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** DuckDB twin of [[scrubPii]] (same patterns, same order; the 'g' flag
+    * matches Spark's replace-all default). */
+  def scrubPiiSql(e: String): String =
+    PiiRules.foldLeft(e) { case (x, (re, tag)) =>
+      s"regexp_replace($x, '$re', '$tag', 'g')"
+    }
+
+  /** Count of PII matches (all kinds) in `text`, pre-scrub. */
+  def piiCount(text: Column): Column =
+    PiiRules.map { case (re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    }.reduce(_ + _)
+
+  def piiCountSql(e: String): String =
+    PiiRules.map { case (re, _) =>
+      s"len(regexp_extract_all($e, '$re'))"
+    }.mkString("(", " + ", ")")
+
   // ---- Lexicons ---------------------------------------------------------
   /** Language-ID stopword lists (n-gram/stopword heuristic). */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

@@ -145,6 +145,38 @@ object DedupQueries {
             round(col("containment"), 4).as("containment_r"))
       }),
 
+    // Near-dup pairs → dedup CLUSTERS: connected components over the q36
+    // pair graph, every doc labeled with the smallest id reachable from it
+    // (the canonical keeper). The oracle rebuilds the same pairs and
+    // closes them with a recursive CTE (min over all reachable nodes).
+    Q("q61_dedup_clusters",
+      Some(s"""WITH RECURSIVE ${baseCtes.stripPrefix("WITH ")},
+              |sig AS (
+              |  SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM t))),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t),
+              |pr AS (SELECT c.d1, c.d2 FROM cand c
+              |  JOIN shs a ON a.doc_id = c.d1
+              |  JOIN shs b ON b.doc_id = c.d2
+              |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8),
+              |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+              |  UNION SELECT d2, d1 FROM pr),
+              |reach AS (
+              |  SELECT src AS node, src AS c FROM edges
+              |  UNION
+              |  SELECT e.dst, r.c FROM reach r JOIN edges e ON e.src = r.node)
+              |SELECT node, min(c) AS canon FROM reach GROUP BY node""".stripMargin),
+      (s, dir) => {
+        val pairs = Dedup.nearDuplicates(docs(s, dir), col("doc_id"), col("text"), 0.8)
+        Dedup.connectedComponents(pairs, col("d1"), col("d2"))
+      }),
+
     // Train/eval contamination over an even/odd doc_id split — the
     // planted near-dup pairs that straddle the split surface as
     // contaminated eval docs (overlap >= 0.5).

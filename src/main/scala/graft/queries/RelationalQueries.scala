@@ -571,6 +571,21 @@ object RelationalQueries {
           col("n_nationkey"), col("n_name"), maxDist = 5)
           .select(col("name1"), col("name2"), col("dist"))),
 
+    // Pivot (long→wide): explicit value list, NOT the values-discovery
+    // overload — pinning the columns both fixes the output schema at plan
+    // time and skips the extra distinct-scan job the discovery form runs
+    // (a full pass over the fact table at 100 TB just to learn "F"/"O").
+    Q("q62_pivot",
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+             |  CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity")).cast("long"))),
+
     // Date arithmetic family: day offsets, day diffs, month-end, clamped
     // month addition — the date function subset whose semantics (incl.
     // end-of-month clamping) agree exactly across engines.

@@ -169,6 +169,59 @@ object TextQueries {
           .groupBy("sentiment")
           .agg(count(lit(1)).as("n"), round(avg(col("polarity")), 4).as("avg_polarity"))),
 
+    // PII scrubbing: URLs/emails/phones → typed placeholders, over a corpus
+    // with one planted PII item per doc (the synthetic table carries none).
+    // Both engines plant and scrub with the identical pattern chain
+    // (Java ∩ RE2), so the scrubbed text hash-matches byte-for-byte.
+    Q("q63_pii_scrub",
+      Some(s"""WITH c AS (SELECT doc_id, text ||
+              |    CASE CAST(doc_id % 3 AS INT)
+              |      WHEN 0 THEN ' contact user' || doc_id || '@example.com today'
+              |      WHEN 1 THEN ' see https://example.com/d/' || doc_id || '?u=a@b.co page'
+              |      ELSE ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+              |    END AS text
+              |  FROM documents)
+              |SELECT doc_id, ${piiCountSql("text")} AS n_pii,
+              |  ${scrubPiiSql("text")} AS scrubbed
+              |FROM c""".stripMargin),
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com today")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit(" see https://example.com/d/"), col("doc_id"), lit("?u=a@b.co page")))
+            .otherwise(concat(lit(" call 555-010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))).as("text"))
+        planted.select(col("doc_id"), piiCount(col("text")).as("n_pii"),
+          scrubPii(col("text")).as("scrubbed"))
+      }),
+
+    // Greedy sequence packing into 256-token bins, sharded by doc_id/100 —
+    // the context-window packing step of an LLM training pipeline. The
+    // oracle replays the sequential recurrence with a recursive CTE; the
+    // engine walks it in one mapPartitions pass after a shard shuffle
+    // (see operators/Packing.scala for why a window can't express it).
+    Q("q64_seq_packing",
+      Some(s"""WITH RECURSIVE d AS (
+              |  SELECT doc_id, doc_id // 100 AS shard, len($toksSql) AS w
+              |  FROM documents),
+              |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM d),
+              |pack AS (
+              |  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+              |  FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.shard, o.rn, o.doc_id, o.w,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.bin ELSE p.bin + 1 END,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.fill + o.w ELSE o.w END
+              |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+              |SELECT doc_id, shard, bin, fill FROM pack""".stripMargin),
+      (s, dir) =>
+        graft.operators.Packing.packGreedy(
+          docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
+          col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L)),
+
     // Per-source top-5 tokens by frequency — the reference's word-count +
     // per-group ranking shape (A9 + W3/W4) without the RDD detour.
     Q("q45_top_tokens",

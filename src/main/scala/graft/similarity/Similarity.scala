@@ -187,6 +187,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension z-score normalization of an embedding column — the
+    * feature-scaling pass before distance-based ops (cosine/IVF) when
+    * dimensions have wildly different variances.
+    *
+    * Scale shape: posexplode to (vec_id, dim, x), ONE grouped aggregate
+    * for per-dimension mean/stddev (|dims| result rows — broadcast back),
+    * then regroup by vec_id reassembling the array in dimension order via
+    * sort_array over (dim, z) structs. Two shuffles total (dim stats +
+    * vec_id regroup), both map-side combinable; nothing driver-side, no
+    * per-row pass over the stats. Values rounded to `scale` decimals so
+    * summation-order ULP drift can't flip a cross-engine comparison. */
+  def zScoreNormalized(vectors: DataFrame, idCol: Column, vecCol: Column,
+                       scale: Int = 3): DataFrame = {
+    val e = vectors.select(idCol.as("vec_id"),
+      posexplode(vecCol.cast("array<double>")).as(Seq("dim", "x")))
+    val stats = e.groupBy("dim")
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sigma"))
+    e.join(broadcast(stats), "dim")
+      // + 0.0 collapses IEEE -0.0 (a value rounding to zero from below)
+      // to +0.0 — engines disagree on which zero round() emits
+      .withColumn("z", round((col("x") - col("mu")) / col("sigma"), scale) + lit(0.0))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("z")))),
+        s => s.getField("z")).as("z"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
     * all-pairs (the correctness baseline [[nearDupPairsBucketed]] is
     * checked against in tests). */

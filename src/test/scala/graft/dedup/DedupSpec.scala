@@ -125,4 +125,31 @@ class DedupSpec extends SparkSpec {
       .orderBy("keeper").collect()
     assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((3L, 2L), (9L, 1L)))
   }
+
+  test("connectedComponents: chain needs multi-round propagation, clique one") {
+    // 1-2-3-4-5 chain (diameter 4) + {10,11,12} clique + isolated pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs, col("d1"), col("d2"))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cc == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents throws rather than returning a partial clustering") {
+    // a 6-node path has diameter 5 — maxIter=2 cannot converge
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, col("d1"), col("d2"), maxIter = 2)
+    }
+  }
+
+  test("connectedComponents clusters the corpus's planted near-dup pairs") {
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8)
+    val cc = Dedup.connectedComponents(pairs, col("d1"), col("d2"))
+    // every canonical id is a member of its own cluster, and no cluster
+    // has a member smaller than its canon
+    assert(cc.filter($"node" === $"canon").count() == cc.select("canon").distinct().count())
+    assert(cc.filter($"node" < $"canon").count() == 0)
+  }
 }

@@ -122,4 +122,20 @@ class SimilaritySpec extends SparkSpec {
       (0L until 5L).map(i => (i, i + 100000)))
     assert(got.forall(_.getDouble(2) == 1.0))
   }
+
+  test("zScoreNormalized standardizes each dimension and keeps order") {
+    // dim 0: values 1,3 (mu 2, sigma 1); dim 1: 10,30 (mu 20, sigma 10)
+    val df = Seq((1L, Seq(1.0, 10.0)), (2L, Seq(3.0, 30.0))).toDF("vec_id", "embedding")
+    val z = Similarity.zScoreNormalized(df, col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(z == Seq(Seq(-1.0, -1.0), Seq(1.0, 1.0)))
+  }
+
+  test("zScoreNormalized on the corpus: every dimension has mean ~0, std ~1") {
+    val z = Similarity.zScoreNormalized(emb, col("vec_id"), col("embedding"), scale = 9)
+      .select(posexplode($"z").as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(avg($"x").as("mu"), stddev_pop($"x").as("sd"))
+    assert(z.filter(abs($"mu") > 1e-6 || abs($"sd" - 1.0) > 1e-6).count() == 0)
+  }
 }

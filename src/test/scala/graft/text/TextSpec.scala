@@ -79,4 +79,27 @@ class TextSpec extends SparkSpec {
       .groupBy($"doc").agg(max($"tfidf").as("mx"))
     assert(r1.join(mx, "doc").filter($"s1" < $"mx" - 1e-12).count() == 0)
   }
+
+  test("scrubPii redacts each kind and leaves clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@test.org thanks"),
+      (2L, "docs at https://ex.org/a?q=1 here"),
+      (3L, "call 555-010-1234 or 555 010 9999"),
+      (4L, "no pii in this sentence at all")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", scrubPii($"text").as("s"), piiCount($"text").as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("mail me at <EMAIL> thanks", 1L),
+      ("docs at <URL> here", 1L),
+      ("call <PHONE> or <PHONE>", 2L),
+      ("no pii in this sentence at all", 0L)))
+  }
+
+  test("scrubPii: a URL swallows an embedded email (order is the contract)") {
+    val df = Seq((1L, "go https://h.io/p?u=a@b.co now")).toDF("doc_id", "text")
+    val s = df.select(scrubPii($"text")).head.getString(0)
+    assert(s == "go <URL> now")
+    // raw-text count sees both patterns — documented overlap semantics
+    assert(df.select(piiCount($"text")).head.getLong(0) == 2L)
+  }
 }
