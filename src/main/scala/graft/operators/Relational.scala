@@ -226,6 +226,29 @@ object Relational {
     * dedup baseline (builder brief): at 100 TB the groupBy key is
     * `xxhash64(text)` rather than the full text so shuffle rows stay
     * small; collisions at 64-bit are negligible (~5e-8 at 1e9 docs). */
+  /** CDC apply (the batch MERGE/upsert a snapshot pipeline runs): overlay a
+    * change set onto a base table, latest version per key wins, deletes
+    * drop the key. `changes` carries (`keyCol`, payload…, `versionCol` > 0,
+    * `opCol` ∈ {'U','I','D'}); the base is treated as version 0. One
+    * window over a single hash shuffle on the key — rank rows per key by
+    * version descending, keep the head, filter deletes. No driver-side
+    * diffing, no join explosion: cost is a sort of (base ∪ changes) within
+    * key partitions, the same class as the sort-merge join a MERGE INTO
+    * would plan. Versions must be unique per key (upstream CDC sequence
+    * numbers are); equal versions would tie non-deterministically. */
+  def applyCdc(base: DataFrame, changes: DataFrame,
+               keyCol: String, versionCol: String, opCol: String): DataFrame = {
+    val based = base
+      .withColumn(versionCol, lit(0L))
+      .withColumn(opCol, lit("U"))
+      .select(changes.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+    based.unionByName(changes)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "D")
+      .drop("_rn", opCol)
+  }
+
   def dedupExactKeepFirst(df: DataFrame, key: Column, tieBreaker: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
       .agg(min(tieBreaker).as("keeper"), count(lit(1)).as("n_dups"))

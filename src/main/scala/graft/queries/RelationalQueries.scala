@@ -586,6 +586,86 @@ object RelationalQueries {
           .pivot("l_linestatus", Seq("F", "O"))
           .agg(sum(col("l_quantity")).cast("long"))),
 
+    // Deterministic hash split: train/val/test assignment by portable
+    // content hash of the key — reproducible across engines, runs, and
+    // cluster layouts (what a training pipeline needs from a held-out
+    // split; engine-RNG sample() can never be oracle-checked).
+    Q("q66_hash_split", {
+      val h = graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)")
+      Some(s"""WITH d AS (SELECT source, $h % 10 AS b FROM documents)
+              |SELECT source,
+              |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+              |  count(*) AS n
+              |FROM d GROUP BY 1, 2""".stripMargin)
+    },
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        t(s, dir, "documents")
+          .withColumn("b", pmod(portableHash(col("doc_id").cast("string")), lit(10)))
+          .withColumn("split",
+            when(col("b") <= 7, "train").when(col("b") === 8, "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n"))
+      }),
+
+    // CDC upsert-apply (batch MERGE): overlay planted updates/deletes/
+    // inserts onto an orders snapshot, latest version per key wins.
+    Q("q67_upsert_cdc",
+      Some("""WITH base AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+             |    CAST(0 AS BIGINT) AS version, 'U' AS op
+             |  FROM orders WHERE o_orderkey <= 1000),
+             |chg AS (
+             |  SELECT k, round(price * 2, 2) AS price, CAST(2 AS BIGINT) AS version, 'U' AS op
+             |  FROM base WHERE k <= 200
+             |  UNION ALL
+             |  SELECT k, price, CAST(2 AS BIGINT), 'D' FROM base WHERE k BETWEEN 201 AND 250
+             |  UNION ALL
+             |  SELECT k + 1000000, 99.99, CAST(1 AS BIGINT), 'I' FROM base WHERE k <= 50),
+             |u AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg))
+             |SELECT k, price, version FROM u WHERE rn = 1 AND op <> 'D'""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey").as("k"), round(col("o_totalprice"), 2).as("price"))
+        val chg = base.filter(col("k") <= 200)
+          .select(col("k"), round(col("price") * 2, 2).as("price"),
+            lit(2L).as("version"), lit("U").as("op"))
+          .unionByName(base.filter(col("k").between(201, 250))
+            .select(col("k"), col("price"), lit(2L).as("version"), lit("D").as("op")))
+          .unionByName(base.filter(col("k") <= 50)
+            .select((col("k") + 1000000).as("k"), lit(99.99).as("price"),
+              lit(1L).as("version"), lit("I").as("op")))
+        Relational.applyCdc(base, chg, "k", "version", "op")
+      }),
+
+    // Window value-function family: first/last/nth order price per
+    // customer over the full frame (last_value needs the explicit
+    // unbounded-following frame in BOTH engines, or it silently reads
+    // only up to the current row).
+    Q("q68_window_values",
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS p
+             |  FROM orders),
+             |w AS (SELECT o_custkey,
+             |    first_value(p) OVER win AS first_p,
+             |    last_value(p) OVER win AS last_p,
+             |    nth_value(p, 2) OVER win AS second_p
+             |  FROM o
+             |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT DISTINCT o_custkey, first_p, last_p, second_p FROM w""".stripMargin),
+      (s, dir) => {
+        val full = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("p"))
+          .select(col("o_custkey"),
+            first(col("p")).over(full).as("first_p"),
+            last(col("p")).over(full).as("last_p"),
+            nth_value(col("p"), 2).over(full).as("second_p"))
+          .distinct()
+      }),
+
     // Date arithmetic family: day offsets, day diffs, month-end, clamped
     // month addition — the date function subset whose semantics (incl.
     // end-of-month clamping) agree exactly across engines.

@@ -175,4 +175,17 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("a", 2L, 0L), ("b", 0L, 1L)))
   }
+
+  test("applyCdc: update wins by version, delete drops, insert lands, base survives") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val chg = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"), // two updates: highest version wins
+      (2L, "b", 1L, "D"),                       // delete
+      (9L, "i", 1L, "I"),                       // insert
+      (8L, "x", 1L, "I"), (8L, "x", 2L, "D")    // insert then delete: gone
+    ).toDF("k", "v", "version", "op")
+    val got = Relational.applyCdc(base, chg, "k", "version", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a2", 2L), (3L, "c", 0L), (9L, "i", 1L)))
+  }
 }
