@@ -107,7 +107,7 @@ object Bench {
       val failed = results.zip(names).collect { case ((_, _, false), n) => s"\"$n\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true) => v }.sum
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     }
     val fullNames = results.map(_._1)
     // qNN prefixes are unique; the xNN extras can collide (x36_fast vs

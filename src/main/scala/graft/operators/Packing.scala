@@ -32,8 +32,12 @@ object Packing {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = df.sparkSession
     import spark.implicits._
+    // null weights become the -1 sentinel so the walk can raise an error
+    // naming the offending doc instead of the encoder's opaque NPE (a null
+    // text column makes size(tokens) null); negative weights would make
+    // `fill + w <= capacity` always true and pack one bin unboundedly.
     df.select(shardCol.cast("long").as("shard"), idCol.cast("long").as("doc_id"),
-        weightCol.cast("long").as("w"))
+        coalesce(weightCol.cast("long"), lit(-1L)).as("w"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Long, Long, Long)]
@@ -43,6 +47,9 @@ object Packing {
         var fill = 0L
         var first = true
         it.map { case (s, id, w) =>
+          if (w < 0)
+            throw new IllegalArgumentException(
+              s"packGreedy: null or negative weight for doc_id=$id (shard=$s)")
           if (first || s != shard) { shard = s; bin = 0L; fill = w; first = false }
           else if (fill + w <= capacity) { fill += w }
           else { bin += 1L; fill = w }

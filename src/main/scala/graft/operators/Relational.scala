@@ -221,11 +221,6 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Exact deduplication keeping the smallest `tieBreaker` row per key —
-    * one hash-aggregate shuffle on the (hashed) key. The training-data
-    * dedup baseline (builder brief): at 100 TB the groupBy key is
-    * `xxhash64(text)` rather than the full text so shuffle rows stay
-    * small; collisions at 64-bit are negligible (~5e-8 at 1e9 docs). */
   /** CDC apply (the batch MERGE/upsert a snapshot pipeline runs): overlay a
     * change set onto a base table, latest version per key wins, deletes
     * drop the key. `changes` carries (`keyCol`, payload…, `versionCol` > 0,
@@ -249,6 +244,11 @@ object Relational {
       .drop("_rn", opCol)
   }
 
+  /** Exact deduplication keeping the smallest `tieBreaker` row per key —
+    * one hash-aggregate shuffle on the (hashed) key. The training-data
+    * dedup baseline (builder brief): at 100 TB the groupBy key is
+    * `xxhash64(text)` rather than the full text so shuffle rows stay
+    * small; collisions at 64-bit are negligible (~5e-8 at 1e9 docs). */
   def dedupExactKeepFirst(df: DataFrame, key: Column, tieBreaker: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
       .agg(min(tieBreaker).as("keeper"), count(lit(1)).as("n_dups"))

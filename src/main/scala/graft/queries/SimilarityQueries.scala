@@ -127,7 +127,8 @@ object SimilarityQueries {
               |    list(sigma ORDER BY dim) AS sig_l FROM st)
               |SELECT vec_id,
               |  list_transform(generate_series(1, len(v)),
-              |    i -> round((v[i] - mu_l[i]) / sig_l[i], 3) + 0.0) AS z
+              |    i -> CASE WHEN sig_l[i] = 0 THEN 0.0
+              |         ELSE round((v[i] - mu_l[i]) / sig_l[i], 3) + 0.0 END) AS z
               |FROM e CROSS JOIN ml""".stripMargin),
       (s, dir) =>
         Similarity.zScoreNormalized(emb(s, dir), col("vec_id"), col("embedding"))),

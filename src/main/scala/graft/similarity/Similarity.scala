@@ -197,7 +197,10 @@ object Similarity {
     * sort_array over (dim, z) structs. Two shuffles total (dim stats +
     * vec_id regroup), both map-side combinable; nothing driver-side, no
     * per-row pass over the stats. Values rounded to `scale` decimals so
-    * summation-order ULP drift can't flip a cross-engine comparison. */
+    * summation-order ULP drift can't flip a cross-engine comparison.
+    * A zero-variance dimension (constant column — common after zero-
+    * padding or truncation) standardizes to 0 rather than dividing by
+    * zero, which would silently emit nulls in Spark and NaN in DuckDB. */
   def zScoreNormalized(vectors: DataFrame, idCol: Column, vecCol: Column,
                        scale: Int = 3): DataFrame = {
     val e = vectors.select(idCol.as("vec_id"),
@@ -207,7 +210,9 @@ object Similarity {
     e.join(broadcast(stats), "dim")
       // + 0.0 collapses IEEE -0.0 (a value rounding to zero from below)
       // to +0.0 — engines disagree on which zero round() emits
-      .withColumn("z", round((col("x") - col("mu")) / col("sigma"), scale) + lit(0.0))
+      .withColumn("z",
+        when(col("sigma") === 0d, lit(0.0))
+          .otherwise(round((col("x") - col("mu")) / col("sigma"), scale) + lit(0.0)))
       .groupBy("vec_id")
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("z")))),
         s => s.getField("z")).as("z"))

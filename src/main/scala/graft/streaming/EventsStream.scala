@@ -190,14 +190,6 @@ object EventsStream {
       }
   }
 
-  /** foreachBatch sink pattern — the production shape for sinks
-    * Structured Streaming lacks natively (upsert/merge): each microbatch
-    * is deduped within itself AND anti-joined against what the target
-    * already holds before appending, so replayed or re-delivered events
-    * never duplicate (idempotent at-least-once → effectively-once).
-    * The per-batch target read is the price of merge-on-write without a
-    * transactional table format; at scale the anti-join's right side is
-    * a key-only column scan. */
   /** Throwaway checkpoint dir for the local harnesses, preferring tmpfs
     * (/dev/shm): the state store writes delta files per microbatch, and on
     * a plain-disk /tmp that I/O dominates the local stream-stream join
@@ -210,6 +202,26 @@ object EventsStream {
     else java.nio.file.Files.createTempDirectory(prefix)
   }
 
+  /** Depth-first recursive delete for the throwaway checkpoints —
+    * deleteOnExit can't remove a populated directory, and leftover
+    * checkpoints from repeated or FAILED harness runs would accumulate
+    * (on tmpfs: eat memory). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+      stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** foreachBatch sink pattern — the production shape for sinks
+    * Structured Streaming lacks natively (upsert/merge): each microbatch
+    * is deduped within itself AND anti-joined against what the target
+    * already holds before appending, so replayed or re-delivered events
+    * never duplicate (idempotent at-least-once → effectively-once).
+    * The per-batch target read is the price of merge-on-write without a
+    * transactional table format; at scale the anti-join's right side is
+    * a key-only column scan. */
   def runToParquetDedup(df: DataFrame, outDir: String,
                         keyCol: String = "event_id"): Unit = {
     val spark = df.sparkSession
@@ -230,11 +242,7 @@ object EventsStream {
       q.processAllAvailable()
       q.stop()
     } finally {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { stream =>
-        stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      deleteRecursively(ckpt)
     }
   }
 
@@ -267,14 +275,7 @@ object EventsStream {
       q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // deleteOnExit can't remove a populated directory — walk it
-      // depth-first (and close the walk's directory handles) so repeated
-      // or FAILED bench runs don't accumulate checkpoints
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { stream =>
-        stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      deleteRecursively(ckpt)
     }
   }
 
@@ -290,11 +291,7 @@ object EventsStream {
       q.stop()
       df.sparkSession.table(name)
     } finally {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { stream =>
-        stream.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      deleteRecursively(ckpt)
     }
   }
 }

@@ -59,10 +59,12 @@ class PlanAuditSpec extends SparkSpec {
       e.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"))
     b.collect()
     val p = b.queryExecution.executedPlan.toString
-    // the source reader may repair single-split scan parallelism with one
+    // the source reader may repair single-split scan parallelism with a
     // round-robin exchange (Tables.balanced); the bucket assignment itself
-    // must add no hash shuffle and no row-reassembly aggregate
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    // must add nothing — every exchange in the plan must be that repair
+    // (hash/range/broadcast would mean a shuffle or join crept in)
+    assert("Exchange".r.findAllIn(p).size ==
+      "Exchange RoundRobinPartitioning".r.findAllIn(p).size, p)
     assert(!p.contains("first("), "no row-reassembly aggregate: " + p)
   }
 

@@ -89,10 +89,12 @@ class SimilaritySpec extends SparkSpec {
         emb.filter($"vec_id" === 0), col("embedding"), 5)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
-    // the codebook is inlined: assignment adds no hash shuffle (the source
-    // reader's round-robin parallelism repair is the only allowed exchange)
+    // the codebook is inlined: assignment adds nothing — every exchange in
+    // the plan must be the source reader's round-robin parallelism repair
     cells.collect()
-    assert(!cells.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    val cellPlan = cells.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(cellPlan).size ==
+      "Exchange RoundRobinPartitioning".r.findAllIn(cellPlan).size, cellPlan)
     // nProbe=1 searches only the query's nearest cell
     val one = Similarity.annIvf(cells, queryVec, cents, nProbe = 1, k = 5)
     assert(one.select("cell").distinct().count() == 1)
@@ -129,6 +131,14 @@ class SimilaritySpec extends SparkSpec {
     val z = Similarity.zScoreNormalized(df, col("vec_id"), col("embedding"))
       .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
     assert(z == Seq(Seq(-1.0, -1.0), Seq(1.0, 1.0)))
+  }
+
+  test("zScoreNormalized maps a zero-variance dimension to 0, not null/NaN") {
+    // dim 1 is constant: sigma = 0 must standardize to 0.0
+    val df = Seq((1L, Seq(1.0, 7.0)), (2L, Seq(3.0, 7.0))).toDF("vec_id", "embedding")
+    val z = Similarity.zScoreNormalized(df, col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(z == Seq(Seq(-1.0, 0.0), Seq(1.0, 0.0)))
   }
 
   test("zScoreNormalized on the corpus: every dimension has mean ~0, std ~1") {
