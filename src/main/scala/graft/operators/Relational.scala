@@ -221,6 +221,34 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Deterministic mixture resampling: replicate (or drop) rows so each
+    * class hits its target weight — the domain-mixing step that turns a
+    * filtered corpus into a training mixture ("2.3× books, 0.5× web").
+    * A weight w yields ⌊w⌋ copies plus one more for the hash-selected
+    * (w−⌊w⌋) fraction of rows, keyed on a PORTABLE content hash of the id
+    * — so the mixture is reproducible across engines, runs, and cluster
+    * layouts, unlike `sample()`'s partition-seeded RNG, and any row's
+    * in/out decision can be audited after the fact. Pure per-row
+    * projection + generator: no shuffle, no state; classes absent from
+    * `weights` default to 1.0. */
+  def resampleMixture(df: DataFrame, idCol: Column, classCol: Column,
+                      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ >= 0), s"negative weight in $weights")
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
+      when(classCol === k, lit(v)).otherwise(acc)
+    }
+    import graft.functions.TextFunctions.portableHash
+    val frac = (w - floor(w)) * 1000d
+    val copies = (floor(w) +
+      when(pmod(portableHash(idCol.cast("string")), lit(1000)) < frac, 1L)
+        .otherwise(0L)).cast("long")
+    // guard: Spark's sequence(1, 0) infers a DESCENDING step and yields
+    // [1, 0] — a 0-copy row must produce an empty array (dropped by
+    // explode), not two copies
+    df.withColumn("copy_n",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))))
+  }
+
   /** CDC apply (the batch MERGE/upsert a snapshot pipeline runs): overlay a
     * change set onto a base table, latest version per key wins, deletes
     * drop the key. `changes` carries (`keyCol`, payload…, `versionCol` > 0,

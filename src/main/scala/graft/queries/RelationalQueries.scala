@@ -608,6 +608,29 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n"))
       }),
 
+    // Deterministic domain-mixture resampling: downsample en 0.5×,
+    // upsample de 2.3× (integer copies + hash-selected fraction), count
+    // the resulting mixture. Content-hash keyed, so the oracle draws the
+    // identical sample — engine-RNG sampling never could.
+    Q("q69_domain_mix", {
+      val h = graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)")
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |    CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+              |      WHEN 'de' THEN CAST(2.3 AS DOUBLE)
+              |      ELSE CAST(1.0 AS DOUBLE) END AS w
+              |  FROM documents),
+              |n AS (SELECT lang, CAST(floor(w) AS BIGINT)
+              |    + CASE WHEN $h % 1000 < (w - floor(w)) * 1000 THEN 1 ELSE 0 END AS n
+              |  FROM d),
+              |r AS (SELECT lang, unnest(generate_series(1, n)) AS copy_n FROM n)
+              |SELECT lang, count(*) AS n_docs FROM r GROUP BY lang""".stripMargin)
+    },
+      (s, dir) =>
+        Relational.resampleMixture(t(s, dir, "documents"),
+            col("doc_id"), col("lang"), Map("en" -> 0.5, "de" -> 2.3))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))),
+
     // CDC upsert-apply (batch MERGE): overlay planted updates/deletes/
     // inserts onto an orders snapshot, latest version per key wins.
     Q("q67_upsert_cdc",

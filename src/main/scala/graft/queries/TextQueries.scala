@@ -222,6 +222,31 @@ object TextQueries {
           docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
           col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L)),
 
+    // Bigram collocations by PMI: adjacent-pair counts vs unigram
+    // marginals. The ln() argument is assembled with fixed parens over
+    // exact integer-valued doubles, so both engines round the same value.
+    Q("q70_bigram_pmi",
+      Some(s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+              |bg AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM t),
+              |uni AS (SELECT unnest(tk) AS w FROM t),
+              |uc AS (SELECT w, count(*) AS n_uni FROM uni GROUP BY w),
+              |n1 AS (SELECT CAST(sum(n_uni) AS BIGINT) AS N1 FROM uc),
+              |bc AS (SELECT w1, w2, count(*) AS n_big FROM bg GROUP BY w1, w2
+              |  HAVING count(*) >= 5),
+              |n2 AS (SELECT count(*) AS N2 FROM bg)
+              |SELECT w1, w2, n_big,
+              |  round(ln((CAST(n_big AS DOUBLE) * CAST(N1 AS DOUBLE) * CAST(N1 AS DOUBLE))
+              |    / (CAST(N2 AS DOUBLE) * CAST(c1.n_uni AS DOUBLE) * CAST(c2.n_uni AS DOUBLE))), 4) + 0.0 AS pmi_r
+              |FROM bc
+              |JOIN uc c1 ON c1.w = bc.w1
+              |JOIN uc c2 ON c2.w = bc.w2
+              |CROSS JOIN n1 CROSS JOIN n2""".stripMargin),
+      (s, dir) =>
+        graft.text.Collocations.bigramPmi(docs(s, dir), tokens(col("text")), 5L)
+          .select(col("w1"), col("w2"), col("n_big"),
+            // + 0.0 collapses IEEE -0.0 (negative PMI rounding to zero)
+            (round(col("pmi"), 4) + lit(0.0)).as("pmi_r"))),
+
     // Per-source top-5 tokens by frequency — the reference's word-count +
     // per-group ranking shape (A9 + W3/W4) without the RDD detour.
     Q("q45_top_tokens",

@@ -176,6 +176,26 @@ class RelationalSpec extends SparkSpec {
       Seq(("a", 2L, 0L), ("b", 0L, 1L)))
   }
 
+  test("resampleMixture: integer copies exact, zero-copy rows dropped, default 1.0") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "cls")
+    val out = Relational.resampleMixture(df, col("id"), col("cls"),
+      Map("a" -> 3.0, "b" -> 0.0))
+    // integer weights have no hash fraction: exactly 3 copies per 'a' row
+    assert(out.filter($"cls" === "a").count() == 200 * 3)
+    // weight 0 drops the class entirely (no [1,0] descending-sequence leak)
+    assert(out.filter($"cls" === "b").count() == 0)
+    // absent class defaults to weight 1
+    val one = Relational.resampleMixture(df, col("id"), col("cls"), Map("b" -> 2.0))
+    assert(one.filter($"cls" === "a").count() == 200)
+    // fractional weight lands near its expectation and is deterministic
+    val half = Relational.resampleMixture(df, col("id"), col("cls"), Map("a" -> 0.5))
+      .filter($"cls" === "a")
+    val n1 = half.count()
+    assert(math.abs(n1 - 100L) < 40, s"0.5x of 200 gave $n1")
+    assert(n1 == Relational.resampleMixture(df, col("id"), col("cls"), Map("a" -> 0.5))
+      .filter($"cls" === "a").count())
+  }
+
   test("applyCdc: update wins by version, delete drops, insert lands, base survives") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val chg = Seq(

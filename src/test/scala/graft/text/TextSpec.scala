@@ -80,6 +80,17 @@ class TextSpec extends SparkSpec {
     assert(r1.join(mx, "doc").filter($"s1" < $"mx" - 1e-12).count() == 0)
   }
 
+  test("bigramPmi: a fixed collocation scores high, chance adjacency near zero") {
+    // "new york" always adjacent; "the" pairs freely with everything
+    val docs = (1 to 30).map(i => (i.toLong,
+      s"new york is the city the w$i likes the most")).toDF("doc_id", "text")
+    val pmi = graft.text.Collocations.bigramPmi(docs, tokens(col("text")), 5L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(pmi(("new", "york")) > pmi(("is", "the")))
+    // n_big >= 5 filter: the per-doc-unique bigram ("the w$i") never appears
+    assert(!pmi.keySet.exists(_._2.startsWith("w")))
+  }
+
   test("scrubPii redacts each kind and leaves clean text untouched") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@test.org thanks"),
