@@ -121,10 +121,11 @@ object Bench {
       }
     }
     val full = jsonLine(fullNames, 3)
-    val stdout = {
-      val compact = jsonLine(fullNames, 2)
-      if (compact.length <= 1800) compact else jsonLine(shortNames, 2)
-    }
+    // degrade stepwise: 2-decimal full names → 1-decimal full names →
+    // 2-decimal qNN keys; never emit a line the driver's tail can't hold
+    val stdout = Seq(jsonLine(fullNames, 2), jsonLine(fullNames, 1))
+      .find(_.length <= 1800)
+      .getOrElse(jsonLine(shortNames, 2))
     println(stdout)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     spark.stop()

@@ -68,6 +68,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("first("), "no row-reassembly aggregate: " + p)
   }
 
+  test("q67: CDC apply is one key shuffle (window), nothing else") {
+    val p = plan("q67_upsert_cdc").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q64: packing plans one shard shuffle + in-partition sort, no group collect") {
+    val p = plan("q64_seq_packing").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CollectList") && !p.contains("collect_list"), p)
+  }
+
+  test("resampleMixture is a pure projection + generate — zero exchanges") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cls")
+    val out = graft.operators.Relational.resampleMixture(
+      df, col("id"), col("cls"), Map("a" -> 2.0))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("q39: knn is broadcast + TakeOrdered — corpus never shuffles") {
     val p = plan("q39_knn_cosine")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -161,4 +161,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(joined.filter($"n_stream" =!= $"n_batch").count() == 0)
     assert(joined.count() == batch.count())
   }
+
+  test("stream-static enrichment matches the batch join and keeps unmatched events") {
+    // dim covers only even user_ids — odd ones must survive with null tier
+    val dim = Tables.events(spark, sfDir).select("user_id").distinct()
+      .filter($"user_id" % 2 === 0)
+      .withColumn("tier", when($"user_id" % 4 === 0, "gold").otherwise("basic"))
+    val streamed = EventsStream.runToMemory(
+      EventsStream.enrichWithStatic(EventsStream.read(spark, streamDir), dim, "user_id")
+        .select("user_id", "tier"),
+      "enrich_test", OutputMode.Append())
+    val batch = Tables.events(spark, sfDir).join(dim, Seq("user_id"), "left")
+    assert(streamed.count() == batch.count())
+    val s = streamed.groupBy("tier").count().withColumnRenamed("count", "ns")
+    val b = batch.groupBy("tier").count().withColumnRenamed("count", "nb")
+    assert(s.join(b, Seq("tier")).filter($"ns" =!= $"nb").count() == 0)
+    assert(streamed.filter($"tier".isNull).count() > 0)
+  }
 }
