@@ -222,6 +222,68 @@ object TextQueries {
           docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
           col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L)),
 
+    // Fixed-size overlapping chunking (50-token windows every 40): the
+    // RAG/context-window splitting pass, as a pure per-row generator.
+    Q("q71_chunking",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |s AS (SELECT doc_id, tk,
+              |    unnest(generate_series(1, len(tk), 40)) AS start FROM t)
+              |SELECT doc_id AS doc,
+              |  CAST((start - 1) // 40 AS INT) AS chunk_id,
+              |  array_to_string(tk[start:least(start + 49, len(tk))], ' ') AS chunk,
+              |  CAST(least(len(tk) - start + 1, 50) AS BIGINT) AS chunk_len
+              |FROM s""".stripMargin),
+      (s, dir) =>
+        graft.text.Chunking.chunkTokens(docs(s, dir), col("doc_id"),
+          tokens(col("text")), chunkSize = 50, stride = 40)),
+
+    // Per-doc OOV rate vs the corpus top-20 vocabulary (the synthetic
+    // corpus has ~31 distinct tokens, so 20 leaves a real OOV tail),
+    // decile-bucketed.
+    Q("q72_oov_rate",
+      Some(s"""WITH p AS (SELECT doc_id AS doc, unnest($toksSql) AS token FROM documents),
+              |v AS (SELECT token FROM (
+              |    SELECT token, count(*) AS n FROM p GROUP BY token
+              |    ORDER BY n DESC, token LIMIT 20)),
+              |dc AS (SELECT doc, token, count(*) AS c FROM p GROUP BY doc, token),
+              |r AS (SELECT doc,
+              |    CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS DOUBLE)
+              |      / sum(c) AS oov
+              |  FROM dc LEFT JOIN v ON dc.token = v.token GROUP BY doc)
+              |SELECT CAST(floor(oov * 10) AS BIGINT) AS oov_bucket,
+              |  count(*) AS n, round(avg(oov), 4) AS avg_oov
+              |FROM r GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        graft.text.Chunking.oovRate(docs(s, dir), col("doc_id"),
+            tokens(col("text")), vocabSize = 20)
+          .groupBy(floor(col("oov_rate") * 10).cast("long").as("oov_bucket"))
+          .agg(count(lit(1)).as("n"), round(avg(col("oov_rate")), 4).as("avg_oov"))),
+
+    // Token-distribution entropy per doc (repetition/diversity quality
+    // signal), decile-bucketed. Both engines sum -p·ln(p) over the same
+    // exact count ratios; rounding absorbs merge-order ULP drift.
+    Q("q73_token_entropy",
+      Some(s"""WITH p AS (SELECT doc_id AS doc, unnest($toksSql) AS token FROM documents),
+              |dc AS (SELECT doc, token, count(*) AS c FROM p GROUP BY doc, token),
+              |n AS (SELECT doc, sum(c) AS n_tok FROM dc GROUP BY doc),
+              |e AS (SELECT dc.doc,
+              |    -sum((CAST(c AS DOUBLE) / n_tok) * ln(CAST(c AS DOUBLE) / n_tok)) AS h
+              |  FROM dc JOIN n ON dc.doc = n.doc GROUP BY dc.doc)
+              |SELECT CAST(floor(h) AS BIGINT) AS entropy_bucket,
+              |  count(*) AS n, round(avg(h), 4) AS avg_entropy
+              |FROM e GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val dc = docs(s, dir)
+          .select(col("doc_id").as("doc"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc", "token").agg(count(lit(1)).as("c"))
+        val n = dc.groupBy("doc").agg(sum(col("c")).as("n_tok"))
+        val p = col("c").cast("double") / col("n_tok")
+        dc.join(n, "doc")
+          .groupBy("doc").agg((-sum(p * log(p))).as("h"))
+          .groupBy(floor(col("h")).cast("long").as("entropy_bucket"))
+          .agg(count(lit(1)).as("n"), round(avg(col("h")), 4).as("avg_entropy"))
+      }),
+
     // Bigram collocations by PMI: adjacent-pair counts vs unigram
     // marginals. The ln() argument is assembled with fixed parens over
     // exact integer-valued doubles, so both engines round the same value.

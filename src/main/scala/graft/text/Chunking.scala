@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking and vocabulary-coverage passes of a training/RAG
+  * pipeline: fixed-size overlapping windows, and out-of-vocabulary rates
+  * against a frequency-ranked vocabulary.
+  */
+object Chunking {
+
+  /** Fixed-size overlapping token chunks — split every doc into
+    * `chunkSize`-token windows every `stride` tokens. Pure per-row
+    * generator: explode a start-offset sequence, slice the token array
+    * per offset — no shuffle, no state, chunk ids dense per doc. The
+    * final short chunk is kept (standard chunking semantics; callers
+    * filter on `chunk_len` if not wanted). */
+  def chunkTokens(df: DataFrame, idCol: Column, toksCol: Column,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize=$chunkSize stride=$stride must be positive")
+    df.select(idCol.as("doc"), toksCol.as("tk"))
+      .select(col("doc"),
+        posexplode(sequence(lit(1), size(col("tk")), lit(stride)))
+          .as(Seq("chunk_id", "start")),
+        col("tk"))
+      .select(col("doc"), col("chunk_id"),
+        concat_ws(" ", slice(col("tk"), col("start"), lit(chunkSize))).as("chunk"),
+        least(size(col("tk")) - col("start") + 1, lit(chunkSize))
+          .cast("long").as("chunk_len"))
+  }
+
+  /** Per-doc out-of-vocabulary rate against the corpus's top-`vocabSize`
+    * tokens by frequency (ties broken by token for determinism). Two
+    * grouped counts; the vocabulary itself is selected with orderBy+limit
+    * (plans as TakeOrderedAndProject — per-partition bounded heaps, NOT
+    * the single-task global sort a row_number window would pay on a
+    * 100 TB-corpus vocabulary), then broadcast into a left join against
+    * per-doc token counts — bounded at `vocabSize` rows by construction.
+    * OOV mass is weighted by occurrence, not distinct tokens. */
+  def oovRate(df: DataFrame, idCol: Column, toksCol: Column,
+              vocabSize: Int): DataFrame = {
+    val pairs = df.select(idCol.as("doc"), explode(toksCol).as("token"))
+    val vocab = pairs.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("in_vocab"))
+    pairs.groupBy("doc", "token").agg(count(lit(1)).as("c"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc")
+      .agg((sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+        / sum(col("c"))).as("oov_rate"))
+  }
+}

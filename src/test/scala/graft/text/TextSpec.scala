@@ -80,6 +80,27 @@ class TextSpec extends SparkSpec {
     assert(r1.join(mx, "doc").filter($"s1" < $"mx" - 1e-12).count() == 0)
   }
 
+  test("chunkTokens: windows overlap by size-stride, tail chunk short, ids dense") {
+    val df = Seq((1L, (1 to 13).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.text.Chunking.chunkTokens(df, col("doc_id"),
+        tokens(col("text")), chunkSize = 5, stride = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0, "t1 t2 t3 t4 t5", 5L),
+      (1, "t5 t6 t7 t8 t9", 5L),      // 1-token overlap (size 5, stride 4)
+      (2, "t9 t10 t11 t12 t13", 5L),
+      (3, "t13", 1L)))                 // short tail kept, len honest
+  }
+
+  test("oovRate: tokens outside the top-V vocabulary weigh by occurrence") {
+    // corpus: 'a' x6, 'b' x3, 'c' x1 -> top-2 vocab = {a, b}
+    val df = Seq((1L, "a a a b c"), (2L, "a a a b b")).toDF("doc_id", "text")
+    val got = graft.text.Chunking.oovRate(df, col("doc_id"), tokens(col("text")), 2)
+      .orderBy("doc").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 0.2), (2L, 0.0)))
+  }
+
   test("bigramPmi: a fixed collocation scores high, chance adjacency near zero") {
     // "new york" always adjacent; "the" pairs freely with everything
     val docs = (1 to 30).map(i => (i.toLong,
