@@ -53,9 +53,9 @@ object Packing {
           if (first || s != shard) { shard = s; bin = 0L; fill = w; first = false }
           else if (fill + w <= capacity) { fill += w }
           else { bin += 1L; fill = w }
-          (id, s, bin, fill)
+          (id, s, bin, w, fill)
         }
       }
-      .toDF("doc_id", "shard", "bin", "fill")
+      .toDF("doc_id", "shard", "bin", "w", "fill")
   }
 }

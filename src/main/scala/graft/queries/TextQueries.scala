@@ -216,7 +216,7 @@ object TextQueries {
               |    CASE WHEN p.fill + o.w <= 256 THEN p.bin ELSE p.bin + 1 END,
               |    CASE WHEN p.fill + o.w <= 256 THEN p.fill + o.w ELSE o.w END
               |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
-              |SELECT doc_id, shard, bin, fill FROM pack""".stripMargin),
+              |SELECT doc_id, shard, bin, w, fill FROM pack""".stripMargin),
       (s, dir) =>
         graft.operators.Packing.packGreedy(
           docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
@@ -308,6 +308,59 @@ object TextQueries {
           .select(col("w1"), col("w2"), col("n_big"),
             // + 0.0 collapses IEEE -0.0 (negative PMI rounding to zero)
             (round(col("pmi"), 4) + lit(0.0)).as("pmi_r"))),
+
+    // FLAGSHIP COMPOSITE: the training-data pipeline end to end —
+    // language + quality filter → exact dedup (keep-first) → hash-based
+    // train split → greedy sequence packing — every stage an operator
+    // proven alone (q33/q31/q66/q64), composed here the way a user would
+    // ship it. Output: per-shard packed-bin statistics.
+    Q("q75_pipeline_e2e", {
+      val h = portableHashSql("CAST(doc_id AS VARCHAR)")
+      val en = inList(LangStopwords.head._2)
+      Some(s"""WITH RECURSIVE q AS (
+              |  SELECT doc_id, text, $toksSql AS tk,
+              |    0.4 * (CAST(len(list_filter($toksSql, t -> t IN ($en))) AS DOUBLE)
+              |           / CAST(len($toksSql) AS DOUBLE))
+              |    + 0.6 * least(CAST(len($toksSql) AS DOUBLE) / 50.0, 1.0) AS quality
+              |  FROM documents WHERE lang = 'en'),
+              |f AS (SELECT doc_id, text, tk FROM q WHERE quality >= 0.5),
+              |keepers AS (SELECT min(doc_id) AS keep FROM f GROUP BY md5(text)),
+              |train AS (SELECT doc_id, doc_id // 100 AS shard, len(tk) AS w FROM f
+              |  WHERE doc_id IN (SELECT keep FROM keepers) AND $h % 10 <= 7),
+              |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM train),
+              |pack AS (
+              |  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+              |  FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.shard, o.rn, o.doc_id, o.w,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.bin ELSE p.bin + 1 END,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.fill + o.w ELSE o.w END
+              |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+              |SELECT shard, count(DISTINCT bin) AS n_bins, count(*) AS n_docs,
+              |  CAST(sum(w) AS BIGINT) AS sum_tokens
+              |FROM pack GROUP BY shard""".stripMargin)
+    },
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        val filtered = TextAnalysis.withQuality(
+            docs(s, dir).filter(col("lang") === "en"), col("text"))
+          .filter(col("quality") >= 0.5)
+          .select("doc_id", "text")
+        val keepers = filtered.groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep"))
+          .select(col("keep").as("kdoc"))
+        val train = filtered
+          .join(broadcast(keepers), col("doc_id") === col("kdoc"), "left_semi")
+          .filter(pmod(portableHash(col("doc_id").cast("string")), lit(10)) <= 7)
+          .withColumn("w", size(tokens(col("text"))).cast("long"))
+        graft.operators.Packing.packGreedy(train, col("doc_id"), col("w"),
+            expr("doc_id div 100"), capacity = 256L)
+          .groupBy("shard")
+          .agg(countDistinct(col("bin")).as("n_bins"),
+            count(lit(1)).as("n_docs"),
+            sum(col("w")).as("sum_tokens"))
+      }),
 
     // Per-source top-5 tokens by frequency — the reference's word-count +
     // per-group ranking shape (A9 + W3/W4) without the RDD detour.

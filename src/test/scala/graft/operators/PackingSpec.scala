@@ -12,8 +12,8 @@ class PackingSpec extends SparkSpec {
         col("doc_id"), col("w"), col("shard"), capacity)
       .orderBy("shard", "doc_id")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq // (doc_id, shard, bin, fill)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSeq // (doc_id, shard, bin, fill) — col 3 is w, echoed input
 
   test("greedy fill in id order with reset on overflow") {
     // capacity 10: [4,4,4] -> bins 0,0,1; exact fit [6,4] shares a bin
