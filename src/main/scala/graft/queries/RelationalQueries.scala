@@ -661,6 +661,36 @@ object RelationalQueries {
         Relational.applyCdc(base, chg, "k", "version", "op")
       }),
 
+    // Winsorization: clamp a metric to its per-group exact [p05, p95]
+    // band — the outlier-clipping pass before feature scaling. The tiny
+    // per-group quantile frame joins back broadcast; answers stay exact
+    // because the quantiles are (q29's distinct-value-count formulation).
+    Q("q77_winsorize",
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+             |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_returnflag, count(*) AS n,
+             |  round(avg(l_extendedprice), 4) AS avg_raw,
+             |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS avg_clipped,
+             |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+             |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+             |GROUP BY l.l_returnflag""".stripMargin),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bounds = Relational.groupedQuantilesExact(li, "l_returnflag",
+          Seq(("l_extendedprice", 0.05, "lo"), ("l_extendedprice", 0.95, "hi")))
+        li.join(broadcast(bounds), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("l_extendedprice")), 4).as("avg_raw"),
+            round(avg(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))), 4)
+              .as("avg_clipped"),
+            sum(when(col("l_extendedprice") < col("lo")
+              || col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clipped"))
+      }),
+
     // Window value-function family: first/last/nth order price per
     // customer over the full frame (last_value needs the explicit
     // unbounded-following frame in BOTH engines, or it silently reads

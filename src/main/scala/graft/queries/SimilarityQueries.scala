@@ -113,6 +113,26 @@ object SimilarityQueries {
         Similarity.annIvf(cells, queryVec, cents, nProbe = 2, k = 5)
       }),
 
+    // Batch kNN: top-3 neighbors for each of the 5 query vectors at once
+    // (the realistic retrieval shape). Rank-limit pushdown bounds the
+    // shuffle at k rows per query per partition (WindowGroupLimit).
+    Q("q76_knn_batch",
+      Some(s"""WITH $eCte,
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (SELECT query_id, vec_id,
+              |    round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+              |r AS (SELECT query_id, vec_id, cos_sim,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+              |  FROM scored)
+              |SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 3""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.knnBatch(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 3)
+      }),
+
     // Per-dimension z-score normalization of the embedding column — the
     // distributed feature-scaling pass (2 map-side-combinable shuffles,
     // stats broadcast back). Rounded to 3 decimals on both sides so

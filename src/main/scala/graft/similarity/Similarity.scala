@@ -86,6 +86,28 @@ object Similarity {
       .select(col("vec_id"), col("bucket"), col("v"))
   }
 
+  /** Batch kNN: top-k by cosine for EVERY query vector at once — the
+    * realistic retrieval shape (a query set, not one vector). The query
+    * side broadcasts (it is the small side by contract); per-query top-k
+    * is a rank window that Spark plans with WindowGroupLimit — bounded
+    * per-partition heaps BEFORE the exchange, so the shuffle carries at
+    * most k·|queries| rows per partition, not the scored cross product.
+    * Corpus scanned once; cost |corpus|·|queries| dot products, the
+    * brute-force floor any exact method pays. */
+  def knnBatch(vectors: DataFrame, idCol: Column, vecCol: Column,
+               queries: DataFrame, queryIdCol: Column, queryVecCol: Column,
+               k: Int): DataFrame = {
+    val corpus = vectors.select(idCol.as("vec_id"), vecCol.cast("array<double>").as("v"))
+    val qs = queries.select(queryIdCol.as("query_id"),
+      queryVecCol.cast("array<double>").as("qv"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+    graft.operators.Relational.topKPerGroup(scored,
+        Seq(col("query_id")), Seq(col("cos_sim").desc, col("vec_id")), k)
+      .select("query_id", "vec_id", "cos_sim", "rnk")
+  }
+
   /** Bucketed ANN: top-k within the query's LSH bucket only. */
   def annInBucket(bucketed: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = bucketed.filter(col("vec_id") === queryId)

@@ -125,6 +125,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_.getDouble(2) == 1.0))
   }
 
+  test("knnBatch equals per-query brute-force knn, with rank-limit pushdown") {
+    val batch = Similarity.knnBatch(emb, col("vec_id"), col("embedding"),
+      emb.filter($"vec_id" < 3), col("vec_id"), col("embedding"), 5)
+    batch.collect()
+    assert(batch.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    for (q <- 0L until 3L) {
+      val one = Similarity.knnBrute(
+          emb.filter($"vec_id" =!= q), col("vec_id"), col("embedding"),
+          emb.filter($"vec_id" === q), col("embedding"), 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val fromBatch = batch.filter($"query_id" === q).orderBy("rnk")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(fromBatch == one, s"query $q: $fromBatch != $one")
+    }
+  }
+
   test("zScoreNormalized standardizes each dimension and keeps order") {
     // dim 0: values 1,3 (mu 2, sigma 1); dim 1: 10,30 (mu 20, sigma 10)
     val df = Seq((1L, Seq(1.0, 10.0)), (2L, Seq(3.0, 30.0))).toDF("vec_id", "embedding")
