@@ -661,6 +661,54 @@ object RelationalQueries {
         Relational.applyCdc(base, chg, "k", "version", "op")
       }),
 
+    // Funnel conversion: first view → click within 1h → purchase within
+    // 1h of that click, per user; one summary row. Each stage is a
+    // grouped min + an equi-join on user_id — no window over the event
+    // stream, no cross-stage state.
+    Q("q78_funnel",
+      Some("""WITH fv AS (SELECT user_id, min(ts) AS v FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |fc AS (SELECT e.user_id, min(ts) AS c FROM events e JOIN fv USING (user_id)
+             |  WHERE event_type = 'click' AND ts >= v AND ts <= v + INTERVAL 1 HOUR
+             |  GROUP BY e.user_id),
+             |fp AS (SELECT e.user_id FROM events e JOIN fc USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts >= c AND ts <= c + INTERVAL 1 HOUR
+             |  GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM fv) AS n_viewers,
+             |  (SELECT count(*) FROM fc) AS n_clickers,
+             |  (SELECT count(*) FROM fp) AS n_buyers""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("v"))
+        val fc = ev.filter(col("event_type") === "click").join(fv, "user_id")
+          .filter(col("ts") >= col("v") && col("ts") <= col("v") + expr("INTERVAL 1 HOUR"))
+          .groupBy("user_id").agg(min(col("ts")).as("c"))
+        val fp = ev.filter(col("event_type") === "purchase").join(fc, "user_id")
+          .filter(col("ts") >= col("c") && col("ts") <= col("c") + expr("INTERVAL 1 HOUR"))
+          .select("user_id").distinct()
+        fv.agg(count(lit(1)).as("n_viewers"))
+          .crossJoin(fc.agg(count(lit(1)).as("n_clickers")))
+          .crossJoin(fp.agg(count(lit(1)).as("n_buyers")))
+      }),
+
+    // Ratio-to-report: each priority's share of its order-status total —
+    // the percent-of-total window every BI layer needs.
+    Q("q79_ratio_to_report",
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderstatus, o_orderpriority, n,
+             |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY o_orderstatus), 4) AS share_r
+             |FROM c""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        c.withColumn("share_r",
+          round(col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy(col("o_orderstatus"))), 4))
+      }),
+
     // Winsorization: clamp a metric to its per-group exact [p05, p95]
     // band — the outlier-clipping pass before feature scaling. The tiny
     // per-group quantile frame joins back broadcast; answers stay exact
