@@ -343,15 +343,22 @@ object TextQueries {
     },
       (s, dir) => {
         import graft.functions.TextFunctions.portableHash
+        // persisted: both the keeper derivation and the train filter scan
+        // it (the tokenize+lexicon pass is the expensive stage); released
+        // by the harness's per-query clearCache, like the dedup pipelines
         val filtered = TextAnalysis.withQuality(
             docs(s, dir).filter(col("lang") === "en"), col("text"))
           .filter(col("quality") >= 0.5)
           .select("doc_id", "text")
-        val keepers = filtered.groupBy(md5(col("text")).as("content_hash"))
-          .agg(min(col("doc_id")).as("keep"))
-          .select(col("keep").as("kdoc"))
+          .persist()
+        // reuse the dedup operator; UNHINTED semi join — the keeper set
+        // is corpus-sized (one row per distinct text), a forced broadcast
+        // of it would OOM at the scale the rest of this pipeline targets
+        val keepers = graft.operators.Relational
+          .dedupExactKeepFirst(filtered, md5(col("text")), col("doc_id"))
+          .select(col("keeper").as("kdoc"))
         val train = filtered
-          .join(broadcast(keepers), col("doc_id") === col("kdoc"), "left_semi")
+          .join(keepers, col("doc_id") === col("kdoc"), "left_semi")
           .filter(pmod(portableHash(col("doc_id").cast("string")), lit(10)) <= 7)
           .withColumn("w", size(tokens(col("text"))).cast("long"))
         graft.operators.Packing.packGreedy(train, col("doc_id"), col("w"),

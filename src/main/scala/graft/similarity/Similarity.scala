@@ -93,7 +93,13 @@ object Similarity {
     * per-partition heaps BEFORE the exchange, so the shuffle carries at
     * most k·|queries| rows per partition, not the scored cross product.
     * Corpus scanned once; cost |corpus|·|queries| dot products, the
-    * brute-force floor any exact method pays. */
+    * brute-force floor any exact method pays.
+    *
+    * Contract: query ids share the corpus id space — a corpus row whose
+    * id equals the query's is excluded as the query's own record (the
+    * standard self-match exclusion). Queries from a DIFFERENT id space
+    * must be re-keyed first (e.g. negated ids) or true neighbors that
+    * happen to collide on id are silently dropped. */
   def knnBatch(vectors: DataFrame, idCol: Column, vecCol: Column,
                queries: DataFrame, queryIdCol: Column, queryVecCol: Column,
                k: Int): DataFrame = {

@@ -107,19 +107,21 @@ object EventsStream {
     * state entry per id and evicts it once the watermark passes, so state
     * is bounded by the ingest rate × watermark window, not history — the
     * property that lets a 100 TB/day stream dedupe at all. */
+  def dedupe(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment join — the dimension-lookup shape (attach
     * user/account attributes to an event stream). STATELESS, unlike a
     * stream-stream join: no watermark, no join state; the static side is
     * re-planned per microbatch (so a refreshed dim table is picked up on
-    * the next trigger) and broadcast when it fits. Left-outer keeps
+    * the next trigger). Left unhinted so the planner broadcasts a dim
+    * that fits and falls back to a shuffle join for one that doesn't —
+    * a forced broadcast would OOM on a large dimension. Left-outer keeps
     * events whose key has no dim row — dropping them silently is the
     * classic enrichment bug. */
   def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
-
-  def dedupe(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    events.join(dim, Seq(key), "left")
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   /** Open-session state: id assigned in event-time order per user.

@@ -19,9 +19,13 @@ object Chunking {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0,
       s"chunkSize=$chunkSize stride=$stride must be positive")
+    // guard: sequence(1, 0) throws ("illegal boundaries") on an empty
+    // token array — a doc with no tokens must yield no chunks (explode
+    // drops the null), matching DuckDB's empty generate_series
     df.select(idCol.as("doc"), toksCol.as("tk"))
       .select(col("doc"),
-        posexplode(sequence(lit(1), size(col("tk")), lit(stride)))
+        posexplode(when(size(col("tk")) >= 1,
+          sequence(lit(1), size(col("tk")), lit(stride))))
           .as(Seq("chunk_id", "start")),
         col("tk"))
       .select(col("doc"), col("chunk_id"),

@@ -26,9 +26,12 @@ object Collocations {
 
   def bigramPmi(df: DataFrame, toksCol: Column, minCount: Long = 5L): DataFrame = {
     val toks = df.select(toksCol.as("tk"))
+    // greatest(size-1, 0): slice throws on a negative length, and an
+    // empty token array must yield no bigrams, not a runtime error
+    val nBi = greatest(size(col("tk")) - 1, lit(0))
     val bigrams = toks
-      .withColumn("a", slice(col("tk"), lit(1), size(col("tk")) - 1))
-      .withColumn("b", slice(col("tk"), lit(2), size(col("tk")) - 1))
+      .withColumn("a", slice(col("tk"), lit(1), nBi))
+      .withColumn("b", slice(col("tk"), lit(2), nBi))
       .select(explode(arrays_zip(col("a"), col("b"))).as("bg"))
       .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
 
@@ -38,7 +41,9 @@ object Collocations {
 
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_big"))
       .filter(col("n_big") >= minCount)
-    val n2 = bigrams.agg(count(lit(1)).as("N2"))
+    // |bigrams| = Σ max(|tk|-1, 0) — a cheap per-row aggregate over the
+    // token arrays, NOT a second explode pass over the corpus
+    val n2 = toks.agg(sum(nBi.cast("long")).as("N2"))
 
     bi
       .join(uni.select(col("w").as("w1"), col("n_uni").as("c1")), "w1")

@@ -93,6 +93,16 @@ class TextSpec extends SparkSpec {
       (3, "t13", 1L)))                 // short tail kept, len honest
   }
 
+  test("chunkTokens and bigramPmi tolerate empty token arrays") {
+    val df = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b", "a", "b", "a", "b")))
+      .toDF("doc_id", "tk")
+    val chunks = graft.text.Chunking.chunkTokens(df, col("doc_id"), col("tk"), 3, 2)
+    assert(chunks.filter($"doc" === 1L).count() == 0)   // no chunks, no crash
+    assert(chunks.filter($"doc" === 2L).count() > 0)
+    val pmi = graft.text.Collocations.bigramPmi(df, col("tk"), minCount = 2L)
+    assert(pmi.count() > 0)                              // empty row didn't kill it
+  }
+
   test("oovRate: tokens outside the top-V vocabulary weigh by occurrence") {
     // corpus: 'a' x6, 'b' x3, 'c' x1 -> top-2 vocab = {a, b}
     val df = Seq((1L, "a a a b c"), (2L, "a a a b b")).toDF("doc_id", "text")
