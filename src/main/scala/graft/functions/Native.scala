@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{CosineSimilarity, DotProduct}
 
 /** Column-facing wrappers for the engine's native Catalyst expressions.
   * Inputs are cast to `array<double>` here so the expressions themselves
@@ -11,6 +11,11 @@ import graft.functions.expressions.DotProduct
 object Native {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
 }

@@ -28,8 +28,13 @@ object Similarity {
   def dotSql(aE: String, bE: String): String =
     s"list_reduce(list_transform(generate_series(1, len($aE)), i -> $aE[i]*$bE[i]), (x,y) -> x+y)"
 
+  /** Single-pass fused cosine ([[graft.functions.expressions.CosineSimilarity]]):
+    * one array traversal accumulating all three sums instead of three
+    * DotProduct loops — bit-identical to the composed
+    * `dot(a,b)/(√dot(a,a)·√dot(b,b))` form (each sum keeps its own strict
+    * left-to-right order), so every DuckDB oracle stays valid. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.Native.cosineSimilarity(a, b)
 
   def cosineSql(aE: String, bE: String): String =
     s"(${dotSql(aE, bE)}) / (sqrt(${dotSql(aE, aE)}) * sqrt(${dotSql(bE, bE)}))"

@@ -125,6 +125,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_.getDouble(2) == 1.0))
   }
 
+  test("fused CosineSimilarity is bit-identical to the composed dot/sqrt form") {
+    val composed = Similarity.dot(col("a"), col("b")) /
+      (sqrt(Similarity.dot(col("a"), col("a"))) * sqrt(Similarity.dot(col("b"), col("b"))))
+    val df = Seq(
+      (Seq(1.5, -2.5, 3.25), Seq(0.5, 1.0, -2.0)),
+      (Seq(1e-8, 2e8, -3.3), Seq(7.7, -1e-9, 0.1))).toDF("a", "b")
+    val rows = df.select(Similarity.cosine(col("a"), col("b")), composed).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // and against the corpus, elementwise over all pairs vs query 0
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = emb.crossJoin(q0)
+      .select(Similarity.cosine($"embedding", $"qv").as("f"),
+        (Similarity.dot($"embedding", $"qv") /
+          (sqrt(Similarity.dot($"embedding", $"embedding")) *
+           sqrt(Similarity.dot($"qv", $"qv")))).as("c"))
+    assert(both.filter($"f" =!= $"c").count() == 0)
+    // null semantics: dimension mismatch -> NULL, like the composed form
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(mm.select(Similarity.cosine(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("knnBatch equals per-query brute-force knn, with rank-limit pushdown") {
     val batch = Similarity.knnBatch(emb, col("vec_id"), col("embedding"),
       emb.filter($"vec_id" < 3), col("vec_id"), col("embedding"), 5)
