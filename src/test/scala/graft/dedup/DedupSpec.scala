@@ -144,6 +144,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 3) {
+      val nNodes = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(25 + rnd.nextInt(40))(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+        // union-find roots are min-id only per union order; canonicalize
+        .groupBy(_._2).flatMap { case (_, m) =>
+          val members = m.keys.toSeq; members.map(_ -> members.min)
+        }
+      val got = Dedup.connectedComponents(edges.toDF("d1", "d2"), col("d1"), col("d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"nodes=$nNodes edges=${edges.size}")
+    }
+  }
+
   test("connectedComponents clusters the corpus's planted near-dup pairs") {
     val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.8)
     val cc = Dedup.connectedComponents(pairs, col("d1"), col("d2"))

@@ -38,4 +38,42 @@ class PackingSpec extends SparkSpec {
     val out = pack(Seq((1L, 1L, 99L), (1L, 2L, 5L)), capacity = 10)
     assert(out == Seq((1L, 1L, 0L, 99L), (2L, 1L, 1L, 5L)))
   }
+
+  test("packing invariants hold on randomized seeded input") {
+    val rnd = new scala.util.Random(20260812L)
+    val cap = 100L
+    val rows = Seq.tabulate(400) { i =>
+      (rnd.nextInt(5).toLong, i.toLong, (1 + rnd.nextInt(120)).toLong) // some docs > cap
+    }
+    val out = Packing.packGreedy(rows.toDF("shard", "doc_id", "w"),
+        col("doc_id"), col("w"), col("shard"), cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc packed exactly once
+    assert(out.length == rows.length)
+    val byShardBin = out.groupBy(t => (t._2, t._3))
+    byShardBin.foreach { case ((shard, bin), docs) =>
+      val total = docs.map(_._4).sum
+      // a bin only exceeds capacity when it holds a single overweight doc
+      assert(total <= cap || (docs.length == 1 && docs.head._4 > cap),
+        s"shard=$shard bin=$bin total=$total docs=${docs.length}")
+    }
+    // bins are dense from 0 within each shard
+    out.groupBy(_._2).foreach { case (shard, docs) =>
+      val bins = docs.map(_._3).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong).toSeq,
+        s"shard=$shard bins=${bins.mkString(",")}")
+    }
+    // no doc could have fit in its bin's predecessor (greedy tightness):
+    // within a shard, the doc that OPENS bin b+1 didn't fit in bin b
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val packed = out.filter(_._2 == shard).sortBy(_._1)
+      packed.sliding(2).foreach {
+        case Array((_, _, b1, _), (id2, _, b2, w2)) if b2 == b1 + 1 =>
+          val binTotal = packed.filter(t => t._3 == b1).map(_._4).sum
+          assert(binTotal + w2 > cap, s"shard=$shard doc=$id2 should have fit in bin $b1")
+        case _ => ()
+      }
+    }
+  }
 }
