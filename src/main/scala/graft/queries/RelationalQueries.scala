@@ -661,6 +661,28 @@ object RelationalQueries {
         Relational.applyCdc(base, chg, "k", "version", "op")
       }),
 
+    // Trailing-interval moving average: per-user mean event value over
+    // the preceding hour — a RANGE frame keyed on event TIME (seconds),
+    // not row counts, so bursts and gaps weight correctly. One key
+    // shuffle; peers at the same timestamp share a frame (deterministic
+    // under ties, unlike a ROWS frame).
+    Q("q80_moving_avg",
+      Some("""WITH e AS (SELECT user_id, ts,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+             |  FROM events WHERE user_id < 50)
+             |SELECT user_id, sec,
+             |  round(avg(value) OVER (PARTITION BY user_id ORDER BY sec
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h
+             |FROM e""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600L, Window.currentRow)
+        t(s, dir, "events").filter(col("user_id") < 50)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+          .withColumn("avg_1h", round(avg(col("value")).over(w), 4))
+          .select("user_id", "sec", "avg_1h")
+      }),
+
     // Funnel conversion: first view → click within 1h → purchase within
     // 1h of that click, per user; one summary row. Each stage is a
     // grouped min + an equi-join on user_id — no window over the event

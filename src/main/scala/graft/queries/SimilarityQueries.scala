@@ -113,6 +113,35 @@ object SimilarityQueries {
         Similarity.annIvf(cells, queryVec, cents, nProbe = 2, k = 5)
       }),
 
+    // Multi-probe ANN: the query's bucket plus every 1-bit-flip neighbor
+    // bucket — recall recovery without a second hash family. Probe set in
+    // SQL: bucket XOR 2^i for the 4 planes.
+    Q("q81_ann_multiprobe",
+      Some(s"""WITH $eCte,
+              |p AS (SELECT vec_id AS plane_rank, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 4),
+              |b AS (SELECT e.vec_id,
+              |    CAST(sum(CASE WHEN ${Similarity.dotSql("v", "pv")} > 0
+              |             THEN (1 << (plane_rank - 1)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id),
+              |ev AS (SELECT b.vec_id, bucket, v FROM b JOIN e USING (vec_id)),
+              |q AS (SELECT bucket AS qb, v AS qv FROM ev WHERE vec_id = 0),
+              |probes AS (SELECT qb AS pb FROM q
+              |  UNION ALL SELECT CAST(xor(qb, 1) AS BIGINT) FROM q
+              |  UNION ALL SELECT CAST(xor(qb, 2) AS BIGINT) FROM q
+              |  UNION ALL SELECT CAST(xor(qb, 4) AS BIGINT) FROM q
+              |  UNION ALL SELECT CAST(xor(qb, 8) AS BIGINT) FROM q)
+              |SELECT ev.vec_id, ev.bucket,
+              |  round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |FROM ev JOIN probes ON ev.bucket = probes.pb CROSS JOIN q
+              |WHERE ev.vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val bucketed = Similarity.withLshBucket(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"))
+        Similarity.annMultiProbe(bucketed, 0L, nPlanes = 4, k = 5)
+      }),
+
     // Batch kNN: top-3 neighbors for each of the 5 query vectors at once
     // (the realistic retrieval shape). Rank-limit pushdown bounds the
     // shuffle at k rows per query per partition (WindowGroupLimit).

@@ -131,6 +131,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe bucketed ANN: search the query's LSH bucket AND every
+    * bucket at hamming distance 1 (one sign bit flipped). A near
+    * neighbor lands in a different bucket only when some dot(v, plane_i)
+    * falls on the other side of 0 — overwhelmingly one marginal plane —
+    * so probing the 1-flip neighborhood recovers most of the recall a
+    * single-bucket probe loses, at (planes+1)× the candidate set instead
+    * of another full hash family. Same plan shape as [[annInBucket]]:
+    * the probe-bucket list is a tiny broadcast `isin`, the corpus never
+    * shuffles, top-k via TakeOrdered. */
+  def annMultiProbe(bucketed: DataFrame, queryId: Long, nPlanes: Int,
+                    k: Int): DataFrame = {
+    val qRow = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket"), col("v")).head
+    val qBucket = qRow.getLong(0)
+    val qv = typedLit(qRow.getSeq[Double](1))
+    val probes = qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
+    bucketed.filter(col("bucket").isin(probes: _*))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("cos_sim", round(cosine(col("v"), qv), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select("vec_id", "bucket", "cos_sim")
+      .limit(k)
+  }
+
   /** Near-dup pairs restricted to same-LSH-bucket candidates — the scale
     * path: the pair join runs per bucket (|corpus|²/2^planes expected
     * pairs) instead of all-pairs. Identical vectors always collide on

@@ -125,6 +125,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_.getDouble(2) == 1.0))
   }
 
+  test("multi-probe ANN candidates strictly contain the single-bucket probe's") {
+    val bucketed = Similarity.withLshBucket(emb, col("vec_id"), col("embedding"),
+      emb.filter($"vec_id".between(1, 4)), col("vec_id"), col("embedding")).cache()
+    val single = Similarity.annInBucket(bucketed, 0L, 1000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annMultiProbe(bucketed, 0L, nPlanes = 4, k = 1000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size)   // 1-flip neighbors contribute candidates
+    // multi-probe top-k cosines are >= the single-bucket top-k elementwise
+    val sTop = Similarity.annInBucket(bucketed, 0L, 5)
+      .select("cos_sim").collect().map(_.getDouble(0))
+    val mTop = Similarity.annMultiProbe(bucketed, 0L, nPlanes = 4, k = 5)
+      .select("cos_sim").collect().map(_.getDouble(0))
+    assert(mTop.zip(sTop).forall { case (m, s) => m >= s })
+  }
+
   test("fused CosineSimilarity is bit-identical to the composed dot/sqrt form") {
     val composed = Similarity.dot(col("a"), col("b")) /
       (sqrt(Similarity.dot(col("a"), col("a"))) * sqrt(Similarity.dot(col("b"), col("b"))))
