@@ -661,6 +661,35 @@ object RelationalQueries {
         Relational.applyCdc(base, chg, "k", "version", "op")
       }),
 
+    // SCD2 dimension build: turn a change log into validity intervals —
+    // valid_from = change ts, valid_to = next change for the key (lead),
+    // open row marked current. One window over one key shuffle; the
+    // complement of applyCdc (q67), which keeps only the latest row.
+    Q("q82_scd2",
+      Some("""WITH log AS (SELECT o_orderkey AS k, o_orderpriority AS attr, ts FROM (
+             |    SELECT o_orderkey, o_orderpriority, o_orderdate AS ts
+             |    FROM orders WHERE o_orderkey <= 500
+             |    UNION ALL
+             |    SELECT o_orderkey, '9-REPRICED', o_orderdate + INTERVAL 30 DAY
+             |    FROM orders WHERE o_orderkey <= 250))
+             |SELECT k, attr, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY k ORDER BY ts, attr) AS valid_to,
+             |  CAST(lead(ts) OVER (PARTITION BY k ORDER BY ts, attr) IS NULL AS BOOLEAN)
+             |    AS is_current
+             |FROM log""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        val log = o.select(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("attr"), col("o_orderdate").as("ts"))
+          .unionByName(o.filter(col("o_orderkey") <= 250)
+            .select(col("o_orderkey").as("k"), lit("9-REPRICED").as("attr"),
+              (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("ts")))
+        val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("attr"))
+        log.select(col("k"), col("attr"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      }),
+
     // Trailing-interval moving average: per-user mean event value over
     // the preceding hour — a RANGE frame keyed on event TIME (seconds),
     // not row counts, so bursts and gaps weight correctly. One key
