@@ -138,18 +138,19 @@ object Similarity {
     * so probing the 1-flip neighborhood recovers most of the recall a
     * single-bucket probe loses, at (planes+1)× the candidate set instead
     * of another full hash family. Same plan shape as [[annInBucket]]:
-    * the probe-bucket list is a tiny broadcast `isin`, the corpus never
-    * shuffles, top-k via TakeOrdered. */
+    * one lazy broadcast join of the 1-row query frame on
+    * `(bucket XOR qbucket) ∈ {0, 1, 2, …, 2^(planes−1)}`, the corpus
+    * never shuffles, top-k via TakeOrdered. A missing `queryId` yields
+    * an empty frame, not an exception. */
   def annMultiProbe(bucketed: DataFrame, queryId: Long, nPlanes: Int,
                     k: Int): DataFrame = {
-    val qRow = bucketed.filter(col("vec_id") === queryId)
-      .select(col("bucket"), col("v")).head
-    val qBucket = qRow.getLong(0)
-    val qv = typedLit(qRow.getSeq[Double](1))
-    val probes = qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
-    bucketed.filter(col("bucket").isin(probes: _*))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("qbucket"), col("v").as("qv"))
+    val allowedXor = 0L +: (0 until nPlanes).map(i => 1L << i)
+    bucketed.join(broadcast(q),
+        col("bucket").bitwiseXOR(col("qbucket")).isin(allowedXor: _*))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("cos_sim", round(cosine(col("v"), qv), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select("vec_id", "bucket", "cos_sim")
       .limit(k)

@@ -127,8 +127,9 @@ class PlanAuditSpec extends SparkSpec {
   test("native expressions are SQL-callable once registered") {
     GraftExtensions.registerFunctions(spark)
     val out = spark.sql(
-      "SELECT porter_stem('running') AS s, dot_product(array(1d,2d), array(3d,4d)) AS d").head
-    assert(out.getString(0) == "run" && out.getDouble(1) == 11.0)
+      "SELECT porter_stem('running') AS s, dot_product(array(1d,2d), array(3d,4d)) AS d, " +
+        "cosine_similarity(array(1d,0d), array(1d,0d)) AS c").head
+    assert(out.getString(0) == "run" && out.getDouble(1) == 11.0 && out.getDouble(2) == 1.0)
   }
 
   test("GraftExtensions class applies cleanly (spark.sql.extensions entry point)") {
