@@ -661,6 +661,26 @@ object RelationalQueries {
         Relational.applyCdc(base, chg, "k", "version", "op")
       }),
 
+    // Conditional/boolean/argmax aggregate family: count_if, bool_and/or,
+    // max_by/min_by (keyed on the unique o_orderkey so the argmax is
+    // deterministic on both engines).
+    Q("q83_agg_family",
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+             |  bool_and(o_totalprice > 0) AS all_positive,
+             |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             |  max_by(o_orderpriority, o_orderkey) AS last_priority,
+             |  min_by(o_orderpriority, o_orderkey) AS first_priority
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(count_if(col("o_totalprice") > 100000).as("n_big"),
+            bool_and(col("o_totalprice") > 0).as("all_positive"),
+            bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+            max_by(col("o_orderpriority"), col("o_orderkey")).as("last_priority"),
+            min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"))),
+
     // SCD2 dimension build: turn a change log into validity intervals —
     // valid_from = change ts, valid_to = next change for the key (lead),
     // open row marked current. One window over one key shuffle; the

@@ -111,6 +111,54 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CDC upsert sink: apply each microbatch of change rows to
+    * a parquet snapshot with [[graft.operators.Relational.applyCdc]]
+    * semantics (latest version per key wins, deletes drop the key) and
+    * rewrite the snapshot — the foreachBatch MERGE pattern for targets
+    * without a transactional table format. The full-snapshot rewrite per
+    * batch is the price of that format (same trade-off as
+    * [[runToParquetDedup]]); a real deployment points this at a table
+    * format with row-level merge and keeps the batch logic unchanged.
+    * Writes via a temp directory + atomic-ish swap so a crash mid-write
+    * can't destroy the old snapshot AND the read of it.
+    *
+    * Requires per-key IN-ORDER delivery across microbatches (the
+    * standard CDC source contract): the snapshot keeps no tombstones, so
+    * an update replayed from before an already-applied delete would
+    * resurrect the row. */
+  def runCdcToParquet(changes: DataFrame, snapshotDir: String,
+                      keyCol: String, versionCol: String, opCol: String): Unit = {
+    val spark = changes.sparkSession
+    val ckpt = tempCkpt("graft-cdc-ckpt")
+    try {
+      val q = changes.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val base =
+            try spark.read.parquet(snapshotDir)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              // empty base with the payload schema (no version/op cols)
+              batch.drop(versionCol, opCol).limit(0)
+            }
+          val merged = graft.operators.Relational
+            .applyCdc(base, batch, keyCol, versionCol, opCol)
+          val tmp = snapshotDir + ".tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+          fs.delete(dst, true)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+            throw new java.io.IOException(s"CDC snapshot swap failed: $tmp -> $dst")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      deleteRecursively(ckpt)
+    }
+  }
+
   /** Stream-static enrichment join — the dimension-lookup shape (attach
     * user/account attributes to an event stream). STATELESS, unlike a
     * stream-stream join: no watermark, no join state; the static side is

@@ -162,6 +162,29 @@ class EventsStreamSpec extends SparkSpec {
     assert(joined.count() == batch.count())
   }
 
+  test("streaming CDC upsert applies batches in order: update, delete, insert") {
+    val src = Files.createTempDirectory("graft_cdc_src")
+    val snap = Files.createTempDirectory("graft_cdc_out").toString + "/snapshot"
+    // batch 1: two inserts; batch 2 (later mtime): update k=1, delete k=2, insert k=3
+    Seq((1L, "x", 1L, "U"), (2L, "y", 1L, "U")).toDF("k", "v", "version", "op")
+      .coalesce(1).write.parquet(src.resolve("a").toString)
+    Seq((1L, "x2", 2L, "U"), (2L, "y", 2L, "D"), (3L, "z", 1L, "I"))
+      .toDF("k", "v", "version", "op")
+      .coalesce(1).write.parquet(src.resolve("b").toString)
+    val later = System.currentTimeMillis() + 60000
+    Files.walk(src.resolve("b")).forEach(p =>
+      p.toFile.setLastModified(later))   // force b into the SECOND trigger
+    val stream = spark.readStream
+      .schema("k LONG, v STRING, version LONG, op STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    EventsStream.runCdcToParquet(stream, snap, "k", "version", "op")
+    val got = spark.read.parquet(snap).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "x2", 2L), (3L, "z", 1L)))
+  }
+
   test("stream-static enrichment matches the batch join and keeps unmatched events") {
     // dim covers only even user_ids — odd ones must survive with null tier
     val dim = Tables.events(spark, sfDir).select("user_id").distinct()
