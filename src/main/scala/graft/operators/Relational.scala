@@ -258,12 +258,21 @@ object Relational {
     * diffing, no join explosion: cost is a sort of (base ∪ changes) within
     * key partitions, the same class as the sort-merge join a MERGE INTO
     * would plan. Versions must be unique per key (upstream CDC sequence
-    * numbers are); equal versions would tie non-deterministically. */
+    * numbers are); equal versions would tie non-deterministically.
+    *
+    * A base that already carries `versionCol` (a snapshot produced by a
+    * previous apply — the streaming sink re-merges every batch) keeps its
+    * stored versions rather than being reset to 0: an untouched key's row
+    * must survive with its true version, or the snapshot would lie to any
+    * later out-of-order audit. */
   def applyCdc(base: DataFrame, changes: DataFrame,
                keyCol: String, versionCol: String, opCol: String): DataFrame = {
-    val based = base
-      .withColumn(versionCol, lit(0L))
-      .withColumn(opCol, lit("U"))
+    val withVer =
+      if (base.columns.contains(versionCol)) base
+      else base.withColumn(versionCol, lit(0L))
+    val based = (
+      if (withVer.columns.contains(opCol)) withVer
+      else withVer.withColumn(opCol, lit("U")))
       .select(changes.columns.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
     based.unionByName(changes)

@@ -165,8 +165,10 @@ class EventsStreamSpec extends SparkSpec {
   test("streaming CDC upsert applies batches in order: update, delete, insert") {
     val src = Files.createTempDirectory("graft_cdc_src")
     val snap = Files.createTempDirectory("graft_cdc_out").toString + "/snapshot"
-    // batch 1: two inserts; batch 2 (later mtime): update k=1, delete k=2, insert k=3
-    Seq((1L, "x", 1L, "U"), (2L, "y", 1L, "U")).toDF("k", "v", "version", "op")
+    // batch 1: three inserts (k=4 untouched later); batch 2 (later
+    // mtime): update k=1, delete k=2, insert k=3
+    Seq((1L, "x", 1L, "U"), (2L, "y", 1L, "U"), (4L, "w", 1L, "U"))
+      .toDF("k", "v", "version", "op")
       .coalesce(1).write.parquet(src.resolve("a").toString)
     Seq((1L, "x2", 2L, "U"), (2L, "y", 2L, "D"), (3L, "z", 1L, "I"))
       .toDF("k", "v", "version", "op")
@@ -182,7 +184,8 @@ class EventsStreamSpec extends SparkSpec {
     EventsStream.runCdcToParquet(stream, snap, "k", "version", "op")
     val got = spark.read.parquet(snap).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    assert(got == Seq((1L, "x2", 2L), (3L, "z", 1L)))
+    // k=4 untouched by batch 2 keeps its TRUE version (1), not a reset 0
+    assert(got == Seq((1L, "x2", 2L), (3L, "z", 1L), (4L, "w", 1L)))
   }
 
   test("stream-static enrichment matches the batch join and keeps unmatched events") {
