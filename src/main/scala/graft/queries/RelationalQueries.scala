@@ -661,6 +661,34 @@ object RelationalQueries {
         Relational.applyCdc(base, chg, "k", "version", "op")
       }),
 
+    // Retention cohorts: users grouped by first-seen week × weeks-since,
+    // distinct actives per cell — the cohort triangle. Two grouped
+    // aggregations + one key join; week arithmetic is exact on both
+    // engines (date_trunc('week') is ISO-Monday in each, so the day gap
+    // is always a multiple of 7).
+    Q("q84_cohort_retention",
+      Some("""WITH fw AS (SELECT user_id,
+             |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+             |SELECT cohort_week,
+             |  CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS weeks_since,
+             |  count(*) AS n_users
+             |FROM act JOIN fw USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val fw = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        val act = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+        act.join(fw, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("weeks_since"))
+          .agg(count(lit(1)).as("n_users"))
+      }),
+
     // Conditional/boolean/argmax aggregate family: count_if, bool_and/or,
     // max_by/min_by (keyed on the unique o_orderkey so the argmax is
     // deterministic on both engines).
