@@ -163,24 +163,24 @@ object SimilarityQueries {
       }),
 
     // Per-dimension z-score normalization of the embedding column — the
-    // distributed feature-scaling pass (2 map-side-combinable shuffles,
-    // stats broadcast back). Rounded to 3 decimals on both sides so
-    // summation-order ULP drift in avg/stddev can't flip the hash.
+    // distributed feature-scaling pass (1 map-side-combinable stats
+    // shuffle, stats broadcast back). Emitted in long form (vec_id, dim,
+    // z) — scalar columns only, so the driver's sort-and-hash compare
+    // works, and no array-reassembly shuffle. Rounded to 3 decimals on
+    // both sides so summation-order ULP drift in avg/stddev can't flip
+    // the hash.
     Q("q65_embed_zscore",
       Some(s"""WITH $eCte,
               |dims AS (SELECT unnest(generate_series(1,
               |    (SELECT max(len(v)) FROM e))) AS dim),
               |st AS (SELECT dim, avg(v[dim]) AS mu, stddev_pop(v[dim]) AS sigma
-              |  FROM e CROSS JOIN dims GROUP BY dim),
-              |ml AS (SELECT list(mu ORDER BY dim) AS mu_l,
-              |    list(sigma ORDER BY dim) AS sig_l FROM st)
-              |SELECT vec_id,
-              |  list_transform(generate_series(1, len(v)),
-              |    i -> CASE WHEN sig_l[i] = 0 THEN 0.0
-              |         ELSE round((v[i] - mu_l[i]) / sig_l[i], 3) + 0.0 END) AS z
-              |FROM e CROSS JOIN ml""".stripMargin),
+              |  FROM e CROSS JOIN dims GROUP BY dim)
+              |SELECT vec_id, CAST(dim - 1 AS INT) AS dim,
+              |  CASE WHEN sigma = 0 THEN 0.0
+              |       ELSE round((v[dim] - mu) / sigma, 3) + 0.0 END AS z
+              |FROM e CROSS JOIN st WHERE dim <= len(v)""".stripMargin),
       (s, dir) =>
-        Similarity.zScoreNormalized(emb(s, dir), col("vec_id"), col("embedding"))),
+        Similarity.zScoreLong(emb(s, dir), col("vec_id"), col("embedding"))),
 
     // Embedding-cosine near-duplicates over a corpus with 20 planted
     // exact-duplicate vectors (cos = 1.0; corpus max off-diagonal is 0.51),

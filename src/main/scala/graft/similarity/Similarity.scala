@@ -260,7 +260,18 @@ object Similarity {
     * padding or truncation) standardizes to 0 rather than dividing by
     * zero, which would silently emit nulls in Spark and NaN in DuckDB. */
   def zScoreNormalized(vectors: DataFrame, idCol: Column, vecCol: Column,
-                       scale: Int = 3): DataFrame = {
+                       scale: Int = 3): DataFrame =
+    zScoreLong(vectors, idCol, vecCol, scale)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("z")))),
+        s => s.getField("z")).as("z"))
+
+  /** [[zScoreNormalized]] in long form — one `(vec_id, dim, z)` row per
+    * element, skipping the array reassembly shuffle. This is the shape
+    * downstream per-dimension consumers (and scalar-only comparators)
+    * want; `zScoreNormalized` regroups it when an array column is needed. */
+  def zScoreLong(vectors: DataFrame, idCol: Column, vecCol: Column,
+                 scale: Int = 3): DataFrame = {
     val e = vectors.select(idCol.as("vec_id"),
       posexplode(vecCol.cast("array<double>")).as(Seq("dim", "x")))
     val stats = e.groupBy("dim")
@@ -271,9 +282,7 @@ object Similarity {
       .withColumn("z",
         when(col("sigma") === 0d, lit(0.0))
           .otherwise(round((col("x") - col("mu")) / col("sigma"), scale) + lit(0.0)))
-      .groupBy("vec_id")
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("z")))),
-        s => s.getField("z")).as("z"))
+      .select(col("vec_id"), col("dim"), col("z"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
