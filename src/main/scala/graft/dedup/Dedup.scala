@@ -99,16 +99,84 @@ object Dedup {
     // Single pass: explode all bands per doc, one equi-join on
     // (band_idx, band_key) — the signature pipeline is evaluated once,
     // not once per band as a per-band union of joins would.
-    val r = cfg.rowsPerBand
-    val bandKeys = (0 until cfg.bands).map { b =>
-      concat_ws(":", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
-    }
-    val bands = sigs.select(col("doc"),
-      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val bands = bandRows(sigs, cfg)
     bands.as("a").join(bands.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
+  }
+
+  /** One (doc, band_idx, band_key) row per band of each signature —
+    * the join key material shared by [[lshCandidates]] (self-join) and
+    * [[incrementalDedup]] (delta⋈base join). */
+  private def bandRows(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bandKeys = (0 until cfg.bands).map { b =>
+      concat_ws(":", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
+    }
+    sigs.select(col("doc"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Incremental dedup: classify every document of a `delta` batch
+    * against an existing `base` corpus as `exact_dup` (byte-identical
+    * content already in base), `near_dup` (shingle-Jaccard ≥ `threshold`
+    * against some base doc), or `kept` — the production shape of dedup at
+    * 100 TB, where the base is never re-clustered: each arriving batch is
+    * checked against it and appended. Delta-internal duplicates are out
+    * of scope by design — run [[nearDuplicates]] on the (small) delta
+    * for that before or after this pass.
+    *
+    * Scale shape: every join is keyed on content hashes or band keys —
+    * exact check = semi-join of delta hashes against distinct base
+    * hashes (at scale those live precomputed next to the base); near
+    * check = delta bands ⋈ base bands (NO base×base or delta×delta
+    * pair work anywhere), then exact-Jaccard verification on the
+    * candidate pairs only, with shingle re-hashing bounded to candidate
+    * docs on both sides. Cost is linear in |base| + |delta| plus the
+    * candidate count LSH was tuned for. */
+  def incrementalDedup(base: DataFrame, baseId: Column, baseText: Column,
+                       delta: DataFrame, deltaId: Column, deltaText: Column,
+                       threshold: Double,
+                       cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val d = scope.persist(delta.select(deltaId.as("doc_id"), deltaText.as("text")))
+    // exact: md5 content-hash semi-join (portable, oracle-replayable)
+    val baseHashes = base.select(md5(baseText).as("bh")).distinct()
+    val exactIds = d.join(baseHashes, md5(col("text")) === col("bh"), "left_semi")
+      .select(col("doc_id")).withColumn("_exact", lit(1))
+    // near: delta bands ⋈ base bands → candidate (delta, base) pairs
+    val dSigs = minhashSignatures(d, col("doc_id"), col("text"), cfg)
+    val bSigs = minhashSignatures(base, baseId, baseText, cfg)
+    val cand = scope.persist(
+      bandRows(dSigs, cfg).withColumnRenamed("doc", "ddoc")
+        .join(bandRows(bSigs, cfg).withColumnRenamed("doc", "bdoc"),
+          Seq("band_idx", "band_key"))
+        .select("ddoc", "bdoc").distinct())
+    // exact-Jaccard verification on candidate docs only (|cand| ≪ corpus)
+    val candD = d.join(broadcast(cand.select(col("ddoc").as("cdoc")).distinct()),
+      col("doc_id") === col("cdoc"), "left_semi")
+    val candB = base.join(broadcast(cand.select(col("bdoc").as("cdoc")).distinct()),
+      baseId === col("cdoc"), "left_semi")
+    val dSets = shingleHashes(candD, col("doc_id"), col("text"), cfg.shingleK, cfg.portable)
+      .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
+    val bSets = shingleHashes(candB, baseId, baseText, cfg.shingleK, cfg.portable)
+      .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
+    val nearIds = cand
+      .join(dSets.select(col("doc").as("ddoc"), col("shs").as("s1")), "ddoc")
+      .join(bSets.select(col("doc").as("bdoc"), col("shs").as("s2")), "bdoc")
+      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(col("n_inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("n_inter")) >= threshold)
+      .select(col("ddoc").as("doc_id")).distinct()
+      .withColumn("_near", lit(1))
+    d.select("doc_id")
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_exact") === 1, "exact_dup")
+          .when(col("_near") === 1, "near_dup")
+          .otherwise("kept").as("status"))
   }
 
   /** Exact shingle-set Jaccard for doc pairs, via the counting formulation:

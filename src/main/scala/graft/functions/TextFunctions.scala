@@ -145,6 +145,19 @@ object TextFunctions {
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
   val PhoneRe: String = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
 
+  /** URL host extraction (Java ∩ RE2 pattern, same discipline as
+    * [[BpePattern]]): first capture group of the first URL in the text;
+    * empty string when the text carries no URL — both engines'
+    * `regexp_extract` return '' on no-match, so the "no URL" group is
+    * portable without a null guard. */
+  val UrlHostRe: String = "https?://([^/\\t\\n\\f\\r ?#]+)"
+
+  def urlHost(text: Column): Column =
+    regexp_extract(text, UrlHostRe, 1)
+
+  def urlHostSql(e: String): String =
+    s"regexp_extract($e, '$UrlHostRe', 1)"
+
   private val PiiRules: Seq[(String, String)] = Seq(
     UrlRe -> "<URL>", EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")
 

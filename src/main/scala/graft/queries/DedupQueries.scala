@@ -245,6 +245,58 @@ object DedupQueries {
             round(col("overlap"), 4).as("overlap_r"))
       }),
 
+    // Incremental dedup: a delta batch classified against the existing
+    // base corpus (exact_dup / near_dup / kept) WITHOUT re-clustering the
+    // base — the production shape at 100 TB, where every arriving batch
+    // checks against stored base hashes and bands. Delta = the doc_id%4==1
+    // quarter plus 10 re-id'd base docs (the planted exact dups); the
+    // corpus's planted near-pairs straddling the split surface as
+    // near_dups.
+    Q("q89_incremental_dedup",
+      Some(s"""WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+              |  UNION ALL
+              |  SELECT doc_id + 200000, text FROM documents
+              |  WHERE doc_id % 4 = 0 AND doc_id < 40),
+              |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
+              |dt AS (SELECT doc_id, $toksSql AS tk FROM delta),
+              |bt AS (SELECT doc_id, $toksSql AS tk FROM base),
+              |ex AS (SELECT doc_id FROM delta
+              |  WHERE md5(text) IN (SELECT DISTINCT md5(text) FROM base)),
+              |dsig AS (SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM dt))),
+              |bsig AS (SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM bt))),
+              |cand AS (SELECT DISTINCT d.doc_id AS dd, b.doc_id AS bd
+              |  FROM dsig d JOIN bsig b
+              |    ON ((d.mh0 = b.mh0 AND d.mh1 = b.mh1) OR (d.mh2 = b.mh2 AND d.mh3 = b.mh3))),
+              |dshs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM dt),
+              |bshs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM bt),
+              |nr AS (SELECT DISTINCT c.dd AS doc_id FROM cand c
+              |  JOIN dshs a ON a.doc_id = c.dd
+              |  JOIN bshs b ON b.doc_id = c.bd
+              |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8)
+              |SELECT d.doc_id,
+              |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+              |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+              |       ELSE 'kept' END AS status
+              |FROM delta d
+              |LEFT JOIN ex ON ex.doc_id = d.doc_id
+              |LEFT JOIN nr ON nr.doc_id = d.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val delta = d.filter(col("doc_id") % 4 === 1)
+          .union(d.filter((col("doc_id") % 4 === 0) && (col("doc_id") < 40))
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        val base = d.filter(col("doc_id") % 4 =!= 1)
+        Dedup.incrementalDedup(base, col("doc_id"), col("text"),
+          delta, col("doc_id"), col("text"), 0.8)
+      }),
+
     // 16-bit SimHash per doc, distributed-aggregate formulation.
     Q("q38_simhash", {
       val bitTerms = (0 until 16).map { b =>

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import graft.text.{LanguageModel, TextAnalysis}
+
+/** Round-5 training-data pipeline operators: deterministic stratified
+  * sampling, unigram-LM surprisal scoring, rule-based quality gates,
+  * URL/domain extraction, and corpus Zipf diagnostics. Oracle SQL is
+  * generated from the same constants the Spark ops use (hash, lexicons,
+  * regexes), so engine and oracle cannot drift.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private val toksSql = tokensSql("text")
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact-fraction stratified sample (20% per lang), chosen by
+    // portable-hash order — deterministic across engines, runs, and
+    // partitionings; the eval-set/mixture-subsample builder. The window
+    // ranks only (lang, id, hash) triples; bodies rejoin by semi-join.
+    Q("q85_stratified_sample",
+      Some(s"""WITH k AS (SELECT lang, doc_id,
+              |    ${portableHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |r AS (SELECT lang, doc_id,
+              |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+              |    count(*) OVER (PARTITION BY lang) AS n
+              |  FROM k)
+              |SELECT doc_id, lang FROM r WHERE rk <= ceil(0.2 * n)""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sampling.stratifiedExact(
+            docs(s, dir), col("lang"), col("doc_id"), 0.2)
+          .select("doc_id", "lang")),
+
+    // Unigram-LM surprisal (perplexity-style quality filter): per-doc mean
+    // −ln p(token) under the corpus's own add-one-smoothed unigram model,
+    // half-unit-bucketed. Exact integer counts through identical IEEE
+    // ln/÷ on both engines; rounding absorbs summation-order ULP drift.
+    Q("q86_unigram_surprisal",
+      Some(s"""WITH p AS (SELECT doc_id AS doc, unnest($toksSql) AS token FROM documents),
+              |dc AS (SELECT doc, token, count(*) AS c FROM p GROUP BY 1, 2),
+              |m AS (SELECT token, CAST(sum(c) AS DOUBLE) AS cc FROM dc GROUP BY token),
+              |t AS (SELECT CAST(sum(cc) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM m),
+              |sc AS (SELECT doc, -sum(c * ln((cc + 1) / (N + V))) / sum(c) AS sp
+              |  FROM dc JOIN m USING (token) CROSS JOIN t GROUP BY doc)
+              |SELECT CAST(floor(sp * 2) AS BIGINT) AS surprisal_bucket,
+              |  count(*) AS n, round(avg(sp), 4) AS avg_surprisal
+              |FROM sc GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        LanguageModel.unigramSurprisal(docs(s, dir), col("doc_id"), tokens(col("text")))
+          .groupBy(floor(col("surprisal") * 2).cast("long").as("surprisal_bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("surprisal")), 4).as("avg_surprisal"))),
+
+    // C4/Gopher-style rule gates: per-rule violation counts + the
+    // any-rule rejection rate — the filter report a data pipeline emits
+    // before dropping documents. All rules exact-integer-derived, so
+    // pass/fail is bit-identical across engines.
+    Q("q87_quality_rules", {
+      val meanLen = "CAST(list_reduce(list_transform(tk, t -> CAST(len(t) AS BIGINT)), " +
+        "(a, b) -> a + b) AS DOUBLE) / len(tk)"
+      val maxFreq = "CAST(list_max(list_transform(list_distinct(tk), " +
+        "w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE) / len(tk)"
+      val stopRatio = s"CAST(${lexiconHitsSql("tk", LangStopwords.head._2)} AS DOUBLE) / len(tk)"
+      Some(s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+              |m AS (SELECT len(tk) AS n, $meanLen AS ml, $maxFreq AS mf, $stopRatio AS sr FROM t),
+              |f AS (SELECT n < 25 AS f1, NOT (ml >= 3.0 AND ml <= 10.0) AS f2,
+              |    mf > 0.2 AS f3, sr < 0.02 AS f4 FROM m),
+              |a AS (SELECT count(*) AS n_docs,
+              |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+              |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+              |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+              |    CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 THEN 1 ELSE 0 END) AS BIGINT) AS cany
+              |  FROM f)
+              |SELECT rule, n_fail, round(CAST(n_fail AS DOUBLE) / n_docs, 4) AS fail_rate
+              |FROM (
+              |  SELECT 'min_tokens' AS rule, c1 AS n_fail, n_docs FROM a
+              |  UNION ALL SELECT 'word_len', c2, n_docs FROM a
+              |  UNION ALL SELECT 'repetition', c3, n_docs FROM a
+              |  UNION ALL SELECT 'stopwords', c4, n_docs FROM a
+              |  UNION ALL SELECT 'any_rule', cany, n_docs FROM a)""".stripMargin)
+    },
+      (s, dir) => {
+        val f = TextAnalysis.withRuleFlags(docs(s, dir), col("text"))
+        val fail = (c: Column) => sum(when(c, 1L).otherwise(0L))
+        f.agg(count(lit(1)).as("n_docs"),
+            fail(col("fail_min_tokens")).as("c1"),
+            fail(col("fail_word_len")).as("c2"),
+            fail(col("fail_repetition")).as("c3"),
+            fail(col("fail_stopwords")).as("c4"),
+            fail(col("fail_min_tokens") || col("fail_word_len") ||
+              col("fail_repetition") || col("fail_stopwords")).as("cany"))
+          .select(expr("stack(5, 'min_tokens', c1, 'word_len', c2, " +
+            "'repetition', c3, 'stopwords', c4, 'any_rule', cany) AS (rule, n_fail)"),
+            col("n_docs"))
+          .select(col("rule"), col("n_fail"),
+            round(col("n_fail").cast("double") / col("n_docs"), 4).as("fail_rate"))
+      }),
+
+    // URL host extraction + per-domain stats (the domain-mix report of a
+    // web-scale corpus). URLs planted on even doc_ids with the corpus's
+    // own deterministic scheme; odd docs carry none and land in the ''
+    // group — both engines' regexp_extract return '' on no-match.
+    Q("q88_domain_stats",
+      Some(s"""WITH c AS (SELECT doc_id, n_chars,
+              |    CASE WHEN doc_id % 2 = 0
+              |      THEN text || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+              |           || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' ok'
+              |      ELSE text END AS text
+              |  FROM documents)
+              |SELECT ${urlHostSql("text")} AS host, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM c GROUP BY host""".stripMargin),
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" see https://cdn"), col("doc_id") % 7,
+              lit(".example.org/p/"), col("doc_id"), lit(" ok")))
+            .otherwise(col("text")).as("text"))
+        planted.groupBy(urlHost(col("text")).as("host"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      }),
+
+    // Corpus Zipf diagnostics: least-squares slope of log-frequency on
+    // log-rank over the token frequency table (natural text ≈ −1; the
+    // drift monitor for synthetic/contaminated corpora). The regression
+    // runs on the ALREADY-AGGREGATED vocabulary table, so the unpartitioned
+    // rank window sorts |vocab| rows, not the corpus.
+    Q("q90_zipf_slope",
+      Some(s"""WITH p AS (SELECT unnest($toksSql) AS token FROM documents),
+              |c AS (SELECT token, count(*) AS n FROM p GROUP BY token),
+              |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM c)
+              |SELECT count(*) AS n_types,
+              |  round(CAST(regr_slope(log10(CAST(n AS DOUBLE)), log10(CAST(rnk AS DOUBLE))) AS DOUBLE), 4) AS zipf_slope,
+              |  round(CAST(regr_r2(log10(CAST(n AS DOUBLE)), log10(CAST(rnk AS DOUBLE))) AS DOUBLE), 4) AS r2
+              |FROM r""".stripMargin),
+      (s, dir) => {
+        val c = docs(s, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        c.select(col("n"),
+            row_number().over(Window.orderBy(col("n").desc, col("token"))).as("rnk"))
+          .agg(count(lit(1)).as("n_types"),
+            round(regr_slope(log10(col("n").cast("double")),
+              log10(col("rnk").cast("double"))), 4).as("zipf_slope"),
+            round(regr_r2(log10(col("n").cast("double")),
+              log10(col("rnk").cast("double"))), 4).as("r2"))
+      })
+  )
+}

@@ -59,6 +59,35 @@ object TextAnalysis {
         floor(col("distinct_ratio") * 10).cast("long"))
   }
 
+  /** C4/Gopher-style boolean quality gates, one flag column per rule —
+    * the rule-based companion to [[withQuality]]'s scalar score (real
+    * pipelines ship both: rules gate, the score ranks). All four rules
+    * are exact-integer-derived IEEE comparisons, so pass/fail is
+    * bit-identical across engines:
+    *  - `fail_min_tokens`  — under 25 tokens (fragment);
+    *  - `fail_word_len`    — mean word length outside [3, 10]
+    *    (gibberish / symbol soup on either end);
+    *  - `fail_repetition`  — most frequent token above 20% of the doc
+    *    (boilerplate);
+    *  - `fail_stopwords`   — stopword ratio under 2% (non-prose).
+    * Pure per-row projection, no shuffle until the caller aggregates. */
+  def withRuleFlags(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val n = size(toks).cast("double")
+    val meanLen =
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / n
+    // per-row mode frequency: count of each distinct token via the
+    // codegen'd array_remove identity (see lexiconHits' rationale)
+    val maxFreq = array_max(transform(array_distinct(toks),
+      w => size(toks) - size(array_remove(toks, w)))).cast("double") / n
+    val stopRatio = lexiconHits(toks, LangStopwords.head._2).cast("double") / n
+    df.withColumn("fail_min_tokens", size(toks) < 25)
+      .withColumn("fail_word_len", !(meanLen >= 3.0 && meanLen <= 10.0))
+      .withColumn("fail_repetition", maxFreq > 0.2)
+      .withColumn("fail_stopwords", stopRatio < 0.02)
+  }
+
   /** Lexicon sentiment counts + 3-way label. Integer comparison for the
     * label (no float threshold), so labeling can't drift across engines. */
   def withSentiment(df: DataFrame, textCol: Column): DataFrame = {

@@ -181,4 +181,35 @@ class DedupSpec extends SparkSpec {
     assert(cc.filter($"node" === $"canon").count() == cc.select("canon").distinct().count())
     assert(cc.filter($"node" < $"canon").count() == 0)
   }
+
+  test("incrementalDedup classifies exact, near, and fresh delta docs") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red green blue yellow purple orange pink white")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),       // exact
+      (11L, "one two three four five six seven eight nine extra"),  // near
+      (12L, "totally fresh words that never appeared before here"), // kept
+      (13L, "totally fresh words that never appeared before here")  // delta-internal dup: kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(base, col("doc_id"), col("text"),
+        delta, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "exact_dup", 11L -> "near_dup",
+      12L -> "kept", 13L -> "kept"), got.toString)
+  }
+
+  test("incrementalDedup flags planted pairs straddling the corpus split") {
+    val d = docs.select("doc_id", "text")
+    val delta = d.filter(col("doc_id") % 4 === 1)
+    val base = d.filter(col("doc_id") % 4 =!= 1)
+    val st = Dedup.incrementalDedup(base, col("doc_id"), col("text"),
+        delta, col("doc_id"), col("text"), 0.8)
+    assert(st.count() == delta.count(), "one status row per delta doc")
+    // at least one planted near-pair straddles any fixed doc_id split of
+    // the sf corpus; none of the originals is an exact dup
+    assert(st.filter($"status" === "near_dup").count() >= 1)
+    assert(st.filter($"status" === "exact_dup").count() == 0)
+  }
 }

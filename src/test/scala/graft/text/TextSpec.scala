@@ -144,4 +144,51 @@ class TextSpec extends SparkSpec {
     // raw-text count sees both patterns — documented overlap semantics
     assert(df.select(piiCount($"text")).head.getLong(0) == 2L)
   }
+
+  test("urlHost extracts the first host; '' when the text has no URL") {
+    val df = Seq(
+      (1L, "see https://cdn3.example.org/p/9 and http://other.io/x"),
+      (2L, "http://h.io?q=1 query stops the host"),
+      (3L, "no links at all")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", urlHost($"text")).orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("cdn3.example.org", "h.io", ""))
+  }
+
+  test("withRuleFlags: each rule trips on its designed failure mode") {
+    val df = Seq(
+      // 30 varied 3-5 char words, stopwords present: passes everything
+      (1L, (1 to 30).map(i => if (i % 6 == 0) "the" else s"wd${i % 17}").mkString(" ")),
+      (2L, "too short"),                                   // min_tokens
+      (3L, (1 to 30).map(_ => "ab").mkString(" ")),        // word_len (mean 2)
+      (4L, ("the spam " * 15).trim),                       // repetition (spam 50%)
+      (5L, (1 to 30).map(i => s"xq${i % 19}").mkString(" ")) // stopwords (0%)
+    ).toDF("doc_id", "text")
+    val f = graft.text.TextAnalysis.withRuleFlags(df, $"text")
+      .orderBy("doc_id")
+      .select("fail_min_tokens", "fail_word_len", "fail_repetition", "fail_stopwords")
+      .collect().map(r => (0 to 3).map(r.getBoolean).toSeq).toSeq
+    assert(f(0) == Seq(false, false, false, false), s"doc1 should pass: ${f(0)}")
+    assert(f(1)(0), "doc2 under min tokens")
+    assert(f(2)(1), "doc3 mean word length below 3")
+    assert(f(3)(2), "doc4 repetition above 20%")
+    assert(f(4)(3), "doc5 zero stopwords")
+  }
+
+  test("unigramSurprisal: an out-of-distribution doc scores highest") {
+    val typical = (1 to 20).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran"))
+    val odd = Seq((99L, "zyx qwv plk mno zyx qwv plk mno zyx qwv"))
+    val df = (typical ++ odd).toDF("doc_id", "text")
+    val sp = graft.text.LanguageModel
+      .unigramSurprisal(df, $"doc_id", tokens($"text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(sp.values.forall(_ > 0))
+    assert(sp(99L) == sp.values.max,
+      s"rare-token doc must have max surprisal: $sp")
+    // all typical docs identical text -> equal surprisal up to
+    // summation-order ULP drift (the shuffle's merge order isn't fixed)
+    val vals = typical.map(t => sp(t._1))
+    assert(vals.forall(v => math.abs(v - vals.head) < 1e-9))
+  }
 }
