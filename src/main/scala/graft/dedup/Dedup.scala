@@ -170,6 +170,73 @@ object Dedup {
         (size(col("s1")) + size(col("s2")) - col("n_inter")) >= threshold)
       .select(col("ddoc").as("doc_id")).distinct()
       .withColumn("_near", lit(1))
+    classifyDelta(d, exactIds, nearIds)
+  }
+
+  /** Persistable dedup index of a base corpus: one row per doc carrying
+    * its content hash (md5 — 128-bit equality, the exact-dup key), its
+    * MinHash signature, and its distinct shingle-hash set — everything
+    * [[incrementalDedupAgainstIndex]] needs, so arriving batches NEVER
+    * rescan base text. Built in ONE corpus pass (signature mins and the
+    * shingle set come out of the same grouped aggregate); write it out
+    * with `df.write.parquet(...)` and classify against the re-read frame.
+    * Docs with fewer than `shingleK` tokens keep an index row (exact-dup
+    * checks must still see them) with null signature columns — they can
+    * never band-match, which [[incrementalDedupAgainstIndex]] preserves
+    * by filtering null bands. */
+  def buildIndex(base: DataFrame, baseId: Column, baseText: Column,
+                 cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+    val ids = base.select(baseId.as("doc"), md5(baseText).as("content_hash"))
+    val aggs = cfg.perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * (col("sh") % MinHashP) + lit(b)) % MinHashP).as(s"mh$i")
+    } :+ collect_set(col("sh")).as("shs")
+    val sigSets = shingleHashes(base, baseId, baseText, cfg.shingleK, cfg.portable)
+      .groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    ids.join(sigSets, Seq("doc"), "left")
+  }
+
+  /** [[incrementalDedup]] against a PRECOMPUTED [[buildIndex]] frame —
+    * the amortized multi-batch shape: the base corpus is hashed, signed,
+    * and shingled exactly once, then every delta batch classifies with
+    * joins against the stored index only (content-hash semi-join, delta
+    * bands ⋈ index bands, verification against stored shingle sets). Base
+    * text is never touched again. Same classification contract as
+    * [[incrementalDedup]]: exact_dup > near_dup > kept per delta doc. */
+  def incrementalDedupAgainstIndex(index: DataFrame, delta: DataFrame,
+                                   deltaId: Column, deltaText: Column,
+                                   threshold: Double,
+                                   cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val d = scope.persist(delta.select(deltaId.as("doc_id"), deltaText.as("text")))
+    val exactIds = d.join(index.select(col("content_hash").as("bh")).distinct(),
+        md5(col("text")) === col("bh"), "left_semi")
+      .select(col("doc_id")).withColumn("_exact", lit(1))
+    val dSigs = minhashSignatures(d, col("doc_id"), col("text"), cfg)
+    val sigCols = col("doc") +: cfg.perms.indices.map(i => col(s"mh$i"))
+    val bBands = bandRows(index.filter(col("mh0").isNotNull).select(sigCols: _*), cfg)
+    val cand = scope.persist(
+      bandRows(dSigs, cfg).withColumnRenamed("doc", "ddoc")
+        .join(bBands.withColumnRenamed("doc", "bdoc"), Seq("band_idx", "band_key"))
+        .select("ddoc", "bdoc").distinct())
+    val candD = d.join(broadcast(cand.select(col("ddoc").as("cdoc")).distinct()),
+      col("doc_id") === col("cdoc"), "left_semi")
+    val dSets = shingleHashes(candD, col("doc_id"), col("text"), cfg.shingleK, cfg.portable)
+      .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
+    val nearIds = cand
+      .join(dSets.select(col("doc").as("ddoc"), col("shs").as("s1")), "ddoc")
+      .join(index.select(col("doc").as("bdoc"), col("shs").as("s2")), "bdoc")
+      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .filter(col("n_inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("n_inter")) >= threshold)
+      .select(col("ddoc").as("doc_id")).distinct()
+      .withColumn("_near", lit(1))
+    classifyDelta(d, exactIds, nearIds)
+  }
+
+  /** Shared status assembly of the incremental-dedup family: left-join
+    * the exact / near marker sets, priority exact > near > kept. */
+  private def classifyDelta(d: DataFrame, exactIds: DataFrame,
+                            nearIds: DataFrame): DataFrame =
     d.select("doc_id")
       .join(exactIds, Seq("doc_id"), "left")
       .join(nearIds, Seq("doc_id"), "left")
@@ -177,7 +244,6 @@ object Dedup {
         when(col("_exact") === 1, "exact_dup")
           .when(col("_near") === 1, "near_dup")
           .otherwise("kept").as("status"))
-  }
 
   /** Exact shingle-set Jaccard for doc pairs, via the counting formulation:
     * explode distinct (doc, shingle-hash) pairs, equi-join on the hash,

@@ -255,7 +255,7 @@ object EventsStream {
     * a plain-disk /tmp that I/O dominates the local stream-stream join
     * wall time. Production streams pass their own DURABLE (DFS) checkpoint
     * path — a throwaway checkpoint forfeits exactly-once on restart. */
-  private def tempCkpt(prefix: String): java.nio.file.Path = {
+  private[graft] def tempCkpt(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
       java.nio.file.Files.createTempDirectory(shm, prefix)
@@ -266,7 +266,7 @@ object EventsStream {
     * deleteOnExit can't remove a populated directory, and leftover
     * checkpoints from repeated or FAILED harness runs would accumulate
     * (on tmpfs: eat memory). */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
       stream.sorted(java.util.Comparator.reverseOrder())

@@ -200,6 +200,36 @@ class DedupSpec extends SparkSpec {
       12L -> "kept", 13L -> "kept"), got.toString)
   }
 
+  test("incrementalDedupAgainstIndex: parquet round-trip matches one-shot") {
+    val d = docs.select("doc_id", "text")
+    val delta = d.filter(col("doc_id") % 4 === 1)
+    val base = d.filter(col("doc_id") % 4 =!= 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Dedup.buildIndex(base, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    val fromIndex = Dedup.incrementalDedupAgainstIndex(
+        spark.read.parquet(dir), delta, col("doc_id"), col("text"), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val oneShot = Dedup.incrementalDedup(base, col("doc_id"), col("text"),
+        delta, col("doc_id"), col("text"), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromIndex == oneShot)
+    assert(fromIndex.values.exists(_ == "near_dup"))
+  }
+
+  test("buildIndex keeps sub-shingle docs visible to the exact-dup check") {
+    val base = Seq((1L, "only two"), (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(base, col("doc_id"), col("text"))
+    assert(idx.count() == 2, "short doc must keep an index row")
+    assert(idx.filter(col("mh0").isNull).count() == 1)
+    val delta = Seq((10L, "only two"), (11L, "three word doc")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupAgainstIndex(idx, delta,
+        col("doc_id"), col("text"), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "exact_dup", 11L -> "kept"), got.toString)
+  }
+
   test("incrementalDedup flags planted pairs straddling the corpus split") {
     val d = docs.select("doc_id", "text")
     val delta = d.filter(col("doc_id") % 4 === 1)

@@ -66,6 +66,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(written.select("event_id").distinct().count() == written.count())
   }
 
+  test("streaming incremental dedup classifies micro-batches against the base index") {
+    import graft.dedup.Dedup
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val delta = d.filter(col("doc_id") % 4 === 1)
+    val base = d.filter(col("doc_id") % 4 =!= 1)
+    val index = Dedup.buildIndex(base, col("doc_id"), col("text")).localCheckpoint()
+    // stage the delta as TWO files; one file per trigger -> two batches
+    val src = Files.createTempDirectory("graft_docstream_src")
+    delta.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(src.resolve("p1").toString)
+    delta.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(src.resolve("p2").toString)
+    val out = Files.createTempDirectory("graft_docstream_out").toString + "/status"
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    graft.streaming.DocDedupStream.classifyToParquet(stream, index, out, 0.8)
+    val got = spark.read.parquet(out)
+    assert(got.select("batch_id").distinct().count() >= 2, "expected >= 2 micro-batches")
+    // per-doc statuses equal the one-shot batch classification
+    val want = Dedup.incrementalDedup(base, col("doc_id"), col("text"),
+        delta, col("doc_id"), col("text"), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotMap == want)
+  }
+
   test("streaming dedupe drops replayed events within the watermark") {
     // stage the same parquet twice: every event arrives as a duplicate
     val d = Files.createTempDirectory("graft_dup_stream")
