@@ -102,6 +102,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q85: stratified sample windows a narrow projection; bodies rejoin by broadcast semi-join") {
+    val p = plan("q85_stratified_sample").split("== Initial Plan ==")(0)
+    // one stratum shuffle for both window functions — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the ranked branch reads only (doc_id, lang) — bodies stay out of the sort
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("q86: the LM model reuses the doc-token counts exchange (single corpus scan)") {
+    val p = plan("q86_unigram_surprisal").split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      "model counts must derive from the per-doc counts shuffle, not a re-scan: " + p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q90: the rank window sorts the aggregated vocabulary, not the corpus") {
+    val p = plan("q90_zipf_slope").split("== Initial Plan ==")(0)
+    // single-partition stages: the vocab rank window + the final 1-row regr
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_regr_slope"), "regr must map-side combine: " + p)
+    // the window's input is the (token, n) aggregate — corpus rows never
+    // reach the single-partition sort
+    assert(p.indexOf("Window") < p.indexOf("Exchange SinglePartition"), p)
+  }
+
   test("RegexAlternationToContains rewrites literal alternations (opt-in rule)") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RegexAlternationToContains
