@@ -55,6 +55,18 @@ object StressDedup {
     time("tf-idf top-5 per doc")(
       noop(TfIdf.topKPerDoc(corpus, col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")), 5)))
+    // incremental shape: index the big corpus once, classify one sf0.1
+    // batch of arrivals against it — the steady-state cost per batch is
+    // the classify number, not the index build
+    val idxCfg = MinHashConfig.generated(64, 16, portable = false)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_stress_idx").toString
+    time(s"dedup index build ($copies×corpus, 64/16)")(
+      Dedup.buildIndex(corpus, col("doc_id"), col("text"), idxCfg)
+        .write.mode("overwrite").parquet(idxDir))
+    val delta = base.select((col("doc_id") + copies * 1000000L).as("doc_id"), col("text"))
+    time("incremental classify (1 batch vs stored index)")(
+      noop(Dedup.incrementalDedupAgainstIndex(spark.read.parquet(idxDir),
+        delta, col("doc_id"), col("text"), 0.8, idxCfg)))
     spark.stop()
   }
 }
