@@ -286,6 +286,36 @@ object Relational {
     * dedup baseline (builder brief): at 100 TB the groupBy key is
     * `xxhash64(text)` rather than the full text so shuffle rows stay
     * small; collisions at 64-bit are negligible (~5e-8 at 1e9 docs). */
+  /** Bloom-filter join pruning: drop big-side rows whose key cannot be in
+    * `small` BEFORE the join shuffle — the runtime-filter technique that
+    * turns a fact⋈dim join at 100 TB from "shuffle everything" into
+    * "shuffle the ~matching fraction". The filter is built with ONE
+    * aggregate over the small side (Spark's own BloomFilterAggregate —
+    * partial sketches OR-merge, so it is map-side combinable), embedded
+    * as a literal, and evaluated as a codegen'd per-row probe
+    * (BloomFilterMightContain) with zero shuffle on the big side.
+    * Returns the pruned big side: a SUPERSET of the rows with matches
+    * (fpp controls the false-positive excess) — callers still run the
+    * exact join on the survivors; no row with a match is ever dropped.
+    * Complements Spark's automatic runtime bloom filters (which only
+    * trigger inside one query plan): this form works across frames,
+    * e.g. pruning a scan against yesterday's key set. */
+  def bloomPruned(big: DataFrame, bigKey: Column,
+                  small: DataFrame, smallKey: Column,
+                  estimatedItems: Long = 1000000L,
+                  numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val agg = new BloomFilterAggregate(Bridge.expression(xxhash64(smallKey)),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression()
+    val sketch = small.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
+    if (sketch == null) big.limit(0) // empty small side: nothing can match
+    else big.filter(Bridge.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType), Bridge.expression(xxhash64(bigKey)))))
+  }
+
   def dedupExactKeepFirst(df: DataFrame, key: Column, tieBreaker: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
       .agg(min(tieBreaker).as("keeper"), count(lit(1)).as("n_dups"))

@@ -67,6 +67,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(math.abs(merged - global) / global < 0.05, s"merged=$merged global=$global")
   }
 
+  test("bloomPruned: superset of matches, honest pruning, exact join unchanged") {
+    val li = Tables.lineitem(spark, sfDir)
+    val hot = Tables.part(spark, sfDir).filter($"p_partkey" % 10 === 3)
+    val pruned = Relational.bloomPruned(li, $"l_partkey", hot, $"p_partkey",
+      estimatedItems = 1000L, numBits = 64L * 1024)
+    val nBig = li.count(); val nPruned = pruned.count()
+    val nMatch = li.join(hot, $"l_partkey" === $"p_partkey", "left_semi").count()
+    assert(nPruned >= nMatch, "bloom must never drop a matching row")
+    assert(nPruned < nBig, s"bloom pruned nothing ($nPruned of $nBig)")
+    // exact join on survivors == plain join (false positives fall out)
+    val a = pruned.join(hot, $"l_partkey" === $"p_partkey").count()
+    val b = li.join(hot, $"l_partkey" === $"p_partkey").count()
+    assert(a == b)
+    // probe is a per-row filter: no exchange added on the big side
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("bloomPruned on an empty small side keeps schema and drops everything") {
+    val li = Tables.lineitem(spark, sfDir)
+    val none = Tables.part(spark, sfDir).filter($"p_partkey" < 0)
+    val pruned = Relational.bloomPruned(li, $"l_partkey", none, $"p_partkey")
+    assert(pruned.count() == 0)
+    assert(pruned.schema == li.schema)
+  }
+
   test("approx_count_distinct lands within 5% of exact; approx percentile sane") {
     val li = Tables.lineitem(spark, sfDir)
     val Array(approx, exact) = li.select(
