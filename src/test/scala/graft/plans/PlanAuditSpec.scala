@@ -18,6 +18,18 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Audit against sf0.01 instead of the shared sf0.001 fixture dir:
+    * suites run in parallel in this JVM and DedupSpec caches the sf0.001
+    * documents table — a cache hit swaps the FileScan (and the exchanges
+    * above it) for an InMemoryRelation, which is exactly what scan-shape
+    * assertions must not see. A different path means a different plan,
+    * which the cache lookup can't match. */
+  private def planUncached(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q02: filters are pushed to the parquet scan and columns pruned") {
     val p = plan("q02_scan_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
@@ -103,7 +115,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q85: stratified sample windows a narrow projection; bodies rejoin by broadcast semi-join") {
-    val p = plan("q85_stratified_sample").split("== Initial Plan ==")(0)
+    val p = planUncached("q85_stratified_sample").split("== Initial Plan ==")(0)
     // one stratum shuffle for both window functions — nothing else
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
@@ -112,7 +124,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q86: the LM model reuses the doc-token counts exchange (single corpus scan)") {
-    val p = plan("q86_unigram_surprisal").split("== Initial Plan ==")(0)
+    val p = planUncached("q86_unigram_surprisal").split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"),
       "model counts must derive from the per-doc counts shuffle, not a re-scan: " + p)
     assert(p.contains("partial_sum"), p)
