@@ -45,16 +45,64 @@ class MediaSpec extends SparkSpec {
       s"unexpected shuffle:\n${planned.queryExecution.executedPlan}")
   }
 
-  test("resized updates payload size and metadata together, images only") {
+  test("resized re-encodes real PNGs at the new dimensions, metadata in sync") {
     val r = Media.resized(media, 16, 16)
     val img = r.filter($"kind" === "image")
     assert(img.filter($"width" =!= 16 || $"height" =!= 16).count() == 0)
-    assert(img.toDF().filter(length($"payload") =!= 256).count() == 0)
+    // every image payload is a genuine PNG that decodes at the new size
+    val badDims = img.collect().count { row =>
+      val d = MediaCodec.decode(row.payload)
+      !(d.isImage && d.width == 16 && d.height == 16)
+    }
+    assert(badDims == 0)
     // non-image rows pass through untouched
     val others = r.filter($"kind" =!= "image").toDF()
       .select($"media_id", $"width".as("w2"))
       .join(media.toDF().select($"media_id", $"width"), "media_id")
     assert(others.filter($"w2" =!= $"width").count() == 0)
+  }
+
+  test("image payloads are real PNGs; decode recovers exact pixels") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // hand-build a 3x2 grayscale PNG with known pixel values
+    val bi = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Array(0, 64, 128, 192, 255, 7)
+    for (y <- 0 until 2; x <- 0 until 3) bi.getRaster.setSample(x, y, 0, vals(y * 3 + x))
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", out)
+    val d = MediaCodec.decode(out.toByteArray)
+    assert(d.isImage && d.width == 3 && d.height == 2)
+    assert(d.pixels.map(_ & 0xff).toSeq == vals.toSeq)
+    // and the synthesized corpus's image rows decode at their declared dims
+    val imgs = media.filter($"kind" === "image").collect()
+    assert(imgs.nonEmpty)
+    assert(imgs.forall { r =>
+      val dd = MediaCodec.decode(r.payload)
+      dd.isImage && dd.width == r.width && dd.height == r.height
+    })
+  }
+
+  test("nearestMedia ranks a visually-identical image first despite distinct PNG bytes") {
+    import java.awt.image.{BufferedImage, DataBufferByte}
+    import javax.imageio.ImageIO
+    val q = media.filter($"kind" === "image").orderBy($"media_id").head()
+    val d = MediaCodec.decode(q.payload)
+    // twin: same image with one pixel toggled by 1 luma step — visually
+    // identical, but the PNG byte stream differs from the original
+    val bi = new BufferedImage(d.width, d.height, BufferedImage.TYPE_BYTE_GRAY)
+    val px = bi.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    System.arraycopy(d.pixels, 0, px, 0, d.pixels.length)
+    px(0) = (px(0) ^ 1).toByte
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", out)
+    val twinBytes = out.toByteArray
+    assert(!java.util.Arrays.equals(twinBytes, q.payload))
+    val twin = spark.createDataset(Seq(
+      q.copy(media_id = 900002L, payload = twinBytes)))(media.encoder)
+    val top = Media.nearestMedia(media.union(twin), queryId = q.media_id, k = 3).collect()
+    assert(top.head.getLong(0) == 900002L, top.mkString(";"))
+    assert(top.head.getDouble(1) > 0.9999)
   }
 
   test("nearestMedia composes the codec seam with knn: self-similar dup found first") {
