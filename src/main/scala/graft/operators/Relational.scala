@@ -221,6 +221,32 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Scale-safe [[fuzzyPairs]]: the length-difference prune becomes a
+    * BLOCKING equi-key, so the pair space never materializes and the plan
+    * is a hash/sort-merge join instead of the quadratic
+    * BroadcastNestedLoop the direct theta-join gets. Band =
+    * ⌊len/(maxDist+1)⌋; any pair within `maxDist` edits has
+    * |len(a)−len(b)| ≤ maxDist < bandWidth, so its bands differ by at most
+    * one. Both sides emit {band, band+1} and a match is kept only at the
+    * GREATER of the two true bands — every qualifying pair matches in
+    * exactly one band (no duplicates), adjacent-band pairs included.
+    * Cost: 2× row duplication through one shuffle, vs |df|² candidate
+    * pairs. Results are identical to [[fuzzyPairs]] (spec-asserted). */
+  def fuzzyPairsBlocked(df: DataFrame, idCol: Column, nameCol: Column,
+                        maxDist: Int): DataFrame = {
+    val bandW = maxDist + 1
+    def side(n: Int) = df.select(idCol.as(s"id$n"), nameCol.as(s"name$n"))
+      .withColumn(s"_b$n", floor(length(col(s"name$n")) / bandW).cast("long"))
+      .withColumn("_band", explode(array(col(s"_b$n"), col(s"_b$n") + 1L)))
+    side(1).join(side(2), Seq("_band"))
+      .filter(col("_band") === greatest(col("_b1"), col("_b2"))
+        && col("id1") < col("id2")
+        && abs(length(col("name1")) - length(col("name2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("name1"), col("id2"), col("name2"), col("dist"))
+  }
+
   /** Deterministic mixture resampling: replicate (or drop) rows so each
     * class hits its target weight — the domain-mixing step that turns a
     * filtered corpus into a training mixture ("2.3× books, 0.5× web").

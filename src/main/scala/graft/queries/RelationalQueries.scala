@@ -557,9 +557,10 @@ object RelationalQueries {
           .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))),
 
     // Fuzzy (edit-distance) pair matching over the nation dimension —
-    // levenshtein is deterministic and identical across engines. Scale
-    // note in Relational.fuzzyPairs: length-difference prune + blocking
-    // before the distance on large sides.
+    // levenshtein is deterministic and identical across engines. Runs the
+    // BLOCKED variant (length-band equi-join, no BroadcastNestedLoop) so
+    // the oracle covers the plan that survives large inputs; the direct
+    // theta-join form stays available for dimension-sized ad-hoc use.
     Q("q56_fuzzy_pairs",
       Some("""SELECT a.n_name AS name1, b.n_name AS name2,
              |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
@@ -567,7 +568,7 @@ object RelationalQueries {
              |WHERE levenshtein(a.n_name, b.n_name) <= 5
              |  AND abs(len(a.n_name) - len(b.n_name)) <= 5""".stripMargin),
       (s, dir) =>
-        Relational.fuzzyPairs(t(s, dir, "nation"),
+        Relational.fuzzyPairsBlocked(t(s, dir, "nation"),
           col("n_nationkey"), col("n_name"), maxDist = 5)
           .select(col("name1"), col("name2"), col("dist"))),
 

@@ -146,6 +146,30 @@ class RelationalSpec extends SparkSpec {
       plan)
   }
 
+  test("fuzzyPairsBlocked equals the direct theta-join form, with no nested-loop in the plan") {
+    // q56's corpus: the nation dimension at the oracle's maxDist
+    val nation = Tables.nation(spark, sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "dist").collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue)).toSet
+    val direct = pairSet(Relational.fuzzyPairs(nation, $"n_nationkey", $"n_name", 5))
+    val blocked = pairSet(Relational.fuzzyPairsBlocked(nation, $"n_nationkey", $"n_name", 5))
+    assert(blocked == direct, s"blocked=$blocked direct=$direct")
+    // adjacent-band coverage: lengths straddling the band boundary
+    // (bandW = 3 → "ab" is band 0, "abcd" band 1, dist 2 ≤ maxDist 2)
+    val edge = Seq((1L, "ab"), (2L, "abcd"), (3L, "abcdefgh"), (4L, "xy"),
+      (5L, "abce"), (6L, "")).toDF("id", "name")
+    val de = pairSet(Relational.fuzzyPairs(edge, $"id", $"name", 2))
+    val be = pairSet(Relational.fuzzyPairsBlocked(edge, $"id", $"name", 2))
+    assert(be == de, s"blocked=$be direct=$de")
+    assert(de.contains((1L, 2L, 2L))) // the cross-band pair really is in play
+    val plan = Relational.fuzzyPairsBlocked(nation, $"n_nationkey", $"n_name", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("TopKSmallest aggregator equals sort+limit per group; sampleBy stratifies deterministically") {
     val agg = new TopKSmallest(3).toColumn
     val got = orders
