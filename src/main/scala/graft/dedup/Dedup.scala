@@ -20,6 +20,13 @@ final case class MinHashConfig(perms: IndexedSeq[(Long, Long)],
   require(perms.nonEmpty && bands > 0 && perms.size % bands == 0,
     s"perms (${perms.size}) must divide evenly into bands ($bands)")
   def rowsPerBand: Int = perms.size / bands
+
+  /** Stable identity of this config — stamped into [[Dedup.buildIndex]]
+    * output so a classify pass with a different config fails loudly
+    * instead of silently missing near-dups. MurmurHash3 of the perm
+    * stream (Scala's Seq hashCode) is content-deterministic across JVMs. */
+  def fingerprint: String =
+    s"mh${perms.size}b${bands}k$shingleK${if (portable) "p" else "x"}h${perms.hashCode}"
 }
 
 object MinHashConfig {
@@ -192,7 +199,12 @@ object Dedup {
     } :+ collect_set(col("sh")).as("shs")
     val sigSets = shingleHashes(base, baseId, baseText, cfg.shingleK, cfg.portable)
       .groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    // cfg fingerprint rides with the data: a classify pass with a
+    // different config would band-join on never-matching keys and
+    // silently miss every near-dup — the stamp turns that into a loud
+    // require() in incrementalDedupAgainstIndex
     ids.join(sigSets, Seq("doc"), "left")
+      .withColumn("_cfg", lit(cfg.fingerprint))
   }
 
   /** [[incrementalDedup]] against a PRECOMPUTED [[buildIndex]] frame —
@@ -207,6 +219,23 @@ object Dedup {
                                    threshold: Double,
                                    cfg: MinHashConfig = MinHashConfig.OraclePinned,
                                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // config-mismatch guard: band keys from a different MinHashConfig
+    // never match, so a mismatch would classify every near-dup as "kept"
+    // with no error. Schema check is free; the stamped fingerprint (one
+    // constant row, limit(1) action) catches same-width different-perm
+    // families too. Unstamped (pre-fingerprint) indexes pass the schema
+    // check only.
+    val mhCols = index.columns.count(_.matches("mh\\d+"))
+    require(mhCols == cfg.perms.size,
+      s"index carries $mhCols mh columns but cfg expects ${cfg.perms.size} " +
+        "— was the index built with a different MinHashConfig?")
+    if (index.columns.contains("_cfg"))
+      index.select(col("_cfg")).limit(1).collect().headOption
+        .map(_.getString(0)).filter(_ != cfg.fingerprint).foreach { fp =>
+          throw new IllegalArgumentException(
+            s"index was built with MinHashConfig fingerprint $fp but " +
+              s"classification uses ${cfg.fingerprint} — near-dups would be silently missed")
+        }
     val d = scope.persist(delta.select(deltaId.as("doc_id"), deltaText.as("text")))
     val exactIds = d.join(index.select(col("content_hash").as("bh")).distinct(),
         md5(col("text")) === col("bh"), "left_semi")
@@ -361,12 +390,17 @@ object Dedup {
     * directly), which is why the simple propagation beats the O(log n)
     * large-star/small-star scheme (Kiveris et al., "Connected Components
     * in MapReduce and Beyond") here — each of its rounds costs ~2× more.
-    * `maxIter` bounds pathological chain inputs; hitting it throws rather
-    * than silently returning a partial clustering. `localCheckpoint`
-    * truncates the per-round lineage (the changed-count action pays the
+    * HIGH-DIAMETER graphs (pathological chains) are no longer a throw:
+    * if propagation is still changing after `switchAfter` rounds, the
+    * engine hands the current state to [[starComponents]] — the Kiveris
+    * alternating large-star/small-star contraction, O(log n) rounds on
+    * any topology — instead of grinding out diameter-many rounds.
+    * `maxIter` still bounds the fallback; hitting it throws rather than
+    * silently returning a partial clustering. `localCheckpoint` truncates
+    * the per-round lineage (the changed-count action pays the
     * materialization anyway). */
   def connectedComponents(pairs: DataFrame, d1: Column, d2: Column,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25, switchAfter: Int = 8): DataFrame = {
     // the symmetric edge list is re-joined every round — materialize it
     // once instead of replaying the (possibly expensive) pairs pipeline
     val edges = pairs.select(d1.as("src"), d2.as("dst"))
@@ -378,11 +412,7 @@ object Dedup {
       .localCheckpoint()
     var it = 0
     var changed = 1L
-    while (changed > 0) {
-      if (it >= maxIter)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds " +
-            "(graph diameter exceeds maxIter — raise it or pre-cluster)")
+    while (changed > 0 && it < math.min(switchAfter, maxIter)) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("canon")).as("nbr_canon"))
@@ -396,7 +426,79 @@ object Dedup {
       labels = next.drop("chg")
       it += 1
     }
-    labels
+    if (changed == 0) labels
+    else {
+      // high-diameter graph: propagation would need diameter-many rounds.
+      // Seed the star contraction with the label links already discovered
+      // (node→canon is an intra-component edge) so partial progress isn't
+      // thrown away, then finish in O(log n) rounds.
+      starComponents(
+        edges.union(labels.filter(col("node") =!= col("canon"))
+          .select(col("node").as("src"), col("canon").as("dst"))),
+        maxIter - it)
+    }
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"): converges in
+    * O(log n) rounds on ANY topology — the scale fallback
+    * [[connectedComponents]] switches to when min-label propagation
+    * stalls on a high-diameter graph.
+    *
+    * Each round: large-star links every node's strictly-larger neighbors
+    * to the minimum of its closed neighborhood; small-star (edges
+    * oriented big→small) links each node and its smaller neighbors to
+    * that minimum. The fixpoint is a star forest — every node points at
+    * its component's global minimum. Convergence is detected by edge-set
+    * equality (count + one anti-join — O(|E|), no driver data).
+    * Input `edges0` may be directed/duplicated; it is canonicalized
+    * first. Returns the same (node, canon) shape as
+    * [[connectedComponents]]. */
+  def starComponents(edges0: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges0
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    // every node ever seen — the final star forest omits root self-rows
+    val allNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"starComponents did not converge in $maxIter rounds")
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      // large-star: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      val ls = sym.join(sym.groupBy("src").agg(min(col("dst")).as("mn")), "src")
+        .withColumn("m", least(col("mn"), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star on big→small edges: m = min(N⁻(u) ∪ {u}); emit (v, m)
+      // for every smaller neighbor v plus u itself
+      val o = ls.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val j = o.join(o.groupBy("src").agg(min(col("dst")).as("m")), "src")
+      val next = j.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(j.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      e = next
+      it += 1
+    }
+    // star forest: non-roots point at the component min; roots label themselves
+    allNodes.join(e.select(col("src").as("node"), col("dst").as("canon")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("canon"), col("node")).as("canon"))
   }
 
   /** Train/eval contamination: for each eval doc, the fraction of its

@@ -170,7 +170,21 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.connectedComponents(edges.toDF("d1", "d2"), col("d1"), col("d2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"nodes=$nNodes edges=${edges.size}")
+      // the star-contraction fallback must agree on the same graphs
+      val gotStar = Dedup.starComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == want, s"star: nodes=$nNodes edges=${edges.size}")
     }
+  }
+
+  test("high-diameter fallback: a 10,000-node chain clusters via star contraction") {
+    // diameter 9,999 — min-label propagation alone would need 10k rounds;
+    // the switchAfter=8 handoff to starComponents finishes in O(log n)
+    val n = 10000L
+    val chain = spark.range(n - 1).select(col("id").as("d1"), (col("id") + 1L).as("d2"))
+    val cc = Dedup.connectedComponents(chain, col("d1"), col("d2"))
+    assert(cc.count() == n)
+    assert(cc.filter($"canon" =!= 0L).count() == 0, "all nodes must label to the chain min")
   }
 
   test("connectedComponents clusters the corpus's planted near-dup pairs") {
@@ -215,6 +229,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fromIndex == oneShot)
     assert(fromIndex.values.exists(_ == "near_dup"))
+  }
+
+  test("incrementalDedupAgainstIndex rejects an index built with a different config") {
+    val d = docs.select("doc_id", "text")
+    val base = d.filter(col("doc_id") % 4 =!= 1)
+    val delta = d.filter(col("doc_id") % 4 === 1)
+    val idx = Dedup.buildIndex(base, col("doc_id"), col("text"),
+      graft.dedup.MinHashConfig.generated(8, 4))
+    // wrong width: schema check trips before any job runs
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupAgainstIndex(idx, delta, col("doc_id"), col("text"), 0.8)
+    }
+    assert(e1.getMessage.contains("mh columns"))
+    // same width, different perm family: the stamped fingerprint trips
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupAgainstIndex(idx, delta, col("doc_id"), col("text"), 0.8,
+        graft.dedup.MinHashConfig.generated(8, 2))
+    }
+    assert(e2.getMessage.contains("fingerprint"))
+    // matching config passes
+    assert(Dedup.incrementalDedupAgainstIndex(idx, delta, col("doc_id"), col("text"), 0.8,
+      graft.dedup.MinHashConfig.generated(8, 4)).count() == delta.count())
   }
 
   test("buildIndex keeps sub-shingle docs visible to the exact-dup check") {
