@@ -30,6 +30,19 @@ object DedupQueries {
     .map { case ((a, b), i) => s"    ${minhashSql("hs", a, b)} AS mh$i" }
     .mkString(",\n")
 
+  /** The production config (64 splitmix64-generated perms, 16 bands): the
+    * (a, b) stream is derived ONCE in Scala and inlined as literals into
+    * both engines' plans, so the oracle replays the generated family
+    * bit-for-bit — no in-SQL PRNG needed. */
+  private val wideCfg = graft.dedup.MinHashConfig.generated(64, 16)
+  private val wideMinhashExprs: String = wideCfg.perms.zipWithIndex
+    .map { case ((a, b), i) => s"    ${minhashSql("hs", a, b)} AS mh$i" }
+    .mkString(",\n")
+  private val wideBandCond: String = (0 until wideCfg.bands).map { bnd =>
+    (bnd * wideCfg.rowsPerBand until (bnd + 1) * wideCfg.rowsPerBand)
+      .map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+  }.mkString("\n     OR ")
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup keep-first over a corpus with planted exact duplicates
@@ -87,6 +100,34 @@ object DedupQueries {
               |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8""".stripMargin),
       (s, dir) =>
         Dedup.nearDuplicates(docs(s, dir), col("doc_id"), col("text"), 0.8)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
+
+    // The PRODUCTION LSH configuration, oracle-backed: the same pipeline
+    // as q36 but with the 64-perm/16-band generated family the 100 TB
+    // path runs (benched as x36b). The splitmix64 (a, b) constants are
+    // engine-portable literals (see wideCfg above), so the generated
+    // family is hash-checked against DuckDB, not just spec'd.
+    Q("q91_lsh_neardup_wide",
+      Some(s"""$baseCtes,
+              |sig AS (
+              |  SELECT doc_id,
+              |$wideMinhashExprs
+              |  FROM (SELECT doc_id, $shSql AS hs FROM t)),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ($wideBandCond)),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t)
+              |SELECT c.d1, c.d2,
+              |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jaccard_r
+              |FROM cand c
+              |JOIN shs a ON a.doc_id = c.d1
+              |JOIN shs b ON b.doc_id = c.d2
+              |WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8""".stripMargin),
+      (s, dir) =>
+        Dedup.nearDuplicates(docs(s, dir), col("doc_id"), col("text"), 0.8,
+            graft.dedup.MinHashConfig.generated(64, 16))
           .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
 
     // Exact all-pairs n-gram Jaccard (no LSH prefilter) at a 0.5 floor —
