@@ -70,22 +70,30 @@ object TextAnalysis {
     *  - `fail_repetition`  — most frequent token above 20% of the doc
     *    (boilerplate);
     *  - `fail_stopwords`   — stopword ratio under 2% (non-prose).
+    * The rule set is ENGLISH-ONLY by design, like C4's — the stopword
+    * gate uses the English lexicon for every document, so non-English
+    * prose trips `fail_stopwords` (run it after a language filter, or
+    * treat the flag as "non-English-prose"). Zero-token documents fail
+    * `word_len`/`stopwords` and pass `repetition`: every flag is a
+    * real boolean, never a null tri-state. The mean-length and
+    * mode-frequency stats are codegen'd single-pass expressions
+    * ([[graft.functions.expressions.TokenCharSum]] /
+    * [[graft.functions.expressions.TokenModeCount]]) — the interpreted
+    * higher-order forms they replace cost O(distinct×tokens) per row.
     * Pure per-row projection, no shuffle until the caller aggregates. */
   def withRuleFlags(df: DataFrame, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.expressions.{TokenCharSum, TokenModeCount}
     val toks = tokens(textCol)
     val n = size(toks).cast("double")
-    val meanLen =
-      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
-        .cast("double") / n
-    // per-row mode frequency: count of each distinct token via the
-    // codegen'd array_remove identity (see lexiconHits' rationale)
-    val maxFreq = array_max(transform(array_distinct(toks),
-      w => size(toks) - size(array_remove(toks, w)))).cast("double") / n
+    val hasToks = size(toks) > 0
+    val meanLen = Bridge.column(TokenCharSum(Bridge.expression(toks))).cast("double") / n
+    val maxFreq = Bridge.column(TokenModeCount(Bridge.expression(toks))).cast("double") / n
     val stopRatio = lexiconHits(toks, LangStopwords.head._2).cast("double") / n
     df.withColumn("fail_min_tokens", size(toks) < 25)
-      .withColumn("fail_word_len", !(meanLen >= 3.0 && meanLen <= 10.0))
-      .withColumn("fail_repetition", maxFreq > 0.2)
-      .withColumn("fail_stopwords", stopRatio < 0.02)
+      .withColumn("fail_word_len", !hasToks || !(meanLen >= 3.0 && meanLen <= 10.0))
+      .withColumn("fail_repetition", hasToks && maxFreq > 0.2)
+      .withColumn("fail_stopwords", !hasToks || stopRatio < 0.02)
   }
 
   /** Lexicon sentiment counts + 3-way label. Integer comparison for the

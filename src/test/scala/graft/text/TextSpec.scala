@@ -175,6 +175,33 @@ class TextSpec extends SparkSpec {
     assert(f(4)(3), "doc5 zero stopwords")
   }
 
+  test("TokenCharSum/TokenModeCount match the interpreted HOF forms; gates codegen'd and null-free") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.expressions.{TokenCharSum, TokenModeCount}
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens($"text")
+    val cmp = docs.select(
+      Bridge.column(TokenCharSum(Bridge.expression(toks))).as("cs"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("cs0"),
+      Bridge.column(TokenModeCount(Bridge.expression(toks))).as("mc"),
+      array_max(transform(array_distinct(toks),
+        w => size(toks) - size(array_remove(toks, w)))).cast("long").as("mc0"))
+    assert(cmp.filter($"cs" =!= $"cs0" || $"mc" =!= $"mc0").count() == 0)
+    // empty/whitespace docs: every flag is a real boolean, never null
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val flags = graft.text.TextAnalysis.withRuleFlags(edge, $"text")
+      .select("fail_min_tokens", "fail_word_len", "fail_repetition", "fail_stopwords")
+      .collect()
+    assert(flags.forall(r => (0 to 3).forall(i => !r.isNullAt(i))), flags.mkString(";"))
+    // the quality-gate path carries no interpreted higher-order functions
+    val plan = graft.text.TextAnalysis.withRuleFlags(docs, $"text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("token_char_sum") && plan.contains("token_mode_count"), plan.take(2000))
+    // lexiconHits' size−array_remove chain is codegen'd builtins; what must
+    // be gone is any interpreted lambda HOF (transform/aggregate/filter)
+    assert(!plan.contains("lambdafunction"), plan.take(2000))
+  }
+
   test("unigramSurprisal: an out-of-distribution doc scores highest") {
     val typical = (1 to 20).map(i =>
       (i.toLong, "the cat sat on the mat and the dog ran"))
