@@ -158,7 +158,7 @@ object TextFunctions {
   def urlHostSql(e: String): String =
     s"regexp_extract($e, '$UrlHostRe', 1)"
 
-  private val PiiRules: Seq[(String, String)] = Seq(
+  private[graft] val PiiRules: Seq[(String, String)] = Seq(
     UrlRe -> "<URL>", EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")
 
   /** Replace every URL/email/phone occurrence with a typed placeholder —

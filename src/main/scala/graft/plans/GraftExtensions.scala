@@ -2,8 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpExtractAll, RegExpReplace, Size}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.LongType
 
+import graft.functions.TextFunctions
 import graft.functions.expressions.{CosineSimilarity, DotProduct, PorterStem}
 
 /** Engine extension point, registered via
@@ -12,19 +15,48 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct, PorterStem}
   *  - the [[RegexAlternationToContains]] optimizer rule;
   *  - SQL bindings for the native expressions (`dot_product`,
   *    `cosine_similarity`, `porter_stem`) so `spark.sql(...)` users get
-  *    them too.
+  *    them too;
+  *  - SQL bindings for the pipeline-hygiene column functions
+  *    (`scrub_pii`, `url_host`, `pii_count`) — these expand to the same
+  *    codegen'd builtin chains the DataFrame API builds, via the
+  *    Column→Expression bridge.
   */
 object GraftExtensions {
+
+  /** (name, usage, builder) for every SQL function the engine exports —
+    * single source of truth for both registration paths. */
+  private[plans] val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      "dot_product(a, b) - strict left-to-right dot product of two array<double>",
+      args => DotProduct(args(0), args(1))),
+    ("cosine_similarity",
+      "cosine_similarity(a, b) - single-pass cosine similarity of two array<double>",
+      args => CosineSimilarity(args(0), args(1))),
+    ("porter_stem",
+      "porter_stem(word) - Porter-stemmed form of word",
+      args => PorterStem(args.head)),
+    // the column-function twins below are rebuilt as catalyst trees
+    // (a Column round-trip would hand the registry unresolved nodes)
+    ("scrub_pii",
+      "scrub_pii(text) - text with URLs/emails/phones replaced by typed placeholders",
+      args => TextFunctions.PiiRules.foldLeft(args.head) { case (c, (re, tag)) =>
+        RegExpReplace(c, Literal(re), Literal(tag))
+      }),
+    ("url_host",
+      "url_host(text) - host of the first URL in text, '' when none",
+      args => RegExpExtract(args.head, Literal(TextFunctions.UrlHostRe), Literal(1))),
+    ("pii_count",
+      "pii_count(text) - number of URL/email/phone matches in text",
+      args => TextFunctions.PiiRules.map { case (re, _) =>
+        Cast(Size(RegExpExtractAll(args.head, Literal(re), Literal(0))), LongType): Expression
+      }.reduce(Add(_, _))))
+
   /** Runtime registration of the same SQL functions on an existing
     * session (extensions configs only apply at session construction). */
-  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "dot_product",
-      args => DotProduct(args(0), args(1)))
-    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "cosine_similarity",
-      args => CosineSimilarity(args(0), args(1)))
-    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "porter_stem",
-      args => PorterStem(args.head))
-  }
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -34,17 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RegexAlternationToContains)
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - strict left-to-right dot product of two array<double>"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity", "cosine_similarity(a, b) - single-pass cosine similarity of two array<double>"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("porter_stem"),
-      info("porter_stem", "porter_stem(word) - Porter-stemmed form of word"),
-      (args: Seq[Expression]) => PorterStem(args.head)))
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
   }
 }

@@ -170,6 +170,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.getString(0) == "run" && out.getDouble(1) == 11.0 && out.getDouble(2) == 1.0)
   }
 
+  test("pipeline-hygiene column functions are SQL-callable once registered") {
+    GraftExtensions.registerFunctions(spark)
+    val out = spark.sql(
+      "SELECT scrub_pii('mail a@b.co or https://x.io/p now') AS s, " +
+        "url_host('see https://cdn.example.org/a?q=1') AS h, " +
+        "pii_count('a@b.co and 555-123-4567 plus http://x.io') AS n").head
+    assert(out.getString(0) == "mail <EMAIL> or <URL> now", out.getString(0))
+    assert(out.getString(1) == "cdn.example.org")
+    assert(out.getLong(2) == 3L)
+  }
+
   test("GraftExtensions class applies cleanly (spark.sql.extensions entry point)") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
