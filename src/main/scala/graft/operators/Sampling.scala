@@ -31,7 +31,14 @@ object Sampling {
     * per-stratum sort is the price of exactness: with few, huge strata
     * the per-stratum task is the bottleneck — callers that can tolerate
     * frac-in-expectation should use the hash-threshold filter (q66
-    * shape) instead, which shuffles nothing. */
+    * shape) instead, which shuffles nothing.
+    *
+    * CONTRACT: `idCol` must uniquely identify rows. With duplicate ids
+    * the "exactly ceil(frac·n)" guarantee is unenforceable — ranking
+    * counts (id, hash) occurrences but the semi-join brings back every
+    * row sharing a sampled id, so a stratum can over-fill. The join is
+    * frame-qualified, so a pre-existing column named like the internal
+    * key in `df` cannot capture it. */
   def stratifiedExact(df: DataFrame, stratumCol: Column, idCol: Column,
                       frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac=$frac outside [0,1]")
@@ -43,7 +50,7 @@ object Sampling {
       .withColumn("_rk", row_number().over(part.orderBy(col("_h"), col("_sid"))))
       .withColumn("_n", count(lit(1)).over(part))
       .filter(col("_rk") <= ceil(lit(frac) * col("_n")))
-      .select(col("_sid"))
-    df.join(picked, idCol === col("_sid"), "left_semi")
+      .select(col("_sid").as("_graft_picked_sid"))
+    df.join(picked, idCol === picked("_graft_picked_sid"), "left_semi")
   }
 }

@@ -21,8 +21,13 @@ object DocDedupStream {
     * parquet-backed DataFrame — is re-plannable per batch without any
     * state-store involvement. Batches are independent BY DESIGN: a doc
     * is classified against the base index, not against earlier batches
-    * (append the kept docs to the next index build for that). Throwaway
-    * tmpfs checkpoint, same contract as the other test/bench harnesses —
+    * (append the kept docs to the next index build for that). Each batch
+    * writes to its OWN `batch_id=N` partition directory with overwrite —
+    * a batch retried after a mid-write failure (or replayed from the
+    * checkpoint) replaces its partition instead of appending duplicate
+    * rows, making the sink effectively-once per batch id; readers see
+    * `batch_id` as a discovered partition column. Throwaway tmpfs
+    * checkpoint, same contract as the other test/bench harnesses —
     * production passes a durable checkpoint dir. */
   def classifyToParquet(deltaStream: DataFrame, index: DataFrame,
                         outDir: String, threshold: Double,
@@ -36,8 +41,7 @@ object DocDedupStream {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           Dedup.incrementalDedupAgainstIndex(index, batch,
               deltaId, deltaText, threshold, cfg)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
         .start()
       q.processAllAvailable()
