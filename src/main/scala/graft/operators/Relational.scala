@@ -207,10 +207,11 @@ object Relational {
   /** Fuzzy (edit-distance) self-pairs over a dimension: id-ordered pairs
     * within `maxDist` edits. The length-difference prune — a necessary
     * condition for edit distance — sits in the join condition so it cuts
-    * pairs before levenshtein evaluates. For genuinely large sides, block
-    * on a cheap equi-key first (length band, first char, phonetic code)
-    * so the pair space never materializes; this direct form is for
-    * dimension-sized inputs (name canonicalization, key reconciliation). */
+    * pairs before levenshtein evaluates. For anything beyond
+    * dimension-sized inputs use [[fuzzyPairsBlocked]], which turns the
+    * same prune into a blocking equi-key so the pair space never
+    * materializes; this direct form remains for ad-hoc dimension work
+    * (name canonicalization, key reconciliation). */
   def fuzzyPairs(df: DataFrame, idCol: Column, nameCol: Column,
                  maxDist: Int): DataFrame = {
     val a = df.select(idCol.as("id1"), nameCol.as("name1"))
