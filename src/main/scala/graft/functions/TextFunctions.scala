@@ -158,6 +158,22 @@ object TextFunctions {
   def urlHostSql(e: String): String =
     s"regexp_extract($e, '$UrlHostRe', 1)"
 
+  /** Text canonicalization for near-exact dedup: ASCII case-fold +
+    * whitespace-run collapse + trim. Deliberately ASCII-ONLY case folding
+    * (a 26-char `translate`, not `lower()`): Unicode case mapping differs
+    * between engines/locales (Turkish İ, ß, etc.), while translate is a
+    * byte-exact table lookup both engines implement identically — the
+    * portability discipline of [[UrlRe]] applied to case. Same explicit
+    * whitespace class as the PII rules (Java ∩ RE2). */
+  private val Uc = ('A' to 'Z').mkString
+  private val Lc = ('a' to 'z').mkString
+
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(translate(text, Uc, Lc), "[\\t\\n\\f\\r ]+", " "))
+
+  def canonicalizeSql(e: String): String =
+    s"trim(regexp_replace(translate($e, '$Uc', '$Lc'), '[\\t\\n\\f\\r ]+', ' ', 'g'))"
+
   private[graft] val PiiRules: Seq[(String, String)] = Seq(
     UrlRe -> "<URL>", EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")
 

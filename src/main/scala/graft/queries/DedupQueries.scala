@@ -63,6 +63,36 @@ object DedupQueries {
           .select("keeper", "n_dups")
       }),
 
+    // Canonicalized near-exact dedup: case/whitespace variants of a doc
+    // (planted: ASCII-upcased + padded/doubled whitespace) hash-group
+    // together after canonicalization, where raw exact dedup sees
+    // nothing. ASCII-only case fold via translate — Unicode lower()
+    // differs across engines (see TextFunctions.canonicalize).
+    Q("q94_canon_dedup", {
+      val canon = canonicalizeSql("text")
+      val upper = "translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')"
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000,
+              |    '  ' || regexp_replace($upper, ' ', '  ', 'g') || CHR(9)
+              |  FROM documents WHERE doc_id < 40)
+              |SELECT min(doc_id) AS keeper, count(*) AS n_dups
+              |FROM corpus GROUP BY md5($canon) HAVING count(*) > 1""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val variant = concat(lit("  "),
+          regexp_replace(translate(col("text"),
+            "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), " ", "  "),
+          lit("\t"))
+        val corpus = d.union(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000).as("doc_id"), variant.as("text")))
+        Dedup.exactGroups(corpus, col("doc_id"), canonicalize(col("text")), md5)
+          .filter(col("n_dups") > 1)
+          .select("keeper", "n_dups")
+      }),
+
     // Per-doc MinHash signatures (4 permutations over 3-token shingles).
     // Docs with < k tokens yield no shingles: the engine's generator emits
     // no rows so the groupBy drops them; the oracle filter matches that

@@ -107,6 +107,39 @@ object PipelineQueries {
             round(col("n_fail").cast("double") / col("n_docs"), 4).as("fail_rate"))
       }),
 
+    // Lang-aware quality gates over the multilingual corpus: the
+    // stopword lexicon follows the doc's lang column (en fallback for
+    // langs without a lexicon, e.g. zh), so normal es/de/fr prose stops
+    // tripping the English-only "non-prose" gate. Per-lang stopword-gate
+    // and any-rule counts — the report that shows WHY lang-aware gating
+    // matters (es/de/fr stopword failures collapse vs q87).
+    Q("q92_quality_rules_by_lang", {
+      val meanLen = "CAST(list_reduce(list_transform(tk, t -> CAST(len(t) AS BIGINT)), " +
+        "(a, b) -> a + b) AS DOUBLE) / len(tk)"
+      val maxFreq = "CAST(list_max(list_transform(list_distinct(tk), " +
+        "w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE) / len(tk)"
+      val hitsByLang = LangStopwords.tail
+        .map { case (l, ws) => s"WHEN lang = '$l' THEN ${lexiconHitsSql("tk", ws)}" }
+        .mkString("CASE ", " ", s" ELSE ${lexiconHitsSql("tk", LangStopwords.head._2)} END")
+      Some(s"""WITH t AS (SELECT lang, $toksSql AS tk FROM documents),
+              |m AS (SELECT lang, len(tk) AS n, $meanLen AS ml, $maxFreq AS mf,
+              |    CAST(($hitsByLang) AS DOUBLE) / len(tk) AS sr FROM t),
+              |f AS (SELECT lang, n < 25 AS f1, NOT (ml >= 3.0 AND ml <= 10.0) AS f2,
+              |    mf > 0.2 AS f3, sr < 0.02 AS f4 FROM m)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+              |  CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_any
+              |FROM f GROUP BY lang""".stripMargin)
+    },
+      (s, dir) => {
+        val f = TextAnalysis.withRuleFlagsByLang(docs(s, dir), col("text"), col("lang"))
+        f.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("fail_stopwords"), 1L).otherwise(0L)).as("n_fail_stop"),
+          sum(when(col("fail_min_tokens") || col("fail_word_len") ||
+            col("fail_repetition") || col("fail_stopwords"), 1L).otherwise(0L))
+            .as("n_fail_any"))
+      }),
+
     // URL host extraction + per-domain stats (the domain-mix report of a
     // web-scale corpus). URLs planted on even doc_ids with the corpus's
     // own deterministic scheme; odd docs carry none and land in the ''

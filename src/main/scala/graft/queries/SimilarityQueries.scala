@@ -169,6 +169,24 @@ object SimilarityQueries {
     // works, and no array-reassembly shuffle. Rounded to 3 decimals on
     // both sides so summation-order ULP drift in avg/stddev can't flip
     // the hash.
+    // Per-dimension symmetric int8 quantization (long form, like q65):
+    // scale = per-dim absmax (exact, order-independent — bit-identical
+    // across engines); q = floor(x/scale·127 + 0.5), floor-shift instead
+    // of round() so no engine tie-breaking ambiguity exists anywhere.
+    Q("q93_embed_quantize_int8",
+      Some(s"""WITH $eCte,
+              |dims AS (SELECT unnest(generate_series(1,
+              |    (SELECT max(len(v)) FROM e))) AS dim),
+              |st AS (SELECT dim, max(abs(v[dim])) AS amax
+              |  FROM e CROSS JOIN dims GROUP BY dim)
+              |SELECT vec_id, CAST(dim - 1 AS INT) AS dim,
+              |  CAST(CASE WHEN amax = 0 THEN 0
+              |       ELSE floor(v[dim] / amax * 127 + 0.5) END AS BIGINT) AS q,
+              |  amax AS scale
+              |FROM e CROSS JOIN st WHERE dim <= len(v)""".stripMargin),
+      (s, dir) =>
+        Similarity.quantizeInt8(emb(s, dir), col("vec_id"), col("embedding"))),
+
     Q("q65_embed_zscore",
       Some(s"""WITH $eCte,
               |dims AS (SELECT unnest(generate_series(1,

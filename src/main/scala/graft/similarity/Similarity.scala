@@ -285,6 +285,29 @@ object Similarity {
       .select(col("vec_id"), col("dim"), col("z"))
   }
 
+  /** Symmetric per-dimension int8 quantization of an embedding column —
+    * the storage/bandwidth compression step an ANN index or training
+    * pipeline applies before shipping vectors (4× smaller than float32,
+    * 8× than float64). `scale_d` = max|x_d| over the corpus — one
+    * map-side-combinable aggregate over the long form (max is exact and
+    * order-independent, so the scale is bit-identical across engines and
+    * layouts); `q` = floor(x/scale·127 + 0.5) ∈ [−127, 127] —
+    * floor(+0.5) instead of round() because round's half-up vs half-even
+    * tie-breaking differs across engines while floor is IEEE-exact on
+    * both. Long-form output like [[zScoreLong]]: stats broadcast back,
+    * no array-reassembly shuffle; reconstruct as q·scale/127. All-zero
+    * dimensions quantize to 0. */
+  def quantizeInt8(vectors: DataFrame, idCol: Column, vecCol: Column): DataFrame = {
+    val e = vectors.select(idCol.as("vec_id"),
+      posexplode(vecCol.cast("array<double>")).as(Seq("dim", "x")))
+    val scales = e.groupBy("dim").agg(max(abs(col("x"))).as("amax"))
+    e.join(broadcast(scales), "dim")
+      .withColumn("q",
+        when(col("amax") === 0d, lit(0L))
+          .otherwise(floor(col("x") / col("amax") * 127d + lit(0.5d)).cast("long")))
+      .select(col("vec_id"), col("dim"), col("q"), col("amax").as("scale"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
     * all-pairs (the correctness baseline [[nearDupPairsBucketed]] is
     * checked against in tests). */

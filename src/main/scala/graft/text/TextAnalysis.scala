@@ -72,8 +72,9 @@ object TextAnalysis {
     *  - `fail_stopwords`   — stopword ratio under 2% (non-prose).
     * The rule set is ENGLISH-ONLY by design, like C4's — the stopword
     * gate uses the English lexicon for every document, so non-English
-    * prose trips `fail_stopwords` (run it after a language filter, or
-    * treat the flag as "non-English-prose"). Zero-token documents fail
+    * prose trips `fail_stopwords` (run it after a language filter, treat
+    * the flag as "non-English-prose", or use [[withRuleFlagsByLang]] on
+    * multilingual corpora). Zero-token documents fail
     * `word_len`/`stopwords` and pass `repetition`: every flag is a
     * real boolean, never a null tri-state. The mean-length and
     * mode-frequency stats are codegen'd single-pass expressions
@@ -81,7 +82,25 @@ object TextAnalysis {
     * [[graft.functions.expressions.TokenModeCount]]) — the interpreted
     * higher-order forms they replace cost O(distinct×tokens) per row.
     * Pure per-row projection, no shuffle until the caller aggregates. */
-  def withRuleFlags(df: DataFrame, textCol: Column): DataFrame = {
+  def withRuleFlags(df: DataFrame, textCol: Column): DataFrame =
+    ruleFlags(df, textCol, toks => lexiconHits(toks, LangStopwords.head._2))
+
+  /** [[withRuleFlags]] with a LANGUAGE-AWARE stopword gate: the lexicon
+    * follows `langCol` (declaration-order chain over `LangStopwords`;
+    * languages without a lexicon fall back to English, i.e. they still
+    * gate as "non-English-prose" — the honest behavior when no lexicon
+    * exists). The other three gates are language-neutral. Use this on
+    * multilingual corpora where English-only [[withRuleFlags]] would
+    * reject normal es/de/fr prose as non-prose. */
+  def withRuleFlagsByLang(df: DataFrame, textCol: Column, langCol: Column): DataFrame =
+    ruleFlags(df, textCol, toks =>
+      LangStopwords.tail.foldRight(lexiconHits(toks, LangStopwords.head._2)) {
+        case ((lang, words), acc) =>
+          when(langCol === lang, lexiconHits(toks, words)).otherwise(acc)
+      })
+
+  private def ruleFlags(df: DataFrame, textCol: Column,
+                        stopHitsFor: Column => Column): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import graft.functions.expressions.{TokenCharSum, TokenModeCount}
     val toks = tokens(textCol)
@@ -89,7 +108,7 @@ object TextAnalysis {
     val hasToks = size(toks) > 0
     val meanLen = Bridge.column(TokenCharSum(Bridge.expression(toks))).cast("double") / n
     val maxFreq = Bridge.column(TokenModeCount(Bridge.expression(toks))).cast("double") / n
-    val stopRatio = lexiconHits(toks, LangStopwords.head._2).cast("double") / n
+    val stopRatio = stopHitsFor(toks).cast("double") / n
     df.withColumn("fail_min_tokens", size(toks) < 25)
       .withColumn("fail_word_len", !hasToks || !(meanLen >= 3.0 && meanLen <= 10.0))
       .withColumn("fail_repetition", hasToks && maxFreq > 0.2)

@@ -179,6 +179,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: values bounded, reconstruction error within half a step, extremes hit ±127") {
+    val q = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding")).cache()
+    assert(q.filter(abs($"q") > 127).count() == 0)
+    // each dimension's absmax vector quantizes to exactly ±127
+    assert(q.filter(abs($"q") === 127).select("dim").distinct().count()
+      == q.select("dim").distinct().count())
+    // dequantized value within half a quantization step of the original
+    val joined = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .join(q, Seq("vec_id", "dim"))
+    val bad = joined.filter(
+      abs($"x" - $"q" * $"scale" / 127d) > $"scale" / 254d + 1e-12).count()
+    assert(bad == 0)
+    q.unpersist()
+  }
+
   test("zScoreNormalized standardizes each dimension and keeps order") {
     // dim 0: values 1,3 (mu 2, sigma 1); dim 1: 10,30 (mu 20, sigma 10)
     val df = Seq((1L, Seq(1.0, 10.0)), (2L, Seq(3.0, 30.0))).toDF("vec_id", "embedding")

@@ -175,6 +175,35 @@ class TextSpec extends SparkSpec {
     assert(f(4)(3), "doc5 zero stopwords")
   }
 
+  test("canonicalize folds ASCII case and whitespace runs, leaves Unicode case alone") {
+    val got = Seq("  The\tQuick   BROWN fox\n", "the quick brown fox", "Straße  İstanbul")
+      .toDF("t").select(canonicalize(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(got(0) == "the quick brown fox")
+    assert(got(0) == got(1)) // variants collapse to one canonical form
+    assert(got(2) == "straße İstanbul") // non-ASCII untouched (portability contract)
+    // idempotent: canonicalize(canonicalize(x)) == canonicalize(x)
+    val twice = Seq("  A  B\t C ").toDF("t")
+      .select(canonicalize(canonicalize(col("t"))).as("c2"), canonicalize(col("t")).as("c1"))
+      .head
+    assert(twice.getString(0) == twice.getString(1))
+  }
+
+  test("withRuleFlagsByLang selects the stopword lexicon by language") {
+    // normal Spanish prose: es stopwords present, zero en stopwords
+    val esWords = (1 to 30).map(i => if (i % 5 == 0) "el" else if (i % 7 == 0) "de" else s"pal${i % 13}")
+    val enWords = (1 to 30).map(i => if (i % 5 == 0) "the" else s"wd${i % 13}")
+    val df = Seq((1L, "es", esWords.mkString(" ")), (2L, "en", enWords.mkString(" ")),
+      (3L, "zh", (1 to 30).map(i => s"zi${i % 11}").mkString(" "))).toDF("doc_id", "lang", "text")
+    def stopFail(got: org.apache.spark.sql.DataFrame) =
+      got.orderBy("doc_id").select("fail_stopwords").collect().map(_.getBoolean(0)).toSeq
+    // English-only gate rejects the Spanish doc as "non-prose"...
+    assert(stopFail(graft.text.TextAnalysis.withRuleFlags(df, $"text"))
+      == Seq(true, false, true))
+    // ...the lang-aware gate passes it; zh (no lexicon) falls back to en
+    assert(stopFail(graft.text.TextAnalysis.withRuleFlagsByLang(df, $"text", $"lang"))
+      == Seq(false, false, true))
+  }
+
   test("TokenCharSum/TokenModeCount match the interpreted HOF forms; gates codegen'd and null-free") {
     import org.apache.spark.sql.graft.Bridge
     import graft.functions.expressions.{TokenCharSum, TokenModeCount}
