@@ -245,6 +245,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF ANN: answer MANY queries in one job. Each query's
+    * `nProbe` nearest cells are ranked driver-side against the tiny
+    * codebook (same rule as [[annIvf]]), the (query, cell) probe list
+    * broadcasts as a table, and one equi-join on `cell` fans the corpus
+    * out to only the queries probing that cell — scan cost is
+    * Σ|probed cells|, never |queries|×|corpus| like the brute
+    * crossJoin, and all queries amortize one job instead of paying
+    * per-query scheduling overhead (the single-query [[annIvf]] loop
+    * costs a full Spark job per query). Top-k per query via the
+    * rank-limit window ([[knnBatch]]'s shape). Results are identical to
+    * per-query [[annIvf]] (spec-asserted). */
+  def annIvfBatch(cellAssigned: DataFrame,
+                  queries: Seq[(Long, Array[Double])],
+                  centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    val spark = cellAssigned.sparkSession
+    import spark.implicits._
+    def d2(c: Array[Double], q: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val t = c(i) - q(i); s += t * t; i += 1 }
+      s
+    }
+    val probes = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.sortBy { case (c, i) => (d2(c, qv), i) }
+        .take(nProbe).map { case (_, cell) => (qid, cell, qv.toSeq) }
+    }.toDF("query_id", "cell", "qv")
+    val scored = cellAssigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+    graft.operators.Relational.topKPerGroup(scored,
+        Seq(col("query_id")), Seq(col("cos_sim").desc, col("vec_id")), k)
+      .select("query_id", "vec_id", "cell", "cos_sim", "rnk")
+  }
+
   /** Per-dimension z-score normalization of an embedding column — the
     * feature-scaling pass before distance-based ops (cosine/IVF) when
     * dimensions have wildly different variances.

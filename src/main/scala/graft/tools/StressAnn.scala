@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Million-vector probe of the ANN path (driver-side tooling): a
+  * deterministic synthetic corpus of 1M 64-d vectors drawn around 1000
+  * hash-derived cluster centers (real embedding corpora are clustered —
+  * uniform noise is IVF's adversarial case and nothing like production
+  * data), a 256-cell KMeans codebook trained on a 20k sample, then 20
+  * queries answered three ways: batch brute kNN (exact baseline, one
+  * broadcast crossJoin scan amortized over all queries), single-query
+  * brute (the per-query exact cost), and per-query IVF with nProbe=8
+  * (scan bounded to ~3% of the corpus). Reports wall times and
+  * recall@10 of IVF vs brute — the cost/recall trade the 100 TB
+  * deployment actually tunes. Results are committed to EXPLAIN.md. */
+object StressAnn {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "1000000").toLong
+    val nQ = 20
+    val k = 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic clustered corpus: vector i sits near center
+    // xxhash64(i) % 1000; dim d = center(c, d) + 0.05·noise(i, d), all
+    // hash-folded into [-1, 1] — fully replayable, no RNG state
+    val cl = pmod(xxhash64(col("id")), lit(1000L))
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (pmod(xxhash64(lit("c"), cl, d), lit(2000001L)).cast("double") / 1e6 - 1.0) +
+          (pmod(xxhash64(col("id"), d), lit(2001L)).cast("double") / 1e3 - 1.0) * 0.05)
+        .as("embedding"))
+      .repartition(32).cache()
+    println(s"[ann] corpus ${corpus.count()} vectors x 64 dims")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ann] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val sample = corpus.filter(pmod(col("vec_id"), lit(50L)) === 0).select(col("embedding"))
+    val centroids = time("codebook: KMeans k=256 on 20k sample")(
+      Similarity.trainCentroids(sample, col("embedding"), k = 256))
+    val cells = time("cell assignment (map-side, inlined codebook)") {
+      val c = Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"), centroids).cache()
+      c.count(); c
+    }
+    val queries = corpus.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = time(s"brute batch kNN ($nQ queries x ${n} vectors)") {
+      val b = Similarity.knnBatch(corpus, col("vec_id"), col("embedding"),
+        queries, col("query_id"), col("qv"), k).cache()
+      b.count(); b
+    }
+    time("brute single query (per-query exact cost)")(
+      Similarity.knnBrute(corpus.filter(col("vec_id") =!= 0L), col("vec_id"),
+        col("embedding"), corpus.filter(col("vec_id") === 0L), col("embedding"), k)
+        .collect())
+    val qVecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    var hits = 0L
+    val tIvf = System.nanoTime()
+    val ivfResults = qVecs.map { case (qid, qv) =>
+      qid -> Similarity.annIvf(cells.filter(col("vec_id") =!= qid), qv, centroids,
+        nProbe = 8, k = k).collect().map(_.getLong(0)).toSet
+    }
+    println(f"[ann] IVF nProbe=8 ($nQ queries, job each)   ${(System.nanoTime() - tIvf) / 1e9}%8.2f s")
+    val tB = System.nanoTime()
+    val batchSets = Similarity.annIvfBatch(cells, qVecs.toSeq, centroids, nProbe = 8, k = k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    println(f"[ann] IVF batched, ONE job ($nQ queries)     ${(System.nanoTime() - tB) / 1e9}%8.2f s")
+    val bruteSets = brute.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    ivfResults.foreach { case (qid, ivf) => hits += (ivf & bruteSets(qid)).size }
+    println(f"[ann] recall@$k vs brute: ${hits.toDouble / (nQ * k)}%.3f")
+    var bHits = 0L
+    batchSets.foreach { case (qid, s) => bHits += (s & bruteSets(qid)).size }
+    println(f"[ann] batched recall@$k vs brute: ${bHits.toDouble / (nQ * k)}%.3f")
+    spark.stop()
+  }
+}

@@ -179,6 +179,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvfBatch equals per-query annIvf, query for query") {
+    val cents = Similarity.seededCentroids(emb, $"vec_id", $"embedding", Seq(5L, 17L, 29L, 41L))
+    val cells = Similarity.withIvfCell(emb, $"vec_id", $"embedding", cents).cache()
+    val qvecs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq.sortBy(_._1)
+    val batch = Similarity.annIvfBatch(cells, qvecs, cents, nProbe = 2, k = 5)
+      .select("query_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = qvecs.flatMap { case (qid, qv) =>
+      Similarity.annIvf(cells.filter($"vec_id" =!= qid), qv, cents, nProbe = 2, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(2)))
+    }.toSet
+    assert(batch == single, s"batch=$batch single=$single")
+    cells.unpersist()
+  }
+
   test("quantizeInt8: values bounded, reconstruction error within half a step, extremes hit ±127") {
     val q = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding")).cache()
     assert(q.filter(abs($"q") > 127).count() == 0)
