@@ -35,6 +35,25 @@ object FunctionProperties extends Properties("graft.functions") {
   property("Porter stem is stable for already-short words") =
     Prop.forAll(Gen.oneOf("a", "be", "go", "it")) { w => Porter.stem(w) == w }
 
+  property("TokenStatsImpl: modeCount equals the max multiplicity, charSum is exact") =
+    Prop.forAll(Gen.listOf(word)) { ws =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val mode = graft.functions.expressions.TokenStatsImpl.modeCount(arr)
+      val cs = graft.functions.expressions.TokenStatsImpl.charSum(arr)
+      val wantMode = if (ws.isEmpty) 0L else ws.groupBy(identity).values.map(_.size).max.toLong
+      mode == wantMode && cs == ws.map(_.length.toLong).sum
+    }
+
+  property("MinHashConfig.fingerprint is deterministic and separates configs") =
+    Prop.forAll(Gen.chooseNum(1, 8), Gen.chooseNum(1, 4)) { (r, b) =>
+      import graft.dedup.MinHashConfig
+      val cfg = MinHashConfig.generated(r * b, b)
+      cfg.fingerprint == MinHashConfig.generated(r * b, b).fingerprint &&
+        cfg.fingerprint != cfg.copy(portable = false).fingerprint &&
+        (b == 1 || cfg.fingerprint != MinHashConfig.generated(r * b, 1).fingerprint)
+    }
+
   property("fingerprint fold stays inside the modulus") = {
     val hashes = Gen.listOf(Gen.chooseNum(0L, TextFunctions.FpTokenMod - 1))
     Prop.forAll(hashes) { hs =>

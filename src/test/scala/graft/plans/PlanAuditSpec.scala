@@ -123,6 +123,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
 
+  test("q93: quantization scales broadcast back; one dim-agg exchange, corpus never re-shuffles") {
+    val p = planUncached("q93_embed_quantize_int8").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "64-row scale table must broadcast: " + p)
+    // exactly one hash shuffle: the per-dim absmax aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_max"), "absmax must map-side combine: " + p)
+  }
+
+  test("annIvfBatch: probe list broadcasts, no cartesian/nested-loop anywhere") {
+    import graft.similarity.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"), Seq(5L, 17L))
+    val cells = Similarity.withIvfCell(emb, col("vec_id"), col("embedding"), cents)
+    val qvecs = Seq(1L, 2L).map(i => i -> cents(0).map(_ + i * 0.01))
+    val df = Similarity.annIvfBatch(cells, qvecs, cents, nProbe = 1, k = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q86: the LM model reuses the doc-token counts exchange (single corpus scan)") {
     val p = planUncached("q86_unigram_surprisal").split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"),
