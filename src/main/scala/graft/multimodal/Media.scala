@@ -6,15 +6,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * The IMAGE path is real: payloads are genuine PNGs, decoded with the
-  * JDK's `javax.imageio.ImageIO` (no external dependency), resized with
-  * `java.awt.image.BufferedImage` scaling, and embedded as a mean-pooled
-  * grayscale pixel grid. Audio/video codec work (resampling, frame
-  * extraction) remains STUBBED — the container genuinely ships no
-  * audio/video libraries — behind [[MediaCodec]], with a deterministic
-  * fake so schemas, partitioning and batch shapes are real and testable.
-  * Swap the a/v half of the codec object for a library-backed one and
-  * nothing else changes.
+  * The IMAGE and AUDIO paths are REAL, JDK-only:
+  *  - images are genuine PNGs — `javax.imageio.ImageIO` decode,
+  *    `BufferedImage` bilinear resize, mean-pooled-pixel-grid embed;
+  *  - audio is genuine WAV/PCM — `javax.sound.sampled.AudioSystem`
+  *    decode to 16-bit samples, per-window zero-crossing-rate embed
+  *    (frequency-sensitive, unlike RMS), real PCM time-seek for frame
+  *    sampling.
+  * Only VIDEO remains a documented deterministic stub (the JVM ships no
+  * video codec); swap that branch of [[MediaCodec]] for a library-backed
+  * one and nothing else changes.
   */
 object Media {
 
@@ -28,9 +29,12 @@ object Media {
                          frame_bytes: Array[Byte])
 
   /** Deterministic synthetic media corpus derived from the documents
-    * table. Image rows carry a REAL PNG (seeded deterministic texture at
-    * the row's declared width×height); audio/video rows carry utf8 text
-    * bytes posing as an encoded blob, matching the stubbed a/v codec. */
+    * table. Image rows carry a REAL PNG (seeded sinusoid-grating texture
+    * at the row's declared width×height); audio rows a REAL WAV (seeded
+    * sine tone, duration clamped to ≤2 s regardless of the metadata
+    * duration — [[MediaCodec.frameAt]] clamps seeks past payload end);
+    * video rows keep utf8 text bytes posing as an encoded blob, matching
+    * the stubbed video codec. */
   def synthesize(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -43,16 +47,18 @@ object Media {
       (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
       (col("n_chars") * 40).as("duration_ms")).as[MediaRow]
       .map { r =>
-        if (r.kind == "image")
-          r.copy(payload = MediaCodec.synthPng(r.media_id, r.width, r.height))
-        else r
+        r.kind match {
+          case "image" => r.copy(payload = MediaCodec.synthPng(r.media_id, r.width, r.height))
+          case "audio" => r.copy(payload = MediaCodec.synthWav(r.media_id, r.duration_ms))
+          case _ => r
+        }
       }
   }
 
   /** Per-partition batched decode + feature extraction. The iterator shape
     * (one pass, constant memory per batch) is what a Pandas-UDF/Arrow
-    * pipeline would see; image rows run the real ImageIO decode, a/v rows
-    * the stubbed seam. */
+    * pipeline would see; image/audio rows run the real JDK decoders,
+    * video rows the stubbed seam. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -98,8 +104,9 @@ object Media {
       feats(media.filter(col("media_id") === queryId)), col("feature"), k)
   }
 
-  /** Evenly spaced frame-sample offsets for video/audio payloads; the
-    * frame bytes come from the stubbed codec. */
+  /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
+    * frames are REAL PCM seeks (the samples at `offset_ms`); video frames
+    * come from the stubbed codec. */
   def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -112,24 +119,29 @@ object Media {
   }
 }
 
-/** The codec seam. Image methods are REAL (JDK `ImageIO` +
-  * `BufferedImage` — PNG/JPEG/BMP/GIF decode ships with the JVM); the
-  * audio/video methods remain deterministic stand-ins (no a/v libraries
-  * in this container — see module doc). Decode sniffs the payload: a
-  * recognized image container decodes to grayscale pixels, anything else
-  * passes through as opaque bytes for the stubbed a/v path. */
+/** The codec seam. Image and audio methods are REAL, JDK-only
+  * (`ImageIO` for PNG/JPEG/BMP/GIF, `javax.sound.sampled` for WAV/PCM);
+  * only the video branch remains a deterministic stand-in (no video
+  * codec ships with the JVM — see module doc). Decode sniffs the
+  * payload container; anything unrecognized passes through as opaque
+  * bytes for the stubbed path. */
 object MediaCodec {
   import java.awt.image.{BufferedImage, DataBufferByte}
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.ImageIO
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
   // executors shouldn't churn temp-dir files per decoded image
   ImageIO.setUseCache(false)
 
-  /** Decoded payload: grayscale pixels (row-major, one byte per pixel)
-    * when the payload was a real image; the opaque original bytes (with
-    * `isImage = false`, width/height 0) otherwise. */
-  case class Raster(width: Int, height: Int, pixels: Array[Byte], isImage: Boolean)
+  /** Decoded payload, by sniffed container. */
+  sealed trait Decoded
+  /** Grayscale pixels, row-major, one byte per pixel. */
+  final case class ImageRaster(width: Int, height: Int, pixels: Array[Byte]) extends Decoded
+  /** 16-bit mono PCM samples. */
+  final case class AudioPcm(sampleRate: Float, samples: Array[Short]) extends Decoded
+  /** Unrecognized container: opaque bytes (the stubbed-video path). */
+  final case class Opaque(bytes: Array[Byte]) extends Decoded
 
   private val PngSig = Array(0x89, 'P', 'N', 'G').map(_.toByte)
 
@@ -139,6 +151,11 @@ object MediaCodec {
       (payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte) ||     // JPEG
       (payload(0) == 'B' && payload(1) == 'M') ||                     // BMP
       (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'))  // GIF
+
+  private def looksLikeWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
 
   private def toGray(img: BufferedImage): BufferedImage =
     if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
@@ -150,7 +167,7 @@ object MediaCodec {
       g
     }
 
-  private def grayImage(r: Raster): BufferedImage = {
+  private def grayImage(r: ImageRaster): BufferedImage = {
     val img = new BufferedImage(r.width, r.height, BufferedImage.TYPE_BYTE_GRAY)
     System.arraycopy(r.pixels, 0,
       img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData, 0, r.pixels.length)
@@ -188,86 +205,195 @@ object MediaCodec {
     encodePng(img)
   }
 
-  /** Real decode for image containers (ImageIO → grayscale raster);
-    * opaque passthrough for everything else (stubbed a/v path). */
-  def decode(payload: Array[Byte]): Raster =
+  private val WavRate = 8000f
+
+  /** Deterministic seeded WAV: an 8 kHz 16-bit mono tone with seeded
+    * HARMONICS. Fundamental = 150 + (seed mod 211)·5 Hz (3rd harmonic
+    * stays sub-Nyquist), 2nd/3rd harmonic weights stride (seed mod 13)
+    * and (seed mod 31), amplitude (seed mod 89) — coprime moduli, so no
+    * two docs in a few-hundred-doc corpus share a timbre. The harmonic
+    * mix matters: a PURE tone's (ZCR, RMS) embedding is effectively
+    * 2-dimensional and near-parallel for neighboring seeds (everything
+    * cosine-rounds to 1.0); harmonics spread the embedding across all
+    * windows' crossing statistics. Duration clamps to [200 ms, 2 s] so
+    * synthetic payloads stay small. */
+  def synthWav(seed: Long, durationMs: Long): Array[Byte] = {
+    val f0 = 150.0 + math.floorMod(seed, 211L) * 5.0
+    val h2 = math.floorMod(seed, 13L) / 20.0
+    val h3 = math.floorMod(seed, 31L) / 40.0
+    val amp = (0.25 + math.floorMod(seed, 89L) * 0.004) / (1.0 + h2 + h3)
+    val ms = durationMs.max(200L).min(2000L)
+    val n = (WavRate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = 2 * math.Pi * f0 * i / WavRate
+      val v = math.sin(t) + h2 * math.sin(2 * t) + h3 * math.sin(3 * t)
+      val s = (v * amp * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real decode for recognized containers (ImageIO → grayscale raster,
+    * AudioSystem → 16-bit PCM); opaque passthrough otherwise (the
+    * stubbed-video path). */
+  def decode(payload: Array[Byte]): Decoded =
     if (looksLikeImage(payload)) {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
-      if (img == null) Raster(0, 0, payload, isImage = false)
+      if (img == null) Opaque(payload)
       else {
         val g = toGray(img)
         val px = g.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-        Raster(g.getWidth, g.getHeight, px, isImage = true)
+        ImageRaster(g.getWidth, g.getHeight, px)
       }
-    } else Raster(0, 0, payload, isImage = false)
+    } else if (looksLikeWav(payload)) {
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) Opaque(payload)
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            // WAV PCM is little-endian
+            samples(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          AudioPcm(fmt.getSampleRate, samples)
+        }
+      } catch { case _: Exception => Opaque(payload) }
+    } else Opaque(payload)
 
   def checksum(payload: Array[Byte]): Long =
     payload.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L)
 
-  /** Feature embedding. Images: mean-pooled pixel grid — the raster is
-    * partitioned into `dim` rectangular cells (⌈√dim⌉ columns) and each
-    * cell's mean luma (0..1) is one feature. Non-image payloads keep the
-    * STUB byte-histogram fold. */
-  def embed(decoded: Raster, dim: Int): Array[Float] = {
+  /** Feature embedding by decoded kind. Images: mean-pooled pixel grid
+    * (`dim` rectangular cells, ⌈√dim⌉ columns, mean luma 0..1 each).
+    * Audio: per-window zero-crossing RATE over `dim` equal windows —
+    * frequency-sensitive where RMS of a tone is amplitude-only. Opaque
+    * (stub video): byte-histogram fold. */
+  def embed(decoded: Decoded, dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
-    if (decoded.isImage) {
-      val cols = math.ceil(math.sqrt(dim.toDouble)).toInt
-      val rows = math.ceil(dim.toDouble / cols).toInt
-      val (w, h) = (decoded.width, decoded.height)
-      var d = 0
-      while (d < dim) {
-        val cx = d % cols; val cy = d / cols
-        val x0 = cx * w / cols; val x1 = math.max((cx + 1) * w / cols, x0 + 1).min(w)
-        val y0 = cy * h / rows; val y1 = math.max((cy + 1) * h / rows, y0 + 1).min(h)
-        if (x0 < w && y0 < h) {
-          var sum = 0L; var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) { sum += decoded.pixels(y * w + x) & 0xff; x += 1 }
-            y += 1
+    decoded match {
+      case ImageRaster(w, h, pixels) =>
+        val cols = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val rows = math.ceil(dim.toDouble / cols).toInt
+        var d = 0
+        while (d < dim) {
+          val cx = d % cols; val cy = d / cols
+          val x0 = cx * w / cols; val x1 = math.max((cx + 1) * w / cols, x0 + 1).min(w)
+          val y0 = cy * h / rows; val y1 = math.max((cy + 1) * h / rows, y0 + 1).min(h)
+          if (x0 < w && y0 < h) {
+            var sum = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += pixels(y * w + x) & 0xff; x += 1 }
+              y += 1
+            }
+            acc(d) = sum.toFloat / ((x1 - x0) * (y1 - y0)) / 255.0f
           }
-          acc(d) = sum.toFloat / ((x1 - x0) * (y1 - y0)) / 255.0f
+          d += 1
         }
-        d += 1
-      }
-    } else {
-      var i = 0
-      while (i < decoded.pixels.length) {
-        acc(i % dim) += (decoded.pixels(i) & 0xff) / 255.0f
-        i += 1
-      }
+      case AudioPcm(_, samples) =>
+        // feature 0: zero-crossing rate (pitch); features 1..dim-1: the
+        // amplitude-level profile — fraction of samples above each of
+        // dim−1 rising |level| thresholds, i.e. the waveform-shape CDF.
+        // NOT per-window stats: a stationary signal has identical stats
+        // in every window, which collapses any windowed embedding to one
+        // direction per (pitch, loudness) pair — the level profile stays
+        // genuinely multi-dimensional for steady signals.
+        val n = samples.length
+        if (n > 1) {
+          var crossings = 0
+          var i = 1
+          while (i < n) {
+            if ((samples(i) >= 0) != (samples(i - 1) >= 0)) crossings += 1
+            i += 1
+          }
+          acc(0) = crossings.toFloat / (n - 1)
+          var d = 1
+          while (d < dim) {
+            val th = (0.7 * d / dim) * 32767.0
+            var above = 0; var j = 0
+            while (j < n) {
+              if (math.abs(samples(j).toDouble) > th) above += 1
+              j += 1
+            }
+            acc(d) = above.toFloat / n
+            d += 1
+          }
+        }
+      case Opaque(bytes) =>
+        var i = 0
+        while (i < bytes.length) {
+          acc(i % dim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
     }
     acc
   }
 
   /** Resize. Images: bilinear `BufferedImage` rescale, re-encoded as PNG.
-    * Non-image payloads keep the STUB byte-stream resample (output size
-    * tracks the requested dimensions like a real bitmap would). */
-  def resize(decoded: Raster, w: Int, h: Int): Array[Byte] =
-    if (decoded.isImage) {
+    * Other kinds keep the STUB byte-stream resample (output size tracks
+    * the requested dimensions like a real bitmap would) — only the image
+    * path is exercised by [[Media.resized]]. */
+  def resize(decoded: Decoded, w: Int, h: Int): Array[Byte] = decoded match {
+    case r: ImageRaster =>
       val dst = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
       val g2 = dst.createGraphics()
       g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g2.drawImage(grayImage(decoded), 0, 0, w, h, null)
+      g2.drawImage(grayImage(r), 0, 0, w, h, null)
       g2.dispose()
       encodePng(dst)
-    } else {
+    case other =>
+      val src = other match {
+        case AudioPcm(_, samples) => samples.flatMap(s =>
+          Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+        case Opaque(bytes) => bytes
+        case _ => Array.empty[Byte]
+      }
       val n = math.max(w * h, 1)
       val out = new Array[Byte](n)
-      if (decoded.pixels.nonEmpty) {
+      if (src.nonEmpty) {
         var i = 0
         while (i < n) {
-          out(i) = decoded.pixels((i.toLong * decoded.pixels.length / n).toInt)
+          out(i) = src((i.toLong * src.length / n).toInt)
           i += 1
         }
       }
       out
-    }
-
-  /** STUB: a real impl would seek the container to `offsetMs`. */
-  def frameAt(payload: Array[Byte], offsetMs: Long): Array[Byte] = {
-    val start = ((offsetMs % math.max(payload.length, 1)).toInt).min(math.max(payload.length - 8, 0))
-    payload.slice(start, math.min(start + 8, payload.length))
   }
+
+  /** Frame/sample extraction at a time offset. WAV payloads get a REAL
+    * PCM seek — the 4 samples (8 bytes) at `offsetMs`, clamped to the
+    * payload's actual duration. Anything else (stub video) keeps the
+    * deterministic byte-slice stand-in. */
+  def frameAt(payload: Array[Byte], offsetMs: Long): Array[Byte] =
+    decode(payload) match {
+      case AudioPcm(rate, samples) if samples.nonEmpty =>
+        val idx = ((offsetMs * rate / 1000).toLong).min(samples.length - 1L).max(0L).toInt
+        val out = new Array[Byte](math.min(8, (samples.length - idx) * 2))
+        var i = 0
+        while (i < out.length / 2) {
+          val s = samples(idx + i)
+          out(2 * i) = (s & 0xff).toByte
+          out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        out
+      case _ =>
+        val start = ((offsetMs % math.max(payload.length, 1)).toInt)
+          .min(math.max(payload.length - 8, 0))
+        payload.slice(start, math.min(start + 8, payload.length))
+    }
 }

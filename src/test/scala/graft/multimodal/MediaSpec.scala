@@ -51,8 +51,10 @@ class MediaSpec extends SparkSpec {
     assert(img.filter($"width" =!= 16 || $"height" =!= 16).count() == 0)
     // every image payload is a genuine PNG that decodes at the new size
     val badDims = img.collect().count { row =>
-      val d = MediaCodec.decode(row.payload)
-      !(d.isImage && d.width == 16 && d.height == 16)
+      MediaCodec.decode(row.payload) match {
+        case MediaCodec.ImageRaster(w, h, _) => !(w == 16 && h == 16)
+        case _ => true
+      }
     }
     assert(badDims == 0)
     // non-image rows pass through untouched
@@ -71,28 +73,87 @@ class MediaSpec extends SparkSpec {
     for (y <- 0 until 2; x <- 0 until 3) bi.getRaster.setSample(x, y, 0, vals(y * 3 + x))
     val out = new java.io.ByteArrayOutputStream()
     ImageIO.write(bi, "png", out)
-    val d = MediaCodec.decode(out.toByteArray)
-    assert(d.isImage && d.width == 3 && d.height == 2)
-    assert(d.pixels.map(_ & 0xff).toSeq == vals.toSeq)
+    MediaCodec.decode(out.toByteArray) match {
+      case MediaCodec.ImageRaster(w, h, px) =>
+        assert(w == 3 && h == 2)
+        assert(px.map(_ & 0xff).toSeq == vals.toSeq)
+      case other => fail(s"expected ImageRaster, got $other")
+    }
     // and the synthesized corpus's image rows decode at their declared dims
     val imgs = media.filter($"kind" === "image").collect()
     assert(imgs.nonEmpty)
     assert(imgs.forall { r =>
-      val dd = MediaCodec.decode(r.payload)
-      dd.isImage && dd.width == r.width && dd.height == r.height
+      MediaCodec.decode(r.payload) match {
+        case MediaCodec.ImageRaster(w, h, _) => w == r.width && h == r.height
+        case _ => false
+      }
     })
+  }
+
+  test("audio payloads are real WAVs; decode round-trips the exact PCM") {
+    val auds = media.filter($"kind" === "audio").collect()
+    assert(auds.nonEmpty)
+    auds.foreach { r =>
+      MediaCodec.decode(r.payload) match {
+        case MediaCodec.AudioPcm(rate, samples) =>
+          assert(rate == 8000f)
+          val expectMs = r.duration_ms.max(200L).min(2000L)
+          assert(samples.length == (8000L * expectMs / 1000).toInt)
+        case other => fail(s"expected AudioPcm for id=${r.media_id}, got $other")
+      }
+    }
+    // non-circular round-trip: re-derive one doc's waveform from the
+    // documented formula and demand the WAV decode matches sample-exact
+    val q = auds.minBy(_.media_id)
+    val seed = q.media_id
+    val f0 = 150.0 + math.floorMod(seed, 211L) * 5.0
+    val h2 = math.floorMod(seed, 13L) / 20.0
+    val h3 = math.floorMod(seed, 31L) / 40.0
+    val amp = (0.25 + math.floorMod(seed, 89L) * 0.004) / (1.0 + h2 + h3)
+    val MediaCodec.AudioPcm(_, got) = MediaCodec.decode(q.payload): @unchecked
+    val want = (0 until got.length).map { i =>
+      val t = 2 * math.Pi * f0 * i / 8000.0
+      ((math.sin(t) + h2 * math.sin(2 * t) + h3 * math.sin(3 * t)) * amp * 32767).toInt.toShort
+    }
+    assert(got.toSeq == want, "WAV encode→decode must be PCM-lossless")
+  }
+
+  test("frameAt on audio is a real PCM seek, not a byte slice") {
+    val r = media.filter($"kind" === "audio").orderBy($"media_id").head()
+    val MediaCodec.AudioPcm(rate, samples) = MediaCodec.decode(r.payload): @unchecked
+    val offMs = 100L
+    val idx = (offMs * rate / 1000).toInt
+    val frame = MediaCodec.frameAt(r.payload, offMs)
+    val want = (0 until 4).flatMap { i =>
+      val s = samples(idx + i)
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }
+    assert(frame.toSeq == want, s"frame=${frame.toSeq} want=$want")
+  }
+
+  test("nearestMedia over audio: a near-identical tone ranks first") {
+    val q = media.filter($"kind" === "audio").orderBy($"media_id").head()
+    // twin: same WAV with one sample nudged — audibly identical, distinct bytes
+    val twinBytes = q.payload.clone()
+    twinBytes(q.payload.length - 1) = (twinBytes(q.payload.length - 1) ^ 1).toByte
+    assert(!java.util.Arrays.equals(twinBytes, q.payload))
+    val twin = spark.createDataset(Seq(
+      q.copy(media_id = 900003L, payload = twinBytes)))(media.encoder)
+    val top = Media.nearestMedia(media.union(twin), queryId = q.media_id, k = 3).collect()
+    assert(top.head.getLong(0) == 900003L, top.mkString(";"))
+    assert(top.head.getDouble(1) > 0.9999)
   }
 
   test("nearestMedia ranks a visually-identical image first despite distinct PNG bytes") {
     import java.awt.image.{BufferedImage, DataBufferByte}
     import javax.imageio.ImageIO
     val q = media.filter($"kind" === "image").orderBy($"media_id").head()
-    val d = MediaCodec.decode(q.payload)
+    val MediaCodec.ImageRaster(dw, dh, dpx) = MediaCodec.decode(q.payload): @unchecked
     // twin: same image with one pixel toggled by 1 luma step — visually
     // identical, but the PNG byte stream differs from the original
-    val bi = new BufferedImage(d.width, d.height, BufferedImage.TYPE_BYTE_GRAY)
+    val bi = new BufferedImage(dw, dh, BufferedImage.TYPE_BYTE_GRAY)
     val px = bi.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-    System.arraycopy(d.pixels, 0, px, 0, d.pixels.length)
+    System.arraycopy(dpx, 0, px, 0, dpx.length)
     px(0) = (px(0) ^ 1).toByte
     val out = new java.io.ByteArrayOutputStream()
     ImageIO.write(bi, "png", out)
