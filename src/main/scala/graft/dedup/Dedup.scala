@@ -326,6 +326,40 @@ object Dedup {
           col("n_inter").cast("double") / col("n2")))
       .filter(col("containment") >= minContainment)
 
+  /** Long-span overlap detection — substring-level dedup at token
+    * granularity (the train-dedup pass of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", reshaped from suffix
+    * arrays to posting-list joins): document pairs sharing at least
+    * `minShared` distinct k-token spans, with the shared-span count.
+    * Whole-document Jaccard misses a paragraph pasted into an otherwise
+    * different document; a long shared span catches exactly that.
+    *
+    * Scale shape: spans come from the same map-side
+    * [[graft.functions.expressions.ShingleHashGenerator]] Generate as the
+    * MinHash pipeline (k=8 here instead of 3) → distinct (doc, span)
+    * posting rows (map-side combinable) → frequency-cap the posting
+    * lists: a span occurring in more than `maxDocsPerSpan` documents is
+    * boilerplate (headers, licenses) whose pairings are quadratic noise —
+    * dropping it bounds every posting list, so the self-join on the
+    * 8-byte span hash is skew-proof by construction. Pair rows exist only
+    * for documents actually sharing a capped span. */
+  def sharedSpanPairs(df: DataFrame, idCol: Column, textCol: Column,
+                      k: Int = 8, minShared: Long = 1L,
+                      maxDocsPerSpan: Long = 50L,
+                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val posts = scope.persist(
+      shingleHashes(df, idCol, textCol, k).distinct())
+    val shared = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocsPerSpan)
+      .select("sh")
+    val pruned = posts.join(shared, "sh")
+    pruned.as("a").join(pruned.as("b"), Seq("sh"))
+      .filter(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("n_spans"))
+      .filter(col("n_spans") >= minShared)
+  }
+
   /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification of the candidate pairs only.
     *

@@ -68,12 +68,15 @@ object TextFunctions {
   def combineShingle(h: Int => Column): Column =
     (1 until 3).foldLeft(h(0))((acc, j) => (acc * 8191L + h(j)) % ShingleM)
 
-  /** DuckDB twin: 3-shingle hash list from a token-array expression. */
-  def shingleHashesSql(tkE: String): String = {
+  /** DuckDB twin: k-shingle hash list from a token-array expression —
+    * same per-token `md5Prefix60 % M` + `acc*8191 + h (mod M)` fold as
+    * [[graft.functions.expressions.ShingleHashGenerator]], for any k
+    * (k=3 is the MinHash default; span-overlap dedup uses k=8). */
+  def shingleHashesSql(tkE: String, k: Int = 3): String = {
     val h = (j: Int) => s"(${portableHashSql(s"$tkE[i+$j]")} % $ShingleM)"
-    val combined = (1 until 3).foldLeft(h(0))((acc, j) => s"(($acc * 8191 + ${h(j)}) % $ShingleM)")
-    s"CASE WHEN len($tkE) < 3 THEN []::BIGINT[] " +
-      s"ELSE list_transform(generate_series(1, len($tkE)-2), i -> $combined) END"
+    val combined = (1 until k).foldLeft(h(0))((acc, j) => s"(($acc * 8191 + ${h(j)}) % $ShingleM)")
+    s"CASE WHEN len($tkE) < $k THEN []::BIGINT[] " +
+      s"ELSE list_transform(generate_series(1, len($tkE)-${k - 1}), i -> $combined) END"
   }
 
   // ---- MinHash ----------------------------------------------------------

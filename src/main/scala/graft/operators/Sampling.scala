@@ -53,4 +53,35 @@ object Sampling {
       .select(col("_sid").as("_graft_picked_sid"))
     df.join(picked, idCol === picked("_graft_picked_sid"), "left_semi")
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-Res, reservoir-free form): every row draws
+    * `u = (portableHash(id) + 1) / 2^60 ∈ (0, 1]` and is ranked by
+    * `key = ln(u) / w` — the n rows with the LARGEST key (ln u ≤ 0, so
+    * heavier weights pull the key toward 0) are exactly a weight-
+    * proportional sample without replacement. No RNG state anywhere:
+    * the hash makes the draw a pure function of the id, so the sample
+    * is identical across runs, engines, and partitionings — the
+    * auditable mixture-sampling primitive (same rationale as the q66
+    * hash split, with per-row inclusion probability ∝ weight).
+    *
+    * Scale shape: one projection computing (id, w, key) + a global
+    * top-n, which Spark plans as TakeOrderedAndProject — bounded
+    * per-partition heaps, no shuffle of anything but n winners per
+    * partition; document bodies never move (callers semi-join winners
+    * back, like [[stratifiedExact]]). Rows with w ≤ 0 or null are
+    * excluded by contract (zero weight = never sampled). The emitted
+    * `es_key` is rounded for display; ordering uses the raw key with
+    * the id as tie-break. */
+  def weightedTopN(df: DataFrame, idCol: Column, weightCol: Column,
+                   n: Int): DataFrame = {
+    val u = (portableHash(idCol.cast("string")) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60 — portableHash is 60-bit
+    val key = log(u) / weightCol.cast("double")
+    df.filter(weightCol.isNotNull && weightCol.cast("double") > 0)
+      .select(idCol.as("sid"), weightCol.cast("double").as("w"), key.as("_key"))
+      .orderBy(col("_key").desc, col("sid"))
+      .limit(n)
+      .select(col("sid"), col("w"), round(col("_key"), 6).as("es_key"))
+  }
 }

@@ -402,6 +402,24 @@ object DedupQueries {
               |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin)
     },
       (s, dir) =>
-        Dedup.simhashNearDup(docs(s, dir), col("doc_id"), col("text")))
+        Dedup.simhashNearDup(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Substring-level dedup: document pairs sharing ≥1 distinct 8-token
+    // span (posting-list join on span hashes, frequency-capped at 50 docs
+    // per span so boilerplate spans can't go quadratic). Catches the
+    // pasted-paragraph case whole-document Jaccard dilutes away.
+    Q("q98_span_overlap",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |p AS (SELECT DISTINCT doc_id, sh FROM
+              |  (SELECT doc_id, unnest(${shingleHashesSql("tk", 8)}) AS sh FROM t)),
+              |f AS (SELECT sh FROM p GROUP BY sh
+              |  HAVING count(*) >= 2 AND count(*) <= 50),
+              |pp AS (SELECT p.doc_id, p.sh FROM p JOIN f USING (sh))
+              |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_spans
+              |FROM pp a JOIN pp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Dedup.sharedSpanPairs(docs(s, dir), col("doc_id"), col("text"),
+          k = 8, minShared = 1L, maxDocsPerSpan = 50L))
   )
 }

@@ -188,6 +188,54 @@ object PipelineQueries {
               log10(col("rnk").cast("double"))), 4).as("zipf_slope"),
             round(regr_r2(log10(col("n").cast("double")),
               log10(col("rnk").cast("double"))), 4).as("r2"))
-      })
+      }),
+
+    // Deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis): 50 documents drawn ∝ n_chars via key = ln(u)/w with
+    // u = (portableHash(id)+1)/2^60 — no RNG state, the sample is a pure
+    // function of the ids, replayable by any engine. Plans as one
+    // projection + TakeOrderedAndProject (no shuffle of bodies).
+    Q("q96_weighted_sample",
+      Some(s"""WITH k AS (SELECT doc_id AS sid, CAST(n_chars AS DOUBLE) AS w,
+              |    ln((${portableHashSql("CAST(doc_id AS VARCHAR)")} + 1)
+              |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS key
+              |  FROM documents WHERE n_chars > 0)
+              |SELECT sid, w, round(key, 6) AS es_key
+              |FROM k ORDER BY key DESC, sid LIMIT 50""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sampling.weightedTopN(
+          docs(s, dir), col("doc_id"), col("n_chars"), 50)),
+
+    // Interpolated bigram-LM surprisal (λ·bigram + (1−λ)·add-one unigram
+    // backoff): the sharper perplexity-style filter — scrambled text keeps
+    // its unigram profile but loses its bigram transitions. Same derived-
+    // table discipline as q86; half-unit-bucketed output.
+    Q("q97_bigram_surprisal", {
+      val lam = 0.7
+      Some(s"""WITH t AS (SELECT doc_id AS doc, $toksSql AS tk FROM documents),
+              |bg AS (SELECT doc, b.w1 AS w1, b.w2 AS w2 FROM
+              |  (SELECT doc, unnest(list_transform(generate_series(1, len(tk)-1),
+              |     i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+              |   FROM t WHERE len(tk) >= 2)),
+              |db AS (SELECT doc, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+              |bm AS (SELECT w1, w2, CAST(sum(c) AS DOUBLE) AS cb FROM db GROUP BY 1, 2),
+              |cx AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS c1 FROM bm GROUP BY 1),
+              |uc AS (SELECT token, count(*) AS cu FROM
+              |  (SELECT unnest(tk) AS token FROM t) GROUP BY token),
+              |tt AS (SELECT CAST(sum(cu) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM uc),
+              |sc AS (SELECT doc,
+              |    -sum(c * ln($lam*(cb/c1) + (1.0 - $lam)*((cu + 1.0)/(N + V)))) / sum(c) AS sp
+              |  FROM db JOIN bm USING (w1, w2) JOIN cx USING (w1)
+              |  JOIN uc ON uc.token = db.w2 CROSS JOIN tt GROUP BY doc)
+              |SELECT CAST(floor(sp * 2) AS BIGINT) AS surprisal_bucket,
+              |  count(*) AS n, round(avg(sp), 4) AS avg_surprisal
+              |FROM sc GROUP BY 1""".stripMargin)
+    },
+      (s, dir) =>
+        LanguageModel.bigramSurprisal(docs(s, dir), col("doc_id"),
+            tokens(col("text")), lambda = 0.7)
+          .groupBy(floor(col("surprisal") * 2).cast("long").as("surprisal_bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("surprisal")), 4).as("avg_surprisal")))
   )
 }

@@ -227,6 +227,37 @@ object SimilarityQueries {
             .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         Similarity.nearDupPairsBucketed(corpus, col("vec_id"), col("embedding"),
           corpus.filter(col("vec_id").between(1, 4)), col("vec_id"), col("embedding"), 0.99)
+      }),
+
+    // SemDeDup: cluster-then-compare semantic dedup over a corpus with 20
+    // planted exact-duplicate vectors. Cells come from the deterministic
+    // seeded codebook (embeddings 1..8, like q47) so DuckDB replays the
+    // assignment; within-cell pairs at cosine ≥ 0.99 mark the higher id
+    // dropped. Whole-corpus classification: every vector kept/dropped.
+    Q("q95_semantic_dedup",
+      Some(s"""WITH $eCte,
+              |base AS (SELECT vec_id, v FROM e
+              |  UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id < 20),
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |asgn AS (SELECT vec_id, cell, v FROM (
+              |    SELECT base.vec_id, base.v, c.cell,
+              |      row_number() OVER (PARTITION BY base.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM base CROSS JOIN c) WHERE rn = 1),
+              |drp AS (SELECT DISTINCT b2.vec_id FROM asgn a1 JOIN asgn b2
+              |  ON a1.cell = b2.cell AND a1.vec_id < b2.vec_id
+              |  WHERE round(${Similarity.cosineSql("a1.v", "b2.v")}, 4) >= 0.99)
+              |SELECT a.vec_id, a.cell,
+              |  CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+              |FROM asgn a LEFT JOIN drp d USING (vec_id)""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val corpus = e.union(
+          e.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
+        Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"), cents, 0.99)
       })
   )
 }

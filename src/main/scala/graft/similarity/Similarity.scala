@@ -341,6 +341,39 @@ object Similarity {
       .select(col("vec_id"), col("dim"), col("q"), col("amax").as("scale"))
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-compare): assign
+    * every vector its nearest codebook cell (one map-side projection,
+    * [[withIvfCell]] — no corpus shuffle), then compare pairs WITHIN a
+    * cell only and drop each vector that has a lower-id neighbor at
+    * cosine ≥ `threshold` (deterministic keep-the-earliest rule, the
+    * greedy representative choice). Classifies the whole corpus:
+    * `(vec_id, cell, status ∈ {kept, dropped})`.
+    *
+    * Scale shape: pair work is Σ_c |cell_c|² instead of |corpus|² — the
+    * codebook size is the knob that bounds the per-cell quadratic term
+    * (√N-ish cells keeps expected pair cost ≈ N^1.5/k). The pair join is
+    * one equi-join shuffle on `cell`; the drop set is distinct ids (8
+    * bytes/row), joined back as a left join that AQE broadcasts when
+    * small. Same candidate-restriction guarantee as
+    * [[nearDupPairsBucketed]]: identical vectors always share a nearest
+    * cell, so exact duplicates can never be missed; near-but-not-equal
+    * pairs straddling a cell boundary are the recall trade every
+    * clustered dedup makes (SemDeDup accepts it by design). */
+  def semanticDedup(vectors: DataFrame, idCol: Column, vecCol: Column,
+                    centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val cells = withIvfCell(vectors, idCol, vecCol, centroids)
+    val a = cells.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
+    val b = cells.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))
+    val dropped = a.join(b, "cell")
+      .filter(col("d1") < col("d2"))
+      .filter(round(cosine(col("v1"), col("v2")), 4) >= threshold)
+      .select(col("d2").as("vec_id")).distinct()
+      .withColumn("_drop", lit(1))
+    cells.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("_drop").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
     * all-pairs (the correctness baseline [[nearDupPairsBucketed]] is
     * checked against in tests). */

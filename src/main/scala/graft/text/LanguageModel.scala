@@ -39,4 +39,50 @@ object LanguageModel {
       .agg((-sum(col("c") * log((col("cc").cast("double") + lit(1.0)) / (col("N") + col("V"))))
         / sum(col("c"))).as("surprisal"))
   }
+
+  /** Per-document mean bigram surprisal under a Jelinek–Mercer-interpolated
+    * bigram model trained on the corpus itself:
+    *
+    *   p(w₂|w₁) = λ · c(w₁w₂)/c(w₁·) + (1−λ) · (c(w₂)+1)/(N+V)
+    *   surprisal(d) = − Σ_{bigrams} c_{d,b} · ln p(b) / Σ c_{d,b}
+    *
+    * with c(w₁w₂) the corpus bigram count, c(w₁·) the count of w₁ as a
+    * bigram CONTEXT (first position), and the unigram backoff add-one-
+    * smoothed over all corpus tokens — so unseen-in-context bigrams still
+    * score. A sharper OOD detector than [[unigramSurprisal]]: scrambled
+    * or templated text keeps its unigram profile but loses its bigram
+    * transitions. Documents with < 2 tokens have no bigrams and drop out.
+    *
+    * Scale shape: one guarded per-row bigram generator (no shuffle),
+    * then the same derived-table discipline as [[unigramSurprisal]]:
+    * per-doc bigram counts shuffle once on (doc, w₁, w₂); the bigram
+    * model, context totals, and unigram model all derive from grouped
+    * aggregates of the SAME count tables (map-side combinable), and each
+    * joins back as a real table keyed on its words — never a forced
+    * broadcast (a 100 TB corpus has ~10⁹ distinct bigrams). Only the
+    * 1-row (N, V) frame broadcasts. */
+  def bigramSurprisal(df: DataFrame, idCol: Column, toks: Column,
+                      lambda: Double = 0.7): DataFrame = {
+    val tk = toks
+    val bigrams = when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+    val docBi = df.select(idCol.as("doc"), explode(bigrams).as("b"))
+      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("c"))
+    val biModel = docBi.groupBy("w1", "w2").agg(sum(col("c")).as("cb"))
+    val ctx = biModel.groupBy("w1").agg(sum(col("cb")).as("c1"))
+    val uniCounts = df.select(explode(tk).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cu"))
+    val totals = uniCounts.agg(sum(col("cu")).cast("double").as("N"),
+      count(lit(1)).cast("double").as("V"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +
+      lit(1.0 - lambda) * ((col("cu").cast("double") + lit(1.0)) / (col("N") + col("V")))
+    docBi.join(biModel, Seq("w1", "w2"))
+      .join(ctx, "w1")
+      .join(uniCounts.withColumnRenamed("token", "w2"), "w2")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc")
+      .agg((-sum(col("c") * log(p)) / sum(col("c"))).as("surprisal"))
+  }
 }

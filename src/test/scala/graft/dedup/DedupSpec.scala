@@ -278,4 +278,37 @@ class DedupSpec extends SparkSpec {
     assert(st.filter($"status" === "near_dup").count() >= 1)
     assert(st.filter($"status" === "exact_dup").count() == 0)
   }
+
+  test("sharedSpanPairs finds a pasted paragraph and counts distinct spans") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india" // 9 tokens
+    val df = Seq(
+      (1L, s"intro words here $span closing remarks"),
+      (2L, s"totally different frame $span and other tail content"),
+      (3L, "unrelated text with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpanPairs(df, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // a 9-token shared run contains exactly two distinct 8-token spans
+    assert(got == Map((1L, 2L) -> 2L), s"got $got")
+  }
+
+  test("sharedSpanPairs drops boilerplate spans past the frequency cap") {
+    val boiler = "one two three four five six seven eight"
+    val df = (1L to 6L).map(i => (i, s"doc $i header $boiler footer $i"))
+      .toDF("doc_id", "text")
+    // the span occurs in 6 docs; cap at 5 -> no pair may survive
+    assert(Dedup.sharedSpanPairs(df, col("doc_id"), col("text"),
+      k = 8, maxDocsPerSpan = 5L).count() == 0)
+    // raising the cap reinstates all 15 pairs
+    assert(Dedup.sharedSpanPairs(df, col("doc_id"), col("text"),
+      k = 8, maxDocsPerSpan = 6L).count() == 15)
+  }
+
+  test("sharedSpanPairs on the corpus matches the planted near-dup signal") {
+    val pairs = Dedup.sharedSpanPairs(docs, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q37's shingle-Jaccard >= 0.5 pairs all share long runs; span overlap
+    // must recover the same planted structure (~25 pairs at any sf)
+    assert(pairs.size >= 20 && pairs.size <= 35, s"got ${pairs.size} pairs")
+  }
 }

@@ -235,4 +235,34 @@ class SimilaritySpec extends SparkSpec {
       .agg(avg($"x").as("mu"), stddev_pop($"x").as("sd"))
     assert(z.filter(abs($"mu") > 1e-6 || abs($"sd" - 1.0) > 1e-6).count() == 0)
   }
+
+  test("semanticDedup classifies every vector and drops exactly the planted dups") {
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.union(
+      e.filter($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 4L)
+    val st = Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"), cents, 0.99)
+    assert(st.count() == corpus.count(), "one status row per vector")
+    // identical vectors always share a nearest cell, so every planted copy
+    // (higher id than its original by construction) must be dropped
+    val dropped = st.filter($"status" === "dropped")
+      .select("vec_id").as[Long].collect().toSet
+    assert((0L until 10L).map(_ + 100000).toSet.subsetOf(dropped),
+      s"every planted copy must drop: $dropped")
+    // the corpus's max off-diagonal cosine is ~0.5, so nothing else drops
+    assert(dropped.size == 10, s"only planted copies should drop: $dropped")
+  }
+
+  test("semanticDedup keep-the-earliest: originals of planted dups stay kept") {
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.union(
+      e.filter($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 4L)
+    val st = Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"), cents, 0.99)
+    val keptIds = st.filter($"status" === "kept").select("vec_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(keptIds.contains),
+      "the lower-id original of each dup pair must be kept")
+  }
 }

@@ -247,4 +247,34 @@ class TextSpec extends SparkSpec {
     val vals = typical.map(t => sp(t._1))
     assert(vals.forall(v => math.abs(v - vals.head) < 1e-9))
   }
+
+  test("bigramSurprisal: scrambled word order scores higher than natural order") {
+    // same unigram profile, destroyed transitions — the case the unigram
+    // model is blind to and the bigram model exists for
+    val natural = (1 to 20).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran"))
+    val scrambled = Seq((99L, "mat the ran on dog sat the and cat the"))
+    val df = (natural ++ scrambled).toDF("doc_id", "text")
+    val bi = graft.text.LanguageModel
+      .bigramSurprisal(df, $"doc_id", tokens($"text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(bi(99L) == bi.values.max,
+      s"scrambled doc must have max bigram surprisal: $bi")
+    val uni = graft.text.LanguageModel
+      .unigramSurprisal(df, $"doc_id", tokens($"text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // unigram model can't separate them (identical bags of words)
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-9,
+      s"unigram must be blind to word order: ${uni(99L)} vs ${uni(1L)}")
+  }
+
+  test("bigramSurprisal: docs with fewer than 2 tokens drop out; scores positive") {
+    val df = Seq((1L, "one two three four"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.text.LanguageModel
+      .bigramSurprisal(df, $"doc_id", tokens($"text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set(1L), s"bigram-less docs must drop out: $got")
+    assert(got(1L) > 0)
+  }
 }
