@@ -104,6 +104,48 @@ object Media {
       feats(media.filter(col("media_id") === queryId)), col("feature"), k)
   }
 
+  /** (media_id, phash) for every image row — one map-side codec pass
+    * (decode + 9×8 thumbnail + 64 gradient bits per image; nothing
+    * shuffles). The 8-byte perceptual key is what an image-dedup pipeline
+    * persists next to its index: all later passes join on it and never
+    * re-decode the corpus. */
+  def withPerceptualHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.flatMap(r => MediaCodec.dHash64(MediaCodec.decode(r.payload))
+          .map(h => (r.media_id, h)))
+      }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-dup image pairs within hamming `radius` of each
+    * other's dHash — the same exact pigeonhole banding as the simhash
+    * text pipeline ([[graft.dedup.Dedup.simhashNearDup]]): split the 64
+    * bits into radius+1 bands, a within-radius pair must collide on at
+    * least one band, so one equi-join on (band, value) replaces the
+    * all-pairs comparison; popcount verifies candidates exactly. */
+  def phashNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame = {
+    require(radius >= 0 && 64 % (radius + 1) == 0,
+      s"radius+1 must divide 64, got $radius")
+    val nBands = radius + 1
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val p = withPerceptualHash(media)
+    val bandVals = (0 until nBands).map(b =>
+      shiftright(col("phash"), b * width).bitwiseAND(lit(mask)))
+    val bands = p.select(col("media_id"), col("phash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
+        col("a.phash").as("h1"), col("b.phash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("m1", "m2", "hamming")
+  }
+
   /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
     * frames are REAL PCM seeks (the samples at `offset_ms`); video frames
     * come from the stubbed codec. */
@@ -372,6 +414,37 @@ object MediaCodec {
         }
       }
       out
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image: bilinear-resize
+    * to a 9×8 grayscale thumbnail, set bit (y·8+x) when
+    * px(y,x) > px(y,x+1). Gradient SIGNS survive uniform brightness /
+    * contrast shifts, re-encoding, and resizing — the classic perceptual
+    * near-dup key (visually-identical images land within a few bits,
+    * where a byte checksum sees nothing). Non-image payloads yield None:
+    * images dedup via dHash, audio/video via the embed path. */
+  def dHash64(decoded: Decoded): Option[Long] = decoded match {
+    case r: ImageRaster =>
+      val dst = new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY)
+      val g2 = dst.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(grayImage(r), 0, 0, 9, 8, null)
+      g2.dispose()
+      val px = dst.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if ((px(y * 9 + x) & 0xff) > (px(y * 9 + x + 1) & 0xff))
+            bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    case _ => None
   }
 
   /** Frame/sample extraction at a time offset. WAV payloads get a REAL

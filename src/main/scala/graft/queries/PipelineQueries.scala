@@ -236,6 +236,38 @@ object PipelineQueries {
             tokens(col("text")), lambda = 0.7)
           .groupBy(floor(col("surprisal") * 2).cast("long").as("surprisal_bucket"))
           .agg(count(lit(1)).as("n"),
-            round(avg(col("surprisal")), 4).as("avg_surprisal")))
+            round(avg(col("surprisal")), 4).as("avg_surprisal"))),
+
+    // DSIR-style importance resampling: per-doc importance weight = the
+    // exponentiated mean log-ratio of a target unigram model (lang='en'
+    // docs as the stand-in "high-quality" subset) to the raw corpus
+    // model, then 50 docs drawn ∝ weight via the deterministic E-S key —
+    // the distribution-shaping pass (upsample target-like text) composed
+    // end-to-end from two already-oracled primitives.
+    Q("q99_importance_resample",
+      Some(s"""WITH p AS (SELECT doc_id AS doc, lang = 'en' AS tgt,
+              |    unnest($toksSql) AS token FROM documents),
+              |dc AS (SELECT doc, token, count(*) AS c, bool_or(tgt) AS tgt
+              |  FROM p GROUP BY 1, 2),
+              |r AS (SELECT token, CAST(sum(c) AS DOUBLE) AS cr FROM dc GROUP BY 1),
+              |tg AS (SELECT token, CAST(sum(c) AS DOUBLE) AS ct FROM dc WHERE tgt GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS Nr, CAST(count(*) AS DOUBLE) AS V FROM r),
+              |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS Nt FROM tg),
+              |sc AS (SELECT doc, exp(sum(c * (ln((coalesce(ct, 0) + 1.0) / (Nt + V))
+              |                             - ln((cr + 1.0) / (Nr + V)))) / sum(c)) AS iw
+              |  FROM dc JOIN r USING (token) LEFT JOIN tg USING (token)
+              |  CROSS JOIN tot CROSS JOIN tt GROUP BY doc),
+              |k AS (SELECT doc AS sid, iw,
+              |    ln((${portableHashSql("CAST(doc AS VARCHAR)")} + 1)
+              |       / 1152921504606846976.0) / iw AS key
+              |  FROM sc)
+              |SELECT sid, round(iw, 4) AS iw_r, round(key, 6) AS es_key
+              |FROM k ORDER BY key DESC, sid LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val iw = LanguageModel.importanceWeights(
+          docs(s, dir), col("doc_id"), tokens(col("text")), col("lang") === "en")
+        graft.operators.Sampling.weightedTopN(iw, col("doc"), col("iw"), 50)
+          .select(col("sid"), round(col("w"), 4).as("iw_r"), col("es_key"))
+      })
   )
 }

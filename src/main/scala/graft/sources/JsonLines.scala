@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JSONL (newline-delimited JSON) source/sink — the interchange format of
+  * LLM training-data pipelines (public corpora ship as `*.jsonl`). The
+  * read is a splittable text scan + `from_json`, which is exactly what
+  * Spark's json datasource lowers to, with two policies fixed for 100 TB:
+  *
+  *  - **explicit schema, never inference** — schema inference is a full
+  *    extra pass over the corpus before the real one;
+  *  - **malformed-line quarantine** — one bad line in a billion must
+  *    neither fail the batch nor silently vanish; it surfaces in a
+  *    `_corrupt` column carrying the raw line with full fidelity.
+  *    (Spark's own PERMISSIVE reader forbids querying its corrupt-record
+  *    column alone — [UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]
+  *    — so the badRecords accounting a pipeline needs can't be built on
+  *    it; parsing explicitly keeps the quarantine a plain column.)
+  */
+object JsonLines {
+
+  /** documents-table schema (the parsed columns; `_corrupt` is added by
+    * [[readDocuments]], not part of the data schema). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Distributed JSONL write — one file per partition, like any sink. */
+  def writeDocuments(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Schema'd quarantining read: well-formed lines parse into the declared
+    * columns with `_corrupt` null; malformed lines yield all-null data
+    * columns and `_corrupt` = the raw line. One text scan, one codegen'd
+    * `from_json` per line, with the corrupt-record column declared INSIDE
+    * the parse schema (PERMISSIVE `from_json` reports malformed input
+    * there rather than returning a null struct). */
+  def readDocuments(spark: SparkSession, path: String): DataFrame = {
+    val parseSchema = documentsSchema.add(StructField("_corrupt", StringType))
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+    spark.read.text(path)
+      .select(from_json(col("value"), parseSchema, opts).as("_r"))
+      .select(parseSchema.fieldNames.map(f => col(s"_r.$f")): _*)
+  }
+
+  /** The clean rows of a [[readDocuments]] frame (quarantine removed). */
+  def good(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt").isNull).drop("_corrupt")
+
+  /** The quarantined raw lines (malformed JSON, with full fidelity). */
+  def quarantined(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt").isNotNull).select("_corrupt")
+}

@@ -85,4 +85,49 @@ object LanguageModel {
       .groupBy("doc")
       .agg((-sum(col("c") * log(p)) / sum(col("c"))).as("surprisal"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", reshaped to unigram
+    * token features): for every document, the per-token mean log-ratio of
+    * a TARGET unigram model (trained on the `isTarget` rows — the
+    * high-quality subset the pipeline wants more of) to the RAW model
+    * (trained on the whole corpus), exponentiated:
+    *
+    *   iw(d) = exp( Σ_t c_{d,t} · [ln p_tgt(t) − ln p_raw(t)] / n_d )
+    *
+    * Both models are add-one-smoothed over the SAME raw vocabulary, so
+    * tokens unseen in the target still score. iw > 1 ⇒ the document
+    * looks more like the target than the average corpus doc; feeding the
+    * weights to [[graft.operators.Sampling.weightedTopN]] is importance
+    * RESAMPLING — the distribution-shaping pass of a training-data
+    * pipeline (upsample wiki-like text out of a web crawl).
+    *
+    * Scale shape: ONE explode pass → per-doc token counts (shuffle on
+    * (doc, token), map-side combinable); the raw model, the target model,
+    * and the scoring all derive from that single counts table (the target
+    * model is a filtered re-aggregation, not a second corpus scan). Both
+    * models join back as real tables keyed on token; only the 1-row
+    * totals frame broadcasts — [[unigramSurprisal]]'s discipline with two
+    * models instead of one. */
+  def importanceWeights(df: DataFrame, idCol: Column, toks: Column,
+                        isTarget: Column): DataFrame = {
+    val docCounts = df
+      .select(idCol.as("doc"), isTarget.as("_tgt"), explode(toks).as("token"))
+      .groupBy("doc", "token")
+      .agg(count(lit(1)).as("c"), bool_or(col("_tgt")).as("_tgt"))
+    val raw = docCounts.groupBy("token").agg(sum(col("c")).as("cr"))
+    val tgt = docCounts.filter(col("_tgt")).groupBy("token").agg(sum(col("c")).as("ct"))
+    val totals = raw.agg(sum(col("cr")).cast("double").as("Nr"),
+      count(lit(1)).cast("double").as("V"))
+    val tgtTotal = tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("Nt"))
+    val logRatio =
+      log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) / (col("Nt") + col("V"))) -
+        log((col("cr").cast("double") + lit(1.0)) / (col("Nr") + col("V")))
+    docCounts.join(raw, "token")
+      .join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tgtTotal))
+      .groupBy("doc")
+      .agg(exp(sum(col("c") * logRatio) / sum(col("c"))).as("iw"))
+  }
 }

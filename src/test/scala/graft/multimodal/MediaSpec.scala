@@ -185,4 +185,51 @@ class MediaSpec extends SparkSpec {
       .filter($"offset_ms" > $"duration_ms").count()
     assert(bad == 0)
   }
+
+  test("dHash64 is invariant to a linear brightness/contrast shift") {
+    val png = MediaCodec.synthPng(7L, 120, 90)
+    val raster = MediaCodec.decode(png).asInstanceOf[MediaCodec.ImageRaster]
+    // px' = px/2 + 64: strictly monotone, so every gradient sign survives
+    val shifted = raster.copy(pixels =
+      raster.pixels.map(b => ((b & 0xff) / 2 + 64).toByte))
+    val h0 = MediaCodec.dHash64(raster).get
+    val h1 = MediaCodec.dHash64(shifted).get
+    assert(h0 == h1, s"brightness shift flipped bits: ${java.lang.Long.bitCount(h0 ^ h1)}")
+  }
+
+  test("dHash64 survives resize within a few bits; distinct textures differ widely") {
+    val a = MediaCodec.decode(MediaCodec.synthPng(1L, 100, 80))
+    val aBig = MediaCodec.decode(
+      MediaCodec.resize(a, 200, 160))
+    val near = java.lang.Long.bitCount(
+      MediaCodec.dHash64(a).get ^ MediaCodec.dHash64(aBig).get)
+    assert(near <= 8, s"2x upscale moved the dHash by $near bits")
+    val b = MediaCodec.decode(MediaCodec.synthPng(2L, 100, 80))
+    val far = java.lang.Long.bitCount(
+      MediaCodec.dHash64(a).get ^ MediaCodec.dHash64(b).get)
+    assert(far > 8, s"different gratings should differ widely, got $far bits")
+    // non-images never hash
+    assert(MediaCodec.dHash64(MediaCodec.decode(MediaCodec.synthWav(3L, 500))).isEmpty)
+  }
+
+  test("phashNearDupPairs finds planted image copies at hamming 0, banding exact") {
+    val imgs = media.filter($"kind" === "image")
+    val planted = imgs.limit(3).toDF()
+      .withColumn("media_id", $"media_id" + 500000L)
+      .as[Media.MediaRow](media.encoder)
+    val corpus = media.union(planted)
+    val plantedIds = planted.collect().map(_.media_id).toSet
+    val pairs = Media.phashNearDupPairs(corpus, radius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted copy pairs with its original at hamming 0
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    plantedIds.foreach { pid =>
+      assert(zeroPairs.contains((pid - 500000L, pid)),
+        s"copy $pid must pair with its original: ${pairs.mkString(";")}")
+    }
+    // pair orientation and radius contract
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 3))
+    // only image rows enter the phash path
+    assert(Media.withPerceptualHash(corpus).count() == imgs.count() + 3)
+  }
 }

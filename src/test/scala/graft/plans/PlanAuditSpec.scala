@@ -151,6 +151,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q96: weighted sampling plans TakeOrderedAndProject over a pure projection") {
+    val p = plan("q96_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-n by E-S key must be bounded per-partition heaps, not a sort: " + p)
+    assert(!p.split("== Initial Plan ==")(0).contains("Exchange hashpartitioning"),
+      "the key computation is a projection; nothing may shuffle before take: " + p)
+  }
+
+  test("q99: both LM models derive from one doc-counts exchange; winners via TakeOrdered") {
+    val p = planUncached("q99_importance_resample").split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      "raw/target models must reuse the (doc,token) counts shuffle, not re-scan: " + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q98: span posting-list join is equi-join only (no nested loop), spans map-side") {
+    val p = planUncached("q98_span_overlap").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate shinglehashgenerator"),
+      "spans must come from the map-side generator, not a window/self-join: " + p)
+  }
+
+  test("q95: semantic dedup assigns cells shuffle-free; pair join is an equi-join") {
+    val p = planUncached("q95_semantic_dedup").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // cell assignment is a projection against the inlined codebook — the
+    // only exchanges are the pair equi-join on cell + the drop-set joins
+    assert(p.contains("array_min"), "argmin must be the inlined-codebook projection: " + p)
+  }
+
   test("q90: the rank window sorts the aggregated vocabulary, not the corpus") {
     val p = plan("q90_zipf_slope").split("== Initial Plan ==")(0)
     // single-partition stages: the vocab rank window + the final 1-row regr

@@ -268,6 +268,25 @@ class TextSpec extends SparkSpec {
       s"unigram must be blind to word order: ${uni(99L)} vs ${uni(1L)}")
   }
 
+  test("importanceWeights: target-like docs score above corpus-like docs") {
+    // target = docs about "cats"; raw corpus dominated by "widgets"
+    val target = (1 to 5).map(i => (i.toLong, "cat sat mat cat purr", true))
+    val noise = (10 to 30).map(i => (i.toLong, "widget gear spring bolt flange", false))
+    val probe = Seq(
+      (100L, "cat purr mat sat cat", false), // target-like, NOT in target set
+      (101L, "widget bolt gear flange spring", false)) // corpus-like
+    val df = (target ++ noise ++ probe).toDF("doc_id", "text", "tgt")
+    val iw = graft.text.LanguageModel
+      .importanceWeights(df, $"doc_id", tokens($"text"), $"tgt")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(iw.size == df.count())
+    assert(iw.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite))
+    assert(iw(100L) > 1.0, s"target-like doc must upweight: ${iw(100L)}")
+    assert(iw(101L) < 1.0, s"corpus-like doc must downweight: ${iw(101L)}")
+    assert(iw(100L) > iw(101L) * 2,
+      s"separation too weak: ${iw(100L)} vs ${iw(101L)}")
+  }
+
   test("bigramSurprisal: docs with fewer than 2 tokens drop out; scores positive") {
     val df = Seq((1L, "one two three four"), (2L, "solo"), (3L, ""))
       .toDF("doc_id", "text")
