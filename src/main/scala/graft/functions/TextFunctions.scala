@@ -168,14 +168,15 @@ object TextFunctions {
     * byte-exact table lookup both engines implement identically — the
     * portability discipline of [[UrlRe]] applied to case. Same explicit
     * whitespace class as the PII rules (Java ∩ RE2). */
-  private val Uc = ('A' to 'Z').mkString
-  private val Lc = ('a' to 'z').mkString
+  private[graft] val Uc = ('A' to 'Z').mkString
+  private[graft] val Lc = ('a' to 'z').mkString
+  private[graft] val WsRunRe = "[\\t\\n\\f\\r ]+"
 
   def canonicalize(text: Column): Column =
-    trim(regexp_replace(translate(text, Uc, Lc), "[\\t\\n\\f\\r ]+", " "))
+    trim(regexp_replace(translate(text, Uc, Lc), WsRunRe, " "))
 
   def canonicalizeSql(e: String): String =
-    s"trim(regexp_replace(translate($e, '$Uc', '$Lc'), '[\\t\\n\\f\\r ]+', ' ', 'g'))"
+    s"trim(regexp_replace(translate($e, '$Uc', '$Lc'), '$WsRunRe', ' ', 'g'))"
 
   private[graft] val PiiRules: Seq[(String, String)] = Seq(
     UrlRe -> "<URL>", EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")

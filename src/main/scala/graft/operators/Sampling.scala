@@ -84,4 +84,60 @@ object Sampling {
       .limit(n)
       .select(col("sid"), col("w"), round(col("_key"), 6).as("es_key"))
   }
+
+  /** Per-stratum [[weightedTopN]]: within each stratum keep the `n` rows
+    * ranking first by the Efraimidis–Spirakis key — a weight-proportional
+    * draw without replacement PER GROUP (per-language eval subsets drawn
+    * ∝ quality weight, per-source hard-example mining). Same determinism
+    * contract as [[weightedTopN]]; same narrow-projection shape as
+    * [[stratifiedExact]] (the window ranks (stratum, id, w, key) only —
+    * bodies rejoin via the returned ids). Rows with w ≤ 0 or null never
+    * sample. */
+  def weightedTopNPerStratum(df: DataFrame, stratumCol: Column, idCol: Column,
+                             weightCol: Column, n: Int): DataFrame = {
+    val u = (portableHash(idCol.cast("string")) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0)
+    val key = log(u) / weightCol.cast("double")
+    df.filter(weightCol.isNotNull && weightCol.cast("double") > 0)
+      .select(stratumCol.as("stratum"), idCol.as("sid"),
+        weightCol.cast("double").as("w"), key.as("_key"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("_key").desc, col("sid"))))
+      .filter(col("rk") <= n)
+      .select(col("stratum"), col("sid"), col("w"), col("rk"))
+  }
+
+  /** Deterministic temperature-weighted mixture ORDER — the training-order
+    * writer of a multi-source pipeline (T5/Pile-style source mixing):
+    * within each source, documents are ranked by the portable hash (a
+    * deterministic shuffle); the k-th document of source s is assigned
+    * virtual time `vt = k / w_s`, and the global order by vt interleaves
+    * sources ∝ their weights — source s contributes w_s docs per unit of
+    * virtual time, with no RNG and no coordination between sources.
+    *
+    * Scale shape: one window over a narrow (source, id, hash) projection
+    * (partitioned by source — the same exchange [[stratifiedExact]]
+    * pays), then the head of the order via TakeOrderedAndProject. The
+    * FULL order at 100 TB is a range-partitioned sort by vt (Spark's
+    * distributed sort) writing directly to the training manifest — no
+    * global row numbering anywhere. vt is exact-integer k over a literal
+    * weight: bit-identical across engines. Sources missing from
+    * `weights` are excluded (weight 0 = not in the mixture). */
+  def mixtureOrder(df: DataFrame, idCol: Column, sourceCol: Column,
+                   weights: Map[String, Double], n: Int): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "every mixture weight must be positive")
+    val wCol = element_at(typedLit(weights), col("source"))
+    val keyed = df
+      .select(sourceCol.as("source"), idCol.as("sid"),
+        portableHash(idCol.cast("string")).as("_h"))
+      .filter(wCol.isNotNull)
+    keyed
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("_h"), col("sid"))))
+      .withColumn("vt", col("k").cast("double") / wCol)
+      .orderBy(col("vt"), col("source"), col("sid"))
+      .limit(n)
+      .select(col("sid"), col("source"), col("k"), round(col("vt"), 6).as("vt"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpExtractAll, RegExpReplace, Size}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpExtractAll, RegExpReplace, Size, StringTranslate, StringTrim}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.LongType
 
@@ -49,7 +49,13 @@ object GraftExtensions {
       "pii_count(text) - number of URL/email/phone matches in text",
       args => TextFunctions.PiiRules.map { case (re, _) =>
         Cast(Size(RegExpExtractAll(args.head, Literal(re), Literal(0))), LongType): Expression
-      }.reduce(Add(_, _))))
+      }.reduce(Add(_, _))),
+    ("canonicalize",
+      "canonicalize(text) - ASCII-case-folded, whitespace-collapsed, trimmed text (near-exact dedup key)",
+      args => StringTrim(RegExpReplace(
+        StringTranslate(args.head,
+          Literal(TextFunctions.Uc), Literal(TextFunctions.Lc)),
+        Literal(TextFunctions.WsRunRe), Literal(" ")))))
 
   /** Runtime registration of the same SQL functions on an existing
     * session (extensions configs only apply at session construction). */

@@ -268,6 +268,42 @@ object PipelineQueries {
           docs(s, dir), col("doc_id"), tokens(col("text")), col("lang") === "en")
         graft.operators.Sampling.weightedTopN(iw, col("doc"), col("iw"), 50)
           .select(col("sid"), round(col("w"), 4).as("iw_r"), col("es_key"))
-      })
+      }),
+
+    // Deterministic temperature-weighted mixture ORDER (T5/Pile-style
+    // source mixing): the k-th hash-ranked doc of source s runs at
+    // virtual time k/w_s, so the global vt order interleaves sources ∝
+    // their weights with no RNG and no cross-source coordination. First
+    // 100 positions of the training order for a 4:2:1 mix.
+    Q("q100_mixture_order",
+      Some(s"""WITH wt AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 2.0),
+              |    ('src2', 1.0)) AS t(source, w)),
+              |k AS (SELECT source, doc_id AS sid, w,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY ${portableHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS k
+              |  FROM documents JOIN wt USING (source))
+              |SELECT sid, source, CAST(k AS BIGINT) AS k, round(k / w, 6) AS vt
+              |FROM k ORDER BY k / w, source, sid LIMIT 100""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sampling.mixtureOrder(docs(s, dir), col("doc_id"),
+          col("source"), Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0), 100)
+          .select(col("sid"), col("source"), col("k").cast("long").as("k"), col("vt"))),
+
+    // Per-stratum weighted draw: within each lang, 10 docs ∝ n_chars by
+    // the deterministic E-S key — the per-language eval-subset builder
+    // (stratified guarantee + weight proportionality in one pass).
+    Q("q101_weighted_stratified",
+      Some(s"""WITH k AS (SELECT lang AS stratum, doc_id AS sid,
+              |    CAST(n_chars AS DOUBLE) AS w,
+              |    ln((${portableHashSql("CAST(doc_id AS VARCHAR)")} + 1)
+              |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS key
+              |  FROM documents WHERE n_chars > 0),
+              |r AS (SELECT stratum, sid, w,
+              |    CAST(row_number() OVER (PARTITION BY stratum
+              |      ORDER BY key DESC, sid) AS INT) AS rk FROM k)
+              |SELECT stratum, sid, w, rk FROM r WHERE rk <= 10""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sampling.weightedTopNPerStratum(
+          docs(s, dir), col("lang"), col("doc_id"), col("n_chars"), 10))
   )
 }

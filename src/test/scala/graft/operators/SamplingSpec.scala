@@ -67,6 +67,50 @@ class SamplingSpec extends SparkSpec {
     assert(got.sameElements(expect))
   }
 
+  test("mixtureOrder interleaves sources exactly proportionally to weight") {
+    // 20 docs per source; weights 2:1 — at virtual time t source A has
+    // contributed floor(2t) docs and B floor(t), so the first 30
+    // positions are exactly 20 A + 10 B
+    val df = ((1L to 20L).map(i => (i, "A")) ++ (21L to 40L).map(i => (i, "B")))
+      .toDF("doc_id", "src")
+    val order = Sampling.mixtureOrder(df, col("doc_id"), col("src"),
+      Map("A" -> 2.0, "B" -> 1.0), 30).collect()
+    assert(order.length == 30)
+    val bySrc = order.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("A" -> 20, "B" -> 10), bySrc.toString)
+    // vt never decreases along the emitted order
+    val vts = order.map(_.getDouble(3))
+    assert(vts.zip(vts.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("mixtureOrder excludes unweighted sources and survives repartitioning") {
+    val df = ((1L to 10L).map(i => (i, "A")) ++ (11L to 20L).map(i => (i, "ZZZ")))
+      .toDF("doc_id", "src")
+    val a = Sampling.mixtureOrder(df, col("doc_id"), col("src"),
+      Map("A" -> 1.0), 50).collect()
+    assert(a.forall(_.getString(1) == "A"), "unweighted sources must not appear")
+    assert(a.length == 10)
+    val b = Sampling.mixtureOrder(df.repartition(7), col("doc_id"), col("src"),
+      Map("A" -> 1.0), 50).collect()
+    assert(a.map(_.getLong(0)).sameElements(b.map(_.getLong(0))),
+      "order must not depend on partitioning")
+  }
+
+  test("weightedTopNPerStratum keeps exactly n per stratum, deterministically") {
+    val got = Sampling.weightedTopNPerStratum(
+      docs, col("lang"), col("doc_id"), col("n_chars"), 5)
+    val perStratum = got.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perStratum.keySet == full.keySet)
+    perStratum.foreach { case (l, n) =>
+      assert(n == math.min(5L, full(l)), s"lang=$l got $n")
+    }
+    val again = Sampling.weightedTopNPerStratum(
+      docs.repartition(9), col("lang"), col("doc_id"), col("n_chars"), 5)
+    assert(got.select("sid").as[Long].collect().sorted.sameElements(
+      again.select("sid").as[Long].collect().sorted))
+  }
+
   test("weightedTopN favors heavy weights and never samples w <= 0 or null") {
     // 200 light (w=1) vs 200 heavy (w=25) rows + poisoned rows
     val rows = (1L to 200L).map(i => (i, java.lang.Double.valueOf(1.0))) ++

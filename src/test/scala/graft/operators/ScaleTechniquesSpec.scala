@@ -105,4 +105,24 @@ class ScaleTechniquesSpec extends SparkSpec {
       li.agg(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0))
     assert(math.abs(lo - hi) / hi < 0.02, s"approx_median=$lo exact=$hi")
   }
+
+  test("count-min sketch: heavy-hitter counts bounded by eps*N, sketches mergeable") {
+    import java.io.ByteArrayInputStream
+    import org.apache.spark.util.sketch.CountMinSketch
+    // 1000 'hot' + 1000 singletons; eps=0.001 -> overcount <= 2 w.p. 0.99
+    val df = (1 to 2000).map(i => if (i % 2 == 0) "hot" else s"t$i")
+      .toDF("t").repartition(8)
+    def sketch(d: org.apache.spark.sql.DataFrame): CountMinSketch =
+      CountMinSketch.readFrom(new ByteArrayInputStream(
+        d.agg(count_min_sketch($"t", lit(0.001d), lit(0.99d), lit(42))).head
+          .getAs[Array[Byte]](0)))
+    val whole = sketch(df)
+    assert(whole.estimateCount("hot") >= 1000L &&
+      whole.estimateCount("hot") <= 1002L, whole.estimateCount("hot").toString)
+    assert(whole.estimateCount("absent") <= 2L)
+    // the distributed story: per-split sketches merge to the global one
+    val merged = sketch(df.filter($"t" =!= "hot"))
+    merged.mergeInPlace(sketch(df.filter($"t" === "hot")))
+    assert(merged.estimateCount("hot") == whole.estimateCount("hot"))
+  }
 }
