@@ -346,9 +346,10 @@ object Dedup {
   def sharedSpanPairs(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int = 8, minShared: Long = 1L,
                       maxDocsPerSpan: Long = 50L,
+                      portable: Boolean = true,
                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val posts = scope.persist(
-      shingleHashes(df, idCol, textCol, k).distinct())
+      shingleHashes(df, idCol, textCol, k, portable).distinct())
     val shared = posts.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDocsPerSpan)
       .select("sh")

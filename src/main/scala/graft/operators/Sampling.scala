@@ -124,20 +124,38 @@ object Sampling {
     * weight: bit-identical across engines. Sources missing from
     * `weights` are excluded (weight 0 = not in the mixture). */
   def mixtureOrder(df: DataFrame, idCol: Column, sourceCol: Column,
-                   weights: Map[String, Double], n: Int): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "every mixture weight must be positive")
-    val wCol = element_at(typedLit(weights), col("source"))
-    val keyed = df
-      .select(sourceCol.as("source"), idCol.as("sid"),
-        portableHash(idCol.cast("string")).as("_h"))
-      .filter(wCol.isNotNull)
-    keyed
-      .withColumn("k", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("_h"), col("sid"))))
-      .withColumn("vt", col("k").cast("double") / wCol)
+                   weights: Map[String, Double], n: Int): DataFrame =
+    mixtureVt(df, idCol, sourceCol, weights)
       .orderBy(col("vt"), col("source"), col("sid"))
       .limit(n)
       .select(col("sid"), col("source"), col("k"), round(col("vt"), 6).as("vt"))
+
+  /** The FULL mixture order as a globally-sorted frame — what actually
+    * writes the 100 TB training manifest. `orderBy(vt)` plans a
+    * RangePartitioning exchange (sampled split points, every partition
+    * sorts its own range in parallel) — file i of the written manifest
+    * holds positions strictly before file i+1, and NOTHING funnels
+    * through a single-partition sort or a global row number
+    * (plan-asserted in SamplingSpec). */
+  def mixtureManifest(df: DataFrame, idCol: Column, sourceCol: Column,
+                      weights: Map[String, Double]): DataFrame =
+    mixtureVt(df, idCol, sourceCol, weights)
+      .orderBy(col("vt"), col("source"), col("sid"))
+      .select(col("sid"), col("source"), col("k"), col("vt"))
+
+  /** Shared (sid, source, k, vt) assignment of [[mixtureOrder]] /
+    * [[mixtureManifest]]: k = the row's hash rank within its source,
+    * vt = k / w_source. */
+  private def mixtureVt(df: DataFrame, idCol: Column, sourceCol: Column,
+                        weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "every mixture weight must be positive")
+    val wCol = element_at(typedLit(weights), col("source"))
+    df.select(sourceCol.as("source"), idCol.as("sid"),
+        portableHash(idCol.cast("string")).as("_h"))
+      .filter(wCol.isNotNull)
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("_h"), col("sid"))))
+      .withColumn("vt", col("k").cast("double") / wCol)
   }
 }

@@ -30,9 +30,16 @@ object JsonLines {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Distributed JSONL write — one file per partition, like any sink. */
-  def writeDocuments(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  /** Distributed JSONL write — one file per partition, like any sink.
+    * `codec` e.g. "gzip" compresses each part file (the JDK ships the
+    * codec; reads stay transparent). SCALE NOTE: a gzip part is NOT
+    * splittable — one task per file on read — so a 100 TB corpus wants
+    * many moderate parts (repartition before writing), not few huge
+    * ones; uncompressed or bzip2 parts split freely. */
+  def writeDocuments(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
 
   /** Schema'd quarantining read: well-formed lines parse into the declared
     * columns with `_corrupt` null; malformed lines yield all-null data

@@ -67,6 +67,13 @@ object StressDedup {
     time("incremental classify (1 batch vs stored index)")(
       noop(Dedup.incrementalDedupAgainstIndex(spark.read.parquet(idxDir),
         delta, col("doc_id"), col("text"), 0.8, idxCfg)))
+    // span-overlap: every span's posting list is >= `copies` long here
+    // (each doc has `copies` clones), so the frequency cap must clear
+    // copies×(planted df) or the probe degenerates to an empty result —
+    // cap 200 keeps all real postings while still bounding boilerplate
+    time("span overlap k=8 (posting joins, ~1M true pairs)")(
+      noop(Dedup.sharedSpanPairs(corpus, col("doc_id"), col("text"),
+        k = 8, maxDocsPerSpan = 200L, portable = false)))
     spark.stop()
   }
 }

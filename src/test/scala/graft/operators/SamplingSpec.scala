@@ -111,6 +111,43 @@ class SamplingSpec extends SparkSpec {
       again.select("sid").as[Long].collect().sorted))
   }
 
+  test("mixtureManifest sorts globally via range partitioning, not one partition") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("doc_id", "src").repartition(8)
+    val m = Sampling.mixtureManifest(df, col("doc_id"), col("src"),
+      Map("A" -> 3.0, "B" -> 1.0))
+    val rows = m.collect()
+    assert(rows.length == 4000)
+    // globally ordered by vt across ALL partitions
+    val vts = rows.map(_.getDouble(3))
+    assert(vts.zip(vts.tail).forall { case (a, b) => a <= b })
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "the manifest sort must be a distributed range sort: " + plan.take(1500))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "nothing may funnel through one partition: " + plan.take(1500))
+    // exact interleave proportions hold over the full manifest too: at
+    // any vt, A has contributed 3x B (until a source runs dry)
+    val first1000 = rows.take(1000)
+    val a = first1000.count(_.getString(1) == "A")
+    assert(a == 750, s"3:1 mix must put 750 A in the first 1000, got $a")
+  }
+
+  test("weightedTopN inclusion is monotone in weight (raising w never evicts)") {
+    // E-S property: key = ln(u)/w rises with w (ln u < 0) while every
+    // other row's key is untouched — so doubling a sampled row's weight
+    // must keep it sampled, for every sampled row at once
+    val base = docs.select(col("doc_id"), col("n_chars").cast("double").as("w"))
+    val sampled = Sampling.weightedTopN(base, col("doc_id"), col("w"), 12)
+      .select("sid").as[Long].collect().toSet
+    val boosted = base.withColumn("w",
+      when(col("doc_id").isin(sampled.toSeq: _*), col("w") * 2).otherwise(col("w")))
+    val after = Sampling.weightedTopN(boosted, col("doc_id"), col("w"), 12)
+      .select("sid").as[Long].collect().toSet
+    assert(after == sampled,
+      s"boosting every winner must preserve the winner set: $sampled vs $after")
+  }
+
   test("weightedTopN favors heavy weights and never samples w <= 0 or null") {
     // 200 light (w=1) vs 200 heavy (w=25) rows + poisoned rows
     val rows = (1L to 200L).map(i => (i, java.lang.Double.valueOf(1.0))) ++

@@ -25,6 +25,18 @@ class JsonLinesSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("gzip-compressed JSONL round-trips transparently") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_jsonl_gz").toString
+    JsonLines.writeDocuments(docs, dir, codec = Some("gzip"))
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+    assert(parts.exists(_.endsWith(".json.gz")), parts.mkString(","))
+    val back = JsonLines.good(JsonLines.readDocuments(spark, dir))
+    assert(back.count() == docs.count())
+    assert(back.select(sum(length(col("text")))).head.getLong(0) ==
+      docs.select(sum(length(col("text")))).head.getLong(0))
+  }
+
   test("malformed lines quarantine with full fidelity; good rows still parse") {
     val dir = Files.createTempDirectory("graft_jsonl_bad")
     val f = dir.resolve("part-000.jsonl")
