@@ -55,7 +55,13 @@ object GraftExtensions {
       args => StringTrim(RegExpReplace(
         StringTranslate(args.head,
           Literal(TextFunctions.Uc), Literal(TextFunctions.Lc)),
-        Literal(TextFunctions.WsRunRe), Literal(" ")))))
+        Literal(TextFunctions.WsRunRe), Literal(" ")))),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC composition (UAX #15), same as DuckDB's nfc_normalize",
+      args => graft.functions.expressions.NfcNormalize(args.head)),
+    ("strip_accents",
+      "strip_accents(text) - NFD-decompose, drop combining marks, recompose",
+      args => graft.functions.expressions.StripAccents(args.head)))
 
   /** Runtime registration of the same SQL functions on an existing
     * session (extensions configs only apply at session construction). */

@@ -420,6 +420,37 @@ object DedupQueries {
               |GROUP BY 1, 2""".stripMargin),
       (s, dir) =>
         Dedup.sharedSpanPairs(docs(s, dir), col("doc_id"), col("text"),
-          k = 8, minShared = 1L, maxDocsPerSpan = 50L))
+          k = 8, minShared = 1L, maxDocsPerSpan = 50L)),
+
+    // Unicode-normalized dedup: the SAME accented word planted once
+    // composed (é = U+00E9) and once decomposed (e + U+0301) — byte-level
+    // dedup sees two distinct docs, NFC-keyed dedup groups them. The
+    // normalizer is the engine's codegen'd NfcNormalize expression; the
+    // oracle replays it with DuckDB's nfc_normalize (both UAX #15).
+    Q("q102_unicode_dedup",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || ' caf' || chr(233)
+             |  FROM documents WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text || ' cafe' || chr(769)
+             |  FROM documents WHERE doc_id < 40)
+             |SELECT min(doc_id) AS keeper, count(*) AS n_dups
+             |FROM corpus GROUP BY md5(nfc_normalize(text))
+             |HAVING count(*) > 1""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val lt40 = d.filter(col("doc_id") < 40)
+        val corpus = d
+          .union(lt40.select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" caf\u00e9")).as("text")))   // composed
+          .union(lt40.select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))  // decomposed
+        Dedup.exactGroups(corpus, col("doc_id"), col("text"),
+            c => md5(graft.functions.Native.nfcNormalize(c)))
+          .filter(col("n_dups") > 1)
+          .select("keeper", "n_dups")
+      })
   )
 }

@@ -227,11 +227,16 @@ class PlanAuditSpec extends SparkSpec {
       "SELECT scrub_pii('mail a@b.co or https://x.io/p now') AS s, " +
         "url_host('see https://cdn.example.org/a?q=1') AS h, " +
         "pii_count('a@b.co and 555-123-4567 plus http://x.io') AS n, " +
-        "canonicalize('  Mixed  CASE\\ttext ') AS c").head
+        "canonicalize('  Mixed  CASE\\ttext ') AS c, " +
+        "nfc_normalize('café') AS nfc, " + // e + combining acute, raw in the SQL literal
+
+        "strip_accents('niño über') AS sa").head
     assert(out.getString(0) == "mail <EMAIL> or <URL> now", out.getString(0))
     assert(out.getString(1) == "cdn.example.org")
     assert(out.getLong(2) == 3L)
     assert(out.getString(3) == "mixed case text", out.getString(3))
+    assert(out.getString(4) == "café", out.getString(4))
+    assert(out.getString(5) == "nino uber", out.getString(5))
   }
 
   test("GraftExtensions class applies cleanly (spark.sql.extensions entry point)") {

@@ -268,6 +268,29 @@ class TextSpec extends SparkSpec {
       s"unigram must be blind to word order: ${uni(99L)} vs ${uni(1L)}")
   }
 
+  test("NfcNormalize composes canonical equivalents; StripAccents drops marks only") {
+    import graft.functions.Native.{nfcNormalize, stripAccents}
+    val df = Seq(
+      (1L, "caf\u00e9"),          // composed e-acute
+      (2L, "cafe\u0301"),         // e + combining acute
+      (3L, "plain ascii"),
+      (4L, "\u00f8 stays"),       // o-slash has no canonical decomposition
+      (5L, "ni\u00f1o \u00fcber \u00e7a")
+    ).toDF("id", "t")
+    val byId = df.select($"id", nfcNormalize($"t"), stripAccents($"t"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2)))).toMap
+    assert(byId(1L)._1 == byId(2L)._1, "NFC must unify composed/decomposed")
+    assert(byId(1L)._1 == "caf\u00e9")
+    assert(byId(1L)._2 == "cafe" && byId(2L)._2 == "cafe")
+    assert(byId(3L)._1 == "plain ascii" && byId(3L)._2 == "plain ascii")
+    assert(byId(4L)._2 == "\u00f8 stays", "no-decomposition chars pass through")
+    assert(byId(5L)._2 == "nino uber ca")
+    // idempotence over the whole corpus (ascii there, so also passthrough)
+    val changed = Tables.documents(spark, sfDir).filter(
+      nfcNormalize($"text") =!= nfcNormalize(nfcNormalize($"text"))).count()
+    assert(changed == 0)
+  }
+
   test("importanceWeights: target-like docs score above corpus-like docs") {
     // target = docs about "cats"; raw corpus dominated by "widgets"
     val target = (1 to 5).map(i => (i.toLong, "cat sat mat cat purr", true))
