@@ -343,6 +343,49 @@ object Relational {
       Literal(sketch, BinaryType), Bridge.expression(xxhash64(bigKey)))))
   }
 
+  /** Depth of every node in a parent-pointer hierarchy (comment-thread
+    * trees, category taxonomies, org charts) by POINTER DOUBLING: the
+    * state table maps each node to (its 2^i-th ancestor, hops consumed),
+    * and one self-join per round squares the jump — depth-d hierarchies
+    * resolve in ⌈log₂ d⌉ joins, not d (the naive per-level loop is
+    * unrunnable on a deep thread at 100 TB). Roots are rows whose parent
+    * is null or equals the id; a node whose walk hasn't reached a root
+    * within 2^maxDoubling hops throws (cycle or deeper-than-declared —
+    * loud, like connectedComponents' maxIter).
+    *
+    * Scale shape per round: one equi-join of the state table with itself
+    * on the 8-byte ancestor key + one convergence count on the driver
+    * (a scalar, not data); `localCheckpoint` truncates lineage each
+    * round like [[graft.dedup.Dedup.connectedComponents]]. */
+  def hierarchyDepth(df: DataFrame, idCol: Column, parentCol: Column,
+                     maxDoubling: Int = 20): DataFrame = {
+    val isRoot = parentCol.isNull || parentCol === idCol
+    // state: after `d` hops from `node` the walk stands at `anc`;
+    // `fin` marks walks that have reached a root (anc IS the root then)
+    var state = df.select(idCol.as("node"),
+        when(isRoot, idCol).otherwise(parentCol).as("anc"),
+        when(isRoot, lit(0L)).otherwise(lit(1L)).as("d"),
+        isRoot.as("fin"))
+      .localCheckpoint()
+    var round = 0
+    var open = state.filter(!col("fin")).count()
+    while (open > 0 && round < maxDoubling) {
+      val hop = state.select(col("node").as("j_node"), col("anc").as("j_anc"),
+        col("d").as("j_d"), col("fin").as("j_fin"))
+      state = state.join(hop, state("anc") === hop("j_node"), "left")
+        .select(col("node"),
+          when(col("fin"), col("anc")).otherwise(coalesce(col("j_anc"), col("anc"))).as("anc"),
+          when(col("fin"), col("d")).otherwise(col("d") + coalesce(col("j_d"), lit(0L))).as("d"),
+          (col("fin") || coalesce(col("j_fin"), lit(false))).as("fin"))
+        .localCheckpoint()
+      open = state.filter(!col("fin")).count()
+      round += 1
+    }
+    require(open == 0,
+      s"hierarchy deeper than 2^$maxDoubling, cyclic, or dangling parents: $open unresolved walks")
+    state.select(col("node"), col("d").as("depth"))
+  }
+
   def dedupExactKeepFirst(df: DataFrame, key: Column, tieBreaker: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
       .agg(min(tieBreaker).as("keeper"), count(lit(1)).as("n_dups"))

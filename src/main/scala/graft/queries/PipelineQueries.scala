@@ -304,6 +304,27 @@ object PipelineQueries {
               |SELECT stratum, sid, w, rk FROM r WHERE rk <= 10""".stripMargin),
       (s, dir) =>
         graft.operators.Sampling.weightedTopNPerStratum(
-          docs(s, dir), col("lang"), col("doc_id"), col("n_chars"), 10))
+          docs(s, dir), col("lang"), col("doc_id"), col("n_chars"), 10)),
+
+    // Hierarchy depth by pointer doubling (thread-tree reconstruction —
+    // the reference's comment chains, category taxonomies): depth-d
+    // trees resolve in ceil(log2 d) self-joins, not d. The corpus forms
+    // a binary tree via parent = doc_id // 2; the oracle walks it with a
+    // recursive CTE.
+    Q("q103_tree_depth",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id AS node,
+             |    CASE WHEN doc_id = 0 THEN NULL ELSE doc_id // 2 END AS parent
+             |  FROM documents),
+             |r AS (SELECT node, 0 AS depth FROM t WHERE parent IS NULL
+             |  UNION ALL
+             |  SELECT t.node, r.depth + 1 FROM t JOIN r ON t.parent = r.node)
+             |SELECT node, CAST(depth AS BIGINT) AS depth FROM r""".stripMargin),
+      (s, dir) => {
+        val tree = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(expr("doc_id div 2")).as("parent"))
+        graft.operators.Relational.hierarchyDepth(
+          tree, col("doc_id"), col("parent"))
+      })
   )
 }

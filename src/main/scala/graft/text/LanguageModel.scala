@@ -53,27 +53,40 @@ object LanguageModel {
     * or templated text keeps its unigram profile but loses its bigram
     * transitions. Documents with < 2 tokens have no bigrams and drop out.
     *
-    * Scale shape: one guarded per-row bigram generator (no shuffle),
-    * then the same derived-table discipline as [[unigramSurprisal]]:
-    * per-doc bigram counts shuffle once on (doc, w₁, w₂); the bigram
-    * model, context totals, and unigram model all derive from grouped
-    * aggregates of the SAME count tables (map-side combinable), and each
+    * Scale shape: ONE corpus scan. A single guarded per-row generator
+    * emits the unigram stream (w, null) AND the bigram stream (w₁, w₂)
+    * as one exploded column; one exchange on (doc, w₁, w₂) aggregates
+    * both (null is a normal grouping value). The counts table feeds four
+    * consumers (doc scoring, bigram model, context totals, unigram
+    * backoff) and is persisted through `scope` — WITHOUT the persist,
+    * Catalyst pushes each consumer's null-filter BELOW the aggregate,
+    * the exchanges stop being identical, exchange reuse dies, and the
+    * corpus is scanned three times (observed; Generate-count
+    * plan-audited). The 100 TB variant writes counts to storage as the
+    * model-training intermediate — same barrier, durable. Each model
     * joins back as a real table keyed on its words — never a forced
     * broadcast (a 100 TB corpus has ~10⁹ distinct bigrams). Only the
     * 1-row (N, V) frame broadcasts. */
   def bigramSurprisal(df: DataFrame, idCol: Column, toks: Column,
-                      lambda: Double = 0.7): DataFrame = {
+                      lambda: Double = 0.7,
+                      scope: graft.operators.CacheScope =
+                        graft.operators.CacheScope.unmanaged): DataFrame = {
     val tk = toks
-    val bigrams = when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+    val pairStruct = "array<struct<w1:string,w2:string>>"
+    val uniStream = transform(tk, t => struct(t.as("w1"), lit(null).cast("string").as("w2")))
+    val biStream = when(size(tk) < 2, array().cast(pairStruct))
       .otherwise(transform(sequence(lit(1), size(tk) - 1),
         i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-    val docBi = df.select(idCol.as("doc"), explode(bigrams).as("b"))
+    // one Generate per row carrying both streams; one exchange for both
+    val counts = scope.persist(df.select(idCol.as("doc"),
+        explode(concat(uniStream.cast(pairStruct), biStream)).as("b"))
       .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("c"))
+      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("c")))
+    val docBi = counts.filter(col("w2").isNotNull)
+    val uniCounts = counts.filter(col("w2").isNull)
+      .groupBy(col("w1").as("token")).agg(sum(col("c")).as("cu"))
     val biModel = docBi.groupBy("w1", "w2").agg(sum(col("c")).as("cb"))
     val ctx = biModel.groupBy("w1").agg(sum(col("cb")).as("c1"))
-    val uniCounts = df.select(explode(tk).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cu"))
     val totals = uniCounts.agg(sum(col("cu")).cast("double").as("N"),
       count(lit(1)).cast("double").as("V"))
     val p = lit(lambda) * (col("cb").cast("double") / col("c1")) +

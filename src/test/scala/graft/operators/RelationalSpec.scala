@@ -232,4 +232,34 @@ class RelationalSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, "a2", 2L), (3L, "c", 0L), (9L, "i", 1L)))
   }
+
+  test("hierarchyDepth: a 1000-deep chain resolves (log-round doubling), forest ok") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // chain 0<-1<-2<-...<-999 plus a second root 5000 with one child
+    val rows = (0L to 999L).map(i => (i, if (i == 0) None else Some(i - 1))) ++
+      Seq((5000L, None), (5001L, Some(5000L)))
+    val df = rows.toDF("id", "parent")
+    val got = Relational.hierarchyDepth(df, col("id"), col("parent"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == rows.size)
+    assert(got(0L) == 0L && got(999L) == 999L && got(500L) == 500L)
+    assert(got(5000L) == 0L && got(5001L) == 1L)
+  }
+
+  test("hierarchyDepth throws loudly on cycles and respects maxDoubling") {
+    import org.apache.spark.sql.functions.col
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("id", "parent")
+    val e = intercept[IllegalArgumentException](
+      Relational.hierarchyDepth(cyc, col("id"), col("parent"), maxDoubling = 4))
+    assert(e.getMessage.contains("unresolved"))
+    // a 40-deep chain cannot resolve with only 2 doubling rounds (max 4 hops)
+    val chain = (0L to 40L).map(i => (i, if (i == 0) None else Some(i - 1)))
+      .toDF("id", "parent")
+    intercept[IllegalArgumentException](
+      Relational.hierarchyDepth(chain, col("id"), col("parent"), maxDoubling = 2))
+    // ...and resolves with 6 (2^6 = 64 >= 40)
+    val ok = Relational.hierarchyDepth(chain, col("id"), col("parent"), maxDoubling = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ok(40L) == 40L)
+  }
 }

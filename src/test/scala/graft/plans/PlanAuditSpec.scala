@@ -166,6 +166,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q97: bigram + unigram models share one corpus scan") {
+    val p = planUncached("q97_bigram_surprisal").split("== Initial Plan ==")(0)
+    // the persisted counts barrier: every consumer reads the cached
+    // (doc, w1, w2, c) table, so the Generate (and the scan under it)
+    // materializes exactly once — without the barrier Catalyst pushes
+    // each consumer's null-filter below the aggregate, the exchanges
+    // stop canonicalizing equal, and the corpus scan triples (observed).
+    // (Each InMemoryTableScan re-PRINTS the cached subtree, so counting
+    // Generate occurrences in the text is meaningless here.)
+    assert(p.contains("InMemoryTableScan"),
+      "the shared counts table must be the materialization barrier: " + p.take(2000))
+  }
+
   test("q98: span posting-list join is equi-join only (no nested loop), spans map-side") {
     val p = planUncached("q98_span_overlap").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
