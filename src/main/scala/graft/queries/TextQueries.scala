@@ -385,6 +385,37 @@ object TextQueries {
             .select(col("source"), explode(tokens(col("text"))).as("token"))
             .groupBy("source", "token")
             .agg(count(lit(1)).as("n")),
-          Seq(col("source")), Seq(col("n").desc, col("token")), 5))
+          Seq(col("source")), Seq(col("n").desc, col("token")), 5)),
+
+    // CCNet-style line-level boilerplate removal: a footer line planted
+    // on every even doc (50% document frequency) is stripped at the 30%
+    // threshold; each doc's own text line and the odd docs' unique tails
+    // survive and reassemble in order.
+    Q("q104_boilerplate_lines",
+      Some("""WITH c AS (SELECT doc_id, text || chr(10) ||
+             |    CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER'
+             |         ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+             |  FROM documents),
+             |l AS (SELECT doc_id, ls[i] AS line, i AS pos FROM
+             |  (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c),
+             |  LATERAL unnest(generate_series(1, len(ls))) AS t(i)),
+             |f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM c),
+             |k AS (SELECT doc_id, line, pos, (line_df / n_docs <= 0.3) AS keep
+             |  FROM l JOIN f USING (line) CROSS JOIN n)
+             |SELECT doc_id AS doc,
+             |  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos) AS clean_text,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+             |FROM k GROUP BY doc_id
+             |HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0""".stripMargin),
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit("\n"),
+            when(col("doc_id") % 2 === 0, lit("SUBSCRIBE TO OUR NEWSLETTER"))
+              .otherwise(concat(lit("tail "), col("doc_id").cast("string"))))
+            .as("text"))
+        TextAnalysis.stripBoilerplateLines(planted, col("doc_id"), col("text"), 0.3)
+      })
   )
 }

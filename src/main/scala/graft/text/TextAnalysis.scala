@@ -42,6 +42,41 @@ object TextAnalysis {
       .withColumn("quality_bucket", floor(col("quality") * 10).cast("long"))
   }
 
+  /** CCNet-style line-level boilerplate removal: drop every line whose
+    * document frequency exceeds `maxDocFrac` of the corpus (navigation
+    * bars, cookie banners, "subscribe" footers — the lines that repeat
+    * across a crawl), and reassemble each document from its surviving
+    * lines in original order. Documents whose every line is boilerplate
+    * drop out entirely (nothing left to keep).
+    *
+    * Scale shape: one posexplode on the line separator (map-side), one
+    * distinct (line, doc) + grouped count for the line DF table — the
+    * line table is the shuffle, keyed on the line text itself; hot
+    * boilerplate lines are exactly the rows the count is FOR, and they
+    * collapse to one row per line via map-side partials before the
+    * exchange. The 1-row corpus total broadcasts; reassembly is one
+    * grouped sort_array over (pos, line) structs per doc. */
+  def stripBoilerplateLines(df: DataFrame, idCol: Column, textCol: Column,
+                            maxDocFrac: Double): DataFrame = {
+    val lines = df.select(idCol.as("doc"),
+      posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.select(col("line"), col("doc")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+    val total = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    lines.join(lineDf, "line")
+      .crossJoin(broadcast(total))
+      .withColumn("_keep", col("line_df").cast("double") / col("n_docs") <= maxDocFrac)
+      .groupBy("doc")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("_keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Repetition ratio in [0,1]: distinct tokens / total tokens — the
     * boilerplate/spam signal (low ratio = heavy repetition) a quality
     * filter combines with [[withQuality]]. Exact integer inputs to one

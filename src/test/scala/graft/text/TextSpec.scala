@@ -268,6 +268,23 @@ class TextSpec extends SparkSpec {
       s"unigram must be blind to word order: ${uni(99L)} vs ${uni(1L)}")
   }
 
+  test("stripBoilerplateLines drops the hot footer, keeps order, drops empty docs") {
+    val df = Seq(
+      (1L, "unique first line\nSHARED FOOTER\nunique third line"),
+      (2L, "another doc body\nSHARED FOOTER"),
+      (3L, "third document text\nSHARED FOOTER"),
+      (4L, "SHARED FOOTER") // nothing survives -> doc drops out
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplateLines(df, $"doc_id", $"text", 0.5)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // footer df = 4/4 > 0.5 -> stripped everywhere
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    assert(got(1L) == (("unique first line\nunique third line", 2L, 1L)))
+    assert(got(2L) == (("another doc body", 1L, 1L)))
+    assert(got(3L) == (("third document text", 1L, 1L)))
+    // unique lines always survive a 0.5 threshold on 4 docs (df 1/4)
+  }
+
   test("NfcNormalize composes canonical equivalents; StripAccents drops marks only") {
     import graft.functions.Native.{nfcNormalize, stripAccents}
     val df = Seq(
