@@ -306,6 +306,54 @@ object PipelineQueries {
         graft.operators.Sampling.weightedTopNPerStratum(
           docs(s, dir), col("lang"), col("doc_id"), col("n_chars"), 10)),
 
+    // Corpus datasheet: the one-row summary a dataset card leads with —
+    // doc/token/vocabulary counts, language spread, size stats, and the
+    // C4-rule rejection rate. Every stat is an exact integer or an
+    // exact-integer-derived ratio, composed from already-oracled
+    // primitives in one pass over the corpus (tokens exploded once;
+    // the rule flags are per-row projections).
+    Q("q105_corpus_datasheet", {
+      val meanLen = "CAST(list_reduce(list_transform(tk, t -> CAST(len(t) AS BIGINT)), " +
+        "(a, b) -> a + b) AS DOUBLE) / len(tk)"
+      val maxFreq = "CAST(list_max(list_transform(list_distinct(tk), " +
+        "w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE) / len(tk)"
+      val stopRatio = s"CAST(${lexiconHitsSql("tk", LangStopwords.head._2)} AS DOUBLE) / len(tk)"
+      Some(s"""WITH t AS (SELECT lang, n_chars, $toksSql AS tk FROM documents),
+              |f AS (SELECT lang, n_chars, len(tk) AS n_tok,
+              |    (len(tk) < 25 OR NOT ($meanLen >= 3.0 AND $meanLen <= 10.0)
+              |     OR $maxFreq > 0.2 OR $stopRatio < 0.02) AS rej FROM t),
+              |v AS (SELECT count(DISTINCT token) AS n_types FROM
+              |  (SELECT unnest(tk) AS token FROM t))
+              |SELECT count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              |  (SELECT CAST(n_types AS BIGINT) FROM v) AS n_types,
+              |  count(DISTINCT lang) AS n_langs,
+              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |  round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+              |  round(CAST(sum(CASE WHEN rej THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+              |    AS reject_rate
+              |FROM f""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir)
+        val flagged = TextAnalysis.withRuleFlags(d, col("text"))
+          .withColumn("rej", col("fail_min_tokens") || col("fail_word_len") ||
+            col("fail_repetition") || col("fail_stopwords"))
+        val types = d.select(explode(tokens(col("text"))).as("token"))
+          .agg(countDistinct(col("token")).as("n_types"))
+        flagged.agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("total_chars"),
+            round(avg(col("n_chars").cast("double")), 2).as("avg_chars"),
+            round(sum(when(col("rej"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 4).as("reject_rate"))
+          .crossJoin(types)
+          .select("n_docs", "n_tokens", "n_types", "n_langs",
+            "total_chars", "avg_chars", "reject_rate")
+      }),
+
     // Hierarchy depth by pointer doubling (thread-tree reconstruction —
     // the reference's comment chains, category taxonomies): depth-d
     // trees resolve in ceil(log2 d) self-joins, not d. The corpus forms

@@ -361,6 +361,7 @@ object Similarity {
     * clustered dedup makes (SemDeDup accepts it by design). */
   def semanticDedup(vectors: DataFrame, idCol: Column, vecCol: Column,
                     centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs a non-empty codebook")
     val cells = withIvfCell(vectors, idCol, vecCol, centroids)
     val a = cells.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
     val b = cells.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))

@@ -93,4 +93,23 @@ class MiscOpsSpec extends SparkSpec {
     val names = fs.listStatus(p).map(_.getPath.getName).toSet
     assert(names.contains("lineitem.parquet"))
   }
+
+  test("zstd parquet round-trips and beats snappy on text (the 100 TB codec)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def write(codec: String): (String, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$codec").toString
+      docs.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(dir)
+      val bytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      (dir, bytes)
+    }
+    val (zDir, zBytes) = write("zstd")
+    val (_, sBytes) = write("snappy")
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == docs.count())
+    assert(back.as("b").join(docs.as("d"), Seq("doc_id"))
+      .filter(col("b.text") =!= col("d.text")).count() == 0)
+    assert(zBytes < sBytes, s"zstd=$zBytes snappy=$sBytes")
+  }
 }
