@@ -13,7 +13,9 @@ import graft.streaming.EventsStream
   * `bench_out.json` in the working directory — the stdout copy drowns in
   * sbt log noise, so the file is the machine-readable artifact. Failed
   * queries are honest: their `queries` entry is the sentinel -1 and they
-  * are listed in `failed` (round 1 let failures masquerade as timings).
+  * are listed in `failed` (round 1 let failures masquerade as timings);
+  * a query that failed on SOME iterations but produced a timing is
+  * listed in `flaky` — min-of-k must not launder intermittent failures.
   * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and reports
   * the per-query MIN — ambient load can only inflate a single-shot
   * timing, so min-of-k is the noise-proof estimate; the `iters` field
@@ -113,7 +115,10 @@ object Bench {
         if (ok) secs else -1d
       }
       val good = times.filter(_ >= 0)
-      if (good.nonEmpty) (name, good.min, true) else (name, -1d, false)
+      // some-but-not-all iterations failing is NOT ok: min-of-k would
+      // otherwise report a flaky query as a clean timing — surface it
+      val flaky = good.nonEmpty && good.size < times.size
+      if (good.nonEmpty) (name, good.min, true, flaky) else (name, -1d, false, false)
     }
     // The driver captures only the last ~2000 chars of stdout (r02's
     // full-precision line hit 2035 chars → `parsed: null`), and sbt appends
@@ -124,12 +129,14 @@ object Bench {
     def fmt(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonLine(names: Seq[String], scale: Int): String = {
-      val qs = results.zip(names).map { case ((_, v, _), n) => s"\"$n\":${fmt(v, scale)}" }
+      val qs = results.zip(names).map { case ((_, v, _, _), n) => s"\"$n\":${fmt(v, scale)}" }
         .mkString("{", ",", "}")
-      val failed = results.zip(names).collect { case ((_, _, false), n) => s"\"$n\"" }
+      val failed = results.zip(names).collect { case ((_, _, false, _), n) => s"\"$n\"" }
         .mkString("[", ",", "]")
-      val total = results.collect { case (_, v, true) => v }.sum
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      val flaky = results.zip(names).collect { case ((_, _, _, true), n) => s"\"$n\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true, _) => v }.sum
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     }
     val fullNames = results.map(_._1)
     // qNN prefixes are unique; the xNN extras can collide (x36_fast vs

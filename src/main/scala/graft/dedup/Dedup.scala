@@ -496,9 +496,11 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    // every node ever seen — the final star forest omits root self-rows
-    val allNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // every node ever seen — from the UNFILTERED input, so a node whose
+    // only edge is a self-loop still gets its (x, x) row, matching the
+    // propagation path's labeling (the filtered frame would drop it)
+    val allNodes = edges0.select(col("src").as("node"))
+      .union(edges0.select(col("dst").as("node"))).distinct().localCheckpoint()
     var it = 0
     var converged = false
     while (!converged) {

@@ -153,9 +153,10 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind").isin("video", "audio")).flatMap { r =>
+      val decoded = MediaCodec.decode(r.payload) // once per row, not per frame
       (0 until nFrames).map { i =>
         val off = if (nFrames == 1) 0L else r.duration_ms * i / (nFrames - 1)
-        FrameSample(r.media_id, i, off, MediaCodec.frameAt(r.payload, off))
+        FrameSample(r.media_id, i, off, MediaCodec.frameOf(decoded, r.payload, off))
       }
     }
   }
@@ -288,13 +289,19 @@ object MediaCodec {
     * stubbed-video path). */
   def decode(payload: Array[Byte]): Decoded =
     if (looksLikeImage(payload)) {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      if (img == null) Opaque(payload)
-      else {
-        val g = toGray(img)
-        val px = g.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-        ImageRaster(g.getWidth, g.getHeight, px)
-      }
+      // guard like the WAV branch: payloads can match an image magic by
+      // accident (text starting with "BM"/"GIF" — the stub-video rows
+      // carry raw text), and ImageIO then throws on the garbage body;
+      // a malformed image must quarantine as Opaque, not kill the task
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) Opaque(payload)
+        else {
+          val g = toGray(img)
+          val px = g.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+          ImageRaster(g.getWidth, g.getHeight, px)
+        }
+      } catch { case _: Exception => Opaque(payload) }
     } else if (looksLikeWav(payload)) {
       try {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
@@ -450,9 +457,16 @@ object MediaCodec {
   /** Frame/sample extraction at a time offset. WAV payloads get a REAL
     * PCM seek — the 4 samples (8 bytes) at `offsetMs`, clamped to the
     * payload's actual duration. Anything else (stub video) keeps the
-    * deterministic byte-slice stand-in. */
+    * deterministic byte-slice stand-in. Batch callers extracting several
+    * frames from one payload should decode once and use [[frameOf]] —
+    * this convenience form pays a full decode per call. */
   def frameAt(payload: Array[Byte], offsetMs: Long): Array[Byte] =
-    decode(payload) match {
+    frameOf(decode(payload), payload, offsetMs)
+
+  /** [[frameAt]] over an already-decoded payload (the n-frames-per-row
+    * path decodes once, seeks n times). */
+  def frameOf(decoded: Decoded, payload: Array[Byte], offsetMs: Long): Array[Byte] =
+    decoded match {
       case AudioPcm(rate, samples) if samples.nonEmpty =>
         val idx = ((offsetMs * rate / 1000).toLong).min(samples.length - 1L).max(0L).toInt
         val out = new Array[Byte](math.min(8, (samples.length - idx) * 2))

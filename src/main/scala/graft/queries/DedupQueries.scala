@@ -70,7 +70,8 @@ object DedupQueries {
     // differs across engines (see TextFunctions.canonicalize).
     Q("q94_canon_dedup", {
       val canon = canonicalizeSql("text")
-      val upper = "translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')"
+      val upper = s"translate(text, '${graft.functions.TextFunctions.Lc}', " +
+        s"'${graft.functions.TextFunctions.Uc}')"
       Some(s"""WITH corpus AS (
               |  SELECT doc_id, text FROM documents
               |  UNION ALL
@@ -84,7 +85,8 @@ object DedupQueries {
         val d = docs(s, dir).select("doc_id", "text")
         val variant = concat(lit("  "),
           regexp_replace(translate(col("text"),
-            "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), " ", "  "),
+            graft.functions.TextFunctions.Lc, graft.functions.TextFunctions.Uc),
+            " ", "  "),
           lit("\t"))
         val corpus = d.union(d.filter(col("doc_id") < 40)
           .select((col("doc_id") + 100000).as("doc_id"), variant.as("text")))

@@ -255,7 +255,11 @@ object Similarity {
     * per-query scheduling overhead (the single-query [[annIvf]] loop
     * costs a full Spark job per query). Top-k per query via the
     * rank-limit window ([[knnBatch]]'s shape). Results are identical to
-    * per-query [[annIvf]] (spec-asserted). */
+    * per-query [[annIvf]] up to the self-match exclusion (spec-asserted):
+    * batch queries carry ids, so a corpus row with the query's own id is
+    * excluded here ([[knnBatch]]'s contract) — [[annIvf]] takes a raw
+    * vector with no id and cannot self-exclude; callers passing an
+    * in-corpus query to annIvf must pre-filter its row themselves. */
   def annIvfBatch(cellAssigned: DataFrame,
                   queries: Seq[(Long, Array[Double])],
                   centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
@@ -360,9 +364,15 @@ object Similarity {
     * pairs straddling a cell boundary are the recall trade every
     * clustered dedup makes (SemDeDup accepts it by design). */
   def semanticDedup(vectors: DataFrame, idCol: Column, vecCol: Column,
-                    centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+                    centroids: Array[Array[Double]], threshold: Double,
+                    scope: graft.operators.CacheScope =
+                      graft.operators.CacheScope.unmanaged): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs a non-empty codebook")
-    val cells = withIvfCell(vectors, idCol, vecCol, centroids)
+    // persisted: the assignment feeds both pair-join sides AND the final
+    // status join — without the barrier each consumer re-scans the corpus
+    // and re-evaluates the codebook argmin (same rationale as the LSH
+    // pipeline's signature persist; see nearDuplicates' cache NOTE)
+    val cells = scope.persist(withIvfCell(vectors, idCol, vecCol, centroids))
     val a = cells.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
     val b = cells.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))
     val dropped = a.join(b, "cell")

@@ -138,16 +138,22 @@ object TextAnalysis {
                         stopHitsFor: Column => Column): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import graft.functions.expressions.{TokenCharSum, TokenModeCount}
-    val toks = tokens(textCol)
+    // NULL text coalesces to "" so every flag is a real boolean — a null
+    // would flow through size() as null and make when(flag, …) silently
+    // count the row as passing. tokens() never yields an EMPTY array
+    // (split of a trimmed empty string is [""], one zero-length token),
+    // so n ≥ 1 always: the divisions below cannot hit 0, and ""/null
+    // text deterministically fails every gate (meanLen 0, maxFreq 1,
+    // stopRatio 0) — the right verdict for a contentless document.
+    val toks = tokens(coalesce(textCol, lit("")))
     val n = size(toks).cast("double")
-    val hasToks = size(toks) > 0
     val meanLen = Bridge.column(TokenCharSum(Bridge.expression(toks))).cast("double") / n
     val maxFreq = Bridge.column(TokenModeCount(Bridge.expression(toks))).cast("double") / n
     val stopRatio = stopHitsFor(toks).cast("double") / n
     df.withColumn("fail_min_tokens", size(toks) < 25)
-      .withColumn("fail_word_len", !hasToks || !(meanLen >= 3.0 && meanLen <= 10.0))
-      .withColumn("fail_repetition", hasToks && maxFreq > 0.2)
-      .withColumn("fail_stopwords", !hasToks || stopRatio < 0.02)
+      .withColumn("fail_word_len", !(meanLen >= 3.0 && meanLen <= 10.0))
+      .withColumn("fail_repetition", maxFreq > 0.2)
+      .withColumn("fail_stopwords", stopRatio < 0.02)
   }
 
   /** Lexicon sentiment counts + 3-way label. Integer comparison for the

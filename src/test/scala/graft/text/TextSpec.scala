@@ -217,11 +217,18 @@ class TextSpec extends SparkSpec {
         w => size(toks) - size(array_remove(toks, w)))).cast("long").as("mc0"))
     assert(cmp.filter($"cs" =!= $"cs0" || $"mc" =!= $"mc0").count() == 0)
     // empty/whitespace docs: every flag is a real boolean, never null
-    val edge = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one two"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val flags = graft.text.TextAnalysis.withRuleFlags(edge, $"text")
       .select("fail_min_tokens", "fail_word_len", "fail_repetition", "fail_stopwords")
       .collect()
     assert(flags.forall(r => (0 to 3).forall(i => !r.isNullAt(i))), flags.mkString(";"))
+    // null text = contentless doc: every gate trips, none is null
+    val nullRow = graft.text.TextAnalysis.withRuleFlags(edge, $"text")
+      .filter($"doc_id" === 4L)
+      .select("fail_min_tokens", "fail_word_len", "fail_repetition", "fail_stopwords")
+      .head
+    assert((0 to 3).forall(i => nullRow.getBoolean(i)), nullRow.toString)
     // the quality-gate path carries no interpreted higher-order functions
     val plan = graft.text.TextAnalysis.withRuleFlags(docs, $"text")
       .queryExecution.executedPlan.toString
