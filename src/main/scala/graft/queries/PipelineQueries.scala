@@ -354,6 +354,67 @@ object PipelineQueries {
             "total_chars", "avg_chars", "reject_rate")
       }),
 
+    // The END-TO-END curation pipeline — the composition a user actually
+    // runs, every stage an independently-oracled primitive: canonicalize
+    // (q94) → C4 quality gates (q87) → exact dedup keep-first on the
+    // canonical text (q31/q94) → DSIR importance weights vs the en
+    // target (q99) → deterministic weighted draw of the final 40 (q96).
+    // Deterministic end to end: no RNG, exact-integer gates, hash-keyed
+    // dedup and sampling — DuckDB replays the whole pipeline.
+    Q("q106_curation_e2e", {
+      val canon = canonicalizeSql("text")
+      val meanLen = "CAST(list_reduce(list_transform(tk, t -> CAST(len(t) AS BIGINT)), " +
+        "(a, b) -> a + b) AS DOUBLE) / len(tk)"
+      val maxFreq = "CAST(list_max(list_transform(list_distinct(tk), " +
+        "w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE) / len(tk)"
+      val stopRatio = s"CAST(${lexiconHitsSql("tk", LangStopwords.head._2)} AS DOUBLE) / len(tk)"
+      Some(s"""WITH base AS (SELECT doc_id, lang, $canon AS text FROM documents),
+              |t AS (SELECT doc_id, lang, text, ${tokensSql("text")} AS tk FROM base),
+              |gated AS (SELECT doc_id, lang, text, tk FROM t
+              |  WHERE NOT (len(tk) < 25 OR NOT ($meanLen >= 3.0 AND $meanLen <= 10.0)
+              |             OR $maxFreq > 0.2 OR $stopRatio < 0.02)),
+              |keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+              |surv AS (SELECT gated.* FROM gated JOIN keepers USING (doc_id)),
+              |p AS (SELECT doc_id AS doc, lang = 'en' AS tgt, unnest(tk) AS token FROM surv),
+              |dc AS (SELECT doc, token, count(*) AS c, bool_or(tgt) AS tgt FROM p GROUP BY 1, 2),
+              |r AS (SELECT token, CAST(sum(c) AS DOUBLE) AS cr FROM dc GROUP BY 1),
+              |tg AS (SELECT token, CAST(sum(c) AS DOUBLE) AS ct FROM dc WHERE tgt GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS Nr, CAST(count(*) AS DOUBLE) AS V FROM r),
+              |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS Nt FROM tg),
+              |sc AS (SELECT doc, exp(sum(c * (ln((coalesce(ct, 0) + 1.0) / (Nt + V))
+              |                             - ln((cr + 1.0) / (Nr + V)))) / sum(c)) AS iw
+              |  FROM dc JOIN r USING (token) LEFT JOIN tg USING (token)
+              |  CROSS JOIN tot CROSS JOIN tt GROUP BY doc),
+              |k AS (SELECT doc AS sid, iw,
+              |    ln((${portableHashSql("CAST(doc AS VARCHAR)")} + 1)
+              |       / 1152921504606846976.0) / iw AS key FROM sc)
+              |SELECT sid, s.lang, round(k.iw, 4) AS iw_r
+              |FROM k JOIN surv s ON s.doc_id = k.sid
+              |ORDER BY k.key DESC, sid LIMIT 40""".stripMargin)
+    },
+      (s, dir) => {
+        val canonical = docs(s, dir).select(col("doc_id"), col("lang"),
+          canonicalize(col("text")).as("text"))
+        val gated = TextAnalysis.withRuleFlags(canonical, col("text"))
+          .filter(!(col("fail_min_tokens") || col("fail_word_len") ||
+            col("fail_repetition") || col("fail_stopwords")))
+          .select("doc_id", "lang", "text")
+        val keepers = graft.dedup.Dedup
+          .exactGroups(gated, col("doc_id"), col("text"), md5)
+          .select(col("keeper").as("doc_id"))
+        // persisted: survivors feed BOTH the weight model (via the
+        // importanceWeights counts) and the final lang join-back — the
+        // canonicalize+gate+dedup chain above must execute once, not per
+        // consumer (same barrier rationale as bigramSurprisal)
+        val surv = graft.operators.CacheScope.unmanaged.persist(
+          gated.join(keepers, Seq("doc_id"), "left_semi"))
+        val iw = LanguageModel.importanceWeights(
+          surv, col("doc_id"), tokens(col("text")), col("lang") === "en")
+        graft.operators.Sampling.weightedTopN(iw, col("doc"), col("iw"), 40)
+          .join(surv.select(col("doc_id").as("sid"), col("lang")), Seq("sid"))
+          .select(col("sid"), col("lang"), round(col("w"), 4).as("iw_r"))
+      }),
+
     // Hierarchy depth by pointer doubling (thread-tree reconstruction —
     // the reference's comment chains, category taxonomies): depth-d
     // trees resolve in ceil(log2 d) self-joins, not d. The corpus forms

@@ -118,16 +118,22 @@ object LanguageModel {
     * Scale shape: ONE explode pass → per-doc token counts (shuffle on
     * (doc, token), map-side combinable); the raw model, the target model,
     * and the scoring all derive from that single counts table (the target
-    * model is a filtered re-aggregation, not a second corpus scan). Both
-    * models join back as real tables keyed on token; only the 1-row
-    * totals frame broadcasts — [[unigramSurprisal]]'s discipline with two
-    * models instead of one. */
+    * model is a filtered re-aggregation, not a second corpus scan). The
+    * counts table is persisted through `scope` — the same barrier as
+    * [[bigramSurprisal]]: the target consumer's `_tgt` filter otherwise
+    * pushes below the aggregate, exchange reuse dies, and the whole
+    * upstream pipeline (which may be a gated/deduped composition, q106)
+    * re-executes per consumer. Both models join back as real tables
+    * keyed on token; only the 1-row totals frames broadcast —
+    * [[unigramSurprisal]]'s discipline with two models instead of one. */
   def importanceWeights(df: DataFrame, idCol: Column, toks: Column,
-                        isTarget: Column): DataFrame = {
-    val docCounts = df
+                        isTarget: Column,
+                        scope: graft.operators.CacheScope =
+                          graft.operators.CacheScope.unmanaged): DataFrame = {
+    val docCounts = scope.persist(df
       .select(idCol.as("doc"), isTarget.as("_tgt"), explode(toks).as("token"))
       .groupBy("doc", "token")
-      .agg(count(lit(1)).as("c"), bool_or(col("_tgt")).as("_tgt"))
+      .agg(count(lit(1)).as("c"), bool_or(col("_tgt")).as("_tgt")))
     val raw = docCounts.groupBy("token").agg(sum(col("c")).as("cr"))
     val tgt = docCounts.filter(col("_tgt")).groupBy("token").agg(sum(col("c")).as("ct"))
     val totals = raw.agg(sum(col("cr")).cast("double").as("Nr"),
