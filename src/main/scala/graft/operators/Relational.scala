@@ -343,6 +343,41 @@ object Relational {
       Literal(sketch, BinaryType), Bridge.expression(xxhash64(bigKey)))))
   }
 
+  /** Distributed global prefix sum (running total in a TOTAL order) —
+    * the scale-correct form of `sum() OVER (ORDER BY …)`: an
+    * unpartitioned window funnels every row through ONE task; this runs
+    * the classic two-level scan instead. Range-partition by the order
+    * key (Spark's sampled split points), cumsum WITHIN each partition in
+    * parallel (a per-partition window), then shift each partition by the
+    * total of everything before it — the per-partition totals are
+    * #partitions rows (driver-tiny by construction), so the offset table
+    * broadcasts. Output = input + `running` column; ordering ties are
+    * broken by nothing, so the order key must be unique (same contract
+    * as any LIMIT tie-breaker rule here).
+    *
+    * Scale shape: one range exchange + one partition-local window + one
+    * broadcast join. No stage sees more than its partition's rows. */
+  def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
+                partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, orderCol)
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+    val local = ranged.withColumn("_local",
+      sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // #partitions rows — tiny by construction
+    val offsets = local.groupBy("_pid").agg(max(col("_local")).as("_ptotal"))
+      .withColumn("_offset",
+        coalesce(sum(col("_ptotal")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("running", col("_local") + col("_offset"))
+      .drop("_pid", "_local", "_offset")
+  }
+
   /** Depth of every node in a parent-pointer hierarchy (comment-thread
     * trees, category taxonomies, org charts) by POINTER DOUBLING: the
     * state table maps each node to (its 2^i-th ancestor, hops consumed),

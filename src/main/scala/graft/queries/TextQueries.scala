@@ -387,6 +387,32 @@ object TextQueries {
             .agg(count(lit(1)).as("n")),
           Seq(col("source")), Seq(col("n").desc, col("token")), 5)),
 
+    // Token-budget curation: fill a 10k-token training budget best-
+    // quality-first — running token total in (quality desc, doc_id)
+    // order, keep while under budget. The running total is the
+    // DISTRIBUTED prefix sum (range partition → parallel local cumsum →
+    // broadcast partition offsets), not the single-task global window
+    // the naive `sum() OVER (ORDER BY …)` plans.
+    Q("q107_token_budget",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |q AS (SELECT doc_id, len(tk) AS n_tok,
+              |  0.4 * (CAST(len(list_filter(tk, t -> t IN (${inList(LangStopwords.head._2)}))) AS DOUBLE)
+              |         / CAST(len(tk) AS DOUBLE))
+              |  + 0.6 * least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) AS quality FROM t),
+              |r AS (SELECT doc_id, n_tok,
+              |  CAST(sum(n_tok) OVER (ORDER BY -quality, doc_id) AS BIGINT) AS running FROM q)
+              |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, running
+              |FROM r WHERE running <= 10000""".stripMargin),
+      (s, dir) => {
+        val q = TextAnalysis.withQuality(docs(s, dir), col("text"))
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tok"), col("quality"))
+        Relational.prefixSum(q,
+            struct((-col("quality")).as("nq"), col("doc_id").as("id")), col("n_tok"))
+          .filter(col("running") <= 10000)
+          .select(col("doc_id"), col("n_tok"), col("running"))
+      }),
+
     // CCNet-style line-level boilerplate removal: a footer line planted
     // on every even doc (50% document frequency) is stripped at the 30%
     // threshold; each doc's own text line and the odd docs' unique tails

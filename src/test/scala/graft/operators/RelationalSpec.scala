@@ -233,6 +233,28 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, "a2", 2L), (3L, "c", 0L), (9L, "i", 1L)))
   }
 
+  test("prefixSum equals the single-partition window, plans a range sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (1L to 5000L).map(i => (i, (i * 2654435761L) % 97))
+      .toDF("k", "v").repartition(13)
+    val got = Relational.prefixSum(df, col("k"), col("v"))
+    val gotMap = got.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val expect = df.withColumn("running",
+        sum(col("v")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(gotMap == expect)
+    // the bulk path is a range exchange + per-partition window, not a
+    // single-task global sort of the data
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(1500))
+    // different partition counts give identical results
+    val again = Relational.prefixSum(df, col("k"), col("v"), partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(again == expect)
+  }
+
   test("hierarchyDepth: a 1000-deep chain resolves (log-round doubling), forest ok") {
     import org.apache.spark.sql.functions.{col, lit, when}
     // chain 0<-1<-2<-...<-999 plus a second root 5000 with one child
