@@ -258,6 +258,29 @@ object SimilarityQueries {
             .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
         Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"), cents, 0.99)
-      })
+      }),
+
+    // Deterministic contrastive negative sampling: negative j of anchor a
+    // is the row at portableHash(a ":" j) mod N — one projection + one
+    // equi-join on the drawn id (linear in k·N, vs the quadratic
+    // "everything but my neighbors" join). Accidental self/near-positive
+    // draws filtered at cosine 0.95.
+    Q("q108_negative_samples", {
+      val h = graft.functions.TextFunctions
+        .portableHashSql("(CAST(anchor AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+      Some(s"""WITH $eCte,
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM e),
+              |draws AS (SELECT a.vec_id AS anchor, a.v AS av, j, $h % N AS neg_id
+              |  FROM e a CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
+              |SELECT anchor, CAST(j AS INT) AS j, neg_id,
+              |  round(${Similarity.cosineSql("av", "nv")}, 4) AS cos_sim
+              |FROM draws JOIN (SELECT vec_id AS neg_id, v AS nv FROM e) USING (neg_id)
+              |CROSS JOIN n
+              |WHERE neg_id <> anchor
+              |  AND round(${Similarity.cosineSql("av", "nv")}, 4) < 0.95""".stripMargin)
+    },
+      (s, dir) =>
+        Similarity.negativeSamples(emb(s, dir), col("vec_id"), col("embedding"),
+          k = 3, maxCos = 0.95))
   )
 }

@@ -385,6 +385,44 @@ object Similarity {
         when(col("_drop").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor draws `k` negatives by HASH PAIRING — negative j of anchor a
+    * is the vector whose id is `portableHash(a ":" j) mod N` — then
+    * accidental positives are dropped (the drawn row is the anchor
+    * itself, or cosine ≥ `maxCos`). No RNG state: the pairing is a pure
+    * function of ids, so the sample replays identically across runs,
+    * engines, and partitionings (the q66/q96 discipline applied to
+    * pair construction).
+    *
+    * Scale shape: the naive "sample from everything except my
+    * neighbors" is a quadratic join; hash pairing is one projection
+    * exploding k rows per anchor + ONE equi-join on the 8-byte drawn id
+    * — linear in k·N, shuffle keyed on the drawn id. Only the 1-row
+    * count frame broadcasts. CONTRACT: ids must be dense 0..N−1 (the
+    * modulo must land on a real row); re-key with a rank first if not.
+    * Anchors may yield fewer than k rows where draws collide with the
+    * anchor or a near-duplicate — by design (a fixed-k guarantee would
+    * need rejection resampling, i.e. iteration; callers wanting exact-k
+    * over-draw and rank). */
+  def negativeSamples(vectors: DataFrame, idCol: Column, vecCol: Column,
+                      k: Int, maxCos: Double): DataFrame = {
+    import graft.functions.TextFunctions.portableHash
+    val v = vecCol.cast("array<double>")
+    val total = vectors.agg(count(lit(1)).as("N"))
+    val corpus = vectors.select(idCol.as("neg_id"), v.as("nv"))
+    vectors.select(idCol.as("anchor"), v.as("av"))
+      .crossJoin(broadcast(total))
+      .select(col("anchor"), col("av"),
+        explode(sequence(lit(1), lit(k))).as("j"), col("N"))
+      .withColumn("neg_id",
+        portableHash(concat(col("anchor").cast("string"), lit(":"), col("j"))) % col("N"))
+      .filter(col("neg_id") =!= col("anchor"))
+      .join(corpus, "neg_id")
+      .withColumn("cos_sim", round(cosine(col("av"), col("nv")), 4))
+      .filter(col("cos_sim") < maxCos)
+      .select(col("anchor"), col("j"), col("neg_id"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute
     * all-pairs (the correctness baseline [[nearDupPairsBucketed]] is
     * checked against in tests). */

@@ -254,6 +254,25 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped.size == 10, s"only planted copies should drop: $dropped")
   }
 
+  test("negativeSamples: deterministic hash pairing, no self/near-positive draws") {
+    val e = emb.select("vec_id", "embedding")
+    val a = Similarity.negativeSamples(e, col("vec_id"), col("embedding"), 4, 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val b = Similarity.negativeSamples(e.repartition(7), col("vec_id"), col("embedding"), 4, 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(a.sortBy(x => (x._1, x._2)).sameElements(b.sortBy(x => (x._1, x._2))),
+      "pairing must not depend on partitioning")
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(x => ids.contains(x._3)), "every draw must land on a real row")
+    assert(a.forall(x => x._1 != x._3), "no self negatives")
+    assert(a.forall(_._4 < 0.95), "no near-positive negatives")
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 4))
+    // with a 0.95 cut on this corpus (max off-diag ~0.5) almost every
+    // draw survives: each anchor keeps at least 3 of its 4 draws
+    assert(perAnchor.values.forall(_ >= 3), perAnchor.toMap.toString)
+  }
+
   test("semanticDedup keep-the-earliest: originals of planted dups stay kept") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(
