@@ -346,36 +346,52 @@ object Relational {
   /** Distributed global prefix sum (running total in a TOTAL order) —
     * the scale-correct form of `sum() OVER (ORDER BY …)`: an
     * unpartitioned window funnels every row through ONE task; this runs
-    * the classic two-level scan instead. Range-partition by the order
-    * key (Spark's sampled split points), cumsum WITHIN each partition in
-    * parallel (a per-partition window), then shift each partition by the
-    * total of everything before it — the per-partition totals are
-    * #partitions rows (driver-tiny by construction), so the offset table
-    * broadcasts. Output = input + `running` column; ordering ties are
-    * broken by nothing, so the order key must be unique (same contract
-    * as any LIMIT tie-breaker rule here).
+    * the classic two-pass scan instead. Range-partition + sort by the
+    * order key (ONE exchange — Spark's sampled split points put
+    * partition i strictly before partition i+1), pass 1 reduces each
+    * partition to its value total (#partitions longs to the driver —
+    * tiny by construction), pass 2 re-reads the persisted partitions and
+    * emits the local cumsum shifted by the exclusive scan of those
+    * totals. The per-partition accumulation is genuine imperative
+    * per-partition logic (the one place the engine's no-RDD rule makes
+    * an exception, like sequence packing): a partitionBy(_pid) window
+    * would satisfy neither RangePartitioning nor avoid a SECOND
+    * full-data hash exchange, and a max-of-running-sum offset would be
+    * wrong the moment values go negative — the fold is exact for any
+    * sign. Values are summed as longs (exact, overflow-checked by the
+    * cast); the order key must be unique for a well-defined total order.
     *
-    * Scale shape: one range exchange + one partition-local window + one
-    * broadcast join. No stage sees more than its partition's rows. */
+    * Scale shape: one range exchange, one persisted materialization read
+    * twice, #partitions longs through the driver. No stage ever holds
+    * more than its partition. */
   def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
-                partitions: Int = 0): DataFrame = {
+                partitions: Int = 0,
+                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val spark = df.sparkSession
     val n = if (partitions > 0) partitions
-      else df.sparkSession.sparkContext.defaultParallelism
-    val ranged = df.repartitionByRange(n, orderCol)
-      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
-    val local = ranged.withColumn("_local",
-      sum(valueCol).over(Window.partitionBy(col("_pid")).orderBy(orderCol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // #partitions rows — tiny by construction
-    val offsets = local.groupBy("_pid").agg(max(col("_local")).as("_ptotal"))
-      .withColumn("_offset",
-        coalesce(sum(col("_ptotal")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
-    local.join(broadcast(offsets), "_pid")
-      .withColumn("running", col("_local") + col("_offset"))
-      .drop("_pid", "_local", "_offset")
+      else spark.sparkContext.defaultParallelism
+    val prepared = scope.persist(
+      df.withColumn("_v", valueCol.cast("long"))
+        .repartitionByRange(n, orderCol)
+        .sortWithinPartitions(orderCol))
+    val vIdx = prepared.schema.fieldIndex("_v")
+    val totals = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val outSchema = prepared.schema
+      .add(org.apache.spark.sql.types.StructField("running",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val out = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets.value(pid)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(out, outSchema).drop("_v")
   }
 
   /** Depth of every node in a parent-pointer hierarchy (comment-thread

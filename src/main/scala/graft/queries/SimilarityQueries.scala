@@ -275,7 +275,6 @@ object SimilarityQueries {
               |SELECT anchor, CAST(j AS INT) AS j, neg_id,
               |  round(${Similarity.cosineSql("av", "nv")}, 4) AS cos_sim
               |FROM draws JOIN (SELECT vec_id AS neg_id, v AS nv FROM e) USING (neg_id)
-              |CROSS JOIN n
               |WHERE neg_id <> anchor
               |  AND round(${Similarity.cosineSql("av", "nv")}, 4) < 0.95""".stripMargin)
     },

@@ -406,6 +406,9 @@ object Similarity {
     * over-draw and rank). */
   def negativeSamples(vectors: DataFrame, idCol: Column, vecCol: Column,
                       k: Int, maxCos: Double): DataFrame = {
+    // sequence(1, 0) would COUNT DOWN (Spark's default step is -1),
+    // silently emitting two undocumented draws per anchor for k=0
+    require(k >= 1, s"k must be >= 1, got $k")
     import graft.functions.TextFunctions.portableHash
     val v = vecCol.cast("array<double>")
     val total = vectors.agg(count(lit(1)).as("N"))
