@@ -16,10 +16,12 @@ import graft.streaming.EventsStream
   * are listed in `failed` (round 1 let failures masquerade as timings);
   * a query that failed on SOME iterations but produced a timing is
   * listed in `flaky` — min-of-k must not launder intermittent failures.
-  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and reports
-  * the per-query MIN — ambient load can only inflate a single-shot
-  * timing, so min-of-k is the noise-proof estimate; the `iters` field
-  * records the setting.
+  * The whole suite runs SPARK_GRAFT_BENCH_ITERS times (default 2) in
+  * INTERLEAVED passes and each query reports its MIN across passes —
+  * ambient load can only inflate a timing, so min-of-k is the noise-proof
+  * estimate, and interleaving means a load burst must outlast a full
+  * suite pass (~1 min) to poison any single query's min; `iters` records
+  * the setting and `pass_totals` exposes a hot pass in the artifact.
   *
   * Two non-oracle extras bench the xxhash64 fast path of the dedup
   * pipeline (the claimed 100 TB hash family) against the md5-portable
@@ -96,10 +98,18 @@ object Bench {
     // margin under ambient load (r5's file read ~23% hot vs a quiet re-run
     // of the same commit). Min-of-k is the standard fix: ambient load can
     // only inflate a timing, never deflate it, so the minimum over k runs
-    // is the best unbiased estimate of the code's actual cost.
+    // is the best unbiased estimate of the code's actual cost. The k runs
+    // are INTERLEAVED — the whole suite runs k times and each query takes
+    // its min across passes — because back-to-back iterations share any
+    // multi-second load burst, letting the min launder ambient noise into
+    // the record (r6's q16/q20/q26/q27 looked 2-3× regressed with code
+    // untouched since r3). A burst now has to outlast an entire ~60 s
+    // suite pass to poison a single query's min. Per-pass totals are
+    // emitted so a hot pass is visible in the artifact itself.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2).max(1)
-    val results = (base ++ fastPath).map { case (name, run) =>
-      val times = (1 to iters).map { _ =>
+    val suite = base ++ fastPath
+    val passTimes: Seq[Seq[Double]] = (1 to iters).map { _ =>
+      suite.map { case (name, run) =>
         // per-query isolation: drop frames persisted inside pipeline
         // builders (dedup signatures, tf cache) so no query is timed
         // against another query's leftover storage memory.
@@ -114,12 +124,18 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         if (ok) secs else -1d
       }
+    }
+    val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
+      val times = passTimes.map(_(i))
       val good = times.filter(_ >= 0)
-      // some-but-not-all iterations failing is NOT ok: min-of-k would
+      // some-but-not-all passes failing is NOT ok: min-of-k would
       // otherwise report a flaky query as a clean timing — surface it
       val flaky = good.nonEmpty && good.size < times.size
       if (good.nonEmpty) (name, good.min, true, flaky) else (name, -1d, false, false)
     }
+    // wall-clock sum of each full pass (failed queries excluded) — a pass
+    // inflated by ambient load stands out against its siblings here
+    val passTotals = passTimes.map(_.filter(_ >= 0).sum)
     // The driver captures only the last ~2000 chars of stdout (r02's
     // full-precision line hit 2035 chars → `parsed: null`), and sbt appends
     // a ~70-char [success] line after ours. Full precision + full names go
@@ -136,7 +152,8 @@ object Bench {
       val flaky = results.zip(names).collect { case ((_, _, _, true), n) => s"\"$n\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true, _) => v }.sum
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+      val passes = passTotals.map(fmt(_, scale)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"pass_totals":$passes,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     }
     val fullNames = results.map(_._1)
     // qNN prefixes are unique; the xNN extras can collide (x36_fast vs
