@@ -358,8 +358,11 @@ object Relational {
     * would satisfy neither RangePartitioning nor avoid a SECOND
     * full-data hash exchange, and a max-of-running-sum offset would be
     * wrong the moment values go negative — the fold is exact for any
-    * sign. Values are summed as longs (exact, overflow-checked by the
-    * cast); the order key must be unique for a well-defined total order.
+    * sign. Values are summed as longs via `Math.addExact` — a running
+    * total that exceeds Long range throws instead of wrapping (note the
+    * non-ANSI `cast("long")` itself truncates fractional doubles; feed
+    * integral values). The order key must be unique for a well-defined
+    * total order.
     *
     * Scale shape: one range exchange, one persisted materialization read
     * twice, #partitions longs through the driver. No stage ever holds
@@ -377,17 +380,17 @@ object Relational {
     val vIdx = prepared.schema.fieldIndex("_v")
     val totals = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
+      it.foreach(r => s = Math.addExact(s, r.getLong(vIdx)))
       Iterator((pid, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(Math.addExact))
     val outSchema = prepared.schema
       .add(org.apache.spark.sql.types.StructField("running",
         org.apache.spark.sql.types.LongType, nullable = false))
     val out = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets.value(pid)
       it.map { r =>
-        acc += r.getLong(vIdx)
+        acc = Math.addExact(acc, r.getLong(vIdx))
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
     }
@@ -404,37 +407,58 @@ object Relational {
     * within 2^maxDoubling hops throws (cycle or deeper-than-declared —
     * loud, like connectedComponents' maxIter).
     *
-    * Scale shape per round: one equi-join of the state table with itself
-    * on the 8-byte ancestor key + one convergence count on the driver
-    * (a scalar, not data); `localCheckpoint` truncates lineage each
-    * round like [[graft.dedup.Dedup.connectedComponents]]. */
+    * Scale shape per round: one equi-join on the 8-byte ancestor key +
+    * one convergence count on the driver (a scalar, not data);
+    * `localCheckpoint` truncates lineage each round like
+    * [[graft.dedup.Dedup.connectedComponents]]. Finished walks are SPLIT
+    * OUT of the advancing side as soon as they resolve and unioned back
+    * at the end — on the common mostly-shallow forest (Reddit-thread
+    * shape) most walks finish in rounds 1–2, so the join's streamed
+    * input shrinks geometrically instead of carrying resolved rows
+    * through every remaining round. Finished rows still serve as hop
+    * TARGETS (an open walk completes by landing on one), so the build
+    * side stays the full node set — that is inherent to the algorithm.
+    *
+    * `roundProbe` (default no-op) receives (round, openWalks) before
+    * each round — instrumentation for specs and scale probes, not a
+    * data-path hook. */
   def hierarchyDepth(df: DataFrame, idCol: Column, parentCol: Column,
-                     maxDoubling: Int = 20): DataFrame = {
+                     maxDoubling: Int = 20,
+                     roundProbe: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val isRoot = parentCol.isNull || parentCol === idCol
-    // state: after `d` hops from `node` the walk stands at `anc`;
-    // `fin` marks walks that have reached a root (anc IS the root then)
-    var state = df.select(idCol.as("node"),
-        when(isRoot, idCol).otherwise(parentCol).as("anc"),
-        when(isRoot, lit(0L)).otherwise(lit(1L)).as("d"),
-        isRoot.as("fin"))
+    // state of an UNFINISHED walk: after `d` hops from `node` it stands
+    // at `anc`; roots resolve immediately into `done` with depth 0
+    var done: List[DataFrame] = List(
+      df.filter(isRoot).select(idCol.as("node"), idCol.as("anc"),
+        lit(0L).as("d")).localCheckpoint())
+    var open = df.filter(!isRoot)
+      .select(idCol.as("node"), parentCol.as("anc"), lit(1L).as("d"))
       .localCheckpoint()
     var round = 0
-    var open = state.filter(!col("fin")).count()
-    while (open > 0 && round < maxDoubling) {
-      val hop = state.select(col("node").as("j_node"), col("anc").as("j_anc"),
-        col("d").as("j_d"), col("fin").as("j_fin"))
-      state = state.join(hop, state("anc") === hop("j_node"), "left")
+    var openCount = open.count()
+    while (openCount > 0 && round < maxDoubling) {
+      roundProbe(round, openCount)
+      // hop lookup = every node's best-known walk (open ∪ done); a hop
+      // landing on a done row means the walk has reached its root
+      val hop = (open.withColumn("j_fin", lit(false)) :: done.map(
+          _.withColumn("j_fin", lit(true))))
+        .reduce(_ unionByName _)
+        .select(col("node").as("j_node"), col("anc").as("j_anc"),
+          col("d").as("j_d"), col("j_fin"))
+      val advanced = open.join(hop, open("anc") === hop("j_node"), "left")
         .select(col("node"),
-          when(col("fin"), col("anc")).otherwise(coalesce(col("j_anc"), col("anc"))).as("anc"),
-          when(col("fin"), col("d")).otherwise(col("d") + coalesce(col("j_d"), lit(0L))).as("d"),
-          (col("fin") || coalesce(col("j_fin"), lit(false))).as("fin"))
+          coalesce(col("j_anc"), col("anc")).as("anc"),
+          (col("d") + coalesce(col("j_d"), lit(0L))).as("d"),
+          coalesce(col("j_fin"), lit(false)).as("fin"))
         .localCheckpoint()
-      open = state.filter(!col("fin")).count()
+      done ::= advanced.filter(col("fin")).drop("fin").localCheckpoint()
+      open = advanced.filter(!col("fin")).drop("fin").localCheckpoint()
+      openCount = open.count()
       round += 1
     }
-    require(open == 0,
-      s"hierarchy deeper than 2^$maxDoubling, cyclic, or dangling parents: $open unresolved walks")
-    state.select(col("node"), col("d").as("depth"))
+    require(openCount == 0,
+      s"hierarchy deeper than 2^$maxDoubling, cyclic, or dangling parents: $openCount unresolved walks")
+    done.reduce(_ unionByName _).select(col("node"), col("d").as("depth"))
   }
 
   def dedupExactKeepFirst(df: DataFrame, key: Column, tieBreaker: Column): DataFrame =

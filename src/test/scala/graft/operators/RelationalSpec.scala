@@ -286,4 +286,28 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(ok(40L) == 40L)
   }
+
+  test("hierarchyDepth: finished walks leave the join — round inputs shrink on a shallow forest") {
+    import org.apache.spark.sql.functions.col
+    // the Reddit-thread shape: 100 flat trees (root + 8 depth-1 children)
+    // plus ONE 20-deep chain; almost every walk finishes in round 1
+    val flat = (0L until 100L).flatMap { r =>
+      (r, None) +: (0L until 8L).map(c => (1000L + r * 8 + c, Some(r)))
+    }
+    val chain = (0L to 19L).map(i => (10000L + i, if (i == 0) None else Some(10000L + i - 1)))
+    val df = (flat ++ chain).toDF("id", "parent")
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val got = Relational.hierarchyDepth(df, col("id"), col("parent"),
+        roundProbe = (r, open) => probes += ((r, open)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(10019L) == 19L && got(1000L) == 1L && got(0L) == 0L)
+    assert(got.size == flat.size + chain.size)
+    // round 0 advances all 819 open walks; every depth-1 child resolves
+    // there, so round 1's join input is just the deep chain's remainder
+    val open = probes.sortBy(_._1).map(_._2)
+    assert(open.head == 819L, s"round 0 must see all non-roots: $open")
+    assert(open(1) <= 19L, s"round 1 must only carry the deep chain: $open")
+    assert(open == open.sorted.reverse && open.distinct == open,
+      s"open-walk counts must strictly shrink: $open")
+  }
 }
