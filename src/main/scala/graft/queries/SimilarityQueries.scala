@@ -269,8 +269,8 @@ object SimilarityQueries {
       val h = graft.functions.TextFunctions
         .portableHashSql("(CAST(anchor AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
       Some(s"""WITH $eCte,
-              |n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM e),
-              |draws AS (SELECT a.vec_id AS anchor, a.v AS av, j, $h % N AS neg_id
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS N, min(vec_id) AS minId FROM e),
+              |draws AS (SELECT a.vec_id AS anchor, a.v AS av, j, $h % N + minId AS neg_id
               |  FROM e a CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
               |SELECT anchor, CAST(j AS INT) AS j, neg_id,
               |  round(${Similarity.cosineSql("av", "nv")}, 4) AS cos_sim
@@ -280,6 +280,28 @@ object SimilarityQueries {
     },
       (s, dir) =>
         Similarity.negativeSamples(emb(s, dir), col("vec_id"), col("embedding"),
-          k = 3, maxCos = 0.95))
+          k = 3, maxCos = 0.95)),
+
+    // Fixed-k negative sampling: over-draw k+extra by the same hash
+    // pairing, rank-limit by draw index j to exactly k survivors per
+    // anchor. DuckDB replays the over-draw and the QUALIFY rank.
+    Q("q109_negative_samples_exactk", {
+      val h = graft.functions.TextFunctions
+        .portableHashSql("(CAST(anchor AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+      Some(s"""WITH $eCte,
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS N, min(vec_id) AS minId FROM e),
+              |draws AS (SELECT a.vec_id AS anchor, a.v AS av, j, $h % N + minId AS neg_id
+              |  FROM e a CROSS JOIN n CROSS JOIN (SELECT unnest(range(1, 12)) AS j)),
+              |good AS (SELECT anchor, CAST(j AS INT) AS j, neg_id,
+              |    round(${Similarity.cosineSql("av", "nv")}, 4) AS cos_sim
+              |  FROM draws JOIN (SELECT vec_id AS neg_id, v AS nv FROM e) USING (neg_id)
+              |  WHERE neg_id <> anchor
+              |    AND round(${Similarity.cosineSql("av", "nv")}, 4) < 0.95)
+              |SELECT anchor, j, neg_id, cos_sim FROM good
+              |QUALIFY row_number() OVER (PARTITION BY anchor ORDER BY j) <= 3""".stripMargin)
+    },
+      (s, dir) =>
+        Similarity.negativeSamplesExact(emb(s, dir), col("vec_id"), col("embedding"),
+          k = 3, maxCos = 0.95, extraDraws = 8))
   )
 }

@@ -348,9 +348,17 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (cluster-then-compare): assign
     * every vector its nearest codebook cell (one map-side projection,
     * [[withIvfCell]] — no corpus shuffle), then compare pairs WITHIN a
-    * cell only and drop each vector that has a lower-id neighbor at
-    * cosine ≥ `threshold` (deterministic keep-the-earliest rule, the
-    * greedy representative choice). Classifies the whole corpus:
+    * cell only and drop each vector that has ANY lower-id neighbor at
+    * cosine ≥ `threshold` — regardless of whether that neighbor was
+    * itself dropped. This is deliberately MORE aggressive than
+    * sequential greedy representative selection: on a similarity chain
+    * a~b, b~c, a≁c, greedy would keep {a, c} while this rule keeps only
+    * {a} (c drops because of the already-dropped b). The one-shot rule
+    * is what a single pair-join can express — true greedy is an
+    * inherently sequential fixpoint (iterate the pair join against the
+    * surviving set until stable), which SemDeDup itself forgoes for the
+    * same reason. Deterministic either way: drop status is a pure
+    * function of the id order. Classifies the whole corpus:
     * `(vec_id, cell, status ∈ {kept, dropped})`.
     *
     * Scale shape: pair work is Σ_c |cell_c|² instead of |corpus|² — the
@@ -387,8 +395,8 @@ object Similarity {
 
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` negatives by HASH PAIRING — negative j of anchor a
-    * is the vector whose id is `portableHash(a ":" j) mod N` — then
-    * accidental positives are dropped (the drawn row is the anchor
+    * is the vector whose id is `portableHash(a ":" j) mod N + minId` —
+    * then accidental positives are dropped (the drawn row is the anchor
     * itself, or cosine ≥ `maxCos`). No RNG state: the pairing is a pure
     * function of ids, so the sample replays identically across runs,
     * engines, and partitionings (the q66/q96 discipline applied to
@@ -398,12 +406,14 @@ object Similarity {
     * neighbors" is a quadratic join; hash pairing is one projection
     * exploding k rows per anchor + ONE equi-join on the 8-byte drawn id
     * — linear in k·N, shuffle keyed on the drawn id. Only the 1-row
-    * count frame broadcasts. CONTRACT: ids must be dense 0..N−1 (the
-    * modulo must land on a real row); re-key with a rank first if not.
+    * count/min frame broadcasts. CONTRACT: ids must be dense over
+    * [minId, minId+N) for ANY minId (the operator reads minId off the
+    * corpus itself, so 0-based and 1-based corpora both work; re-key
+    * with a rank first if ids have gaps — a gap makes the modulo land
+    * on missing rows and those draws silently vanish at the join).
     * Anchors may yield fewer than k rows where draws collide with the
-    * anchor or a near-duplicate — by design (a fixed-k guarantee would
-    * need rejection resampling, i.e. iteration; callers wanting exact-k
-    * over-draw and rank). */
+    * anchor or a near-duplicate — by design (a fixed-k guarantee needs
+    * over-drawing; see [[negativeSamplesExact]]). */
   def negativeSamples(vectors: DataFrame, idCol: Column, vecCol: Column,
                       k: Int, maxCos: Double): DataFrame = {
     // sequence(1, 0) would COUNT DOWN (Spark's default step is -1),
@@ -411,19 +421,47 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     import graft.functions.TextFunctions.portableHash
     val v = vecCol.cast("array<double>")
-    val total = vectors.agg(count(lit(1)).as("N"))
+    val total = vectors.agg(count(lit(1)).as("N"), min(idCol).as("minId"))
     val corpus = vectors.select(idCol.as("neg_id"), v.as("nv"))
     vectors.select(idCol.as("anchor"), v.as("av"))
       .crossJoin(broadcast(total))
       .select(col("anchor"), col("av"),
-        explode(sequence(lit(1), lit(k))).as("j"), col("N"))
+        explode(sequence(lit(1), lit(k))).as("j"), col("N"), col("minId"))
       .withColumn("neg_id",
-        portableHash(concat(col("anchor").cast("string"), lit(":"), col("j"))) % col("N"))
+        portableHash(concat(col("anchor").cast("string"), lit(":"), col("j")))
+          % col("N") + col("minId"))
       .filter(col("neg_id") =!= col("anchor"))
       .join(corpus, "neg_id")
       .withColumn("cos_sim", round(cosine(col("av"), col("nv")), 4))
       .filter(col("cos_sim") < maxCos)
       .select(col("anchor"), col("j"), col("neg_id"), col("cos_sim"))
+  }
+
+  /** Fixed-k variant of [[negativeSamples]]: over-draw `k + extraDraws`
+    * candidates per anchor, then rank-limit by draw index `j` to the
+    * first `k` survivors — same hash pairing, same determinism, but
+    * anchors get exactly k negatives unless MORE than `extraDraws` of
+    * their draws were bad (self-collision, near-positive, or a modulo
+    * collision mapping two draws to one id — `j` survives dedup so
+    * duplicate neg_ids are kept as distinct draws, matching the base
+    * operator). Residual failure probability per anchor: if a single
+    * draw is bad with probability p ≈ (1 + nearPositives(a)) / N, an
+    * anchor falls short only when ≥ extraDraws+1 of k+extraDraws draws
+    * are bad — a binomial tail ≤ C(k+e, e+1)·p^(e+1), astronomically
+    * small for e ≥ 8 at corpus N. The rank window shuffles k+e rows per
+    * anchor keyed on the anchor — bounded fan-out, not corpus-sized.
+    *
+    * Default `extraDraws = max(k, 8)`. */
+  def negativeSamplesExact(vectors: DataFrame, idCol: Column, vecCol: Column,
+                           k: Int, maxCos: Double,
+                           extraDraws: Int = -1): DataFrame = {
+    val extra = if (extraDraws >= 0) extraDraws else math.max(k, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy("j")
+    negativeSamples(vectors, idCol, vecCol, k + extra, maxCos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`. Brute

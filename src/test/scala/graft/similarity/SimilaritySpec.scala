@@ -273,6 +273,34 @@ class SimilaritySpec extends SparkSpec {
     assert(perAnchor.values.forall(_ >= 3), perAnchor.toMap.toString)
   }
 
+  test("negativeSamples honors dense ids at ANY offset (minId contract)") {
+    // ids 101.. : under a 0..N-1-only draw every neg_id would land on
+    // 0..N-1 (no real row) and the whole result would silently vanish
+    val e = emb.select(($"vec_id" + 100).as("vec_id"), $"embedding")
+    val n = e.count()
+    val out = Similarity.negativeSamples(e, col("vec_id"), col("embedding"), 4, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.length >= 3 * n, s"draws must survive the join: ${out.length} rows for $n anchors")
+    assert(out.forall(x => ids.contains(x._2)), "every draw must land on a real row")
+  }
+
+  test("negativeSamplesExact: every anchor yields exactly k, a prefix of the over-draw") {
+    val e = emb.select("vec_id", "embedding")
+    val k = 3
+    val exact = Similarity.negativeSamplesExact(e, col("vec_id"), col("embedding"), k, 0.95, extraDraws = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val perAnchor = exact.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(perAnchor.size == e.count(), "every anchor must appear")
+    assert(perAnchor.values.forall(_.length == k), "exactly k negatives per anchor")
+    // the survivors are the k LOWEST surviving draw indices of the base
+    // over-draw — rank-limit by j, not an arbitrary subset
+    val base = Similarity.negativeSamples(e, col("vec_id"), col("embedding"), k + 8, 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val baseFirstK = base.groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(k).toList).toMap
+    assert(perAnchor == baseFirstK, "exact-k must be the j-ranked prefix of the over-draw")
+  }
+
   test("semanticDedup keep-the-earliest: originals of planted dups stay kept") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(
