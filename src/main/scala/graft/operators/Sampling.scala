@@ -145,7 +145,19 @@ object Sampling {
 
   /** Shared (sid, source, k, vt) assignment of [[mixtureOrder]] /
     * [[mixtureManifest]]: k = the row's hash rank within its source,
-    * vt = k / w_source. */
+    * vt = k / w_source.
+    *
+    * SCALE BOUND: the `partitionBy(source)` window funnels each source's
+    * ENTIRE (sid, hash) projection through one task — fine for the
+    * typical mixture of a handful of sources up to ~100M rows each
+    * (narrow 3-column rows), but a single web-crawl source at 100 TB
+    * would hit the per-task ceiling. The scale-out form replaces the
+    * per-source row_number with the two-pass rank used by
+    * [[graft.operators.Relational.prefixSum]]: range-partition each
+    * source by `_h`, count per partition, offset local ranks by the
+    * exclusive scan — same exact k, no single-task sort. Not the
+    * default because the window form is one exchange cheaper at the
+    * corpus shapes the oracle tests pin down. */
   private def mixtureVt(df: DataFrame, idCol: Column, sourceCol: Column,
                         weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),

@@ -46,13 +46,20 @@ object JsonLines {
     * columns and `_corrupt` = the raw line. One text scan, one codegen'd
     * `from_json` per line, with the corrupt-record column declared INSIDE
     * the parse schema (PERMISSIVE `from_json` reports malformed input
-    * there rather than returning a null struct). */
+    * there rather than returning a null struct). Lines `from_json`
+    * returns a NULL STRUCT for — blank/whitespace-only lines and the
+    * literal `null` — would otherwise slip through as phantom all-null
+    * "clean" rows (null `_corrupt` too); they are folded into the
+    * quarantine with the raw line, keeping the never-silently-vanish
+    * contract airtight. */
   def readDocuments(spark: SparkSession, path: String): DataFrame = {
     val parseSchema = documentsSchema.add(StructField("_corrupt", StringType))
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
     spark.read.text(path)
-      .select(from_json(col("value"), parseSchema, opts).as("_r"))
-      .select(parseSchema.fieldNames.map(f => col(s"_r.$f")): _*)
+      .select(col("value"), from_json(col("value"), parseSchema, opts).as("_r"))
+      .select(documentsSchema.fieldNames.map(f => col(s"_r.$f")) :+
+        coalesce(col("_r._corrupt"),
+          when(col("_r").isNull, col("value"))).as("_corrupt"): _*)
   }
 
   /** The clean rows of a [[readDocuments]] frame (quarantine removed). */

@@ -53,4 +53,27 @@ class JsonLinesSpec extends SparkSpec {
     assert(bad.length == 1)
     assert(bad.head.contains("not json at all"), bad.head)
   }
+
+  test("null-struct lines (blank, whitespace, literal null) quarantine, not phantom rows") {
+    val dir = Files.createTempDirectory("graft_jsonl_nullstruct")
+    val f = dir.resolve("part-000.jsonl")
+    // from_json returns a NULL STRUCT (not a corrupt record) for these
+    // three middle lines — they must land in quarantine, never as
+    // all-null "clean" rows
+    Files.writeString(f,
+      "{\"doc_id\": 1, \"text\": \"ok\", \"lang\": \"en\", \"source\": \"s\", \"n_chars\": 2}\n" +
+        "\n" +
+        "   \t  \n" +
+        "null\n" +
+        "{\"doc_id\": 2, \"text\": \"ok\", \"lang\": \"de\", \"source\": \"s\", \"n_chars\": 2}\n")
+    val read = JsonLines.readDocuments(spark, dir.toString)
+    val good = JsonLines.good(read)
+    assert(good.count() == 2, "only the two well-formed lines are clean")
+    assert(good.filter(col("doc_id").isNull).count() == 0, "no phantom all-null rows")
+    val bad = JsonLines.quarantined(read).as[String].collect().sorted
+    assert(bad.length == 3, s"blank + whitespace + literal-null all quarantine: ${bad.mkString("|")}")
+    assert(bad.contains("null"), "the literal-null line keeps its raw text")
+    assert(bad.contains(""), "the blank line is preserved verbatim")
+    assert(bad.exists(l => l.nonEmpty && l.trim.isEmpty), "the whitespace-only line is preserved verbatim")
+  }
 }
