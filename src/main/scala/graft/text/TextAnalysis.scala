@@ -156,17 +156,11 @@ object TextAnalysis {
       .withColumn("fail_stopwords", stopRatio < 0.02)
   }
 
-  /** Lexicon sentiment counts + 3-way label. Integer comparison for the
-    * label (no float threshold), so labeling can't drift across engines. */
-  def withSentiment(df: DataFrame, textCol: Column): DataFrame = {
-    val toks = tokens(textCol)
-    df.withColumn("n_pos", lexiconHits(toks, PosWords))
-      .withColumn("n_neg", lexiconHits(toks, NegWords))
-      .withColumn("sentiment",
-        when(col("n_pos") > col("n_neg"), "positive")
-          .when(col("n_pos") < col("n_neg"), "negative")
-          .otherwise("neutral"))
-      .withColumn("polarity",
-        (col("n_pos") - col("n_neg")).cast("double") / size(toks).cast("double"))
-  }
+  /** Sentiment via the [[SentimentScorer]] seam. The default
+    * [[LexiconSentiment]] is the q44 oracle semantics (lexicon counts,
+    * integer-compared label); pass [[WeightedSentiment]] for a
+    * model-backed logistic scorer — same output columns either way. */
+  def withSentiment(df: DataFrame, textCol: Column,
+                    scorer: SentimentScorer = LexiconSentiment): DataFrame =
+    scorer.score(df, textCol)
 }

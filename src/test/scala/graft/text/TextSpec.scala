@@ -65,6 +65,31 @@ class TextSpec extends SparkSpec {
     assert(got == Seq("positive", "negative", "neutral"))
   }
 
+  test("sentiment seam: WeightedSentiment swaps in without touching call sites") {
+    val path = getClass.getResource("/sentiment_weights.tsv").getPath
+    val scorer = WeightedSentiment.load(path)
+    assert(scorer.bias == 0.0 && scorer.weights.size == 10)
+    val df = Seq("excellent fast work", "terrible broken junk", "data table").toDF("text")
+    // SAME call site, different scorer — only the extra default argument
+    val got = TextAnalysis.withSentiment(df, col("text"), scorer)
+    assert(got.columns.takeRight(4).toSeq ==
+      Seq("n_pos", "n_neg", "sentiment", "polarity"),
+      "seam contract: identical output columns as the lexicon default")
+    val rows = got.select("sentiment", "polarity", "n_pos", "n_neg")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("positive", "negative", "neutral"))
+    assert(rows(0)._2 > 0 && rows(1)._2 < 0 && math.abs(rows(2)._2) < 0.1,
+      s"polarity = 2σ(z)−1 must track the label: ${rows.toSeq}")
+    assert(rows(0)._3 == 2 && rows(0)._4 == 0, "hit counts follow weight signs")
+    // logistic semantics: weights sum through the sigmoid, bounded (−1,1)
+    assert(rows.forall(r => r._2 > -1 && r._2 < 1))
+    // multiplicity matters: repeated positive token strictly raises polarity
+    val rep = TextAnalysis.withSentiment(
+      Seq("good", "good good good").toDF("text"), col("text"), scorer)
+      .select("polarity").collect().map(_.getDouble(0))
+    assert(rep(1) > rep(0))
+  }
+
   test("tfidf: a token present in every doc has idf 0") {
     val df = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
     val t = TfIdf.tfidf(df, col("doc_id"), tokens(col("text")))
