@@ -6,16 +6,20 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * The IMAGE and AUDIO paths are REAL, JDK-only:
+  * ALL THREE modality paths are REAL, JDK-only:
   *  - images are genuine PNGs — `javax.imageio.ImageIO` decode,
   *    `BufferedImage` bilinear resize, mean-pooled-pixel-grid embed;
   *  - audio is genuine WAV/PCM — `javax.sound.sampled.AudioSystem`
   *    decode to 16-bit samples, per-window zero-crossing-rate embed
   *    (frequency-sensitive, unlike RMS), real PCM time-seek for frame
-  *    sampling.
-  * Only VIDEO remains a documented deterministic stub (the JVM ships no
-  * video codec); swap that branch of [[MediaCodec]] for a library-backed
-  * one and nothing else changes.
+  *    sampling;
+  *  - video is genuine MJPEG-in-AVI — a RIFF/AVI container parser
+  *    (`avih` µs-per-frame, `movi` `00dc` chunks) whose frames are
+  *    JPEGs that `ImageIO` decodes, time-indexed frame extraction at
+  *    frame = offset / µs-per-frame, mean-of-frame-embeds features.
+  *    (MJPEG is the one video codec expressible over the JDK's own
+  *    image decoder; an H.264 path would swap the same seam for a
+  *    library decoder and nothing else changes.)
   */
 object Media {
 
@@ -33,8 +37,9 @@ object Media {
     * at the row's declared width×height); audio rows a REAL WAV (seeded
     * sine tone, duration clamped to ≤2 s regardless of the metadata
     * duration — [[MediaCodec.frameAt]] clamps seeks past payload end);
-    * video rows keep utf8 text bytes posing as an encoded blob, matching
-    * the stubbed video codec. */
+    * video rows a REAL MJPEG AVI (25 fps, 2–8 seeded grating frames
+    * whose phase advances per frame; frame count clamps like audio
+    * duration so payloads stay small). */
   def synthesize(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -50,15 +55,16 @@ object Media {
         r.kind match {
           case "image" => r.copy(payload = MediaCodec.synthPng(r.media_id, r.width, r.height))
           case "audio" => r.copy(payload = MediaCodec.synthWav(r.media_id, r.duration_ms))
-          case _ => r
+          case _ => r.copy(payload =
+            MediaCodec.synthAvi(r.media_id, r.width, r.height, r.duration_ms))
         }
       }
   }
 
   /** Per-partition batched decode + feature extraction. The iterator shape
     * (one pass, constant memory per batch) is what a Pandas-UDF/Arrow
-    * pipeline would see; image/audio rows run the real JDK decoders,
-    * video rows the stubbed seam. */
+    * pipeline would see; image, audio, AND video rows all run real JDK
+    * decoders through the codec seam. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -147,8 +153,9 @@ object Media {
   }
 
   /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
-    * frames are REAL PCM seeks (the samples at `offset_ms`); video frames
-    * come from the stubbed codec. */
+    * frames are REAL PCM seeks (the samples at `offset_ms`); video
+    * frames are the REAL MJPEG frame at `offset_ms` (raw JPEG bytes,
+    * time-indexed by the container clock). */
   def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -162,12 +169,12 @@ object Media {
   }
 }
 
-/** The codec seam. Image and audio methods are REAL, JDK-only
-  * (`ImageIO` for PNG/JPEG/BMP/GIF, `javax.sound.sampled` for WAV/PCM);
-  * only the video branch remains a deterministic stand-in (no video
-  * codec ships with the JVM — see module doc). Decode sniffs the
-  * payload container; anything unrecognized passes through as opaque
-  * bytes for the stubbed path. */
+/** The codec seam. All three modalities are REAL, JDK-only:
+  * `ImageIO` for PNG/JPEG/BMP/GIF, `javax.sound.sampled` for WAV/PCM,
+  * and a RIFF/AVI parser for MJPEG video whose frames `ImageIO`
+  * decodes (see module doc). Decode sniffs the payload container;
+  * anything unrecognized passes through as opaque bytes (quarantine,
+  * not a crash — the histogram-embed fallback). */
 object MediaCodec {
   import java.awt.image.{BufferedImage, DataBufferByte}
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
@@ -183,7 +190,12 @@ object MediaCodec {
   final case class ImageRaster(width: Int, height: Int, pixels: Array[Byte]) extends Decoded
   /** 16-bit mono PCM samples. */
   final case class AudioPcm(sampleRate: Float, samples: Array[Short]) extends Decoded
-  /** Unrecognized container: opaque bytes (the stubbed-video path). */
+  /** MJPEG video: the raw JPEG bytes of each frame, in display order,
+    * plus the container's µs-per-frame clock (frame i covers
+    * [i·µspf, (i+1)·µspf)). Frames decode lazily via ImageIO — the
+    * parser itself never inflates pixels it isn't asked for. */
+  final case class VideoMjpeg(microsPerFrame: Long, frames: Array[Array[Byte]]) extends Decoded
+  /** Unrecognized container: opaque bytes (quarantine passthrough). */
   final case class Opaque(bytes: Array[Byte]) extends Decoded
 
   private val PngSig = Array(0x89, 'P', 'N', 'G').map(_.toByte)
@@ -195,10 +207,15 @@ object MediaCodec {
       (payload(0) == 'B' && payload(1) == 'M') ||                     // BMP
       (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'))  // GIF
 
-  private def looksLikeWav(payload: Array[Byte]): Boolean =
+  private def isRiff(payload: Array[Byte], form: String): Boolean =
     payload.length >= 12 &&
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
-      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+      payload(8) == form(0) && payload(9) == form(1) &&
+      payload(10) == form(2) && payload(11) == form(3)
+
+  private def looksLikeWav(payload: Array[Byte]): Boolean = isRiff(payload, "WAVE")
+
+  private def looksLikeAvi(payload: Array[Byte]): Boolean = isRiff(payload, "AVI ")
 
   private def toGray(img: BufferedImage): BufferedImage =
     if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
@@ -228,12 +245,18 @@ object MediaCodec {
     * embeddings of white noise all collapse to ≈0.5 per cell, which would
     * make every synthetic image trivially "similar" — gratings give each
     * seed a distinct pooled signature. */
-  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodePng(grating(seed, w, h, 0.0))
+
+  /** The shared seeded-grating renderer behind [[synthPng]] and
+    * [[synthAvi]] frames; `phaseShift` advances the texture per video
+    * frame (motion, deterministically). */
+  private def grating(seed: Long, w: Int, h: Int, phaseShift: Double): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val px = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
     val fx = 1 + math.floorMod(seed, 5L).toInt
     val fy = 1 + math.floorMod(seed / 5, 5L).toInt
-    val phase = math.floorMod(seed, 360L).toDouble.toRadians
+    val phase = math.floorMod(seed, 360L).toDouble.toRadians + phaseShift
     var y = 0
     while (y < h) {
       var x = 0
@@ -245,7 +268,7 @@ object MediaCodec {
       }
       y += 1
     }
-    encodePng(img)
+    img
   }
 
   private val WavRate = 8000f
@@ -284,9 +307,134 @@ object MediaCodec {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------- video
+
+  /** 25 fps: the MJPEG clock every synthetic payload declares. */
+  private val AviMicrosPerFrame = 40000L
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def readLe32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length % 2 // RIFF chunks are word-aligned
+    fourcc(id) ++ le32(body.length) ++ body ++ Array.fill[Byte](pad)(0)
+  }
+
+  private def list(listType: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourcc(listType) ++ children)
+
+  private def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Assemble an MJPEG AVI from already-encoded JPEG frames: RIFF('AVI ')
+    * → LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf
+    * BITMAPINFOHEADER)) → LIST movi ('00dc' per frame) → idx1. The
+    * standard container layout, so the payloads also open in any
+    * external AVI player — nothing about the format is private to this
+    * parser. */
+  def aviBytes(jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+               microsPerFrame: Long = AviMicrosPerFrame): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+    val n = jpegFrames.length
+    val fps = 1000000L / microsPerFrame
+    val avih = le32(microsPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
+      le32(n) ++ le32(0) ++ le32(1 /*streams*/) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1 /*scale*/) ++ le32(fps /*rate*/) ++ le32(0) ++ le32(n /*length*/) ++
+      le32(0) ++ le32(-1 /*quality*/) ++ le32(0) ++
+      Array.fill[Byte](8)(0) /*rcFrame*/
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) /*planes=1, bitCount=24*/ ++ fourcc("MJPG") ++
+      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameChunks = jpegFrames.map(j => chunk("00dc", j))
+    val movi = list("movi", frameChunks.toArray.flatten)
+    // idx1 offsets are relative to the movi list's type fourcc
+    val idx = new ByteArrayOutputStream()
+    var off = 4L
+    jpegFrames.foreach { j =>
+      idx.write(fourcc("00dc")); idx.write(le32(0x10 /*KEYFRAME*/))
+      idx.write(le32(off)); idx.write(le32(j.length))
+      off += 8 + j.length + (j.length % 2)
+    }
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx.toByteArray)
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic seeded MJPEG AVI: 25 fps, frame count = duration
+    * clamped to [2, 8] frames, each frame the seed's grating with phase
+    * advanced π/8 per frame (deterministic motion — consecutive frames
+    * are near-dups, distant frames differ, the shape real video has). */
+  def synthAvi(seed: Long, w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    val n = (durationMs / (AviMicrosPerFrame / 1000)).max(2L).min(8L).toInt
+    aviBytes((0 until n).map(i =>
+      encodeJpeg(grating(seed, w, h, i * math.Pi / 8))), w, h)
+  }
+
+  /** Parse an MJPEG AVI: walk the RIFF tree for `avih` (µs-per-frame)
+    * and the `movi` list's `..dc`/`..db` frame chunks. Tolerant of
+    * unknown chunks (skipped by size) and missing idx1 (the index is
+    * redundant with a full scan); malformed containers return None and
+    * the payload quarantines as Opaque. */
+  private def parseAvi(payload: Array[Byte]): Option[VideoMjpeg] = {
+    var microsPerFrame = AviMicrosPerFrame
+    val frames = Vector.newBuilder[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = new String(payload, p, 4, "US-ASCII")
+        val size = readLe32(payload, p + 4).toInt
+        val dataStart = p + 8
+        val dataEnd = math.min(dataStart + size, until)
+        if (id == "LIST" && size >= 4) {
+          val listType = new String(payload, dataStart, 4, "US-ASCII")
+          walk(dataStart + 4, dataEnd, inMovi || listType == "movi")
+        } else if (id == "avih" && size >= 4) {
+          microsPerFrame = readLe32(payload, dataStart)
+        } else if (inMovi && isFrameId(id) && size > 0) {
+          frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+        }
+        p = dataStart + size + (size % 2)
+      }
+    }
+    try {
+      walk(12, payload.length, inMovi = false)
+      val fs = frames.result()
+      if (fs.isEmpty || microsPerFrame <= 0) None
+      else Some(VideoMjpeg(microsPerFrame, fs.toArray))
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode one MJPEG frame to the grayscale raster the image pipeline
+    * uses — same ImageIO path as top-level images. */
+  def frameRaster(jpeg: Array[Byte]): Option[ImageRaster] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(jpeg))
+      if (img == null) None
+      else {
+        val g = toGray(img)
+        Some(ImageRaster(g.getWidth, g.getHeight,
+          g.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData))
+      }
+    } catch { case _: Exception => None }
+
   /** Real decode for recognized containers (ImageIO → grayscale raster,
-    * AudioSystem → 16-bit PCM); opaque passthrough otherwise (the
-    * stubbed-video path). */
+    * AudioSystem → 16-bit PCM, RIFF/AVI walk → MJPEG frame list);
+    * opaque passthrough otherwise. */
   def decode(payload: Array[Byte]): Decoded =
     if (looksLikeImage(payload)) {
       // guard like the WAV branch: payloads can match an image magic by
@@ -320,6 +468,8 @@ object MediaCodec {
           AudioPcm(fmt.getSampleRate, samples)
         }
       } catch { case _: Exception => Opaque(payload) }
+    } else if (looksLikeAvi(payload)) {
+      parseAvi(payload).getOrElse(Opaque(payload))
     } else Opaque(payload)
 
   def checksum(payload: Array[Byte]): Long =
@@ -327,12 +477,27 @@ object MediaCodec {
 
   /** Feature embedding by decoded kind. Images: mean-pooled pixel grid
     * (`dim` rectangular cells, ⌈√dim⌉ columns, mean luma 0..1 each).
-    * Audio: per-window zero-crossing RATE over `dim` equal windows —
-    * frequency-sensitive where RMS of a tone is amplitude-only. Opaque
-    * (stub video): byte-histogram fold. */
+    * Audio: zero-crossing rate + amplitude-level profile. Video: the
+    * MEAN of the per-frame image embeds — motion-blind on purpose (the
+    * dedup/similarity use is "same clip re-encoded / trimmed", where
+    * the time-averaged appearance is the stable signature; frame-level
+    * features come from [[frameOf]] + the image embed). Opaque:
+    * byte-histogram fold (quarantined payloads still embed
+    * deterministically). */
   def embed(decoded: Decoded, dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     decoded match {
+      case VideoMjpeg(_, frames) =>
+        var n = 0
+        frames.foreach { j =>
+          frameRaster(j).foreach { r =>
+            val fe = embed(r, dim)
+            var d = 0
+            while (d < dim) { acc(d) += fe(d); d += 1 }
+            n += 1
+          }
+        }
+        if (n > 0) { var d = 0; while (d < dim) { acc(d) /= n; d += 1 } }
       case ImageRaster(w, h, pixels) =>
         val cols = math.ceil(math.sqrt(dim.toDouble)).toInt
         val rows = math.ceil(dim.toDouble / cols).toInt
@@ -391,10 +556,12 @@ object MediaCodec {
     acc
   }
 
-  /** Resize. Images: bilinear `BufferedImage` rescale, re-encoded as PNG.
-    * Other kinds keep the STUB byte-stream resample (output size tracks
-    * the requested dimensions like a real bitmap would) — only the image
-    * path is exercised by [[Media.resized]]. */
+  /** Resize. Images: bilinear `BufferedImage` rescale, re-encoded as
+    * PNG. Video: every MJPEG frame bilinear-rescaled and the AVI
+    * container rebuilt at the new dimensions (same clock, same frame
+    * count). Audio/opaque keep the byte-stream resample stand-in
+    * (output size tracks the requested dimensions like a real bitmap
+    * would) — [[Media.resized]] only exercises the image path. */
   def resize(decoded: Decoded, w: Int, h: Int): Array[Byte] = decoded match {
     case r: ImageRaster =>
       val dst = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -404,6 +571,17 @@ object MediaCodec {
       g2.drawImage(grayImage(r), 0, 0, w, h, null)
       g2.dispose()
       encodePng(dst)
+    case VideoMjpeg(mpf, frames) =>
+      aviBytes(frames.toSeq.map { j =>
+        val src = frameRaster(j).getOrElse(ImageRaster(1, 1, Array[Byte](0)))
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val g2 = dst.createGraphics()
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(grayImage(src), 0, 0, w, h, null)
+        g2.dispose()
+        encodeJpeg(dst)
+      }, w, h, mpf)
     case other =>
       val src = other match {
         case AudioPcm(_, samples) => samples.flatMap(s =>
@@ -456,10 +634,13 @@ object MediaCodec {
 
   /** Frame/sample extraction at a time offset. WAV payloads get a REAL
     * PCM seek — the 4 samples (8 bytes) at `offsetMs`, clamped to the
-    * payload's actual duration. Anything else (stub video) keeps the
-    * deterministic byte-slice stand-in. Batch callers extracting several
-    * frames from one payload should decode once and use [[frameOf]] —
-    * this convenience form pays a full decode per call. */
+    * payload's actual duration. MJPEG AVI payloads get the REAL frame:
+    * index = offsetMs·1000 / µs-per-frame (clamped to the last frame),
+    * returned as that frame's raw JPEG bytes. Unrecognized payloads
+    * keep the deterministic byte-slice stand-in. Batch callers
+    * extracting several frames from one payload should decode once and
+    * use [[frameOf]] — this convenience form pays a full decode per
+    * call. */
   def frameAt(payload: Array[Byte], offsetMs: Long): Array[Byte] =
     frameOf(decode(payload), payload, offsetMs)
 
@@ -467,6 +648,9 @@ object MediaCodec {
     * path decodes once, seeks n times). */
   def frameOf(decoded: Decoded, payload: Array[Byte], offsetMs: Long): Array[Byte] =
     decoded match {
+      case VideoMjpeg(mpf, frames) if frames.nonEmpty =>
+        val idx = (offsetMs * 1000 / mpf).min(frames.length - 1L).max(0L).toInt
+        frames(idx)
       case AudioPcm(rate, samples) if samples.nonEmpty =>
         val idx = ((offsetMs * rate / 1000).toLong).min(samples.length - 1L).max(0L).toInt
         val out = new Array[Byte](math.min(8, (samples.length - idx) * 2))

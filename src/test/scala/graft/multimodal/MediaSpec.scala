@@ -176,6 +176,69 @@ class MediaSpec extends SparkSpec {
     assert(top.head.getDouble(1) == 1.0)
   }
 
+  test("video payloads are real MJPEG AVIs; frames round-trip byte-for-byte") {
+    val vids = media.filter($"kind" === "video").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      MediaCodec.decode(r.payload) match {
+        case MediaCodec.VideoMjpeg(mpf, frames) =>
+          assert(mpf == 40000L, "25 fps container clock")
+          assert(frames.length == (r.duration_ms / 40).max(2L).min(8L).toInt)
+          // every frame is a genuine JPEG that ImageIO decodes at the
+          // row's declared dimensions
+          frames.foreach { j =>
+            val raster = MediaCodec.frameRaster(j)
+            assert(raster.exists(x => x.width == r.width && x.height == r.height),
+              s"frame must decode at ${r.width}x${r.height} for id=${r.media_id}")
+          }
+        case other => fail(s"expected VideoMjpeg for id=${r.media_id}, got $other")
+      }
+    }
+    // container round-trip: rebuild an AVI from the extracted frames and
+    // demand the re-parse returns them frame-for-frame, byte-exact
+    val q = vids.minBy(_.media_id)
+    val MediaCodec.VideoMjpeg(mpf, frames) = MediaCodec.decode(q.payload): @unchecked
+    val rebuilt = MediaCodec.aviBytes(frames.toSeq, q.width, q.height, mpf)
+    val MediaCodec.VideoMjpeg(mpf2, frames2) = MediaCodec.decode(rebuilt): @unchecked
+    assert(mpf2 == mpf && frames2.length == frames.length)
+    assert(frames.zip(frames2).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "AVI write -> parse must be frame-for-frame byte-exact")
+  }
+
+  test("frameAt on video is a real time-indexed frame seek, not a byte slice") {
+    val r = media.filter($"kind" === "video").orderBy($"media_id").head()
+    val MediaCodec.VideoMjpeg(mpf, frames) = MediaCodec.decode(r.payload): @unchecked
+    assert(frames.length >= 2)
+    // frame index = offset·1000 / µs-per-frame: 0 ms → frame 0,
+    // 40 ms → frame 1, far past the end clamps to the last frame
+    assert(java.util.Arrays.equals(MediaCodec.frameAt(r.payload, 0L), frames(0)))
+    assert(java.util.Arrays.equals(MediaCodec.frameAt(r.payload, mpf / 1000), frames(1)))
+    assert(java.util.Arrays.equals(MediaCodec.frameAt(r.payload, 3600000L), frames.last))
+    // the clip has motion: first and last frames are distinct images
+    assert(!java.util.Arrays.equals(frames(0), frames.last))
+  }
+
+  test("video embed is the mean of its frame embeds") {
+    val r = media.filter($"kind" === "video").orderBy($"media_id").head()
+    val dec = MediaCodec.decode(r.payload)
+    val MediaCodec.VideoMjpeg(_, frames) = dec: @unchecked
+    val got = MediaCodec.embed(dec, 8)
+    val frameEmbeds = frames.flatMap(MediaCodec.frameRaster(_)).map(MediaCodec.embed(_, 8))
+    val want = (0 until 8).map(d => frameEmbeds.map(_(d)).sum / frameEmbeds.length)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-5f) }
+    assert(got.exists(_ > 0f), "video features must carry signal")
+  }
+
+  test("resize on video rebuilds the AVI at the new dimensions, clock intact") {
+    val r = media.filter($"kind" === "video").orderBy($"media_id").head()
+    val out = MediaCodec.resize(MediaCodec.decode(r.payload), 32, 24)
+    val MediaCodec.VideoMjpeg(mpf, frames) = MediaCodec.decode(out): @unchecked
+    assert(mpf == 40000L)
+    assert(frames.nonEmpty)
+    assert(frames.forall(j => MediaCodec.frameRaster(j)
+      .exists(x => x.width == 32 && x.height == 24)))
+  }
+
   test("frameSample emits n offsets per av row, within duration") {
     val fs = Media.frameSample(media, nFrames = 4)
     val avRows = media.filter($"kind".isin("video", "audio")).count()
