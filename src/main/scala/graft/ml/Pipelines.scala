@@ -91,7 +91,17 @@ object Pipelines {
       .setClassifier(new LinearSVC().setMaxIter(20))
 
   /** GBT regressor — MLlib-native stand-in for SparkXGBRegressor
-    * (code/ml/ML_Modeling.py:202-207). */
+    * (code/ml/ML_Modeling.py:202-207). Same model family (gradient-
+    * boosted trees over the assembled feature vector), same tunables —
+    * the CV grid sweeps maxDepth × maxIter exactly as the reference
+    * sweeps max_depth × n_estimators, seed 42 both sides. A drop-in
+    * XGBoost4J-Spark backend behind this method is the one sanctioned
+    * closer-parity option (same `Predictor` seam, `xgboost4j-spark`'s
+    * `XGBoostRegressor` is API-compatible with the CV harness), but the
+    * build is zero-egress and XGBoost4J ships native binaries that are
+    * not in the vendored Spark jars — an optional dependency would fail
+    * to resolve here by design, so MLlib GBT stays the implementation
+    * per SURVEY §2.11. */
   def gbtRegressor(labelCol: String): GBTRegressor =
     new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features")
       .setMaxIter(10).setSeed(42)
