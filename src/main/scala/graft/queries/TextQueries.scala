@@ -442,6 +442,92 @@ object TextQueries {
               .otherwise(concat(lit("tail "), col("doc_id").cast("string"))))
             .as("text"))
         TextAnalysis.stripBoilerplateLines(planted, col("doc_id"), col("text"), 0.3)
-      })
+      }),
+
+    // Gopher repetition signals: every third doc gets a doubled line
+    // (tripping the dup-line gate) and every fifth a spammed 2-gram
+    // (tripping the top-2-gram gate); the mode counts reuse the
+    // codegen'd TokenModeCount over the shingle generator.
+    Q("q110_repetition_signals", {
+      val sh2 = shinglesSql("tk", 2)
+      val sh3 = shinglesSql("tk", 3)
+      def modeFrac(shE: String, n: Int): String =
+        s"CASE WHEN len($shE) = 0 THEN 0.0 ELSE " +
+          s"CAST(list_max(list_transform(list_distinct($shE), " +
+          s"g -> len(list_filter($shE, x -> x = g)))) AS DOUBLE) * $n " +
+          s"/ len(tk) END"
+      Some(s"""WITH c AS (SELECT doc_id, text ||
+              |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'dup line' || chr(10) || 'dup line'
+              |         WHEN doc_id % 5 = 0 THEN ' click here click here click here click here'
+              |         ELSE chr(10) || 'uniq ' || CAST(doc_id AS VARCHAR) END AS text
+              |  FROM documents),
+              |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls, $toksSql AS tk FROM c),
+              |s AS (SELECT doc_id, ls, tk, $sh2 AS s2, $sh3 AS s3 FROM t),
+              |f AS (SELECT doc_id,
+              |    1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dlf,
+              |    ${modeFrac("s2", 2)} AS g2, ${modeFrac("s3", 3)} AS g3 FROM s)
+              |SELECT doc_id, round(dlf, 6) AS dup_line_frac,
+              |  round(g2, 6) AS top2gram_frac, round(g3, 6) AS top3gram_frac,
+              |  (dlf > 0.3 OR g2 > 0.2 OR g3 > 0.18) AS rep_fail
+              |FROM f""".stripMargin)
+    },
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit("\ndup line\ndup line"))
+              .when(col("doc_id") % 5 === 0,
+                lit(" click here click here click here click here"))
+              .otherwise(concat(lit("\nuniq "), col("doc_id").cast("string"))))
+            .as("text"))
+        TextAnalysis.withRepetitionSignals(planted, col("text"))
+          .select(col("doc_id"),
+            round(col("dup_line_frac"), 6).as("dup_line_frac"),
+            round(col("top2gram_frac"), 6).as("top2gram_frac"),
+            round(col("top3gram_frac"), 6).as("top3gram_frac"),
+            col("rep_fail"))
+      }),
+
+    // Within-doc paragraph dedup: keep each line's first occurrence in
+    // order (pure per-row projection — array_distinct preserves first
+    // occurrence; the oracle replays it via list_position = own index).
+    Q("q111_paragraph_dedup",
+      Some("""WITH c AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'dup line' || chr(10) || 'dup line'
+             |         ELSE chr(10) || 'uniq ' || CAST(doc_id AS VARCHAR) END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c),
+             |d AS (SELECT doc_id, ls,
+             |    list_filter(list_transform(generate_series(1, len(ls)),
+             |      i -> CASE WHEN list_position(ls, ls[i]) = i THEN ls[i] END),
+             |      x -> x IS NOT NULL) AS kept FROM t)
+             |SELECT doc_id AS doc, array_to_string(kept, chr(10)) AS clean_text,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
+             |FROM d""".stripMargin),
+      (s, dir) => {
+        val planted = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit("\ndup line\ndup line"))
+              .otherwise(concat(lit("\nuniq "), col("doc_id").cast("string"))))
+            .as("text"))
+        TextAnalysis.dedupParagraphs(planted, col("doc_id"), col("text"))
+      }),
+
+    // Vocabulary coverage cutoff: the count-desc token prefix covering
+    // 90% of corpus token mass — one corpus shuffle (grouped count),
+    // then the running sum over the aggregated vocab only (the q19/q90
+    // bounded-window discipline).
+    Q("q112_vocab_coverage",
+      Some(s"""WITH p AS (SELECT unnest($toksSql) AS token FROM documents),
+              |v AS (SELECT token, count(*) AS cnt FROM p GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM v),
+              |r AS (SELECT token, CAST(cnt AS BIGINT) AS cnt,
+              |    sum(cnt) OVER (ORDER BY cnt DESC, token
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n_total AS cf
+              |  FROM v CROSS JOIN tot)
+              |SELECT token, cnt, round(cf, 6) AS cum_frac FROM r
+              |WHERE cf <= 0.9""".stripMargin),
+      (s, dir) =>
+        graft.text.Chunking.vocabCoverage(docs(s, dir), tokens(col("text")), 0.9))
   )
 }

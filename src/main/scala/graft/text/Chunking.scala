@@ -54,4 +54,30 @@ object Chunking {
       .agg((sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
         / sum(col("c"))).as("oov_rate"))
   }
+
+  /** The frequency-ranked vocabulary prefix covering ≤ `coverage` of the
+    * corpus token mass — the tokenizer-budget question ("how many types
+    * cover 90% of tokens?") a vocab build answers before training.
+    * Returns (token, cnt, cum_frac) for every token whose CUMULATIVE
+    * mass (in count-desc, token-asc total order) stays within
+    * `coverage`.
+    *
+    * Scale shape: one grouped count over the exploded corpus (the only
+    * corpus-sized shuffle), then the running sum over the AGGREGATED
+    * vocabulary — the same deliberately-global post-aggregation window
+    * as q19/q90 (bounded by |vocab|, not the corpus; a 100 TB corpus
+    * has a few-million-row vocabulary). The 1-row total broadcasts. */
+  def vocabCoverage(df: DataFrame, toksCol: Column, coverage: Double): DataFrame = {
+    require(coverage > 0 && coverage <= 1, s"coverage must be in (0,1], got $coverage")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vocab = df.select(explode(toksCol).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+    vocab.crossJoin(broadcast(total))
+      .withColumn("cum_frac", sum(col("cnt")).over(w) / col("n_total"))
+      .filter(col("cum_frac") <= coverage)
+      .select(col("token"), col("cnt"), round(col("cum_frac"), 6).as("cum_frac"))
+  }
 }

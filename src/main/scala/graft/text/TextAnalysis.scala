@@ -156,6 +156,62 @@ object TextAnalysis {
       .withColumn("fail_stopwords", stopRatio < 0.02)
   }
 
+  /** Gopher-style repetition signals, one row per document:
+    *  - `dup_line_frac` — fraction of lines that repeat an earlier line
+    *    of the same doc (1 − distinct/total over the newline split);
+    *  - `top2gram_frac` / `top3gram_frac` — fraction of the doc's tokens
+    *    covered by its single most frequent 2-/3-gram (mode count × n
+    *    over n_tokens);
+    *  - `rep_fail` — the composite gate at the published Gopher-ish
+    *    thresholds (dup lines > 30%, top 2-gram > 20%, top 3-gram
+    *    > 18%). NOTE: a doc under ~17 tokens trips the n-gram
+    *    thresholds arithmetically (one occurrence of any 2-gram is
+    *    already 2/n > 0.2 for n < 10) — Gopher's rules presuppose the
+    *    min-length gate; run this alongside [[withRuleFlags]]'
+    *    `fail_min_tokens` (25) the way the paper composes them, and
+    *    read `rep_fail` only on docs that pass it.
+    * All per-row: the n-gram mode counts reuse the codegen'd
+    * [[graft.functions.expressions.TokenModeCount]] over the existing
+    * shingle generator, so the scan shape is identical to the other
+    * quality gates — no shuffle until the caller aggregates. Docs
+    * shorter than n tokens have no n-gram (fraction 0, can't fail). */
+  def withRepetitionSignals(df: DataFrame, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.expressions.TokenModeCount
+    val toks = tokens(coalesce(textCol, lit("")))
+    val lines = split(coalesce(textCol, lit("")), "\n")
+    def topNGramFrac(n: Int): Column = {
+      val sh = shingles(toks, n)
+      when(size(sh) === 0, lit(0.0)).otherwise(
+        Bridge.column(TokenModeCount(Bridge.expression(sh))).cast("double") * n /
+          size(toks).cast("double"))
+    }
+    df.withColumn("dup_line_frac",
+        lit(1.0) - size(array_distinct(lines)).cast("double") /
+          size(lines).cast("double"))
+      .withColumn("top2gram_frac", topNGramFrac(2))
+      .withColumn("top3gram_frac", topNGramFrac(3))
+      .withColumn("rep_fail",
+        col("dup_line_frac") > 0.3 || col("top2gram_frac") > 0.2 ||
+          col("top3gram_frac") > 0.18)
+  }
+
+  /** Within-document paragraph/line dedup: keep each distinct line's
+    * FIRST occurrence, preserve original order, reassemble — the
+    * in-doc companion of [[stripBoilerplateLines]] (which needs corpus
+    * statistics; this needs none). Spark's `array_distinct` is
+    * first-occurrence order-preserving, so the whole operator is one
+    * per-row projection: no explode, no shuffle, nothing leaves the
+    * row. Returns (doc, clean_text, n_kept, n_dropped). */
+  def dedupParagraphs(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val lines = split(coalesce(textCol, lit("")), "\n")
+    val kept = array_distinct(lines)
+    df.select(idCol.as("doc"),
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   /** Sentiment via the [[SentimentScorer]] seam. The default
     * [[LexiconSentiment]] is the q44 oracle semantics (lexicon counts,
     * integer-compared label); pass [[WeightedSentiment]] for a

@@ -90,6 +90,56 @@ class TextSpec extends SparkSpec {
     assert(rep(1) > rep(0))
   }
 
+  test("repetition signals: dup lines and spammed n-grams trip their gates") {
+    // doc 1 is long enough to clear the n-gram thresholds (the gate is
+    // meaningful only past the min-token rule — see the operator doc)
+    val df = Seq(
+      (1L, "normal prose with many properly distinct words spread over a " +
+        "longer sentence so that no single bigram or trigram can dominate " +
+        "the running token count at all"),
+      (2L, "header\nsame line\nsame line\nsame line\nfooter"), // 2/5 lines dup
+      (3L, "click here click here click here click here")      // one 2-gram spams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionSignals(df, col("text"))
+      .select("doc_id", "dup_line_frac", "top2gram_frac", "rep_fail")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got(0)._2 == 0.0 && !got(0)._4, "clean prose passes")
+    assert(math.abs(got(1)._2 - 0.4) < 1e-12, "2 of 5 lines repeat")
+    assert(got(1)._4, "dup-line gate fires above 0.3")
+    // "click here" occurs 4 times among 7 bigrams of an 8-token doc:
+    // fraction 4*2/8 = 1.0
+    assert(got(2)._3 == 1.0 && got(2)._4, s"spammed 2-gram must trip: ${got(2)}")
+    // degenerate doc: too short for any n-gram — fraction 0, no fail
+    val tiny = TextAnalysis.withRepetitionSignals(Seq("word").toDF("text"), col("text"))
+      .select("top2gram_frac", "top3gram_frac", "rep_fail").head
+    assert(tiny.getDouble(0) == 0.0 && tiny.getDouble(1) == 0.0 && !tiny.getBoolean(2))
+  }
+
+  test("dedupParagraphs keeps first occurrences in order, no shuffle") {
+    val df = Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(df, col("doc_id"), col("text"))
+    val r = got.collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .sortBy(_._1)
+    assert(r(0) == ((1L, "a\nb\nc", 3L, 3L)), r(0).toString)
+    assert(r(1) == ((2L, "x", 1L, 0L)))
+    // per-row projection: no exchange may appear in the plan
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"),
+      got.queryExecution.executedPlan.toString)
+  }
+
+  test("vocabCoverage: cumulative mass in count-desc order, bounded by coverage") {
+    // 10 a's, 5 b's, 3 c's, 2 d's = 20 tokens; cum fracs .5, .75, .9, 1.0
+    val text = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val got = graft.text.Chunking.vocabCoverage(df, tokens(col("text")), 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sortBy(-_._2).map(_._1).toSeq == Seq("a", "b", "c"),
+      s"d (cum 1.0) must fall outside 0.9: ${got.toSeq}")
+    assert(got.find(_._1 == "c").exists(_._3 == 0.9))
+  }
+
   test("tfidf: a token present in every doc has idf 0") {
     val df = Seq((1L, "x a"), (2L, "x b")).toDF("doc_id", "text")
     val t = TfIdf.tfidf(df, col("doc_id"), tokens(col("text")))
