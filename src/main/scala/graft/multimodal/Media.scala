@@ -105,10 +105,21 @@ object Media {
     // would otherwise re-run the whole-corpus codec pass to extract one row
     def feats(rows: Dataset[MediaRow]) = decodeFeatures(rows, dim)
       .select(col("media_id"), col("feature").cast("array<double>").as("feature"))
-    graft.similarity.Similarity.knnBrute(
-      feats(media.filter(col("media_id") =!= queryId)), col("media_id"), col("feature"),
-      feats(media.filter(col("media_id") === queryId)), col("feature"), k)
+    nearestMediaFrom(feats(media.filter(col("media_id") =!= queryId)),
+      feats(media.filter(col("media_id") === queryId)), k)
   }
+
+  /** [[nearestMedia]] over an ALREADY-DECODED feature frame — the
+    * production shape for repeated queries: decode the corpus once
+    * ([[decodeFeatures]]), persist the `(media_id, feature)` frame, and
+    * run every lookup against it without re-running the codec pass
+    * (each `nearestMedia` call pays one full corpus scan + decode;
+    * amortizing it is the whole point of a feature store). `queryFeats`
+    * must be a 1-row frame with the same `feature` column. */
+  def nearestMediaFrom(corpusFeats: DataFrame, queryFeats: DataFrame,
+                       k: Int): DataFrame =
+    graft.similarity.Similarity.knnBrute(
+      corpusFeats, col("media_id"), col("feature"), queryFeats, col("feature"), k)
 
   /** (media_id, phash) for every image row — one map-side codec pass
     * (decode + 9×8 thumbnail + 64 gradient bits per image; nothing

@@ -239,6 +239,28 @@ class MediaSpec extends SparkSpec {
       .exists(x => x.width == 32 && x.height == 24)))
   }
 
+  test("nearestMediaFrom answers from a persisted feature frame, codec not re-run") {
+    val q = media.filter($"kind" === "audio").orderBy($"media_id").head()
+    val feats = Media.decodeFeatures(media, dim = 8).toDF()
+      .select($"media_id", $"feature".cast("array<double>").as("feature"))
+      .cache()
+    feats.count() // decode ONCE into the cache
+    val top = Media.nearestMediaFrom(
+      feats.filter($"media_id" =!= q.media_id),
+      feats.filter($"media_id" === q.media_id), k = 3).collect()
+    // same answer as the decode-per-call form
+    val direct = Media.nearestMedia(media, q.media_id, k = 3).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      direct.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // and the lookup plan reads the cached frame, not the media source
+    val plan = Media.nearestMediaFrom(
+      feats.filter($"media_id" =!= q.media_id),
+      feats.filter($"media_id" === q.media_id), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan)
+    feats.unpersist()
+  }
+
   test("frameSample emits n offsets per av row, within duration") {
     val fs = Media.frameSample(media, nFrames = 4)
     val avRows = media.filter($"kind".isin("video", "audio")).count()
