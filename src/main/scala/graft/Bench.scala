@@ -16,12 +16,15 @@ import graft.streaming.EventsStream
   * are listed in `failed` (round 1 let failures masquerade as timings);
   * a query that failed on SOME iterations but produced a timing is
   * listed in `flaky` — min-of-k must not launder intermittent failures.
-  * The whole suite runs SPARK_GRAFT_BENCH_ITERS times (default 2) in
-  * INTERLEAVED passes and each query reports its MIN across passes —
-  * ambient load can only inflate a timing, so min-of-k is the noise-proof
-  * estimate, and interleaving means a load burst must outlast a full
-  * suite pass (~1 min) to poison any single query's min; `iters` records
-  * the setting and `pass_totals` exposes a hot pass in the artifact.
+  * The whole suite runs SPARK_GRAFT_BENCH_WARMUP (default 1) warmup
+  * passes then SPARK_GRAFT_BENCH_ITERS (default 2) counted INTERLEAVED
+  * passes; each query reports its MIN across counted passes — ambient
+  * load can only inflate a timing, so min-of-k is the noise-proof
+  * estimate, interleaving means a load burst must outlast a full suite
+  * pass (~90 s) to poison any single query's min, and the warmup keeps
+  * first-run codegen/JIT compile out of the record; `iters`/`warmups`
+  * record the settings and `pass_totals` (warmups first) exposes both
+  * the compile cost and any hot pass in the artifact.
   *
   * Two non-oracle extras bench the xxhash64 fast path of the dedup
   * pipeline (the claimed 100 TB hash family) against the md5-portable
@@ -103,12 +106,22 @@ object Bench {
     // its min across passes — because back-to-back iterations share any
     // multi-second load burst, letting the min launder ambient noise into
     // the record (r6's q16/q20/q26/q27 looked 2-3× regressed with code
-    // untouched since r3). A burst now has to outlast an entire ~60 s
-    // suite pass to poison a single query's min. Per-pass totals are
-    // emitted so a hot pass is visible in the artifact itself.
+    // untouched since r3). A burst now has to outlast an entire ~90 s
+    // suite pass to poison a single query's min.
+    //
+    // One full WARMUP pass runs first, excluded from the per-query mins:
+    // the first execution of each query pays its codegen + JIT compile
+    // (measured: a cold pass runs ~25% over a warm one, uniformly), and
+    // the old back-to-back min-of-2 silently measured warm numbers via
+    // its second iteration — without the warmup pass, interleaving would
+    // re-brand that compile cost as a ~1.5× "regression" on every query.
+    // ALL pass totals including the warmup(s) are emitted (warmups
+    // first), so both the compile cost and any hot pass are visible in
+    // the artifact itself.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2).max(1)
+    val warmups = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt).getOrElse(1).max(0)
     val suite = base ++ fastPath
-    val passTimes: Seq[Seq[Double]] = (1 to iters).map { _ =>
+    val allPasses: Seq[Seq[Double]] = (1 to (warmups + iters)).map { _ =>
       suite.map { case (name, run) =>
         // per-query isolation: drop frames persisted inside pipeline
         // builders (dedup signatures, tf cache) so no query is timed
@@ -125,6 +138,7 @@ object Bench {
         if (ok) secs else -1d
       }
     }
+    val passTimes = allPasses.drop(warmups)
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = passTimes.map(_(i))
       val good = times.filter(_ >= 0)
@@ -133,9 +147,10 @@ object Bench {
       val flaky = good.nonEmpty && good.size < times.size
       if (good.nonEmpty) (name, good.min, true, flaky) else (name, -1d, false, false)
     }
-    // wall-clock sum of each full pass (failed queries excluded) — a pass
-    // inflated by ambient load stands out against its siblings here
-    val passTotals = passTimes.map(_.filter(_ >= 0).sum)
+    // wall-clock sum of every pass, warmup(s) first (failed queries
+    // excluded) — a pass inflated by ambient load stands out against
+    // its siblings here, and the warmup exposes the compile cost
+    val passTotals = allPasses.map(_.filter(_ >= 0).sum)
     // The driver captures only the last ~2000 chars of stdout (r02's
     // full-precision line hit 2035 chars → `parsed: null`), and sbt appends
     // a ~70-char [success] line after ours. Full precision + full names go
@@ -153,7 +168,7 @@ object Bench {
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true, _) => v }.sum
       val passes = passTotals.map(fmt(_, scale)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"pass_totals":$passes,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"warmups":$warmups,"pass_totals":$passes,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     }
     val fullNames = results.map(_._1)
     // qNN prefixes are unique; the xNN extras can collide (x36_fast vs
