@@ -178,22 +178,33 @@ object TextAnalysis {
   def withRepetitionSignals(df: DataFrame, textCol: Column): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import graft.functions.expressions.TokenModeCount
-    val toks = tokens(coalesce(textCol, lit("")))
-    val lines = split(coalesce(textCol, lit("")), "\n")
+    // MATERIALIZE the token array as its own projection column before
+    // shingling: shingles()'s lambda indexes the token array per
+    // element, and with an inline tokens() expression Catalyst would
+    // re-run the regex split on every access (O(n²) tokenization per
+    // doc — visible in the q110 plan as split() nested inside every
+    // lambda). CollapseProject keeps a multiply-referenced non-cheap
+    // alias as a separate projection, so the split runs once per row.
+    // the shingle list is empty exactly when the doc has < n tokens —
+    // guarding on the token count avoids building the shingle array a
+    // second time just to size() it
     def topNGramFrac(n: Int): Column = {
-      val sh = shingles(toks, n)
-      when(size(sh) === 0, lit(0.0)).otherwise(
+      val sh = shingles(col("_rs_toks"), n)
+      when(size(col("_rs_toks")) < n, lit(0.0)).otherwise(
         Bridge.column(TokenModeCount(Bridge.expression(sh))).cast("double") * n /
-          size(toks).cast("double"))
+          size(col("_rs_toks")).cast("double"))
     }
-    df.withColumn("dup_line_frac",
-        lit(1.0) - size(array_distinct(lines)).cast("double") /
-          size(lines).cast("double"))
+    df.withColumn("_rs_toks", tokens(coalesce(textCol, lit(""))))
+      .withColumn("_rs_lines", split(coalesce(textCol, lit("")), "\n"))
+      .withColumn("dup_line_frac",
+        lit(1.0) - size(array_distinct(col("_rs_lines"))).cast("double") /
+          size(col("_rs_lines")).cast("double"))
       .withColumn("top2gram_frac", topNGramFrac(2))
       .withColumn("top3gram_frac", topNGramFrac(3))
       .withColumn("rep_fail",
         col("dup_line_frac") > 0.3 || col("top2gram_frac") > 0.2 ||
           col("top3gram_frac") > 0.18)
+      .drop("_rs_toks", "_rs_lines")
   }
 
   /** Within-document paragraph/line dedup: keep each distinct line's
