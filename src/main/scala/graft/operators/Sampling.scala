@@ -143,6 +143,36 @@ object Sampling {
       .orderBy(col("vt"), col("source"), col("sid"))
       .select(col("sid"), col("source"), col("k"), col("vt"))
 
+  /** [[mixtureManifest]] without the per-source single-task window —
+    * the form that survives one source owning most of a 100 TB corpus.
+    * The per-source rank comes from [[Relational.prefixSum]] over the
+    * TOTAL order (source, hash, sid) with value 1: the global running
+    * count restarts per source by subtracting each source's first
+    * running value (a |sources|-row aggregate, broadcast back). Same
+    * exact (sid, source, k, vt) as the window form — a spec holds them
+    * equal — at the cost of one extra narrow pass: one range exchange
+    * (prefixSum) + one tiny aggregate instead of one hash exchange.
+    * Rows of a hot source spread across MANY range partitions instead
+    * of one window task; nothing anywhere holds more than a partition. */
+  def mixtureManifestWide(df: DataFrame, idCol: Column, sourceCol: Column,
+                          weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "every mixture weight must be positive")
+    val wCol = element_at(typedLit(weights), col("source"))
+    val proj = df.select(sourceCol.as("source"), idCol.as("sid"),
+        portableHash(idCol.cast("string")).as("_h"))
+      .filter(wCol.isNotNull)
+    val ranked = Relational.prefixSum(proj,
+      struct(col("source"), col("_h"), col("sid")), lit(1L))
+    val starts = ranked.groupBy("source")
+      .agg(min(col("running")).as("_start"))
+    ranked.join(broadcast(starts), Seq("source"))
+      .withColumn("k", (col("running") - col("_start") + 1L).cast("int"))
+      .withColumn("vt", col("k").cast("double") / wCol)
+      .orderBy(col("vt"), col("source"), col("sid"))
+      .select(col("sid"), col("source"), col("k"), col("vt"))
+  }
+
   /** Shared (sid, source, k, vt) assignment of [[mixtureOrder]] /
     * [[mixtureManifest]]: k = the row's hash rank within its source,
     * vt = k / w_source.
@@ -151,13 +181,11 @@ object Sampling {
     * ENTIRE (sid, hash) projection through one task — fine for the
     * typical mixture of a handful of sources up to ~100M rows each
     * (narrow 3-column rows), but a single web-crawl source at 100 TB
-    * would hit the per-task ceiling. The scale-out form replaces the
-    * per-source row_number with the two-pass rank used by
-    * [[graft.operators.Relational.prefixSum]]: range-partition each
-    * source by `_h`, count per partition, offset local ranks by the
-    * exclusive scan — same exact k, no single-task sort. Not the
-    * default because the window form is one exchange cheaper at the
-    * corpus shapes the oracle tests pin down. */
+    * would hit the per-task ceiling. [[mixtureManifestWide]] is the
+    * implemented scale-out form (prefixSum-based two-pass rank, no
+    * single-task sort); this window form stays the default because it
+    * is one pass cheaper at the corpus shapes the oracle tests pin
+    * down. */
   private def mixtureVt(df: DataFrame, idCol: Column, sourceCol: Column,
                         weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),

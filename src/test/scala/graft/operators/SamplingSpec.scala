@@ -133,6 +133,25 @@ class SamplingSpec extends SparkSpec {
     assert(a == 750, s"3:1 mix must put 750 A in the first 1000, got $a")
   }
 
+  test("mixtureManifestWide equals the window form, row for row, no per-source window") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("doc_id", "src").repartition(8)
+    val weights = Map("A" -> 3.0, "B" -> 1.0)
+    val window = Sampling.mixtureManifest(df, col("doc_id"), col("src"), weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val wide = Sampling.mixtureManifestWide(df, col("doc_id"), col("src"), weights)
+    val wideRows = wide.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(wideRows.sameElements(window),
+      s"wide form must reproduce the window manifest exactly; " +
+        s"first diff: ${wideRows.zip(window).find(p => p._1 != p._2)}")
+    // the scale claim: no window over a per-source partition anywhere —
+    // ranks come from the prefixSum two-pass scan
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no window operator in the wide plan:\n" +
+      plan.take(1500))
+  }
+
   test("weightedTopN inclusion is monotone in weight (raising w never evicts)") {
     // E-S property: key = ln(u)/w rises with w (ln u < 0) while every
     // other row's key is untouched — so doubling a sampled row's weight
