@@ -409,6 +409,9 @@ object MediaCodec {
       while (p + 8 <= until) {
         val id = new String(payload, p, 4, "US-ASCII")
         val size = readLe32(payload, p + 4).toInt
+        // a size whose u32 wraps negative would walk p BACKWARD and spin
+        // forever — malformed container, abort to the Opaque quarantine
+        if (size < 0) throw new IllegalArgumentException(s"bad RIFF chunk size $size")
         val dataStart = p + 8
         val dataEnd = math.min(dataStart + size, until)
         if (id == "LIST" && size >= 4) {

@@ -205,6 +205,25 @@ class MediaSpec extends SparkSpec {
       "AVI write -> parse must be frame-for-frame byte-exact")
   }
 
+  test("malformed AVI containers quarantine as Opaque instead of hanging") {
+    // truncated header
+    assert(MediaCodec.decode("RIFF    AVI ".getBytes("US-ASCII"))
+      .isInstanceOf[MediaCodec.Opaque])
+    // a chunk whose u32 size wraps negative (0xFFFFFFFF) must not spin
+    // the walker backward — abort to Opaque
+    val evil = "RIFF0000AVI LIST".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ "movi0000".getBytes("US-ASCII")
+    assert(MediaCodec.decode(evil).isInstanceOf[MediaCodec.Opaque])
+    // valid container, frame bytes that are not JPEG: parses, but the
+    // non-decodable frame yields no raster (embed skips it)
+    val junk = MediaCodec.aviBytes(Seq(Array[Byte](1, 2, 3, 4)), 2, 2)
+    MediaCodec.decode(junk) match {
+      case MediaCodec.VideoMjpeg(_, frames) =>
+        assert(frames.length == 1 && MediaCodec.frameRaster(frames(0)).isEmpty)
+      case other => fail(s"container itself is well-formed: $other")
+    }
+  }
+
   test("frameAt on video is a real time-indexed frame seek, not a byte slice") {
     val r = media.filter($"kind" === "video").orderBy($"media_id").head()
     val MediaCodec.VideoMjpeg(mpf, frames) = MediaCodec.decode(r.payload): @unchecked
