@@ -302,6 +302,35 @@ object SimilarityQueries {
     },
       (s, dir) =>
         Similarity.negativeSamplesExact(emb(s, dir), col("vec_id"), col("embedding"),
-          k = 3, maxCos = 0.95, extraDraws = 8))
+          k = 3, maxCos = 0.95, extraDraws = 8)),
+
+    // One Lloyd's k-means iteration from the seeded codebook (embeddings
+    // 1..8, the q47/q95 init): assign every vector its nearest cell
+    // (min squared distance, ties to the lower cell), recompute each
+    // cell's per-dimension mean. DuckDB replays assignment + means.
+    Q("q113_kmeans_refine",
+      Some(s"""WITH $eCte,
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |asgn AS (SELECT vec_id, cell, v FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM e CROSS JOIN c) WHERE rn = 1)
+              |SELECT cell, CAST(i - 1 AS INT) AS dim,
+              |  round(sum(v[i]) / count(*), 6) AS c_r
+              |FROM asgn CROSS JOIN LATERAL unnest(generate_series(1, len(v))) AS t(i)
+              |GROUP BY cell, i""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val init = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
+        val refined = Similarity.kmeansRefine(e, col("vec_id"), col("embedding"), init, 1)
+        val rows = refined.zipWithIndex.flatMap { case (cent, cell) =>
+          cent.zipWithIndex.map { case (x, dim) =>
+            (cell, dim, BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+        s.createDataFrame(rows.toSeq).toDF("cell", "dim", "c_r")
+      })
   )
 }

@@ -213,6 +213,46 @@ object Similarity {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
 
+  /** Lloyd's k-means refinement of a codebook — the step between
+    * "seeded sample" ([[seededCentroids]]) and a production IVF /
+    * SemDeDup codebook. Each iteration is one distributed pass: assign
+    * every vector its nearest centroid ([[withIvfCell]] — map-side,
+    * centroids inlined, no shuffle), then recompute centroids as the
+    * per-cell per-dimension mean (one grouped aggregate over the
+    * posexploded assignment — k·d result rows, map-side combinable).
+    * Only the k·d (cell, dim, sum, count) frame ever reaches the
+    * driver — centroids are driver-side BY CONTRACT everywhere in this
+    * module (they inline into plans as literals), so this collect is
+    * the codebook itself, not data.
+    *
+    * Deterministic: assignment ties break toward the lower cell index
+    * (array_min over (distance, cell) structs, same rule as
+    * [[withIvfCell]] and the q47/q95 oracles), sums are
+    * exact-order-independent per dimension only up to FP addition — the
+    * per-cell mean uses Spark's grouped sum, so cross-engine replay
+    * rounds to 6 places (the oracle's tolerance). A cell that attracts
+    * no vectors keeps its previous centroid (the standard Lloyd
+    * empty-cell rule that never shrinks the codebook). */
+  def kmeansRefine(vectors: DataFrame, idCol: Column, vecCol: Column,
+                   init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty && iters >= 0, "need a non-empty init codebook")
+    var cents = init
+    for (_ <- 1 to iters) {
+      val stats = withIvfCell(vectors, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2) / r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        if (stats.contains((cell, 0)))
+          old.indices.map(d => stats((cell, d))).toArray
+        else old // empty cell: keep previous centroid
+      }
+    }
+    cents
+  }
+
   def withIvfCell(vectors: DataFrame, idCol: Column, vecCol: Column,
                   centroids: Array[Array[Double]]): DataFrame = {
     val v = vecCol.cast("array<double>")

@@ -301,6 +301,34 @@ class SimilaritySpec extends SparkSpec {
     assert(perAnchor == baseFirstK, "exact-k must be the j-ranked prefix of the over-draw")
   }
 
+  test("kmeansRefine: each Lloyd iteration lowers within-cell SSE; empty cells survive") {
+    val e = emb.select("vec_id", "embedding")
+    val init = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
+    def sse(cents: Array[Array[Double]]): Double =
+      Similarity.withIvfCell(e, col("vec_id"), col("embedding"), cents)
+        .collect().map { r =>
+          val v = r.getSeq[Double](1)
+          val c = cents(r.getInt(2))
+          v.indices.map(i => { val d = v(i) - c(i); d * d }).sum
+        }.sum
+    val r1 = Similarity.kmeansRefine(e, col("vec_id"), col("embedding"), init, 1)
+    val r3 = Similarity.kmeansRefine(e, col("vec_id"), col("embedding"), init, 3)
+    assert(sse(r1) < sse(init), "one Lloyd iteration must not raise SSE")
+    assert(sse(r3) <= sse(r1) + 1e-9, "SSE is monotone over iterations")
+    // determinism: partitioning must not change the refined codebook
+    val rAgain = Similarity.kmeansRefine(
+      e.repartition(7), col("vec_id"), col("embedding"), init, 1)
+    r1.zip(rAgain).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // an unreachable centroid attracts nothing and must survive untouched
+    val far = Array.fill(init.head.length)(1e9)
+    val withFar = Similarity.kmeansRefine(
+      e, col("vec_id"), col("embedding"), init :+ far, 1)
+    assert(withFar.last.sameElements(far), "empty cell keeps its previous centroid")
+    assert(withFar.length == init.length + 1)
+  }
+
   test("semanticDedup keep-the-earliest: originals of planted dups stay kept") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(
