@@ -16,15 +16,16 @@ import graft.streaming.EventsStream
   * are listed in `failed` (round 1 let failures masquerade as timings);
   * a query that failed on SOME iterations but produced a timing is
   * listed in `flaky` — min-of-k must not launder intermittent failures.
-  * The whole suite runs SPARK_GRAFT_BENCH_WARMUP (default 1) warmup
-  * passes then SPARK_GRAFT_BENCH_ITERS (default 2) counted INTERLEAVED
-  * passes; each query reports its MIN across counted passes — ambient
-  * load can only inflate a timing, so min-of-k is the noise-proof
-  * estimate, interleaving means a load burst must outlast a full suite
-  * pass (~90 s) to poison any single query's min, and the warmup keeps
-  * first-run codegen/JIT compile out of the record; `iters`/`warmups`
-  * record the settings and `pass_totals` (warmups first) exposes both
-  * the compile cost and any hot pass in the artifact.
+  * The whole suite runs SPARK_GRAFT_BENCH_ITERS (default 2)
+  * INTERLEAVED passes; within a pass each query runs twice back to
+  * back and the SECOND (warm) run is counted; each query reports its
+  * MIN across passes. Ambient load can only inflate a timing, so
+  * min-of-k is the noise-proof estimate; interleaving means a load
+  * burst must outlast a full suite pass (~90 s) to poison any single
+  * query's min; the paired warm run keeps first-run codegen/JIT out of
+  * the record the same way every pre-round-7 record implicitly did.
+  * `pass_totals` (counted) and `cold_totals` (first runs) expose the
+  * compile cost and any hot pass in the artifact.
   *
   * Two non-oracle extras bench the xxhash64 fast path of the dedup
   * pipeline (the claimed 100 TB hash family) against the md5-portable
@@ -109,36 +110,43 @@ object Bench {
     // untouched since r3). A burst now has to outlast an entire ~90 s
     // suite pass to poison a single query's min.
     //
-    // One full WARMUP pass runs first, excluded from the per-query mins:
-    // the first execution of each query pays its codegen + JIT compile
-    // (measured: a cold pass runs ~25% over a warm one, uniformly), and
-    // the old back-to-back min-of-2 silently measured warm numbers via
-    // its second iteration — without the warmup pass, interleaving would
-    // re-brand that compile cost as a ~1.5× "regression" on every query.
-    // ALL pass totals including the warmup(s) are emitted (warmups
-    // first), so both the compile cost and any hot pass are visible in
-    // the artifact itself.
+    // Within a pass each query runs TWICE back to back and the SECOND
+    // (warm) run is the one counted: the first pays that query's
+    // codegen + JIT compile (~25% of a cold pass, uniformly), and every
+    // record before round 7 was implicitly warm this same way (its
+    // back-to-back min-of-2 was dominated by iteration 2) — counting
+    // the paired warm run keeps records comparable round-over-round,
+    // while the ACROSS-pass min still provides the burst immunity the
+    // old protocol lacked (a burst inflates both runs of a pair, but
+    // not the same query's pair in the other pass minutes away).
+    // Cold-run totals are emitted alongside the counted pass totals so
+    // the compile cost and any hot pass are visible in the artifact.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2).max(1)
-    val warmups = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt).getOrElse(1).max(0)
     val suite = base ++ fastPath
-    val allPasses: Seq[Seq[Double]] = (1 to (warmups + iters)).map { _ =>
-      suite.map { case (name, run) =>
-        // per-query isolation: drop frames persisted inside pipeline
-        // builders (dedup signatures, tf cache) so no query is timed
-        // against another query's leftover storage memory.
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(spark); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        val secs = (System.nanoTime() - t0) / 1e9
-        if (ok) secs else -1d
+    val allPasses: Seq[(Seq[Double], Seq[Double])] = (1 to iters).map { _ =>
+      val pairs = suite.map { case (name, run) =>
+        def once(): Double = {
+          // per-query isolation: drop frames persisted inside pipeline
+          // builders (dedup signatures, tf cache) so no query is timed
+          // against another query's leftover storage memory.
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val ok =
+            try { run(spark); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (ok) secs else -1d
+        }
+        val cold = once()
+        val warm = once()
+        (cold, warm)
       }
+      (pairs.map(_._1), pairs.map(_._2))
     }
-    val passTimes = allPasses.drop(warmups)
+    val passTimes = allPasses.map(_._2) // counted = the warm run of each pair
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = passTimes.map(_(i))
       val good = times.filter(_ >= 0)
@@ -147,10 +155,10 @@ object Bench {
       val flaky = good.nonEmpty && good.size < times.size
       if (good.nonEmpty) (name, good.min, true, flaky) else (name, -1d, false, false)
     }
-    // wall-clock sum of every pass, warmup(s) first (failed queries
-    // excluded) — a pass inflated by ambient load stands out against
-    // its siblings here, and the warmup exposes the compile cost
-    val passTotals = allPasses.map(_.filter(_ >= 0).sum)
+    // wall-clock sums per pass (failed queries excluded): counted warm
+    // totals, plus the cold first-run totals for the compile-cost view
+    val passTotals = passTimes.map(_.filter(_ >= 0).sum)
+    val coldTotals = allPasses.map(_._1.filter(_ >= 0).sum)
     // The driver captures only the last ~2000 chars of stdout (r02's
     // full-precision line hit 2035 chars → `parsed: null`), and sbt appends
     // a ~70-char [success] line after ours. Full precision + full names go
@@ -168,7 +176,8 @@ object Bench {
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true, _) => v }.sum
       val passes = passTotals.map(fmt(_, scale)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"warmups":$warmups,"pass_totals":$passes,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+      val colds = coldTotals.map(fmt(_, scale)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"pass_totals":$passes,"cold_totals":$colds,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     }
     val fullNames = results.map(_._1)
     // qNN prefixes are unique; the xNN extras can collide (x36_fast vs
