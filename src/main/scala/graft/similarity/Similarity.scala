@@ -215,7 +215,13 @@ object Similarity {
 
   /** Lloyd's k-means refinement of a codebook — the step between
     * "seeded sample" ([[seededCentroids]]) and a production IVF /
-    * SemDeDup codebook. Each iteration is one distributed pass: assign
+    * SemDeDup codebook. Complements [[trainCentroids]] (MLlib KMeans on
+    * a sample, random-ish init): this refines a CALLER-CHOSEN init over
+    * the full corpus with the engine's own deterministic assignment rule
+    * (the q47/q95 argmin, ties to the lower cell) — so the result is
+    * oracle-replayable and consistent with every downstream cell
+    * assignment, which MLlib's internal tie-breaking is not.
+    * Each iteration is one distributed pass: assign
     * every vector its nearest centroid ([[withIvfCell]] — map-side,
     * centroids inlined, no shuffle), then recompute centroids as the
     * per-cell per-dimension mean (one grouped aggregate over the
