@@ -439,6 +439,53 @@ object Similarity {
         when(col("_drop").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
   }
 
+  /** [[semanticDedup]] with TRUE sequential-greedy semantics: within
+    * each cell, walk vectors in id order and drop one only when it is
+    * ≥ `threshold`-similar to an already-KEPT lower-id vector — on the
+    * chain a~b, b~c, a≁c this keeps {a, c} where the one-shot rule
+    * keeps only {a}. Greedy is an inherently sequential fixpoint, but
+    * SemDeDup's clustering already bounds every comparison to one cell
+    * — so the walk runs per cell inside `flatMapGroups` with the SAME
+    * Σ|cell|² worst-case pair cost as the one-shot join, traded against
+    * holding one cell's vectors in a task (the codebook size is the
+    * knob, exactly as for the pair join; a cell that doesn't fit its
+    * task is a codebook too small for the corpus either way).
+    * Deterministic: same cell assignment, same id order, same rounded
+    * cosine as [[semanticDedup]] and its oracle. */
+  def semanticDedupGreedy(vectors: DataFrame, idCol: Column, vecCol: Column,
+                          centroids: Array[Array[Double]],
+                          threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedupGreedy needs a non-empty codebook")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    withIvfCell(vectors, idCol, vecCol, centroids)
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("v").cast("array<double>"))
+      .as[(Long, Int, Array[Double])]
+      .groupByKey(_._2)
+      .flatMapGroups { (cell, it) =>
+        val members = it.toArray.sortBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        members.iterator.map { case (id, _, v) =>
+          // replicate the pair join's comparison exactly: cosine rounded
+          // to 4 places, so greedy and one-shot agree on which pairs
+          // count as duplicates
+          val isDup = kept.exists { u =>
+            var dot = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+            while (i < v.length) {
+              dot += u(i) * v(i); nu += u(i) * u(i); nv += v(i) * v(i); i += 1
+            }
+            val cos = dot / (math.sqrt(nu) * math.sqrt(nv))
+            BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP) >=
+              BigDecimal(threshold)
+          }
+          if (!isDup) kept += v
+          (id, cell, if (isDup) "dropped" else "kept")
+        }
+      }
+      .toDF("vec_id", "cell", "status")
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` negatives by HASH PAIRING — negative j of anchor a
     * is the vector whose id is `portableHash(a ":" j) mod N + minId` —

@@ -301,6 +301,37 @@ class SimilaritySpec extends SparkSpec {
     assert(perAnchor == baseFirstK, "exact-k must be the j-ranked prefix of the over-draw")
   }
 
+  test("semanticDedupGreedy: chains keep {a, c}; agrees with one-shot when no chains") {
+    // 2-d unit vectors at 0°, 25°, 50°: a~b and b~c at cos25° ≈ 0.906,
+    // a≁c at cos50° ≈ 0.643; threshold 0.87 picks exactly the chain
+    def unit(deg: Double) = Array(math.cos(deg.toRadians), math.sin(deg.toRadians))
+    val chain = Seq(
+      (1L, unit(0)), (2L, unit(25)), (3L, unit(50))
+    ).toDF("vec_id", "embedding")
+    val oneCell = Array(Array(1.0, 0.0))
+    val greedy = Similarity.semanticDedupGreedy(
+      chain, col("vec_id"), col("embedding"), oneCell, 0.87)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(greedy == Map(1L -> "kept", 2L -> "dropped", 3L -> "kept"),
+      s"greedy must re-keep c once b is dropped: $greedy")
+    val oneShot = Similarity.semanticDedup(
+      chain, col("vec_id"), col("embedding"), oneCell, 0.87)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(oneShot == Map(1L -> "kept", 2L -> "dropped", 3L -> "dropped"),
+      "the one-shot rule drops the whole chain tail by design")
+    // chain-free corpus (planted exact dups only): both rules agree
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.union(
+      e.filter($"vec_id" < 10)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 4L)
+    val g = Similarity.semanticDedupGreedy(corpus, col("vec_id"), col("embedding"), cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    val o = Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"), cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(g.sameElements(o), "without chains the two rules are identical")
+  }
+
   test("kmeansRefine: each Lloyd iteration lowers within-cell SSE; empty cells survive") {
     val e = emb.select("vec_id", "embedding")
     val init = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
