@@ -150,13 +150,20 @@ object Bench {
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = passTimes.map(_(i))
       val good = times.filter(_ >= 0)
-      // some-but-not-all passes failing is NOT ok: min-of-k would
-      // otherwise report a flaky query as a clean timing — surface it
-      val flaky = good.nonEmpty && good.size < times.size
+      // ANY failed run is NOT ok — including the uncounted cold run of a
+      // pair: a query that fails cold but succeeds on its warm retry
+      // would otherwise be laundered into a clean timing (min-of-k must
+      // not hide intermittent failures, the invariant this file states).
+      val anyFailed = allPasses.exists { case (colds, warms) =>
+        colds(i) < 0 || warms(i) < 0
+      }
+      val flaky = good.nonEmpty && anyFailed
       if (good.nonEmpty) (name, good.min, true, flaky) else (name, -1d, false, false)
     }
-    // wall-clock sums per pass (failed queries excluded): counted warm
-    // totals, plus the cold first-run totals for the compile-cost view
+    // wall-clock sums per pass (failed queries excluded — a failed run
+    // shows up in the flaky/failed markers above, not as a shorter
+    // total): counted warm totals, plus cold first-run totals for the
+    // compile-cost view
     val passTotals = passTimes.map(_.filter(_ >= 0).sum)
     val coldTotals = allPasses.map(_._1.filter(_ >= 0).sum)
     // The driver captures only the last ~2000 chars of stdout (r02's

@@ -356,6 +356,8 @@ object MediaCodec {
   def aviBytes(jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
                microsPerFrame: Long = AviMicrosPerFrame): Array[Byte] = {
     require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+    require(microsPerFrame > 0,
+      s"microsPerFrame must be positive, got $microsPerFrame")
     val n = jpegFrames.length
     val fps = 1000000L / microsPerFrame
     val avih = le32(microsPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
@@ -404,7 +406,15 @@ object MediaCodec {
     val frames = Vector.newBuilder[Array[Byte]]
     def isFrameId(id: String): Boolean =
       id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Unit = {
+      // real AVI nests LISTs ~3 deep; a crafted payload of back-to-back
+      // LIST headers would otherwise recurse once per level and throw
+      // StackOverflowError — an Error the quarantine catch below does
+      // NOT intercept. Bound the depth so malformed nesting stays an
+      // Exception and the row quarantines as Opaque like any other
+      // malformed container.
+      if (depth > 32)
+        throw new IllegalArgumentException("RIFF list nesting too deep")
       var p = from
       while (p + 8 <= until) {
         val id = new String(payload, p, 4, "US-ASCII")
@@ -416,7 +426,7 @@ object MediaCodec {
         val dataEnd = math.min(dataStart + size, until)
         if (id == "LIST" && size >= 4) {
           val listType = new String(payload, dataStart, 4, "US-ASCII")
-          walk(dataStart + 4, dataEnd, inMovi || listType == "movi")
+          walk(dataStart + 4, dataEnd, inMovi || listType == "movi", depth + 1)
         } else if (id == "avih" && size >= 4) {
           microsPerFrame = readLe32(payload, dataStart)
         } else if (inMovi && isFrameId(id) && size > 0) {
@@ -426,7 +436,7 @@ object MediaCodec {
       }
     }
     try {
-      walk(12, payload.length, inMovi = false)
+      walk(12, payload.length, inMovi = false, depth = 0)
       val fs = frames.result()
       if (fs.isEmpty || microsPerFrame <= 0) None
       else Some(VideoMjpeg(microsPerFrame, fs.toArray))

@@ -149,8 +149,11 @@ object Sampling {
     * TOTAL order (source, hash, sid) with value 1: the global running
     * count restarts per source by subtracting each source's first
     * running value (a |sources|-row aggregate, broadcast back). Same
-    * exact (sid, source, k, vt) as the window form — a spec holds them
-    * equal — at the cost of one extra narrow pass: one range exchange
+    * exact (sid, source, k, vt) values as the window form — a spec
+    * holds them equal — except k is LONG here (the window form's
+    * row_number is int-bounded; this form is the one that outlives
+    * 2^31 rows per source) — at the cost of one extra narrow pass: one
+    * range exchange
     * (prefixSum) + one tiny aggregate instead of one hash exchange.
     * Rows of a hot source spread across MANY range partitions instead
     * of one window task; nothing anywhere holds more than a partition. */
@@ -166,8 +169,13 @@ object Sampling {
       struct(col("source"), col("_h"), col("sid")), lit(1L))
     val starts = ranked.groupBy("source")
       .agg(min(col("running")).as("_start"))
+    // k stays LONG here: the wide form's whole reason to exist is a
+    // single source past the ~2^31-row ceiling where the window form's
+    // row_number (int) lives — casting the rank to int would wrap k
+    // negative exactly in that regime and silently sort garbage to the
+    // front of the manifest.
     ranked.join(broadcast(starts), Seq("source"))
-      .withColumn("k", (col("running") - col("_start") + 1L).cast("int"))
+      .withColumn("k", col("running") - col("_start") + 1L)
       .withColumn("vt", col("k").cast("double") / wCol)
       .orderBy(col("vt"), col("source"), col("sid"))
       .select(col("sid"), col("source"), col("k"), col("vt"))

@@ -307,7 +307,12 @@ object SimilarityQueries {
     // One Lloyd's k-means iteration from the seeded codebook (embeddings
     // 1..8, the q47/q95 init): assign every vector its nearest cell
     // (min squared distance, ties to the lower cell), recompute each
-    // cell's per-dimension mean. DuckDB replays assignment + means.
+    // cell's per-dimension mean. DuckDB replays assignment + means —
+    // INCLUDING the empty-cell rule: a cell that attracts no vectors
+    // keeps its init centroid (LEFT JOIN init→means + coalesce), the
+    // same keep-previous rule kmeansRefine applies, so engine and
+    // oracle stay row-for-row consistent even if seed embeddings
+    // collide and a cell goes empty.
     Q("q113_kmeans_refine",
       Some(s"""WITH $eCte,
               |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
@@ -316,11 +321,16 @@ object SimilarityQueries {
               |    SELECT e.vec_id, e.v, c.cell,
               |      row_number() OVER (PARTITION BY e.vec_id
               |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
-              |    FROM e CROSS JOIN c) WHERE rn = 1)
-              |SELECT cell, CAST(i - 1 AS INT) AS dim,
-              |  round(sum(v[i]) / count(*), 6) AS c_r
-              |FROM asgn CROSS JOIN LATERAL unnest(generate_series(1, len(v))) AS t(i)
-              |GROUP BY cell, i""".stripMargin),
+              |    FROM e CROSS JOIN c) WHERE rn = 1),
+              |means AS (SELECT cell, CAST(i - 1 AS INT) AS dim,
+              |    sum(v[i]) / count(*) AS m
+              |  FROM asgn CROSS JOIN LATERAL unnest(generate_series(1, len(v))) AS t(i)
+              |  GROUP BY cell, i),
+              |init AS (SELECT cell, CAST(i - 1 AS INT) AS dim, cv[i] AS m0
+              |  FROM c CROSS JOIN LATERAL unnest(generate_series(1, len(cv))) AS t(i))
+              |SELECT init.cell, init.dim, round(coalesce(m, m0), 6) AS c_r
+              |FROM init LEFT JOIN means
+              |  ON init.cell = means.cell AND init.dim = means.dim""".stripMargin),
       (s, dir) => {
         val e = emb(s, dir).select("vec_id", "embedding")
         val init = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)

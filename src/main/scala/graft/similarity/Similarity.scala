@@ -467,17 +467,22 @@ object Similarity {
         val members = it.toArray.sortBy(_._1)
         val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         members.iterator.map { case (id, _, v) =>
-          // replicate the pair join's comparison exactly: cosine rounded
-          // to 4 places, so greedy and one-shot agree on which pairs
-          // count as duplicates
+          // replicate the pair join's comparison exactly: Spark's
+          // round(cos, 4) yields the DOUBLE nearest the rounded decimal
+          // and compares it against the threshold AS A DOUBLE — so the
+          // rounded value goes back through .toDouble here too. A
+          // BigDecimal-vs-BigDecimal compare would diverge at the
+          // boundary for thresholds like 0.9 whose double rep exceeds
+          // the decimal, silently breaking pair-agreement with
+          // [[semanticDedup]].
           val isDup = kept.exists { u =>
             var dot = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
             while (i < v.length) {
               dot += u(i) * v(i); nu += u(i) * u(i); nv += v(i) * v(i); i += 1
             }
             val cos = dot / (math.sqrt(nu) * math.sqrt(nv))
-            BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP) >=
-              BigDecimal(threshold)
+            BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble >= threshold
           }
           if (!isDup) kept += v
           (id, cell, if (isDup) "dropped" else "kept")

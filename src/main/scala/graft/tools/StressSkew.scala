@@ -8,9 +8,10 @@ import graft.operators.Relational
 /** Skew-join evidence on the reference's own hazard shape (driver-side
   * tooling): BASELINE.md records one game thread drawing 9,528 comments
   * — a Zipfian link_id where the hot key owns ~1.6% of the whole
-  * corpus. This synthesizes that shape at 10M fact rows (hot key scaled
-  * to 10% to make the straggler unmissable on 32 local cores) and runs
-  * the q09-shaped link_id equi-join three ways:
+  * corpus. This synthesizes that shape at 20M fact rows by default
+  * (SPARK_GRAFT_SKEW_ROWS), hot key scaled to 30% of rows to make the
+  * straggler unmissable on 32 local cores, and runs the q09-shaped
+  * link_id equi-join three ways:
   *
   *  1. sort-merge join, AQE skew-join OFF — the straggler baseline;
   *  2. sort-merge join, AQE skew-join ON — runtime partition splitting;

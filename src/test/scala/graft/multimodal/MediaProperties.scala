@@ -33,4 +33,24 @@ object MediaProperties extends Properties("graft.multimodal") {
         case _: MediaCodec.Decoded => true
       }
     }
+
+  property("deeply nested LIST chains quarantine instead of overflowing the stack") =
+    Prop.forAll(Gen.chooseNum(100, 20000)) { levels =>
+      // a crafted RIFF('AVI ') of back-to-back LIST headers, one nesting
+      // level per 12 bytes — random soup never generates this shape, and
+      // without a depth bound it recursed once per level
+      val out = new java.io.ByteArrayOutputStream()
+      def word(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32(v: Int): Unit =
+        out.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+      val total = 12 + 12 * levels
+      word("RIFF"); le32(total - 8); word("AVI ")
+      (0 until levels).foreach { i =>
+        word("LIST"); le32(total - 12 * (i + 1) - 8); word("lst ")
+      }
+      MediaCodec.decode(out.toByteArray) match {
+        case _: MediaCodec.VideoMjpeg => false // no frames in there
+        case _ => true                         // quarantined, no throw
+      }
+    }
 }

@@ -138,10 +138,11 @@ class SamplingSpec extends SparkSpec {
       .toDF("doc_id", "src").repartition(8)
     val weights = Map("A" -> 3.0, "B" -> 1.0)
     val window = Sampling.mixtureManifest(df, col("doc_id"), col("src"), weights)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getDouble(3)))
     val wide = Sampling.mixtureManifestWide(df, col("doc_id"), col("src"), weights)
+    // k is long in the wide form (the 64-bit rank IS its scale story)
     val wideRows = wide.collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(wideRows.sameElements(window),
       s"wide form must reproduce the window manifest exactly; " +
         s"first diff: ${wideRows.zip(window).find(p => p._1 != p._2)}")

@@ -332,6 +332,25 @@ class SimilaritySpec extends SparkSpec {
     assert(g.sameElements(o), "without chains the two rules are identical")
   }
 
+  test("semanticDedupGreedy agrees with one-shot AT the rounding boundary") {
+    // threshold 0.9's double rep (0.90000000000000002...) exceeds the
+    // decimal 0.9; a pair whose cosine rounds to exactly 0.9000 must be
+    // a dup under BOTH rules (Spark compares round(cos,4) >= 0.9 as
+    // doubles). A decimal-vs-decimal compare in greedy would keep the
+    // row the one-shot rule drops.
+    val a = Array(1.0, 0.0)
+    val b = Array(0.9, math.sqrt(1 - 0.81)) // cos(a,b) ≈ 0.9 → rounds to 0.9000
+    val pair = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val oneCell = Array(Array(1.0, 0.0))
+    val g = Similarity.semanticDedupGreedy(pair, col("vec_id"), col("embedding"), oneCell, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val o = Similarity.semanticDedup(pair, col("vec_id"), col("embedding"), oneCell, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(o == Map(1L -> "kept", 2L -> "dropped"),
+      s"one-shot must treat the 0.9000-rounded pair as a dup: $o")
+    assert(g == o, s"greedy must agree at the boundary: $g vs $o")
+  }
+
   test("kmeansRefine: each Lloyd iteration lowers within-cell SSE; empty cells survive") {
     val e = emb.select("vec_id", "embedding")
     val init = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
