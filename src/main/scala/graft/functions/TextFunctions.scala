@@ -178,6 +178,101 @@ object TextFunctions {
   def canonicalizeSql(e: String): String =
     s"trim(regexp_replace(translate($e, '$Uc', '$Lc'), '$WsRunRe', ' ', 'g'))"
 
+  // ---- HTML text extraction ---------------------------------------------
+  /** Tag stripping for web-corpus ingestion — the step BEFORE line-level
+    * boilerplate removal ([[graft.text.TextAnalysis.stripBoilerplateLines]])
+    * in a C4/CCNet-shaped pipeline (cf. trafilatura/jusText; here the
+    * regex-subset form both engines codegen). Same Java ∩ RE2 regex
+    * discipline as [[BpePattern]] ((?is)/(?s) inline flags and non-greedy
+    * quantifiers are in both dialects; no lookaround). ORDER is the
+    * contract:
+    *  1. script/style/comment BLOCKS first — their content is code, not
+    *     text, and must not leak into the extract;
+    *  2. every remaining tag becomes a space (block/inline distinction
+    *     collapses under the final whitespace fold anyway);
+    *  3. character entities decode, `&amp;` LAST so a double-escape like
+    *     `&amp;lt;` yields the literal text `&lt;`, never `<` — decoded
+    *     entities are text, not markup, and are NOT re-parsed;
+    *  4. whitespace runs collapse to one space, trimmed.
+    */
+  val HtmlBlockRes: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+  val HtmlTagRe: String = "(?s)<[^>]*>"
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def extractHtmlText(html: Column): Column = {
+    val noBlocks = HtmlBlockRes.foldLeft(html)((c, re) => regexp_replace(c, re, ""))
+    val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (ent, v)) =>
+      replace(c, lit(ent), lit(v))
+    }
+    trim(regexp_replace(decoded, WsRunRe, " "))
+  }
+
+  /** DuckDB twin of [[extractHtmlText]] — same patterns, same order; 'g'
+    * everywhere because Spark's regexp_replace is always replace-all. */
+  def extractHtmlTextSql(e: String): String = {
+    val noBlocks = HtmlBlockRes.foldLeft(e)((x, re) =>
+      s"regexp_replace($x, '$re', '', 'g')")
+    val noTags = s"regexp_replace($noBlocks, '$HtmlTagRe', ' ', 'g')"
+    val decoded = HtmlEntities.foldLeft(noTags) { case (x, (ent, v)) =>
+      s"replace($x, '$ent', '${v.replace("'", "''")}')"
+    }
+    s"trim(regexp_replace($decoded, '$WsRunRe', ' ', 'g'))"
+  }
+
+  // ---- URL canonicalization ---------------------------------------------
+  /** URL canonicalization for URL-level dedup (the pre-crawl-frontier /
+    * pre-fetch dedup a web pipeline runs before any content hashing).
+    * Steps, in contract order:
+    *  1. drop the `#fragment` (never sent to the server);
+    *  2. drop tracking params (`utm_*`, `fbclid`, `gclid`) anywhere in
+    *     the query string;
+    *  3. tidy the separators removal leaves behind (`?&` → `?`, then any
+    *     trailing `?`/`&`);
+    *  4. ASCII-lowercase the `scheme://host[:port]` head only —
+    *     translate, not lower(), the [[canonicalize]] portability rule;
+    *     path and query case is significant and stays untouched;
+    *  5. drop an explicit default port (`http…:80`, `https…:443`);
+    *  6. drop one trailing `/`.
+    * All built-in regex/translate/concat — codegen'd, per-row, no
+    * shuffle anywhere. */
+  val TrackingParamRe: String = "(utm_[a-z]+|fbclid|gclid)=[^&#\\t\\n\\f\\r ]*&?"
+  // (?i): the raw scheme/host may arrive in any case — that's the very
+  // thing step 4 normalizes — so the head match itself must ignore case
+  private[graft] val UrlHeadRe: String = "(?i)^https?://[^/?]*"
+
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag, TrackingParamRe, "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    val head = translate(regexp_extract(tidy, UrlHeadRe, 0), Uc, Lc)
+    val rest = regexp_replace(tidy, UrlHeadRe, "")
+    val headNoPort = regexp_replace(
+      regexp_replace(head, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    regexp_replace(concat(headNoPort, rest), "/$", "")
+  }
+
+  /** DuckDB twin of [[canonicalizeUrl]]: same patterns and order. 'g' on
+    * every replace (Spark is always replace-all); group references are
+    * `\1` in RE2 replacement syntax vs Java's `$1` — different spelling,
+    * same semantics. */
+  def canonicalizeUrlSql(e: String): String = {
+    val noFrag = s"regexp_replace($e, '#.*', '', 'g')"
+    val noTrack = s"regexp_replace($noFrag, '$TrackingParamRe', '', 'g')"
+    val tidy = s"regexp_replace(regexp_replace($noTrack, '\\?&', '?', 'g'), '[?&]+$$', '', 'g')"
+    val head = s"translate(regexp_extract($tidy, '$UrlHeadRe', 0), '$Uc', '$Lc')"
+    val rest = s"regexp_replace($tidy, '$UrlHeadRe', '', 'g')"
+    val headNoPort = "regexp_replace(regexp_replace(" + head +
+      ", '^(http://[^/:]*):80$', '\\1', 'g'), '^(https://[^/:]*):443$', '\\1', 'g')"
+    s"regexp_replace($headNoPort || $rest, '/$$', '', 'g')"
+  }
+
   private[graft] val PiiRules: Seq[(String, String)] = Seq(
     UrlRe -> "<URL>", EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")
 

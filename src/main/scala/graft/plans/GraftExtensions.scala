@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpExtractAll, RegExpReplace, Size, StringTranslate, StringTrim}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpExtractAll, RegExpReplace, Size, StringReplace, StringTranslate, StringTrim}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.LongType
 
@@ -56,6 +56,37 @@ object GraftExtensions {
         StringTranslate(args.head,
           Literal(TextFunctions.Uc), Literal(TextFunctions.Lc)),
         Literal(TextFunctions.WsRunRe), Literal(" ")))),
+    ("extract_html_text",
+      "extract_html_text(html) - plain text of html: script/style/comment blocks out, tags stripped, entities decoded, whitespace collapsed",
+      args => {
+        val noBlocks = TextFunctions.HtmlBlockRes.foldLeft(args.head)((c, re) =>
+          RegExpReplace(c, Literal(re), Literal("")))
+        val noTags = RegExpReplace(noBlocks,
+          Literal(TextFunctions.HtmlTagRe), Literal(" "))
+        val decoded = TextFunctions.HtmlEntities.foldLeft(noTags: Expression) {
+          case (c, (ent, v)) => StringReplace(c, Literal(ent), Literal(v))
+        }
+        StringTrim(RegExpReplace(decoded,
+          Literal(TextFunctions.WsRunRe), Literal(" ")))
+      }),
+    ("canonicalize_url",
+      "canonicalize_url(url) - url with fragment/tracking params dropped, scheme+host lowercased, default port and trailing slash removed",
+      args => {
+        val noFrag = RegExpReplace(args.head, Literal("#.*"), Literal(""))
+        val noTrack = RegExpReplace(noFrag,
+          Literal(TextFunctions.TrackingParamRe), Literal(""))
+        val tidy = RegExpReplace(
+          RegExpReplace(noTrack, Literal("\\?&"), Literal("?")),
+          Literal("[?&]+$"), Literal(""))
+        val head = StringTranslate(
+          RegExpExtract(tidy, Literal(TextFunctions.UrlHeadRe), Literal(0)),
+          Literal(TextFunctions.Uc), Literal(TextFunctions.Lc))
+        val rest = RegExpReplace(tidy, Literal(TextFunctions.UrlHeadRe), Literal(""))
+        val headNoPort = RegExpReplace(
+          RegExpReplace(head, Literal("^(http://[^/:]*):80$"), Literal("$1")),
+          Literal("^(https://[^/:]*):443$"), Literal("$1"))
+        RegExpReplace(Concat(Seq(headNoPort, rest)), Literal("/$"), Literal(""))
+      }),
     ("nfc_normalize",
       "nfc_normalize(text) - Unicode NFC composition (UAX #15), same as DuckDB's nfc_normalize",
       args => graft.functions.expressions.NfcNormalize(args.head)),

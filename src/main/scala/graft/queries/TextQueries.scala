@@ -23,6 +23,40 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(",")
 
+  // ---- BPE oracle SQL generation ----------------------------------------
+  private val BpeK = 4
+  private val BpeL = "chr(1)"
+  private val BpeR = "chr(2)"
+  /** Wrapped char-symbol sequence of `word` — the SQL twin of
+    * `Bpe.wrapWord` ( sym  per char + end-of-word). */
+  private val BpeWrapWordSql: String =
+    s"$BpeL || array_to_string(regexp_extract_all(word, '.'), $BpeR || $BpeL) || " +
+      s"$BpeR || $BpeL || '</w>' || $BpeR"
+
+  /** WITH-chain replaying `Bpe.learnMerges(initVocab(documents), k)`:
+    * s0 = wrapped vocab; per iteration i: pi = weighted adjacent-pair
+    * counts, mi = argmax (cnt DESC, pa, pb — the engine's tiebreak),
+    * si = vocab with the merge applied by literal replace. */
+  private def bpeCtes(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (SELECT x[i] AS pa, x[i+1] AS pb, sum(n) AS cnt
+         |  FROM (SELECT string_split(trim(seq, $BpeL || $BpeR), $BpeR || $BpeL) AS x, n
+         |        FROM s${i - 1})
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(x) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT pa, pb, cnt FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s$i AS (SELECT replace(seq, $BpeL || pa || $BpeR || $BpeL || pb || $BpeR,
+         |    $BpeL || pa || pb || $BpeR) AS seq, n
+         |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest(${tokensSql(canonicalizeSql("text"))}) AS word
+       |  FROM documents),
+       |v AS (SELECT word, count(*) AS n FROM w
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       |s0 AS (SELECT $BpeWrapWordSql AS seq, n FROM v),
+       |$iters""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Token counting + per-language stats (SURVEY §2.8 split/size; the
@@ -528,6 +562,113 @@ object TextQueries {
               |SELECT token, cnt, round(cf, 6) AS cum_frac FROM r
               |WHERE cf <= 0.9""".stripMargin),
       (s, dir) =>
-        graft.text.Chunking.vocabCoverage(docs(s, dir), tokens(col("text")), 0.9))
+        graft.text.Chunking.vocabCoverage(docs(s, dir), tokens(col("text")), 0.9)),
+
+    // HTML text extraction (the web-corpus ingestion step BEFORE line
+    // boilerplate removal): documents wrapped in a deterministic page
+    // shell — script/style/comment blocks, tags, double-escaped and
+    // plain entities — must come back as clean text. Both engines build
+    // the same page and strip it with the same rule chain.
+    Q("q114_html_extract",
+      Some(s"""WITH h AS (SELECT doc_id,
+              |    '<html><head><script type="text/javascript">track(1);</script>' ||
+              |    '<style>.x{color:red}</style><!-- nav --></head><body><h1>Title</h1><p>' ||
+              |    text || '</p><br><div>footer &amp;amp; &lt;legal&gt; &#39;v1&#39;&nbsp;ok</div></body></html>' AS html
+              |  FROM documents),
+              |c AS (SELECT doc_id, ${extractHtmlTextSql("html")} AS clean FROM h)
+              |SELECT doc_id AS doc, clean,
+              |  CAST(length(clean) AS BIGINT) AS n_clean
+              |FROM c""".stripMargin),
+      (s, dir) => {
+        val html = concat(
+          lit("""<html><head><script type="text/javascript">track(1);</script>"""),
+          lit("<style>.x{color:red}</style><!-- nav --></head><body><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><br><div>footer &amp;amp; &lt;legal&gt; &#39;v1&#39;&nbsp;ok</div></body></html>"))
+        docs(s, dir).select(col("doc_id").as("doc"),
+          extractHtmlText(html).as("clean"),
+          length(extractHtmlText(html)).cast("long").as("n_clean"))
+      }),
+
+    // URL canonicalization dedup: planted raw URLs vary by host case,
+    // explicit default port, tracking params, and fragment; the
+    // canonical form collapses them — the crawl-frontier dedup a web
+    // pipeline runs before fetching or hashing any content.
+    Q("q115_url_canon",
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443'
+              |         ELSE 'https://example.com' END ||
+              |    '/Path/' || CAST(doc_id % 7 AS VARCHAR) ||
+              |    '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+              |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&utm_campaign=x'
+              |         ELSE '' END ||
+              |    '#sec' || CAST(doc_id AS VARCHAR) AS url
+              |  FROM documents),
+              |c AS (SELECT url, ${canonicalizeUrlSql("url")} AS canon FROM u)
+              |SELECT canon, count(*) AS n_urls,
+              |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+              |FROM c GROUP BY canon""".stripMargin),
+      (s, dir) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://Example.COM:443"))
+            .otherwise(lit("https://example.com")),
+          lit("/Path/"), (col("doc_id") % 7).cast("string"),
+          lit("?id="), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("&utm_source=feed&utm_campaign=x"))
+            .otherwise(lit("")),
+          lit("#sec"), col("doc_id").cast("string"))
+        docs(s, dir).select(url.as("url"))
+          .select(col("url"), canonicalizeUrl(col("url")).as("canon"))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw"))
+      }),
+
+    // Distributed BPE merge training (graft.text.Bpe): k=4 merges
+    // learned from the word-frequency vocab — one corpus shuffle, every
+    // iteration on the Zipf-aggregated vocab. DuckDB replays the whole
+    // training loop: per iteration one pair count, one deterministic
+    // argmax, one literal-replace rewrite of the vocab.
+    Q("q116_bpe_merges",
+      Some(s"""${bpeCtes(BpeK)}
+              |SELECT * FROM (${(1 to BpeK).map(i =>
+                 s"SELECT $i AS it, pa, pb, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+                 .mkString(" UNION ALL ")})
+              |ORDER BY it""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val merges = graft.text.Bpe.learnMerges(
+          graft.text.Bpe.initVocab(docs(s, dir), col("text")), BpeK)
+        merges.zipWithIndex
+          .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+          .toDF("it", "pa", "pb", "cnt")
+      }),
+
+    // BPE encode of the corpus with the learned table (Bpe.applyMerges:
+    // merges inlined as literals, one per-row projection, no model
+    // join): top-20 symbol frequencies. The oracle re-applies the same
+    // four learned merges to every word of the corpus.
+    Q("q117_bpe_encode",
+      Some(s"""${bpeCtes(BpeK)},
+              |cw AS (SELECT unnest(${tokensSql(canonicalizeSql("text"))}) AS word
+              |  FROM documents),
+              |enc AS (SELECT ${(1 to BpeK).foldLeft(s"$BpeWrapWordSql")((e, i) =>
+                 s"replace($e, $BpeL || m$i.pa || $BpeR || $BpeL || m$i.pb || $BpeR, " +
+                   s"$BpeL || m$i.pa || m$i.pb || $BpeR)")} AS seq
+              |  FROM cw ${(1 to BpeK).map(i => s"CROSS JOIN m$i").mkString(" ")}
+              |  WHERE word <> ''),
+              |sym AS (SELECT unnest(string_split(trim(seq, $BpeL || $BpeR),
+              |    $BpeR || $BpeL)) AS symbol FROM enc)
+              |SELECT symbol, count(*) AS cnt FROM sym
+              |GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.text.Bpe.learnMerges(
+          graft.text.Bpe.initVocab(d, col("text")), BpeK).map(m => (m._1, m._2))
+        d.select(explode(graft.text.Bpe.applyMerges(col("text"), merges))
+            .as("symbol"))
+          .groupBy("symbol").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("symbol")).limit(20)
+      })
   )
 }

@@ -1,0 +1,134 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE merge training (Sennrich et al. 2016) — the step the
+  * reference's word-count analytics stop short of and every LLM data
+  * pipeline needs: learn the merge table itself from the corpus, don't
+  * just count pieces with a fixed regex
+  * ([[TextFunctions.bpePieces]], q46, covers the budget-estimate side).
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *  - ONE corpus-scale shuffle ever: `initVocab`'s word count. BPE
+  *    statistics are a function of the word-frequency vocabulary, and
+  *    Zipf compresses a corpus of N tokens into a vocab orders of
+  *    magnitude smaller — every merge iteration after that runs on the
+  *    aggregated vocab frame only (the q112/q90 discipline: iterate on
+  *    aggregates, never re-scan the corpus).
+  *  - Each iteration is one map-side-combinable pair count over the
+  *    vocab plus a TakeOrderedAndProject(1) — the single collected row
+  *    IS the learned artifact (a merge rule), the same
+  *    driver-side-by-contract exemption as the IVF codebooks
+  *    (`Similarity.kmeansRefine`).
+  *
+  * Representation: a word is a string of WRAPPED symbols,
+  * `LsymR` each, e.g. `␁l␂␁o␂␁w␂␁</w>␂`. Merging pair (a,b)
+  * is then the literal string replace of `␁a␂␁b␂` with `␁ab␂`:
+  *  - left-to-right NON-OVERLAPPING replace is exactly BPE's in-word
+  *    merge rule ("aaa" + merge(a,a) → [aa, a]);
+  *  - the wrappers make a match possible only at true symbol
+  *    boundaries — with bare separators, merging (b,c) over symbols
+  *    [ab, c] would false-match the tail of "ab" (the classic
+  *    string-BPE bug);
+  *  - consecutive merged pairs ([a,b,a,b] → [ab, ab]) work because
+  *    adjacent wrapped symbols share no characters.
+  * Both engines implement literal replace with identical left-to-right
+  * semantics, so a fixed merge count is fully DuckDB-replayable (q116).
+  *
+  * Words are canonicalized and restricted to `^[a-z]+$`: the char-level
+  * alphabet stays ASCII, where Java's and DuckDB's per-character
+  * splitting agree (outside the BMP, Java code-unit splitting would
+  * diverge — the [[TextFunctions.canonicalize]] portability rule
+  * applied to character segmentation).
+  */
+object Bpe {
+
+  /** Wrappers: \u0001 opens a symbol, \u0002 closes it. Control chars
+    * never survive real tokenized text; a pathological token containing
+    * them merely tokenizes oddly (replace is literal, nothing throws). */
+  val L = "\u0001"
+  val R = "\u0002"
+  val EndOfWord = "</w>"
+
+  private def wrapWord(word: Column): Column =
+    concat(lit(L), array_join(regexp_extract_all(word, lit("."), lit(0)),
+      R + L), lit(R + L + EndOfWord + R))
+
+  /** Corpus → (seq, n) vocabulary: canonicalized `[a-z]+` words counted
+    * (THE one corpus-scale shuffle), each rendered as wrapped char
+    * symbols + end-of-word marker. */
+  def initVocab(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(TextFunctions.tokens(TextFunctions.canonicalize(textCol)))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(wrapWord(col("word")).as("seq"), col("n"))
+
+  /** Adjacent-symbol pair counts over the vocab, weighted by word
+    * frequency — map-side combinable, vocab-sized. */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val x = split(org.apache.spark.sql.functions.trim(col("seq"), L + R),
+      R + L)
+    vocab.select(col("n"),
+        explode(when(size(x) >= 2,
+            transform(sequence(lit(1), size(x) - 1),
+              i => struct(element_at(x, i).as("pa"),
+                element_at(x, i + 1).as("pb"))))
+          .otherwise(array().cast("array<struct<pa:string,pb:string>>")))
+          .as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(sum("n").as("cnt"))
+  }
+
+  /** Learn up to `k` merges: per iteration, argmax pair (count desc,
+    * then (pa, pb) lexicographic — the deterministic tiebreak the
+    * oracle replays) and a literal-replace rewrite of the vocab. Each
+    * round persists the rewritten vocab and drops the previous one so
+    * lineage stays O(1). Stops early when no pair remains. */
+  def learnMerges(vocab0: DataFrame, k: Int): Seq[(String, String, Long)] = {
+    require(k >= 0, "merge count must be non-negative")
+    val merges = ArrayBuffer.empty[(String, String, Long)]
+    var vocab = vocab0.persist()
+    vocab.count()
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), col("pa"), col("pb")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, c))
+        val next = vocab.withColumn("seq",
+          replace(col("seq"), lit(L + a + R + L + b + R), lit(L + a + b + R)))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** Encode text with a learned merge table: per word, build the
+    * wrapped char sequence, apply every merge in learned order, split
+    * back to symbols. One codegen'd per-row projection over the corpus
+    * — merges inline as literals, no shuffle, no model join. */
+  def applyMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val encodeWord = (w: Column) => {
+      val merged = merges.foldLeft(wrapWord(w)) { case (s, (a, b)) =>
+        replace(s, lit(L + a + R + L + b + R), lit(L + a + b + R))
+      }
+      split(org.apache.spark.sql.functions.trim(merged, L + R), R + L)
+    }
+    flatten(transform(
+      TextFunctions.tokens(TextFunctions.canonicalize(text)),
+      w => when(length(w) > 0, encodeWord(w))
+        .otherwise(array().cast("array<string>"))))
+  }
+}

@@ -255,6 +255,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.getString(5) == "nino uber", out.getString(5))
   }
 
+  test("html/url hygiene functions are SQL-callable and match the Column forms") {
+    GraftExtensions.registerFunctions(spark)
+    val out = spark.sql(
+      "SELECT extract_html_text('<p>a</p><script>x()</script>b &amp;amp; c') AS t, " +
+        "canonicalize_url('HTTPS://Example.COM:443/P?id=1&utm_source=x#f') AS u").head
+    assert(out.getString(0) == "a b &amp; c", out.getString(0))
+    assert(out.getString(1) == "https://example.com/P?id=1", out.getString(1))
+    // SQL trees and Column builders must be the same chain
+    import graft.functions.TextFunctions
+    val col = spark.range(1)
+      .select(TextFunctions.extractHtmlText(
+          org.apache.spark.sql.functions.lit("<p>a</p><script>x()</script>b &amp;amp; c")).as("t"),
+        TextFunctions.canonicalizeUrl(
+          org.apache.spark.sql.functions.lit("HTTPS://Example.COM:443/P?id=1&utm_source=x#f")).as("u"))
+      .head
+    assert(col.getString(0) == out.getString(0) && col.getString(1) == out.getString(1))
+  }
+
   test("GraftExtensions class applies cleanly (spark.sql.extensions entry point)") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

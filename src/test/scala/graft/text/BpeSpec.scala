@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent sequential reference BPE (symbol lists, no strings):
+    * the classic algorithm as written in the paper, against which the
+    * distributed string-replace implementation is checked. */
+  private def refBpe(words: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+    def mergeSeq(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeSeq(rest, a, b)
+      case x :: rest => x :: mergeSeq(rest, a, b)
+      case Nil => Nil
+    }
+    var vocab = words.map { case (w, n) =>
+      (w.toList.map(_.toString) :+ Bpe.EndOfWord, n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += n)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b, c))
+        vocab = vocab.map { case (syms, n) => (mergeSeq(syms, a, b), n) }
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnMerges matches the sequential reference on the Sennrich corpus") {
+    // the worked example shape from the BPE paper: low/lower/newest/widest
+    val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val corpus = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val vocab = Bpe.initVocab(corpus, col("text"))
+    val got = Bpe.learnMerges(vocab, 6)
+    val want = refBpe(words, 6)
+    assert(got == want, s"distributed merges must equal the reference:\n$got\nvs\n$want")
+    // the known first merge of the example: ('e','s') with count 9
+    assert(got.head == (("e", "s", 9L)), got.head)
+  }
+
+  test("merge semantics: left-to-right non-overlapping, boundary-safe, chainable") {
+    // "aaa": merging (a,a) gives [aa, a], not [a, aa] and not [aa, aa]
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m1 = Bpe.learnMerges(Bpe.initVocab(aaa, col("text")), 1).map(m => (m._1, m._2))
+    assert(m1 == Seq(("a", "a")))
+    val enc = aaa.select(Bpe.applyMerges(col("text"), m1).as("s"))
+      .head.getSeq[String](0)
+    assert(enc == Seq("aa", "a", Bpe.EndOfWord), enc.toString)
+    // boundary safety: with symbols [ab, c], a merge (b,c) must NOT
+    // false-match the tail of "ab"
+    val encoded = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(Bpe.applyMerges(col("text"),
+        Seq(("a", "b"), ("b", "c"))).as("s"))
+      .head.getSeq[String](0)
+    assert(encoded == Seq("ab", "c", Bpe.EndOfWord),
+      s"(b,c) must not merge across the 'ab' symbol boundary: $encoded")
+    // consecutive pairs chain: "abab" with merge (a,b) → [ab, ab]
+    val abab = Seq((1L, "abab")).toDF("doc_id", "text")
+      .select(Bpe.applyMerges(col("text"), Seq(("a", "b"))).as("s"))
+      .head.getSeq[String](0)
+    assert(abab == Seq("ab", "ab", Bpe.EndOfWord), abab.toString)
+  }
+
+  test("applyMerges round-trips: symbols concatenate back to word + </w>") {
+    val docs = Seq((1L, "hello world"), (2L, "The  Quick brown"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq(("l", "l"), ("o", Bpe.EndOfWord), ("h", "e"))
+    val rows = docs.select(col("doc_id"),
+        Bpe.applyMerges(col("text"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L).mkString == "hello" + Bpe.EndOfWord + "world" + Bpe.EndOfWord)
+    // canonicalization applies before encoding (case folds, ws collapses)
+    assert(rows(2L).mkString == "the" + Bpe.EndOfWord + "quick" + Bpe.EndOfWord +
+      "brown" + Bpe.EndOfWord)
+    assert(rows(3L) == Seq.empty, "empty text encodes to no symbols")
+    // the learned merges actually fired
+    assert(rows(1L).contains("ll"), rows(1L).toString)
+    assert(rows(1L).contains("o" + Bpe.EndOfWord), rows(1L).toString)
+  }
+
+  test("early stop: k larger than available pairs returns every merge once") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(Bpe.initVocab(tiny, col("text")), 50)
+    // "ab" fully merges in 2 steps: (a,b) then (ab,</w>)
+    assert(merges.map(m => (m._1, m._2)) ==
+      Seq(("a", "b"), ("ab", Bpe.EndOfWord)), merges.toString)
+  }
+}

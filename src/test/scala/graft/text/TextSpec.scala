@@ -418,4 +418,37 @@ class TextSpec extends SparkSpec {
     assert(got.keySet == Set(1L), s"bigram-less docs must drop out: $got")
     assert(got(1L) > 0)
   }
+
+  test("extractHtmlText strips blocks/tags, decodes entities, never re-parses decoded text") {
+    def ext(html: String): String =
+      Seq(html).toDF("h").select(extractHtmlText(col("h"))).head.getString(0)
+    // script/style/comment content must not leak; tags become spaces
+    assert(ext("<p>a</p><script>var x='<b>no</b>';</script><style>p{}</style><!-- hid -->b") == "a b")
+    // multi-line script body, case-insensitive tag names
+    assert(ext("<SCRIPT type='x'>\nline1();\nline2();\n</SCRIPT>ok") == "ok")
+    // entities decode; &amp; last so double-escapes stay literal text
+    assert(ext("x &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;y") ==
+      "x <tag> &amp; \"q\" 's' y")
+    // a decoded &lt;script&gt; is TEXT, not markup — never re-stripped
+    assert(ext("&lt;script&gt;alert(1)&lt;/script&gt;") == "<script>alert(1)</script>")
+    // whitespace folds across removed block boundaries
+    assert(ext("<div>\n  a\n  <br/>\n  b\n</div>") == "a b")
+  }
+
+  test("canonicalizeUrl: fragment, tracking params, host case, default ports, trailing slash") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(canonicalizeUrl(col("u"))).head.getString(0)
+    assert(canon("HTTPS://Example.COM:443/Path/One?id=3&utm_source=f&utm_campaign=x#frag") ==
+      "https://example.com/Path/One?id=3")
+    assert(canon("http://A.B.c:80/") == "http://a.b.c")
+    // non-default port survives; path case survives
+    assert(canon("http://Host:8080/CaseSensitive") == "http://host:8080/CaseSensitive")
+    // tracking-only query leaves no dangling '?'
+    assert(canon("https://h.io/p?utm_source=x") == "https://h.io/p")
+    // tracking param mid-query: separators tidied
+    assert(canon("https://h.io/p?a=1&fbclid=zz&b=2") == "https://h.io/p?a=1&b=2")
+    assert(canon("https://h.io/p?gclid=1&a=2") == "https://h.io/p?a=2")
+    // schemeless input: untouched except the generic cleanups
+    assert(canon("not a url#x") == "not a url")
+  }
 }
