@@ -87,14 +87,20 @@ object Bpe {
 
   /** Learn up to `k` merges: per iteration, argmax pair (count desc,
     * then (pa, pb) lexicographic — the deterministic tiebreak the
-    * oracle replays) and a literal-replace rewrite of the vocab. Each
-    * round persists the rewritten vocab and drops the previous one so
-    * lineage stays O(1). Stops early when no pair remains. */
+    * oracle replays) and a literal-replace rewrite of the vocab.
+    * `localCheckpoint` (not persist) each round, the iterative-operator
+    * discipline shared with [[graft.dedup.Dedup.connectedComponents]]
+    * and `Relational.hierarchyDepth`: persist alone caches the data but
+    * leaves the logical plan chaining back through every prior rewrite
+    * to the corpus scan, so Catalyst re-analyzes an O(rounds)-deep tree
+    * per iteration — with a 32k-merge production vocab that is O(k²)
+    * planning work. Checkpointing truncates the plan to the
+    * materialized vocab, keeping per-iteration planning O(1).
+    * Stops early when no pair remains. */
   def learnMerges(vocab0: DataFrame, k: Int): Seq[(String, String, Long)] = {
     require(k >= 0, "merge count must be non-negative")
     val merges = ArrayBuffer.empty[(String, String, Long)]
-    var vocab = vocab0.persist()
-    vocab.count()
+    var vocab = vocab0.localCheckpoint()
     var done = false
     for (_ <- 1 to k if !done) {
       val top = pairCounts(vocab)
@@ -103,15 +109,11 @@ object Bpe {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((a, b, c))
-        val next = vocab.withColumn("seq",
+        vocab = vocab.withColumn("seq",
           replace(col("seq"), lit(L + a + R + L + b + R), lit(L + a + b + R)))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+          .localCheckpoint()
       }
     }
-    vocab.unpersist()
     merges.toSeq
   }
 
