@@ -301,6 +301,85 @@ object TextFunctions {
       s"len(regexp_extract_all($e, '$re'))"
     }.mkString("(", " + ", ")")
 
+  // ---- Mojibake repair --------------------------------------------------
+  /** Encoding-artifact (mojibake) repair — the ftfy-shaped hygiene pass a
+    * web-corpus pipeline runs alongside Unicode normalization (cf. CCNet;
+    * reference corpus is pre-cleaned CSV and skips it, `Data_Processing
+    * .py:16-24`): text that was UTF-8 encoded but decoded as
+    * windows-1252 somewhere upstream carries artifacts like `Ã©` for
+    * `é` and `â€™` for `’`. The rule table is DERIVED, not hand-typed:
+    * for each target char, the artifact form is its UTF-8 bytes decoded
+    * as cp1252 — so the table cannot drift from the encoding math it
+    * models. Repair is a literal replace chain (no regex), identical
+    * left-to-right replace-all in both engines, 3-char artifacts before
+    * 2-char so a `â€¦` never half-matches after an accent fix. Targets
+    * are restricted to chars whose artifact form is fully printable in
+    * cp1252 (skipping e.g. `”`, whose middle byte 0x9D is unmapped and
+    * decoder-dependent) — this is a high-precision common-case table,
+    * not a full ftfy. */
+  val MojibakeTargets: Seq[String] = Seq(
+    // ’ ‘ “ – — … (3-byte UTF-8 punctuation)
+    "\u2019", "\u2018", "\u201C", "\u2013", "\u2014", "\u2026",
+    // é è ï ü ö ä ñ ç ° nbsp (2-byte Latin-1 range)
+    "\u00E9", "\u00E8", "\u00EF", "\u00FC", "\u00F6", "\u00E4",
+    "\u00F1", "\u00E7", "\u00B0", "\u00A0")
+  val MojibakeRules: Seq[(String, String)] = MojibakeTargets
+    .map(t => new String(t.getBytes("UTF-8"), "windows-1252") -> t)
+    .sortBy { case (art, _) => -art.length }
+
+  def fixMojibake(text: Column): Column =
+    MojibakeRules.foldLeft(text) { case (c, (art, t)) =>
+      replace(c, lit(art), lit(t))
+    }
+
+  /** DuckDB twin of [[fixMojibake]]: same derived rules, same order;
+    * `replace` is literal replace-all in both engines. */
+  def fixMojibakeSql(e: String): String =
+    MojibakeRules.foldLeft(e) { case (x, (art, t)) =>
+      s"replace($x, '${art.replace("'", "''")}', '${t.replace("'", "''")}')"
+    }
+
+  /** Artifact-occurrence count, pre-repair: Σ over rules of
+    * (len(x) − len(x with rule's artifact deleted)) / len(artifact) —
+    * pure length arithmetic, so both engines count identically (both
+    * `length()` are code-point counts). */
+  def mojibakeCount(text: Column): Column =
+    MojibakeRules.map { case (art, _) =>
+      (length(text) - length(replace(text, lit(art), lit("")))) / art.length
+    }.reduce(_ + _).cast("long")
+
+  def mojibakeCountSql(e: String): String =
+    MojibakeRules.map { case (art, _) =>
+      val a = art.replace("'", "''")
+      s"(length($e) - length(replace($e, '$a', ''))) // ${art.length}"
+    }.mkString("(", " + ", ")")
+
+  // ---- Registered domain (eTLD+1) ---------------------------------------
+  /** Registered-domain (eTLD+1) extraction from a host — the key for
+    * domain-level corpus stats, per-domain quotas, and URL-frontier
+    * grouping (subdomains of one site must collapse: `news.bbc.co.uk`
+    * and `www.bbc.co.uk` are both `bbc.co.uk`). A PSL-lite rule: if the
+    * host ends in a two-label public suffix from the embedded table,
+    * keep the last three labels, else the last two. The table covers the
+    * common ccTLD second-level registries, not the full Mozilla PSL
+    * (which is a data file, not logic — swap [[MultiTldRe]] for the
+    * compiled full list at deploy time). Hosts with fewer labels than
+    * needed yield '' (both engines' `regexp_extract` no-match value).
+    * Java ∩ RE2 pattern discipline as [[UrlRe]]. */
+  val MultiTldRe: String =
+    "\\.(co|com|org|net|gov|ac|edu)\\.(uk|jp|au|in|br|za|nz|mx|kr|cn|id)$"
+  private[graft] val Last3Re: String = "[^.]+\\.[^.]+\\.[^.]+$"
+  private[graft] val Last2Re: String = "[^.]+\\.[^.]+$"
+
+  def registeredDomain(host: Column): Column =
+    when(host.rlike(MultiTldRe), regexp_extract(host, Last3Re, 0))
+      .otherwise(regexp_extract(host, Last2Re, 0))
+
+  def registeredDomainSql(e: String): String =
+    s"CASE WHEN regexp_matches($e, '$MultiTldRe') " +
+      s"THEN regexp_extract($e, '$Last3Re', 0) " +
+      s"ELSE regexp_extract($e, '$Last2Re', 0) END"
+
   // ---- Lexicons ---------------------------------------------------------
   /** Language-ID stopword lists (n-gram/stopword heuristic). */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

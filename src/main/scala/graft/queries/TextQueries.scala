@@ -57,6 +57,25 @@ object TextQueries {
        |$iters""".stripMargin
   }
 
+  // ---- q118/q119 fixtures (must precede `queries`: the SQL strings
+  // capture these at object init) ----------------------------------------
+  /** UTF-8-as-cp1252 corruption — the inverse of the repair; planted
+    * segments are REAL text run through the actual encoding mistake. */
+  private def moji(t: String): String =
+    new String(t.getBytes("UTF-8"), "windows-1252")
+
+  private val MojiSegs: Seq[String] = Seq(
+    moji(" don\u2019t caf\u00E9"),             // don’t café
+    moji(" \u201Cquoted\u2018 25\u00B0C"),     // “quoted‘ 25°C
+    moji(" dash \u2014 etc \u2026 na\u00EFve")) // dash — etc … naïve
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** Subdomain spread over three registrable domains + one bare label. */
+  private val DomainHosts: Seq[String] = Seq(
+    "www.example.co.uk", "news.example.co.uk", "example.com",
+    "cdn.example.com", "shop.site.com.au", "site.org", "localhost")
+
   val queries: Seq[Q] = Seq(
 
     // Token counting + per-language stats (SURVEY §2.8 split/size; the
@@ -669,6 +688,69 @@ object TextQueries {
             .as("symbol"))
           .groupBy("symbol").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), col("symbol")).limit(20)
+      }),
+
+    // Mojibake detection + repair (TextFunctions.fixMojibake): artifacts
+    // planted deterministically by doc_id — each segment is built by
+    // running real target text through the UTF-8-as-cp1252 corruption the
+    // repair table models, so the fix must recover it exactly. Per-lang
+    // hygiene report: docs flagged, artifact occurrences, chars removed
+    // by repair.
+    Q("q118_mojibake",
+      Some(s"""WITH c AS (SELECT lang, text || CASE doc_id % 4
+              |    WHEN 0 THEN '${sqlLit(MojiSegs(0))}'
+              |    WHEN 1 THEN '${sqlLit(MojiSegs(1))}'
+              |    WHEN 2 THEN '${sqlLit(MojiSegs(2))}'
+              |    ELSE '' END AS t FROM documents),
+              |m AS (SELECT lang, ${mojibakeCountSql("t")} AS n_art,
+              |    length(t) - length(${fixMojibakeSql("t")}) AS delta FROM c)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(count_if(n_art > 0) AS BIGINT) AS n_flagged,
+              |  CAST(sum(n_art) AS BIGINT) AS n_artifacts,
+              |  CAST(sum(delta) AS BIGINT) AS chars_removed
+              |FROM m GROUP BY lang""".stripMargin),
+      (s, dir) => {
+        val seg = col("doc_id") % 4
+        val t = concat(col("text"),
+          when(seg === 0, lit(MojiSegs(0)))
+            .when(seg === 1, lit(MojiSegs(1)))
+            .when(seg === 2, lit(MojiSegs(2)))
+            .otherwise(lit("")))
+        docs(s, dir)
+          .select(col("lang"), mojibakeCount(t).as("n_art"),
+            (length(t) - length(fixMojibake(t))).cast("long").as("delta"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            count_if(col("n_art") > 0).as("n_flagged"),
+            sum("n_art").as("n_artifacts"),
+            sum("delta").as("chars_removed"))
+      }),
+
+    // Registered-domain (eTLD+1) extraction: subdomain hosts planted by
+    // doc_id collapse to their registrable domain — the grouping key for
+    // per-domain corpus quotas and frontier stats. Includes a
+    // two-label-suffix ccTLD family (co.uk, com.au) and a single-label
+    // host ('' group: unextractable).
+    Q("q119_registered_domain",
+      Some(s"""WITH h AS (SELECT CASE doc_id % ${DomainHosts.size}
+              |    ${DomainHosts.zipWithIndex.map { case (h, i) =>
+                     s"WHEN $i THEN '$h'" }.mkString("\n    ")}
+              |    END AS host FROM documents),
+              |r AS (SELECT host, ${registeredDomainSql("host")} AS domain FROM h)
+              |SELECT domain, count(*) AS n_urls,
+              |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+              |FROM r GROUP BY domain""".stripMargin),
+      (s, dir) => {
+        val idx = col("doc_id") % DomainHosts.size
+        val host = DomainHosts.zipWithIndex.tail
+          .foldLeft(when(idx === 0, lit(DomainHosts.head))) {
+            case (c, (h, i)) => c.when(idx === i, lit(h))
+          }
+        docs(s, dir).select(host.as("host"))
+          .select(col("host"), registeredDomain(col("host")).as("domain"))
+          .groupBy("domain").agg(
+            count(lit(1)).as("n_urls"),
+            countDistinct(col("host")).as("n_hosts"))
       })
   )
 }

@@ -451,4 +451,39 @@ class TextSpec extends SparkSpec {
     // schemeless input: untouched except the generic cleanups
     assert(canon("not a url#x") == "not a url")
   }
+
+  test("fixMojibake repairs UTF-8-as-cp1252 artifacts and counts them") {
+    def onRow(t: String): (String, Long) = {
+      val r = Seq(t).toDF("t")
+        .select(fixMojibake(col("t")), mojibakeCount(col("t"))).head
+      (r.getString(0), r.getLong(1))
+    }
+    // corrupt REAL text with the actual encoding mistake, then repair
+    val clean = "don\u2019t \u201Cquote\u2018 caf\u00E9 na\u00EFve 25\u00B0C \u2026"
+    val corrupt = new String(clean.getBytes("UTF-8"), "windows-1252")
+    assert(corrupt != clean, "fixture must actually corrupt")
+    val (fixed, n) = onRow(corrupt)
+    assert(fixed == clean, s"repair must invert the corruption: $fixed")
+    assert(n == 7L, s"one count per artifact occurrence: $n")
+    // clean text is untouched and counts zero — including plain ASCII
+    assert(onRow(clean) == ((clean, 0L)))
+    assert(onRow("plain ascii text.") == (("plain ascii text.", 0L)))
+    // repair is idempotent
+    assert(onRow(fixed)._1 == fixed)
+  }
+
+  test("registeredDomain: eTLD+1 with two-label public suffixes") {
+    def rd(h: String): String =
+      Seq(h).toDF("h").select(registeredDomain(col("h"))).head.getString(0)
+    assert(rd("www.bbc.co.uk") == "bbc.co.uk")
+    assert(rd("a.b.news.example.co.jp") == "example.co.jp")
+    assert(rd("cdn.example.com") == "example.com")
+    assert(rd("example.com") == "example.com")
+    assert(rd("shop.site.com.au") == "site.com.au")
+    // the public suffix itself (no registrable label) keeps last-3 rule
+    // off: 'co.uk' has two labels and no multi-TLD tail longer than itself
+    assert(rd("site.org") == "site.org")
+    // single label: unextractable -> '' (regexp_extract no-match value)
+    assert(rd("localhost") == "")
+  }
 }
