@@ -538,6 +538,34 @@ object Dedup {
       .select(col("node"), coalesce(col("canon"), col("node")).as("canon"))
   }
 
+  /** The production dedup DELETION policy: per duplicate cluster, elect
+    * the highest-QUALITY member as the representative instead of the
+    * smallest id (what q61/q74's min-label canon gives). Real curation
+    * pipelines keep the longest / highest-scoring copy of a duplicated
+    * page, not an arbitrary one — min-id is only a tiebreak.
+    *
+    * `quality` supplies one row per doc `(id, q)`; bigger q wins, ties
+    * break to the smaller id (deterministic election). Returns one row
+    * per CLUSTERED doc: `(node, canon, quality, rep)` — delete nodes
+    * where `node != rep`, keep everything else.
+    *
+    * Scale shape: the clusters frame is |clustered docs| rows — tiny
+    * relative to the corpus (only docs with at least one near-dup edge)
+    * — so the quality join moves no corpus text; the election is ONE
+    * ordered window over `canon` with an unbounded frame (first() of
+    * the quality-sorted members), which reuses the hash partitioning the
+    * CC output already has. No per-cluster collect, no second shuffle. */
+  def bestQualityCanon(pairs: DataFrame, d1: Column, d2: Column,
+                       quality: DataFrame, id: Column, q: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, d1, d2)
+    val members = cc.join(quality.select(id.as("node"), q.as("quality")), "node")
+    val w = Window.partitionBy(col("canon"))
+      .orderBy(col("quality").desc, col("node"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    members.withColumn("rep", first(col("node")).over(w))
+  }
+
   /** Train/eval contamination: for each eval doc, the fraction of its
     * distinct shingles that appear ANYWHERE in the train corpus — the
     * benchmark-leakage check an LLM data pipeline runs before training.

@@ -291,6 +291,54 @@ object DedupQueries {
           .agg(count(lit(1)).as("n_kept"))
       }),
 
+    // The PRODUCTION deletion policy: per duplicate cluster, keep the
+    // highest-quality member (n_chars, ties to smaller id) instead of
+    // q74's min-id canon. One row per cluster: elected representative,
+    // member count, the representative's quality. The oracle closes the
+    // same clusters recursively, then replays the election as a
+    // row_number window with the identical ordering.
+    Q("q121_dedup_best_rep",
+      Some(s"""WITH RECURSIVE ${baseCtes.stripPrefix("WITH ")},
+              |sig AS (
+              |  SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM t))),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t),
+              |pr AS (SELECT c.d1, c.d2 FROM cand c
+              |  JOIN shs a ON a.doc_id = c.d1
+              |  JOIN shs b ON b.doc_id = c.d2
+              |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8),
+              |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+              |  UNION SELECT d2, d1 FROM pr),
+              |reach AS (
+              |  SELECT src AS node, src AS c FROM edges
+              |  UNION
+              |  SELECT e.dst, r.c FROM reach r JOIN edges e ON e.src = r.node),
+              |cc AS (SELECT node, min(c) AS canon FROM reach GROUP BY node),
+              |r AS (SELECT cc.canon, cc.node, d.n_chars,
+              |  row_number() OVER (PARTITION BY cc.canon
+              |    ORDER BY d.n_chars DESC, cc.node) AS rn
+              |  FROM cc JOIN documents d ON d.doc_id = cc.node)
+              |SELECT canon, count(*) AS n_members,
+              |  max(CASE WHEN rn = 1 THEN node END) AS rep,
+              |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
+              |FROM r GROUP BY canon""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.nearDuplicates(d, col("doc_id"), col("text"), 0.8)
+        Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+            d, col("doc_id"), col("n_chars"))
+          .groupBy("canon").agg(
+            count(lit(1)).as("n_members"),
+            max(when(col("node") === col("rep"), col("node"))).as("rep"),
+            max(when(col("node") === col("rep"), col("quality"))).as("rep_chars"))
+      }),
+
     // Train/eval contamination over an even/odd doc_id split — the
     // planted near-dup pairs that straddle the split surface as
     // contaminated eval docs (overlap >= 0.5).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions._
 import graft.operators.Relational
 import graft.sources.Tables
-import graft.text.{TextAnalysis, TfIdf}
+import graft.text.{TextAnalysis, TfIdf, WeightedSentiment}
 
 /** Text-analysis operator suite over the `documents` table: token stats,
   * language-ID, quality scoring, fingerprinting, TF-IDF, sentiment, and
@@ -75,6 +75,17 @@ object TextQueries {
   private val DomainHosts: Seq[String] = Seq(
     "www.example.co.uk", "news.example.co.uk", "example.com",
     "cdn.example.com", "shop.site.com.au", "site.org", "localhost")
+
+  /** Bag-of-words logistic quality model (the fastText-style classifier
+    * shape): token weights over the corpus vocabulary + intercept. Both
+    * the Spark plan ([[graft.text.WeightedSentiment]]) and the q120
+    * oracle SQL are generated from THIS seq in file order, so the fold
+    * order of the IEEE sum — and therefore the score — cannot drift
+    * between engines. */
+  private val QualityWeights: Seq[(String, Double)] = Seq(
+    "spark" -> 0.6, "fast" -> 0.45, "vector" -> 0.3, "query" -> 0.2,
+    "slow" -> -0.55, "dup" -> -0.8, "batch" -> -0.15)
+  private val QualityBias: Double = -0.25
 
   val queries: Seq[Q] = Seq(
 
@@ -751,6 +762,42 @@ object TextQueries {
           .groupBy("domain").agg(
             count(lit(1)).as("n_urls"),
             countDistinct(col("host")).as("n_hosts"))
+      }),
+
+    // Model-based quality classification (the fastText-style keep/drop
+    // gate a curation pipeline runs after the rule-based gates): a
+    // bag-of-words logistic model scores every doc through the
+    // SentimentScorer seam — this oracle guards the WeightedSentiment
+    // implementation itself, not just the lexicon default. Per-lang
+    // report: docs, keeps (z > 0, exact sign test), hit counts in the
+    // positive/negative vocab, mean calibrated score 2σ(z)−1.
+    Q("q120_quality_classifier", {
+      val posVocab = QualityWeights.collect { case (w, wt) if wt > 0 => w }
+      val negVocab = QualityWeights.collect { case (w, wt) if wt < 0 => w }
+      val zSql = QualityWeights.foldLeft(s"CAST($QualityBias AS DOUBLE)") {
+        case (acc, (w, wt)) =>
+          s"$acc + CAST($wt AS DOUBLE) * len(list_filter(tk, t -> t = '$w'))"
+      }
+      Some(s"""WITH t AS (SELECT lang, $toksSql AS tk FROM documents),
+              |z AS (SELECT lang, $zSql AS z,
+              |  ${lexiconHitsSql("tk", posVocab)} AS n_pos,
+              |  ${lexiconHitsSql("tk", negVocab)} AS n_neg FROM t)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(count_if(z > 0) AS BIGINT) AS n_keep,
+              |  CAST(sum(n_pos) AS BIGINT) AS hits_pos,
+              |  CAST(sum(n_neg) AS BIGINT) AS hits_neg,
+              |  round(avg(2/(1 + exp(-z)) - 1), 4) AS avg_score
+              |FROM z GROUP BY lang""".stripMargin)
+    },
+      (s, dir) => {
+        val scored = TextAnalysis.withSentiment(docs(s, dir), col("text"),
+          WeightedSentiment(QualityWeights, QualityBias))
+        scored.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          count_if(col("sentiment") === "positive").as("n_keep"),
+          sum("n_pos").as("hits_pos"),
+          sum("n_neg").as("hits_neg"),
+          round(avg("polarity"), 4).as("avg_score"))
       })
   )
 }

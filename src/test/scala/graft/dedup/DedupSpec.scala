@@ -196,6 +196,38 @@ class DedupSpec extends SparkSpec {
     assert(cc.filter($"node" < $"canon").count() == 0)
   }
 
+  test("bestQualityCanon elects the highest-quality member, ties to min id") {
+    // cluster {1,2,3} (chain): 3 has the best quality → rep=3 for all;
+    // cluster {10,11}: tied quality → min id 10 wins; 99 is unclustered
+    // and must not appear in the output at all
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val quality = Seq((1L, 10L), (2L, 10L), (3L, 50L),
+      (10L, 7L), (11L, 7L), (99L, 100L)).toDF("id", "q")
+    val m = Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+        quality, col("id"), col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("bestQualityCanon deletion keeps one doc per cluster plus all singletons") {
+    val d = docs
+    val pairs = Dedup.nearDuplicates(d, col("doc_id"), col("text"), 0.8)
+    val mapping = Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+      d, col("doc_id"), col("n_chars"))
+    // exactly one representative per cluster, and it is a member
+    assert(mapping.filter($"node" === $"rep").count() ==
+      mapping.select("canon").distinct().count())
+    val removed = mapping.filter($"node" =!= $"rep").select("node")
+    val kept = d.join(removed, d("doc_id") === col("node"), "left_anti")
+    assert(kept.count() == d.count() - removed.count())
+    // the kept member of each cluster has the cluster-max quality
+    val bad = mapping.groupBy("canon")
+      .agg(max("quality").as("mx"),
+        max(when($"node" === $"rep", $"quality")).as("repq"))
+      .filter($"mx" =!= $"repq")
+    assert(bad.isEmpty)
+  }
+
   test("incrementalDedup classifies exact, near, and fresh delta docs") {
     val base = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
