@@ -76,6 +76,15 @@ object TextQueries {
     "www.example.co.uk", "news.example.co.uk", "example.com",
     "cdn.example.com", "shop.site.com.au", "site.org", "localhost")
 
+  /** The q119/q122 host column: [[DomainHosts]] planted by doc_id. */
+  private def plantedHost: org.apache.spark.sql.Column = {
+    val idx = col("doc_id") % DomainHosts.size
+    DomainHosts.zipWithIndex.tail
+      .foldLeft(when(idx === 0, lit(DomainHosts.head))) {
+        case (c, (h, i)) => c.when(idx === i, lit(h))
+      }
+  }
+
   /** Bag-of-words logistic quality model (the fastText-style classifier
     * shape): token weights over the corpus vocabulary + intercept. Both
     * the Spark plan ([[graft.text.WeightedSentiment]]) and the q120
@@ -752,12 +761,7 @@ object TextQueries {
               |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
               |FROM r GROUP BY domain""".stripMargin),
       (s, dir) => {
-        val idx = col("doc_id") % DomainHosts.size
-        val host = DomainHosts.zipWithIndex.tail
-          .foldLeft(when(idx === 0, lit(DomainHosts.head))) {
-            case (c, (h, i)) => c.when(idx === i, lit(h))
-          }
-        docs(s, dir).select(host.as("host"))
+        docs(s, dir).select(plantedHost.as("host"))
           .select(col("host"), registeredDomain(col("host")).as("domain"))
           .groupBy("domain").agg(
             count(lit(1)).as("n_urls"),
@@ -798,6 +802,43 @@ object TextQueries {
           sum("n_pos").as("hits_pos"),
           sum("n_neg").as("hits_neg"),
           round(avg("polarity"), 4).as("avg_score"))
+      }),
+
+    // Per-domain quota enforcement (the crawl-curation cap: no registered
+    // domain contributes more than N docs, best quality first, ties to
+    // smaller id). The kept side is the rank≤N filter form Catalyst
+    // rewrites to a map-side WindowGroupLimit — each scan task retains at
+    // most N rows per domain BEFORE the shuffle, so a hot domain
+    // (the 100 TB failure mode) never funnels its full row set through
+    // one window task. Totals come from a skew-free partial-agg count;
+    // the final join is |domains|⋈|domains|.
+    Q("q122_domain_quota", {
+      val quota = 100
+      Some(s"""WITH h AS (SELECT doc_id, n_chars, CASE doc_id % ${DomainHosts.size}
+              |    ${DomainHosts.zipWithIndex.map { case (h, i) =>
+                     s"WHEN $i THEN '$h'" }.mkString("\n    ")}
+              |    END AS host FROM documents),
+              |r AS (SELECT ${registeredDomainSql("host")} AS domain, doc_id, n_chars FROM h),
+              |k AS (SELECT domain, n_chars,
+              |  row_number() OVER (PARTITION BY domain
+              |    ORDER BY n_chars DESC, doc_id) AS rn FROM r)
+              |SELECT domain, count(*) AS n_docs,
+              |  CAST(count_if(rn <= $quota) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN rn <= $quota THEN n_chars END) AS BIGINT) AS kept_chars
+              |FROM k GROUP BY domain""".stripMargin)
+    },
+      (s, dir) => {
+        val quota = 100
+        val d = docs(s, dir).select(
+          registeredDomain(plantedHost).as("domain"),
+          col("doc_id"), col("n_chars"))
+        val kept = Relational.topKPerGroup(d, Seq(col("domain")),
+            Seq(col("n_chars").desc, col("doc_id")), quota)
+          .groupBy("domain").agg(
+            count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars"))
+        d.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+          .join(kept, Seq("domain"))
       })
   )
 }

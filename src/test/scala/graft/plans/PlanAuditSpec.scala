@@ -64,6 +64,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q122: domain quota's kept side is rank-limit pruned before the shuffle") {
+    // the quota filter must reach WindowGroupLimit so a hot domain is
+    // capped map-side (≤ quota rows per domain per task) instead of
+    // funneling its full row set through one window task
+    val p = plan("q122_domain_quota")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q40: LSH bucket assignment is one shuffle-free projection") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val b = graft.similarity.Similarity.withLshBucket(
