@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions._
+import graft.operators.{CacheScope, Relational}
 import graft.sources.Tables
+import graft.text.WeightedSentiment
 
 /** Deduplication suite over `documents`: exact, MinHash signatures,
   * MinHash-LSH near-dup detection, exact n-gram Jaccard, SimHash.
@@ -42,6 +44,19 @@ object DedupQueries {
     (bnd * wideCfg.rowsPerBand until (bnd + 1) * wideCfg.rowsPerBand)
       .map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
   }.mkString("\n     OR ")
+
+  // ---- q123 fixtures: gate model + planted hosts ------------------------
+  /** Near-balanced logistic gate (Σw ≈ 0) so the keep/drop decision rides
+    * on each doc's token composition, not its length; both engines build
+    * z from THIS seq in file order. */
+  private val WebGateWeights: Seq[(String, Double)] = Seq(
+    "spark" -> 0.5, "fast" -> 0.4, "slow" -> -0.45, "dup" -> -0.5)
+  private val WebGateBias: Double = 0.0
+  /** Six hosts folding to three registrable domains. */
+  private val WebHosts: Seq[String] = Seq(
+    "a.shop.example.com", "shop.example.com", "blog.example.org",
+    "news.example.org", "www.site.co.uk", "site.co.uk")
+  private val WebQuota = 40
 
   val queries: Seq[Q] = Seq(
 
@@ -337,6 +352,90 @@ object DedupQueries {
             count(lit(1)).as("n_members"),
             max(when(col("node") === col("rep"), col("node"))).as("rep"),
             max(when(col("node") === col("rep"), col("quality"))).as("rep_chars"))
+      }),
+
+    // The round-7 web-corpus pipeline end to end: classifier gate
+    // (bag-of-words logistic keep/drop) → near-dup clustering with
+    // BEST-QUALITY representative election → per-domain quota. Each
+    // stage is independently oracled (q120/q121/q122); this composite
+    // proves they chain — DuckDB replays all three stages in one
+    // recursive-CTE query. Survivor frame persisted once (CacheScope):
+    // the gate+dedup chain feeds both the quota rank and the per-domain
+    // totals without re-executing.
+    Q("q123_webcorpus_e2e", {
+      val zSql = WebGateWeights.foldLeft(s"CAST($WebGateBias AS DOUBLE)") {
+        case (acc, (w, wt)) =>
+          s"$acc + CAST($wt AS DOUBLE) * len(list_filter(tk, t -> t = '$w'))"
+      }
+      Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, n_chars,
+              |  CASE doc_id % ${WebHosts.size}
+              |    ${WebHosts.zipWithIndex.map { case (h, i) =>
+                     s"WHEN $i THEN '$h'" }.mkString("\n    ")}
+              |    END AS host FROM documents),
+              |g0 AS (SELECT doc_id, text, n_chars,
+              |  ${registeredDomainSql("host")} AS domain, $toksSql AS tk FROM d0),
+              |g AS (SELECT doc_id, text, n_chars, domain, tk FROM g0 WHERE $zSql > 0),
+              |t AS (SELECT doc_id, tk FROM g),
+              |sig AS (
+              |  SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM t))),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t),
+              |pr AS (SELECT c.d1, c.d2 FROM cand c
+              |  JOIN shs a ON a.doc_id = c.d1
+              |  JOIN shs b ON b.doc_id = c.d2
+              |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8),
+              |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+              |  UNION SELECT d2, d1 FROM pr),
+              |reach AS (
+              |  SELECT src AS node, src AS c FROM edges
+              |  UNION
+              |  SELECT e.dst, r.c FROM reach r JOIN edges e ON e.src = r.node),
+              |cc AS (SELECT node, min(c) AS canon FROM reach GROUP BY node),
+              |rq AS (SELECT cc.node,
+              |  row_number() OVER (PARTITION BY cc.canon
+              |    ORDER BY g.n_chars DESC, cc.node) AS rn
+              |  FROM cc JOIN g ON g.doc_id = cc.node),
+              |s AS (SELECT * FROM g
+              |  WHERE doc_id NOT IN (SELECT node FROM rq WHERE rn > 1)),
+              |k AS (SELECT domain, n_chars,
+              |  row_number() OVER (PARTITION BY domain
+              |    ORDER BY n_chars DESC, doc_id) AS rn FROM s)
+              |SELECT domain, count(*) AS n_dedup,
+              |  CAST(count_if(rn <= $WebQuota) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN rn <= $WebQuota THEN n_chars END) AS BIGINT) AS kept_chars
+              |FROM k GROUP BY domain""".stripMargin)
+    },
+      (s, dir) => {
+        val idx = col("doc_id") % WebHosts.size
+        val host = WebHosts.zipWithIndex.tail
+          .foldLeft(when(idx === 0, lit(WebHosts.head))) {
+            case (c, (h, i)) => c.when(idx === i, lit(h))
+          }
+        val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+          col("n_chars"), registeredDomain(host).as("domain"))
+        val g = CacheScope.unmanaged.persist(
+          WeightedSentiment(WebGateWeights, WebGateBias)
+            .score(d0, col("text"))
+            .filter(col("sentiment") === "positive")
+            .select("doc_id", "text", "n_chars", "domain"))
+        val pairs = Dedup.nearDuplicates(g, col("doc_id"), col("text"), 0.8)
+        val removed = Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+            g, col("doc_id"), col("n_chars"))
+          .filter(col("node") =!= col("rep")).select("node")
+        val sv = g.join(removed, g("doc_id") === col("node"), "left_anti")
+        val kept = Relational.topKPerGroup(sv, Seq(col("domain")),
+            Seq(col("n_chars").desc, col("doc_id")), WebQuota)
+          .groupBy("domain").agg(
+            count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars"))
+        sv.groupBy("domain").agg(count(lit(1)).as("n_dedup"))
+          .join(kept, Seq("domain"))
       }),
 
     // Train/eval contamination over an even/odd doc_id split — the
