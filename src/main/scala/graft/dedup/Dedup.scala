@@ -545,21 +545,35 @@ object Dedup {
     * page, not an arbitrary one — min-id is only a tiebreak.
     *
     * `quality` supplies one row per doc `(id, q)`; bigger q wins, ties
-    * break to the smaller id (deterministic election). Returns one row
-    * per CLUSTERED doc: `(node, canon, quality, rep)` — delete nodes
-    * where `node != rep`, keep everything else.
+    * break to the smaller id (deterministic election). `quality` MUST
+    * cover every id that appears in `pairs`; an uncovered node fails
+    * LOUDLY at execution (`raise_error` naming the id) — a silent drop
+    * would leave that duplicate unelectable and undeletable.
     *
     * Scale shape: the clusters frame is |clustered docs| rows — tiny
     * relative to the corpus (only docs with at least one near-dup edge)
-    * — so the quality join moves no corpus text; the election is ONE
-    * ordered window over `canon` with an unbounded frame (first() of
-    * the quality-sorted members), which reuses the hash partitioning the
-    * CC output already has. No per-cluster collect, no second shuffle. */
+    * — so the quality join moves no corpus text (8-byte ids + one
+    * quality value). The election is ONE ordered window over `canon`
+    * with an unbounded frame (first() of the quality-sorted members);
+    * a downstream per-cluster aggregate shares the window's
+    * hashpartitioning(canon) exchange (plan-probed in EXPLAIN.md: the
+    * final HashAggregate runs in the window's stage). Total cost past
+    * CC: the id-keyed quality join plus one canon exchange. No
+    * per-cluster collect.
+    *
+    * Returns one row per CLUSTERED doc: `(node, canon, quality, rep)`
+    * — delete nodes where `node != rep`, keep everything else. */
   def bestQualityCanon(pairs: DataFrame, d1: Column, d2: Column,
                        quality: DataFrame, id: Column, q: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cc = connectedComponents(pairs, d1, d2)
-    val members = cc.join(quality.select(id.as("node"), q.as("quality")), "node")
+    val members = cc
+      .join(quality.select(id.as("node"), q.as("quality")), Seq("node"), "left")
+      .withColumn("quality",
+        when(col("quality").isNull, raise_error(concat(
+          lit("bestQualityCanon: no quality row for clustered id "),
+          col("node").cast("string"))))
+          .otherwise(col("quality")))
     val w = Window.partitionBy(col("canon"))
       .orderBy(col("quality").desc, col("node"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -404,9 +404,11 @@ object TextFunctions {
     * its occurrences once per copy, where the filter/isin form counts
     * once); a null/absent token array yields null, cast to long. */
   def lexiconHits(toks: Column, words: Seq[String]): Column =
-    words.distinct.map(w => size(toks) - size(array_remove(toks, w)))
+    if (words.isEmpty) lit(0L) // one-sided lexicon (e.g. all-positive model)
+    else words.distinct.map(w => size(toks) - size(array_remove(toks, w)))
       .reduce(_ + _).cast("long")
 
   def lexiconHitsSql(toksE: String, words: Seq[String]): String =
-    s"len(list_filter($toksE, t -> t IN (${words.distinct.map(w => s"'$w'").mkString(",")})))"
+    if (words.isEmpty) "CAST(0 AS BIGINT)" // `t IN ()` would not parse
+    else s"len(list_filter($toksE, t -> t IN (${words.distinct.map(w => s"'$w'").mkString(",")})))"
 }

@@ -350,7 +350,9 @@ object DedupQueries {
             d, col("doc_id"), col("n_chars"))
           .groupBy("canon").agg(
             count(lit(1)).as("n_members"),
-            max(when(col("node") === col("rep"), col("node"))).as("rep"),
+            // rep is window-constant within a canon group; max() just
+            // carries it through the aggregate
+            max(col("rep")).as("rep"),
             max(when(col("node") === col("rep"), col("quality"))).as("rep_chars"))
       }),
 
@@ -363,15 +365,9 @@ object DedupQueries {
     // the gate+dedup chain feeds both the quota rank and the per-domain
     // totals without re-executing.
     Q("q123_webcorpus_e2e", {
-      val zSql = WebGateWeights.foldLeft(s"CAST($WebGateBias AS DOUBLE)") {
-        case (acc, (w, wt)) =>
-          s"$acc + CAST($wt AS DOUBLE) * len(list_filter(tk, t -> t = '$w'))"
-      }
+      val zSql = WeightedSentiment.zSql(WebGateWeights, WebGateBias, "tk")
       Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, n_chars,
-              |  CASE doc_id % ${WebHosts.size}
-              |    ${WebHosts.zipWithIndex.map { case (h, i) =>
-                     s"WHEN $i THEN '$h'" }.mkString("\n    ")}
-              |    END AS host FROM documents),
+              |  ${PlantedHosts.caseSql(WebHosts)} AS host FROM documents),
               |g0 AS (SELECT doc_id, text, n_chars,
               |  ${registeredDomainSql("host")} AS domain, $toksSql AS tk FROM d0),
               |g AS (SELECT doc_id, text, n_chars, domain, tk FROM g0 WHERE $zSql > 0),
@@ -412,13 +408,8 @@ object DedupQueries {
               |FROM k GROUP BY domain""".stripMargin)
     },
       (s, dir) => {
-        val idx = col("doc_id") % WebHosts.size
-        val host = WebHosts.zipWithIndex.tail
-          .foldLeft(when(idx === 0, lit(WebHosts.head))) {
-            case (c, (h, i)) => c.when(idx === i, lit(h))
-          }
         val d0 = docs(s, dir).select(col("doc_id"), col("text"),
-          col("n_chars"), registeredDomain(host).as("domain"))
+          col("n_chars"), registeredDomain(PlantedHosts.column(WebHosts)).as("domain"))
         val g = CacheScope.unmanaged.persist(
           WeightedSentiment(WebGateWeights, WebGateBias)
             .score(d0, col("text"))

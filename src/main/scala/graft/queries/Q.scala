@@ -20,3 +20,26 @@ final case class Q(
     name: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
+
+/** Deterministic host planting shared by the web-shaped queries
+  * (q119/q122/q123): `hosts(doc_id % hosts.size)` as a when-chain
+  * `Column` and its CASE-WHEN SQL twin — one definition so the two
+  * engines (and the several queries) cannot drift. */
+object PlantedHosts {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, when}
+
+  def column(hosts: Seq[String]): Column = {
+    val idx = col("doc_id") % hosts.size
+    hosts.zipWithIndex.tail
+      .foldLeft(when(idx === 0, lit(hosts.head))) {
+        case (c, (h, i)) => c.when(idx === i, lit(h))
+      }
+  }
+
+  def caseSql(hosts: Seq[String]): String =
+    s"""CASE doc_id % ${hosts.size}
+       |    ${hosts.zipWithIndex.map { case (h, i) =>
+              s"WHEN $i THEN '$h'" }.mkString("\n    ")}
+       |    END""".stripMargin
+}

@@ -77,13 +77,8 @@ object TextQueries {
     "cdn.example.com", "shop.site.com.au", "site.org", "localhost")
 
   /** The q119/q122 host column: [[DomainHosts]] planted by doc_id. */
-  private def plantedHost: org.apache.spark.sql.Column = {
-    val idx = col("doc_id") % DomainHosts.size
-    DomainHosts.zipWithIndex.tail
-      .foldLeft(when(idx === 0, lit(DomainHosts.head))) {
-        case (c, (h, i)) => c.when(idx === i, lit(h))
-      }
-  }
+  private def plantedHost: org.apache.spark.sql.Column =
+    PlantedHosts.column(DomainHosts)
 
   /** Bag-of-words logistic quality model (the fastText-style classifier
     * shape): token weights over the corpus vocabulary + intercept. Both
@@ -752,10 +747,7 @@ object TextQueries {
     // two-label-suffix ccTLD family (co.uk, com.au) and a single-label
     // host ('' group: unextractable).
     Q("q119_registered_domain",
-      Some(s"""WITH h AS (SELECT CASE doc_id % ${DomainHosts.size}
-              |    ${DomainHosts.zipWithIndex.map { case (h, i) =>
-                     s"WHEN $i THEN '$h'" }.mkString("\n    ")}
-              |    END AS host FROM documents),
+      Some(s"""WITH h AS (SELECT ${PlantedHosts.caseSql(DomainHosts)} AS host FROM documents),
               |r AS (SELECT host, ${registeredDomainSql("host")} AS domain FROM h)
               |SELECT domain, count(*) AS n_urls,
               |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
@@ -778,10 +770,7 @@ object TextQueries {
     Q("q120_quality_classifier", {
       val posVocab = QualityWeights.collect { case (w, wt) if wt > 0 => w }
       val negVocab = QualityWeights.collect { case (w, wt) if wt < 0 => w }
-      val zSql = QualityWeights.foldLeft(s"CAST($QualityBias AS DOUBLE)") {
-        case (acc, (w, wt)) =>
-          s"$acc + CAST($wt AS DOUBLE) * len(list_filter(tk, t -> t = '$w'))"
-      }
+      val zSql = WeightedSentiment.zSql(QualityWeights, QualityBias, "tk")
       Some(s"""WITH t AS (SELECT lang, $toksSql AS tk FROM documents),
               |z AS (SELECT lang, $zSql AS z,
               |  ${lexiconHitsSql("tk", posVocab)} AS n_pos,
@@ -814,10 +803,7 @@ object TextQueries {
     // the final join is |domains|⋈|domains|.
     Q("q122_domain_quota", {
       val quota = 100
-      Some(s"""WITH h AS (SELECT doc_id, n_chars, CASE doc_id % ${DomainHosts.size}
-              |    ${DomainHosts.zipWithIndex.map { case (h, i) =>
-                     s"WHEN $i THEN '$h'" }.mkString("\n    ")}
-              |    END AS host FROM documents),
+      Some(s"""WITH h AS (SELECT doc_id, n_chars, ${PlantedHosts.caseSql(DomainHosts)} AS host FROM documents),
               |r AS (SELECT ${registeredDomainSql("host")} AS domain, doc_id, n_chars FROM h),
               |k AS (SELECT domain, n_chars,
               |  row_number() OVER (PARTITION BY domain

@@ -81,6 +81,17 @@ final case class WeightedSentiment(weights: Seq[(String, Double)], bias: Double)
 }
 
 object WeightedSentiment {
+  /** DuckDB twin of [[WeightedSentiment.score]]'s log-odds: the SAME
+    * weights seq folded in the SAME order over per-token counts of the
+    * token-list expression `tkE`. Oracle SQL must be generated from
+    * this (not hand-written) so bit-exact z parity holds by
+    * construction — both engines then sum identical doubles
+    * left-to-right. */
+  def zSql(weights: Seq[(String, Double)], bias: Double, tkE: String): String =
+    weights.foldLeft(s"CAST($bias AS DOUBLE)") { case (acc, (w, wt)) =>
+      s"$acc + CAST($wt AS DOUBLE) * len(list_filter($tkE, t -> t = '$w'))"
+    }
+
   /** Load a `token<TAB>weight` file (driver-side, model-artifact-sized);
     * a `__bias__` row sets the intercept, blank lines and `#` comments
     * skip. Fails loudly on malformed rows — a silently half-loaded

@@ -209,6 +209,18 @@ class DedupSpec extends SparkSpec {
     assert(m == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bestQualityCanon fails loudly when quality misses a clustered id") {
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val quality = Seq((1L, 5L)).toDF("id", "q") // id 2 uncovered
+    val e = intercept[Exception] {
+      Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+        quality, col("id"), col("q")).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("no quality row for clustered id 2"), messages)
+  }
+
   test("bestQualityCanon deletion keeps one doc per cluster plus all singletons") {
     val d = docs
     val pairs = Dedup.nearDuplicates(d, col("doc_id"), col("text"), 0.8)

@@ -90,6 +90,17 @@ class TextSpec extends SparkSpec {
     assert(rep(1) > rep(0))
   }
 
+  test("sentiment seam: one-sided weight vectors score without crashing") {
+    // an all-positive model leaves the negative vocab empty — the
+    // empty-lexicon guard must yield n_neg = 0, not an empty.reduce crash
+    val scorer = WeightedSentiment(Seq("good" -> 0.5, "great" -> 0.3), -0.2)
+    val rows = TextAnalysis.withSentiment(
+        Seq("good great good", "plain text").toDF("text"), col("text"), scorer)
+      .select("sentiment", "n_neg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("positive", 0L), ("negative", 0L)))
+  }
+
   test("repetition signals: dup lines and spammed n-grams trip their gates") {
     // doc 1 is long enough to clear the n-gram thresholds (the gate is
     // meaningful only past the min-token rule — see the operator doc)
