@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, MinHashConfig}
+import graft.functions.TextFunctions
+import graft.operators.{CacheScope, Relational}
+import graft.sources.Tables
+import graft.text.WeightedSentiment
+
+/** Scale probe for the round-7 web-corpus operators (driver-side
+  * tooling), two corpora for two failure modes:
+  *
+  *  - ELECTION at 100k docs: the pathological 20-copy corpus (every doc
+  *    in a 20-strong near-dup class, ~5k clusters) pushes
+  *    `bestQualityCanon` through the worst-case cluster mass — pairs,
+  *    CC, quality join, and the per-canon election window all carry
+  *    every row.
+  *  - GATE + QUOTA at 1M docs: salted UNIQUE copies (the realistic
+  *    curation shape) time the per-row logistic gate and the
+  *    300-domain top-1000 quota, where the rank≤N filter must prune
+  *    map-side (WindowGroupLimit) for the window stage to stay small.
+  *
+  * Committed numbers live in EXPLAIN.md ("web-corpus operators at
+  * scale"). */
+object StressWebcorpus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(f: => Unit): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); f
+      println(f"[webcorpus] $label%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // inflate via ONE explode, not an N-way union: a 200-branch union
+    // costs tens of seconds of driver-side re-analysis per action (the
+    // lineage hazard the BPE probe hit), which would contaminate every
+    // stage timing with planning noise the real engine plans never pay
+    def inflate(copies: Int, salt: Boolean) = {
+      val e = base.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(copies - 1))).as("i"))
+      e.select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
+        (if (salt) concat(col("text"), lit(" c"), col("i")) else col("text"))
+          .as("text"))
+        .repartition(32)
+    }
+
+    // --- A: best-quality election over worst-case cluster mass --------
+    val clustered = inflate(20, salt = false)
+    println(s"[webcorpus] clustered corpus: ${clustered.count()} docs " +
+      "(20 copies — every doc in a 20-strong near-dup class)")
+    val cfg = MinHashConfig.generated(64, 16, portable = false)
+    time("pairs + CC + best-quality election (100k docs)") {
+      val pairs = Dedup.nearDuplicates(clustered, col("doc_id"), col("text"),
+        0.8, cfg)
+      noop(Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+        clustered.select(col("doc_id"), length(col("text")).as("q")),
+        col("doc_id"), col("q")))
+    }
+
+    // --- B: gate + domain quota over 1M unique docs -------------------
+    val corpus1m = inflate(200, salt = true)
+    println(s"[webcorpus] unique corpus: ${corpus1m.count()} docs (salted copies)")
+    val gateW: Seq[(String, Double)] = Seq(
+      "spark" -> 0.5, "fast" -> 0.4, "slow" -> -0.45, "dup" -> -0.5)
+    var gated: org.apache.spark.sql.DataFrame = null
+    time("classifier gate, per-row logistic (1M docs)") {
+      gated = CacheScope.unmanaged.persist(
+        WeightedSentiment(gateW, 0.0).score(corpus1m, col("text"))
+          .filter(col("sentiment") === "positive")
+          .select("doc_id", "text"))
+      gated.count()
+    }
+    println(s"[webcorpus] gate kept ${gated.count()} docs")
+    // materialize the narrow (doc_id, q, domain) projection so the quota
+    // timing isolates the rank window from the gate re-execution
+    val withDomain = CacheScope.unmanaged.persist(
+      gated.select(col("doc_id"), length(col("text")).as("q"),
+        TextFunctions.registeredDomain(concat(lit("www.site"),
+          pmod(col("doc_id"), lit(300)), lit(".com"))).as("domain")))
+    val t0 = System.nanoTime(); withDomain.count()
+    println(f"[webcorpus] domain projection materialized " +
+      f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    val t1 = System.nanoTime()
+    noop(Relational.topKPerGroup(withDomain, Seq(col("domain")),
+      Seq(col("q").desc, col("doc_id")), 1000))
+    println(f"[webcorpus] domain quota: top-1000 per domain, 300 domains " +
+      f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    spark.stop()
+  }
+}
