@@ -55,12 +55,22 @@ object StressCuration {
     }
 
     val base = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
-    val corpus = (0 until copies).map { i =>
-      if (i == 0) base
-      else base.select((col("doc_id") + i * 1000000L).as("doc_id"), col("lang"),
-        when(pmod(col("doc_id"), lit(20)) === 0, col("text")) // planted exact dup
-          .otherwise(concat(col("text"), lit(s" c$i"))).as("text"))
-    }.reduce(_ unionByName _)
+    // ONE explode, not an N-way union — the union form taxes every stage
+    // with re-analysis of N plan branches (see EXPLAIN.md's
+    // probe-methodology note)
+    // localCheckpoint pins the inflated corpus at 32 partitions and cuts
+    // the lineage, so stage timings measure operator work — without it,
+    // filter pushdown drags each stage's expressions into the narrow
+    // explode stage
+    val corpus = base
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(sequence(lit(0), lit(copies - 1))).as("i"))
+      .select((col("doc_id") + col("i") * 1000000L).as("doc_id"), col("lang"),
+        when(col("i") === 0, col("text"))
+          .when(pmod(col("doc_id"), lit(20)) === 0, col("text")) // planted exact dup
+          .otherwise(concat(col("text"), lit(" c"), col("i"))).as("text"))
+      .repartition(32)
+      .localCheckpoint()
     println(s"[curation] corpus: ${corpus.count()} docs " +
       s"($copies salted copies of $sfDir, ~5% planted dups)")
 

@@ -25,9 +25,16 @@ object StressDedup {
       println(f"[stress] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val corpus = (0 until copies).map { i =>
-      base.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text"))
-    }.reduce(_ union _)
+    // inflate via ONE explode, not an N-way union — a wide union makes
+    // every downstream action re-analyze N plan branches, taxing each
+    // timing with driver-side planning the engine's real plans never pay
+    // (measured in EXPLAIN.md's probe-methodology note)
+    val corpus = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(copies - 1))).as("i"))
+      .select((col("doc_id") + col("i") * 1000000L).as("doc_id"), col("text"))
+      .repartition(32)
+      .localCheckpoint() // pin 32 partitions; cut lineage out of timings
     println(s"[stress] corpus: ${corpus.count()} docs ($copies copies of $sfDir)")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

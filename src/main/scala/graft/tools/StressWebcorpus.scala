@@ -51,6 +51,7 @@ object StressWebcorpus {
         (if (salt) concat(col("text"), lit(" c"), col("i")) else col("text"))
           .as("text"))
         .repartition(32)
+        .localCheckpoint() // pin 32 partitions; cut lineage out of timings
     }
 
     // --- A: best-quality election over worst-case cluster mass --------
