@@ -35,9 +35,14 @@ object StressIncremental {
     }
     sizes.foreach { copies =>
       spark.catalog.clearCache()
-      val corpus = (0 until copies).map { i =>
-        base.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text"))
-      }.reduce(_ union _)
+      // ONE explode, not an N-way union (EXPLAIN.md probe-methodology
+      // note: wide unions tax every action with N-branch re-analysis)
+      val corpus = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(copies - 1))).as("i"))
+        .select((col("doc_id") + col("i") * 1000000L).as("doc_id"), col("text"))
+        .repartition(32)
+        .localCheckpoint()
       val idxDir = java.nio.file.Files.createTempDirectory(s"graft_inc_idx_$copies").toString
       val (_, tBuild) = timed(
         Dedup.buildIndex(corpus, col("doc_id"), col("text"), cfg)
