@@ -395,18 +395,19 @@ object TextFunctions {
   val NegWords: Seq[String] = Seq("slow", "small", "bad", "broken")
 
   /** Count of tokens that fall in `words` (multiplicity-preserving over
-    * TOKENS, set-semantics over the lexicon): Σ_{w ∈ distinct(words)}
-    * |toks| − |array_remove(toks, w)|. `array_remove` is a codegen'd
-    * collection op; the equivalent `filter(toks, isin)` is a Catalyst
-    * higher-order function, which always evaluates interpreted — on the
-    * sf0.1 lexicon queries the interpreted lambda was the dominant cost.
-    * `words` is deduplicated first (a repeated lexicon entry would count
-    * its occurrences once per copy, where the filter/isin form counts
-    * once); a null/absent token array yields null, cast to long. */
+    * TOKENS, set-semantics over the lexicon — `words` is deduplicated;
+    * a null/absent token array yields null). ONE codegen'd set-probe
+    * pass ([[expressions.LexiconHitCount]]): the earlier
+    * `Σ_w (size − size(array_remove))` composition walked and
+    * re-allocated the token array once per lexicon word, and the
+    * `filter(toks, isin)` HOF form always evaluates interpreted — both
+    * were measured dominant on the gate path. Counting semantics are
+    * identical to the SQL twin below (exact string equality). */
   def lexiconHits(toks: Column, words: Seq[String]): Column =
     if (words.isEmpty) lit(0L) // one-sided lexicon (e.g. all-positive model)
-    else words.distinct.map(w => size(toks) - size(array_remove(toks, w)))
-      .reduce(_ + _).cast("long")
+    else org.apache.spark.sql.graft.Bridge.column(
+      expressions.LexiconHitCount(
+        org.apache.spark.sql.graft.Bridge.expression(toks), words.distinct))
 
   def lexiconHitsSql(toksE: String, words: Seq[String]): String =
     if (words.isEmpty) "CAST(0 AS BIGINT)" // `t IN ()` would not parse

@@ -61,8 +61,9 @@ final case class WeightedSentiment(weights: Seq[(String, Double)], bias: Double)
 
   def score(df: DataFrame, textCol: Column): DataFrame = {
     val toks = tokens(textCol)
-    def hits(w: String): Column =
-      (size(toks) - size(array_remove(toks, w))).cast("double")
+    // one codegen'd set-probe per weight (integer count, exact z parity
+    // with the generated oracle SQL regardless of evaluation strategy)
+    def hits(w: String): Column = lexiconHits(toks, Seq(w)).cast("double")
     val z = weights.foldLeft(lit(bias)) { case (acc, (w, wt)) =>
       acc + lit(wt) * hits(w)
     }

@@ -319,9 +319,28 @@ class TextSpec extends SparkSpec {
     val plan = graft.text.TextAnalysis.withRuleFlags(docs, $"text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("token_char_sum") && plan.contains("token_mode_count"), plan.take(2000))
-    // lexiconHits' size−array_remove chain is codegen'd builtins; what must
-    // be gone is any interpreted lambda HOF (transform/aggregate/filter)
+    // lexiconHits is the one-pass set probe; what must be gone is any
+    // interpreted lambda HOF (transform/aggregate/filter)
+    assert(plan.contains("lexicon_hit_count"), plan.take(2000))
     assert(!plan.contains("lambdafunction"), plan.take(2000))
+  }
+
+  test("LexiconHitCount matches the size−array_remove composition on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens($"text")
+    val words = Seq("the", "a", "of", "and", "to", "the") // dup on purpose
+    val cmp = docs.select(
+      lexiconHits(toks, words).as("h"),
+      words.distinct.map(w => size(toks) - size(array_remove(toks, w)))
+        .reduce(_ + _).cast("long").as("h0"))
+    assert(cmp.filter($"h" =!= $"h0").count() == 0)
+    // null array → null; empty lexicon → 0; null tokens never match
+    val edge = Seq(Tuple1(null.asInstanceOf[String]), Tuple1("a b the")).toDF("text")
+    val got = edge.select(
+      lexiconHits(tokens($"text"), words).as("h"),
+      lexiconHits(tokens($"text"), Nil).as("z")).collect()
+    assert(got(0).isNullAt(0) && got(0).getLong(1) == 0L)
+    assert(got(1).getLong(0) == 2L && got(1).getLong(1) == 0L)
   }
 
   test("unigramSurprisal: an out-of-distribution doc scores highest") {
