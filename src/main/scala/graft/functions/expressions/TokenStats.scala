@@ -83,6 +83,56 @@ case class LexiconHitCount(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Bag-of-words linear model in ONE pass:
+  * `bias + Σ_i weights(i) · count(words(i) in toks)`, with the summation
+  * performed in WEIGHT order — bit-identical IEEE doubles to the
+  * `foldLeft` of per-word count columns it replaces (counts are exact
+  * integers; only the final weighted sum touches floats), so the
+  * generated DuckDB oracle SQL needs no change. The per-word-column
+  * form walks the token array once PER WEIGHT and inlines one literal
+  * term per word into the expression tree — O(k·n) per row and a
+  * codegen method-size blowup at realistic fastText vocabularies
+  * (10k–100k words); this expression is O(n + k) with the vocabulary
+  * held in a reference object, so model size never touches the plan. */
+case class LexiconWeightedSum(child: Expression, words: Seq[String],
+                              weights: Seq[Double], bias: Double)
+    extends UnaryExpression {
+  require(words.size == weights.size, "one weight per word")
+  require(words.distinct.size == words.size,
+    "duplicate vocabulary entry — the fold form would double-count it; " +
+      "merge the weights instead")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "lexicon_weighted_sum"
+
+  /** Word → index of its FIRST occurrence in `words`; a duplicated word
+    * counts into the first slot, matching the fold form where later
+    * duplicate terms would each re-count the same token (callers pass
+    * distinct vocabularies; the q-fixture specs pin this). */
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    words.zipWithIndex.foreach { case (w, i) =>
+      m.putIfAbsent(UTF8String.fromString(w), i)
+    }
+    m
+  }
+  @transient private lazy val wts: Array[Double] = weights.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TokenStatsImpl.weightedSum(v.asInstanceOf[ArrayData], index, wts, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("lexiconIndex", index, "java.util.HashMap")
+    val wRef = ctx.addReferenceObj("lexiconWeights", wts, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TokenStatsImpl.weightedSum($c, $idxRef, $wRef, ${bias}D)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Java-static shims so generated code has a stable call target. */
 object TokenStatsImpl {
   def charSum(arr: ArrayData): Long = {
@@ -94,6 +144,28 @@ object TokenStatsImpl {
       i += 1
     }
     sum
+  }
+
+  def weightedSum(arr: ArrayData, index: java.util.HashMap[UTF8String, Integer],
+                  weights: Array[Double], bias: Double): Double = {
+    val counts = new Array[Long](weights.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val idx = index.get(arr.getUTF8String(i))
+        if (idx != null) counts(idx.intValue()) += 1L
+      }
+      i += 1
+    }
+    // weight-order summation: bit-identical to the foldLeft column form
+    var z = bias
+    var j = 0
+    while (j < weights.length) {
+      z += weights(j) * counts(j)
+      j += 1
+    }
+    z
   }
 
   def lexiconHits(arr: ArrayData, lexicon: java.util.HashSet[UTF8String]): Long = {

@@ -61,12 +61,15 @@ final case class WeightedSentiment(weights: Seq[(String, Double)], bias: Double)
 
   def score(df: DataFrame, textCol: Column): DataFrame = {
     val toks = tokens(textCol)
-    // one codegen'd set-probe per weight (integer count, exact z parity
-    // with the generated oracle SQL regardless of evaluation strategy)
-    def hits(w: String): Column = lexiconHits(toks, Seq(w)).cast("double")
-    val z = weights.foldLeft(lit(bias)) { case (acc, (w, wt)) =>
-      acc + lit(wt) * hits(w)
-    }
+    // z in ONE codegen'd token walk (LexiconWeightedSum), summed in
+    // weight order — bit-identical to the per-word foldLeft it replaces
+    // (and to the generated oracle SQL), but O(n + k) per row, so a
+    // realistic fastText-sized vocabulary neither re-walks the tokens
+    // per word nor inlines k literal terms into the plan
+    val z = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.LexiconWeightedSum(
+        org.apache.spark.sql.graft.Bridge.expression(toks),
+        weights.map(_._1), weights.map(_._2), bias))
     val posVocab = weights.collect { case (w, wt) if wt > 0 => w }
     val negVocab = weights.collect { case (w, wt) if wt < 0 => w }
     df.withColumn("n_pos", lexiconHits(toks, posVocab))

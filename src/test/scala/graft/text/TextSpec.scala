@@ -101,6 +101,30 @@ class TextSpec extends SparkSpec {
     assert(rows == Seq(("positive", 0L), ("negative", 0L)))
   }
 
+  test("LexiconWeightedSum z is bit-identical to the per-word fold (300-word vocab)") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.expressions.LexiconWeightedSum
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (1 to 300).map(i => s"w$i")
+    val wts = vocab.map(w => w -> (rnd.nextDouble() * 2 - 1))
+    val text = (1 to 400).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val df = Seq(text, "none of these words", "").toDF("text")
+    val toks = tokens(col("text"))
+    val fold = wts.foldLeft(lit(-0.123)) { case (acc, (w, wt)) =>
+      acc + lit(wt) * lexiconHits(toks, Seq(w)).cast("double")
+    }
+    val one = Bridge.column(LexiconWeightedSum(Bridge.expression(toks),
+      wts.map(_._1), wts.map(_._2), -0.123))
+    // EXACT equality: same counts, same weight-order IEEE summation
+    df.select(fold.as("a"), one.as("b")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    // duplicate vocab entries fail loudly instead of silently diverging
+    intercept[IllegalArgumentException] {
+      LexiconWeightedSum(Bridge.expression(toks),
+        Seq("a", "a"), Seq(1.0, 2.0), 0.0)
+    }
+  }
+
   test("repetition signals: dup lines and spammed n-grams trip their gates") {
     // doc 1 is long enough to clear the n-gram thresholds (the gate is
     // meaningful only past the min-token rule — see the operator doc)
