@@ -100,18 +100,18 @@ object TextFunctions {
   val FpMod = 1000000007L
 
   def fingerprint(toks: Column): Column =
-    aggregate(
-      transform(toks, t => portableHash(t) % FpTokenMod),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % FpMod)
+    org.apache.spark.sql.graft.Bridge.column(
+      expressions.RollingFingerprint(
+        org.apache.spark.sql.graft.Bridge.expression(toks),
+        portable = true, FpTokenMod, FpMod))
 
   /** Fast-path fingerprint: same rolling fold over xxhash64 token hashes
     * (no md5 digest per token). Not oracle-replayable — bench/scale only. */
   def fingerprintFast(toks: Column): Column =
-    aggregate(
-      transform(toks, t => pmod(xxhash64(t), lit(FpTokenMod))),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % FpMod)
+    org.apache.spark.sql.graft.Bridge.column(
+      expressions.RollingFingerprint(
+        org.apache.spark.sql.graft.Bridge.expression(toks),
+        portable = false, FpTokenMod, FpMod))
 
   def fingerprintSql(toksE: String): String =
     s"list_reduce(list_transform($toksE, t -> ${portableHashSql("t")} % $FpTokenMod), " +

@@ -133,6 +133,37 @@ case class LexiconWeightedSum(child: Expression, words: Seq[String],
     copy(child = newChild)
 }
 
+/** Polynomial rolling fingerprint over token hashes in ONE codegen'd
+  * pass: fold `(acc·31 + hash(t) mod tokenMod) mod mod` in array order.
+  * Replaces the `aggregate(transform(...))` form, whose lambda HOFs
+  * always evaluate interpreted (a dispatch per token) — the last
+  * interpreted HOF in a per-row path. `portable = true` hashes via the
+  * md5-prefix family (oracle-replayable, the q34 path); `false` via
+  * xxhash64+pmod (the fast path). Null tokens are skipped (split-based
+  * token arrays never contain them); a null array yields null, matching
+  * the HOF form. Mods are parameters so the SQL twin's constants
+  * (`TextFunctions.FpTokenMod/FpMod`) stay single-sourced. */
+case class RollingFingerprint(child: Expression, portable: Boolean,
+                              tokenMod: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenStatsImpl.rollingFingerprint(
+      v.asInstanceOf[ArrayData], portable, tokenMod, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TokenStatsImpl.rollingFingerprint(" +
+        s"$c, $portable, ${tokenMod}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Java-static shims so generated code has a stable call target. */
 object TokenStatsImpl {
   def charSum(arr: ArrayData): Long = {
@@ -144,6 +175,27 @@ object TokenStatsImpl {
       i += 1
     }
     sum
+  }
+
+  def rollingFingerprint(arr: ArrayData, portable: Boolean,
+                         tokenMod: Long, mod: Long): Long = {
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h =
+          if (portable) HashUtil.md5Prefix60(s) % tokenMod // 60-bit, non-negative
+          else { // pmod: xxhash64 can be negative
+            val v = HashUtil.xx64(s) % tokenMod
+            if (v < 0) v + tokenMod else v
+          }
+        acc = (acc * 31L + h) % mod
+      }
+      i += 1
+    }
+    acc
   }
 
   def weightedSum(arr: ArrayData, index: java.util.HashMap[UTF8String, Integer],

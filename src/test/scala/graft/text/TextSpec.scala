@@ -33,6 +33,25 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("RollingFingerprint matches the aggregate/transform HOF fold on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    val hof = aggregate( // the interpreted form the expression replaced
+      transform(toks, t => portableHash(t) % FpTokenMod),
+      lit(0L), (acc, x) => (acc * 31L + x) % FpMod)
+    val hofFast = aggregate(
+      transform(toks, t => pmod(xxhash64(t), lit(FpTokenMod))),
+      lit(0L), (acc, x) => (acc * 31L + x) % FpMod)
+    val cmp = docs.select(fingerprint(toks).as("f"), hof.as("f0"),
+      fingerprintFast(toks).as("g"), hofFast.as("g0"))
+    assert(cmp.filter($"f" =!= $"f0" || $"g" =!= $"g0").count() == 0)
+    // no interpreted lambda remains in the fingerprint plan
+    val plan = docs.select(fingerprint(toks))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rolling_fingerprint") && !plan.contains("lambdafunction"),
+      plan.take(1500))
+  }
+
   test("lexiconHits counts once per token regardless of duplicate lexicon entries") {
     val df = Seq("good good bad", "nothing here", "").toDF("text")
     val dup = df.select(lexiconHits(tokens(col("text")), Seq("good", "bad", "good")).as("n"))
@@ -101,11 +120,14 @@ class TextSpec extends SparkSpec {
     assert(rows == Seq(("positive", 0L), ("negative", 0L)))
   }
 
-  test("LexiconWeightedSum z is bit-identical to the per-word fold (300-word vocab)") {
+  test("LexiconWeightedSum z is bit-identical to the per-word fold (120-word vocab)") {
     import org.apache.spark.sql.graft.Bridge
     import graft.functions.expressions.LexiconWeightedSum
+    // 120 words: the fold COLUMN this test compares against nests one
+    // node per term and overflows the ColumnNode conversion stack around
+    // ~300 terms — itself the reason the one-walk expression exists
     val rnd = new scala.util.Random(20260813L)
-    val vocab = (1 to 300).map(i => s"w$i")
+    val vocab = (1 to 120).map(i => s"w$i")
     val wts = vocab.map(w => w -> (rnd.nextDouble() * 2 - 1))
     val text = (1 to 400).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
     val df = Seq(text, "none of these words", "").toDF("text")
