@@ -313,6 +313,31 @@ object Relational {
     * dedup baseline (builder brief): at 100 TB the groupBy key is
     * `xxhash64(text)` rather than the full text so shuffle rows stay
     * small; collisions at 64-bit are negligible (~5e-8 at 1e9 docs). */
+  /** Corpus snapshot diff — classify every key across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged`. The audit
+    * step between crawls or dataset releases: what a new release
+    * actually changed, before dedup/training decide what to do about it.
+    *
+    * One full-outer join on the key. Presence is tracked with explicit
+    * marker columns, NOT payload nullness (a legitimately-null payload in
+    * both versions is `unchanged`, not `added`); payload comparison is
+    * null-safe `<=>`. At 100 TB pass a CONTENT HASH as `payloadCol`
+    * (e.g. `portableHash(text)`, or a struct of the columns that define
+    * identity) so the join moves 8-byte keys + hashes, never bodies —
+    * and co-locate the two snapshots by bucketing on the key to drop the
+    * shuffle entirely. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCol: Column, payloadCol: Column): DataFrame =
+    oldDf.select(keyCol.as("key"), payloadCol.as("_ov"), lit(true).as("_op"))
+      .join(
+        newDf.select(keyCol.as("key"), payloadCol.as("_nv"), lit(true).as("_np")),
+        Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("_op").isNull, lit("added"))
+          .when(col("_np").isNull, lit("removed"))
+          .when(!(col("_ov") <=> col("_nv")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+
   /** Bloom-filter join pruning: drop big-side rows whose key cannot be in
     * `small` BEFORE the join shuffle — the runtime-filter technique that
     * turns a fact⋈dim join at 100 TB from "shuffle everything" into

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions
+import graft.operators.{Graph, Relational}
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** Round-8 corpus/crawl-management suite: link-graph centrality as a
+  * document-quality prior (q124), product quantization + ADC search —
+  * the compressed-vector tier of the ANN stack (q125/q126), JL random
+  * projection (q127), crawl-release snapshot diff (q128), latest-crawl
+  * selection per canonical URL (q129), and the deterministic seeded
+  * training-order shuffle with exact global positions (q130).
+  *
+  * Graph/URL inputs are synthesized deterministically from `doc_id`
+  * (hash-generated edges, planted URL variants) with the SAME arithmetic
+  * on both engines, so every query stays hash-checkable end to end.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private val eCte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  /** 4 subspaces × 16 dims over the 64-dim embeddings; sub-codebooks
+    * sliced from seed rows 1..8 (code = vec_id − 1), exactly like the
+    * IVF oracle's seeded codebook. */
+  private val PqSub = 4
+  private val PqSubDim = 16
+  private val PqSeeds: Seq[Long] = 1L to 8L
+
+  /** DuckDB CTEs replaying [[Similarity.pqEncode]]: sub-codebook `cb`,
+    * per-(vector, subspace) distances in the same ‖c‖² − 2⟨v_m,c⟩
+    * rank-equivalent form (each fold strict left-to-right, so the
+    * argmin keys are bit-identical), winner by (d, code) — the
+    * `array_min` struct order. `srcFilter` narrows the encoded set. */
+  private def pqEncodeCtes(srcFilter: String): String =
+    s"""cb AS (SELECT m, (vec_id - 1) AS code,
+       |    list_slice(v, m*$PqSubDim + 1, (m+1)*$PqSubDim) AS cent
+       |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
+       |  WHERE vec_id BETWEEN 1 AND 8),
+       |sub AS (SELECT t.vec_id, cb.m, cb.code, cb.cent,
+       |    list_slice(t.v, cb.m*$PqSubDim + 1, (cb.m+1)*$PqSubDim) AS s
+       |  FROM (SELECT vec_id, v FROM e $srcFilter) t CROSS JOIN cb),
+       |scored AS (SELECT vec_id, m, code,
+       |    (${Similarity.dotSql("cent", "cent")}) - 2.0*(${Similarity.dotSql("s", "cent")}) AS d
+       |  FROM sub),
+       |best AS (SELECT vec_id, m, code FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1)""".stripMargin
+
+  /** DuckDB replay of the q124 PageRank: hash-generated 3-out-degree
+    * graph over doc_ids (self-loops removed), then `iters` unrolled
+    * power iterations with out-degree division, teleport, and the
+    * dangling-mass term — the operator's exact update rule. */
+  private def pagerankSql(iters: Int): String = {
+    val h = TextFunctions.portableHashSql(
+      "(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank / g.outdeg) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY e.dst),
+         |m$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+         |  FROM r${i - 1} r LEFT JOIN deg g ON g.src = r.node
+         |  WHERE g.src IS NULL),
+         |r$i AS (SELECT d.doc_id AS node,
+         |    (1 - 0.85) / N + 0.85 * (coalesce(c.contrib, 0.0) + m.dmass / N) AS rank
+         |  FROM docs d CROSS JOIN nd CROSS JOIN m$i m
+         |  LEFT JOIN c$i c ON c.node = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+       |  CAST(count(*) AS BIGINT) AS Nb FROM docs),
+       |edges AS (SELECT d.doc_id AS src, $h % Nb AS dst
+       |  FROM docs d CROSS JOIN nd CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+       |  WHERE $h % Nb <> d.doc_id),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+       |  FROM edges GROUP BY src),
+       |r0 AS (SELECT doc_id AS node, 1.0 / N AS rank FROM docs CROSS JOIN nd),
+       |$iterCtes
+       |SELECT node AS doc_id,
+       |  CAST(floor(rank * 1000000) AS BIGINT) AS pr_micro FROM r$iters""".stripMargin
+  }
+
+  private val CrawlHosts = Seq("crawl-a.example.com", "crawl-b.example.org",
+    "crawl-c.example.net", "crawl-d.example.io")
+
+  /** Planted crawl-log URL for a doc: scheme case varies by doc_id%3,
+    * a tracking param rides along on odd ids, host by doc_id%4 and path
+    * by doc_id%50 — so canonicalization must do real work before the
+    * 100 canonical pages emerge. Column + SQL twin. */
+  private def crawlUrlColumn: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      PlantedHosts.column(CrawlHosts),
+      lit("/page/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 1, lit("?utm_campaign=abc")).otherwise(lit("")))
+
+  private def crawlUrlSql: String =
+    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END || " +
+      s"${PlantedHosts.caseSql(CrawlHosts)} || '/page/' || " +
+      "CAST(doc_id % 50 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 2 = 1 THEN '?utm_campaign=abc' ELSE '' END)"
+
+  val queries: Seq[Q] = Seq(
+
+    // PageRank over a hash-generated web graph (3 outlinks per doc,
+    // self-loops dropped): 3 power iterations, damping 0.85, dangling
+    // mass redistributed. The link-centrality quality prior. Output in
+    // fixed-point micro-units via floor, NOT round(…, 6): power-
+    // iteration sums drift by an ulp between engines, and round's .5
+    // grid turns that into a flipped digit when a rank lands on a
+    // half-boundary (node 326 at sf0.01 sits 2e-18 from one); floor has
+    // no tie grid (quantizeInt8's rationale).
+    Q("q124_pagerank",
+      Some(pagerankSql(3)),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+        val nb = d.agg(count(lit(1)).as("Nb"))
+        val edges = d.crossJoin(broadcast(nb))
+          .select(col("doc_id").as("src"),
+            explode(sequence(lit(1), lit(3))).as("j"), col("Nb"))
+          .withColumn("dst",
+            TextFunctions.portableHash(
+              concat(col("src").cast("string"), lit(":"), col("j"))) % col("Nb"))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst")
+        Graph.pageRank(d, col("doc_id"), edges, col("src"), col("dst"),
+            iterations = 3)
+          .select(col("node").as("doc_id"),
+            floor(col("rank") * 1000000).as("pr_micro"))
+      }),
+
+    // PQ encode: every embedding compressed to 4 sub-codes (64× vs
+    // f32 at production dims). Long-form dump of the wide codes.
+    Q("q125_pq_encode",
+      Some(s"""WITH $eCte,
+              |${pqEncodeCtes("")}
+              |SELECT vec_id, CAST(m AS INT) AS m, code FROM best""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cb = Similarity.pqCodebook(e, col("vec_id"), col("embedding"),
+          PqSeeds, PqSub)
+        Similarity.pqCodesLong(
+          Similarity.pqEncode(e, col("vec_id"), col("embedding"), cb))
+      }),
+
+    // ADC top-10 around the vec_id=0 query: distance = sum of per-
+    // subspace table lookups — the corpus is searched entirely through
+    // its codes; original vectors are never read.
+    Q("q126_pq_adc_topk",
+      Some(s"""WITH $eCte,
+              |${pqEncodeCtes("WHERE vec_id <> 0")},
+              |qs AS (SELECT cb.m, cb.code, cb.cent,
+              |    list_slice(q.v, cb.m*$PqSubDim + 1, (cb.m+1)*$PqSubDim) AS qsub
+              |  FROM cb CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+              |dtab AS (SELECT m, code,
+              |    (${Similarity.l2sqSql("qsub", "cent")}) AS d FROM qs),
+              |j AS (SELECT b.vec_id, b.m, t.d
+              |  FROM best b JOIN dtab t USING (m, code)),
+              |w AS (SELECT vec_id,
+              |    max(CASE WHEN m = 0 THEN d END) AS d0,
+              |    max(CASE WHEN m = 1 THEN d END) AS d1,
+              |    max(CASE WHEN m = 2 THEN d END) AS d2,
+              |    max(CASE WHEN m = 3 THEN d END) AS d3
+              |  FROM j GROUP BY vec_id)
+              |SELECT vec_id, round(d0 + d1 + d2 + d3, 6) AS adist
+              |FROM w ORDER BY adist, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cb = Similarity.pqCodebook(e, col("vec_id"), col("embedding"),
+          PqSeeds, PqSub)
+        val codes = Similarity.pqEncode(e.filter(col("vec_id") =!= 0),
+          col("vec_id"), col("embedding"), cb)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        Similarity.pqAdcTopK(codes, qv, cb, 10)
+      }),
+
+    // JL random projection 64 → 8 dims (planes = seed embeddings 1..8):
+    // the cheap front of a cluster/dedup cascade. Long-form dump.
+    Q("q127_random_projection",
+      Some(s"""WITH $eCte,
+              |p AS (SELECT (vec_id - 1) AS j, v AS pv FROM e
+              |  WHERE vec_id BETWEEN 1 AND 8)
+              |SELECT t.vec_id, CAST(j AS INT) AS j,
+              |  round(${Similarity.dotSql("t.v", "pv")}, 4) AS x
+              |FROM e t CROSS JOIN p""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val planes = Similarity.seededCentroids(e, col("vec_id"),
+          col("embedding"), PqSeeds)
+        Similarity.randomProject(e, col("vec_id"), col("embedding"), planes)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("j"), round(col("x"), 4).as("x"))
+      }),
+
+    // Snapshot diff between two synthetic corpus releases: ids ≡7 (mod
+    // 10) exist only in the new crawl (added), ≡4 only in the old
+    // (removed), ≡0 (mod 5) re-crawled with edits (changed). Bodies
+    // never move — the diff compares 8-byte content hashes.
+    Q("q128_snapshot_diff",
+      Some {
+        val oh = TextFunctions.portableHashSql("text")
+        val nh = TextFunctions.portableHashSql(
+          "(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END)")
+        s"""WITH o AS (SELECT doc_id, $oh AS h FROM documents WHERE doc_id % 10 <> 7),
+           |nn AS (SELECT doc_id, $nh AS h FROM documents WHERE doc_id % 10 <> 4)
+           |SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id,
+           |  CASE WHEN o.doc_id IS NULL THEN 'added'
+           |       WHEN nn.doc_id IS NULL THEN 'removed'
+           |       WHEN o.h <> nn.h THEN 'changed'
+           |       ELSE 'unchanged' END AS status
+           |FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val d = docs(s, dir)
+        val old = d.filter(col("doc_id") % 10 =!= 7)
+        val neu = d.filter(col("doc_id") % 10 =!= 4)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")))
+        Relational.snapshotDiff(old, neu, col("doc_id"),
+            TextFunctions.portableHash(col("text")))
+          .select(col("key").as("doc_id"), col("status"))
+      }),
+
+    // Latest crawl per canonical URL: canonicalize the planted variants
+    // (scheme case, tracking params), keep the newest snapshot of each
+    // of the 100 canonical pages plus its crawl count.
+    Q("q129_crawl_latest",
+      Some(s"""WITH c AS (SELECT doc_id, doc_id AS ts,
+              |    ${TextFunctions.canonicalizeUrlSql(crawlUrlSql)} AS url_c
+              |  FROM documents)
+              |SELECT url_c, arg_max(doc_id, ts) AS doc_id,
+              |  count(*) AS n_crawls
+              |FROM c GROUP BY url_c""".stripMargin),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("doc_id").cast("long").as("ts"),
+            TextFunctions.canonicalizeUrl(crawlUrlColumn).as("url_c"))
+          .groupBy("url_c")
+          .agg(max_by(col("doc_id"), col("ts")).as("doc_id"),
+            count(lit(1)).as("n_crawls"))),
+
+    // Seeded global training shuffle with EXACT positions: order by the
+    // portable hash of (seed, doc_id), positions from the distributed
+    // prefix sum — no global row_number window anywhere (plan shape:
+    // one range exchange; see Relational.prefixSum).
+    Q("q130_seeded_shuffle",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    ${TextFunctions.portableHashSql("('shuf42:' || CAST(doc_id AS VARCHAR))")} AS h
+              |  FROM documents)
+              |SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS pos
+              |FROM d""".stripMargin),
+      (s, dir) => {
+        val h = TextFunctions.portableHash(
+          concat(lit("shuf42:"), col("doc_id").cast("string")))
+        Relational.prefixSum(
+            docs(s, dir).select(col("doc_id"), h.as("_h")),
+            struct(col("_h"), col("doc_id")), lit(1L))
+          .select(col("doc_id"), col("running").as("pos"))
+      }))
+}

@@ -391,6 +391,115 @@ object Similarity {
       .select(col("vec_id"), col("dim"), col("q"), col("amax").as("scale"))
   }
 
+  /** Strict-order squared L2 distance, composed from three codegen'd
+    * [[dot]] folds: ‖a−b‖² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩. Each inner product
+    * keeps its own left-to-right summation order, so the value is
+    * bit-identical across engines/layouts (same contract as [[cosine]])
+    * — the property the PQ oracles lean on. */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** DuckDB twin of [[l2sq]] (same three folds, same combine order). */
+  def l2sqSql(aE: String, bE: String): String =
+    s"(${dotSql(aE, aE)}) - 2.0*(${dotSql(aE, bE)}) + (${dotSql(bE, bE)})"
+
+  /** Product-quantization sub-codebooks sliced from seed rows — the
+    * deterministic, engine-replayable counterpart of a per-subspace
+    * k-means fit (same role [[seededCentroids]] plays for IVF; refine
+    * with [[kmeansRefine]] per subspace in production). Seed row c
+    * (sorted by id) contributes code c of every subspace: its dim slice
+    * [m·subDim, (m+1)·subDim). Returns codebook(m)(code) = centroid.
+    * Driver-side by contract, like every codebook in this module. */
+  def pqCodebook(vectors: DataFrame, idCol: Column, vecCol: Column,
+                 seedIds: Seq[Long], numSub: Int): Array[Array[Array[Double]]] = {
+    val seeds = seededCentroids(vectors, idCol, vecCol, seedIds)
+    require(seeds.nonEmpty, s"no seed rows found for ids $seedIds")
+    val d = seeds.head.length
+    require(d % numSub == 0, s"dim $d not divisible into $numSub subspaces")
+    val subDim = d / numSub
+    Array.tabulate(numSub)(m => seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
+  }
+
+  /** Product-quantization encode: each vector compresses to `numSub`
+    * one-byte-ish codes — the nearest sub-centroid per dim slice. This
+    * is the storage tier between [[quantizeInt8]] (4× compression) and
+    * raw floats for 100 TB ANN: 64 dims × f32 → 4 codes is 64×, and ADC
+    * search ([[pqAdcTopK]]) never touches the original vectors.
+    *
+    * The codebook INLINES into the plan (literal structs, like
+    * [[withIvfCell]]): encode is ONE map-side projection — argmin per
+    * subspace via `array_min` over (distance, code) structs, distance
+    * in the rank-equivalent ‖c‖² − 2⟨v_m,c⟩ form (⟨v_m,v_m⟩ is constant
+    * within a subspace's argmin) — zero shuffle, no join against a
+    * codebook table. Output is WIDE: `(vec_id, codes array<long>)`, one
+    * row per vector ([[pqCodesLong]] posexplodes for diagnostics/the
+    * oracle — still per-row, still no shuffle). */
+  def pqEncode(vectors: DataFrame, idCol: Column, vecCol: Column,
+               codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim = codebook(0)(0).length
+    val v = vecCol.cast("array<double>")
+    val codeCols = codebook.indices.map { m =>
+      val sub = slice(v, m * subDim + 1, subDim)
+      val scored = codebook(m).zipWithIndex.map { case (c, ci) =>
+        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq)))
+          .as("d"), lit(ci.toLong).as("code"))
+      }
+      array_min(array(scored: _*)).getField("code")
+    }
+    vectors.select(idCol.as("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Long-form view of [[pqEncode]] output: `(vec_id, m, code)` via
+    * posexplode — a per-row generator, no shuffle. */
+  def pqCodesLong(wide: DataFrame): DataFrame =
+    wide.select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * exact, every corpus vector is its codes, and distance is a table
+    * lookup — Σ_m ‖q_m − centroid(m, code_m)‖², with the m×k distance
+    * table computed driver-side (tiny by contract) and inlined as a
+    * literal. One scan of the codes frame (no vectors read, no shuffle),
+    * per-row lookups summed in fixed subspace order, then
+    * TakeOrderedAndProject for the top-k. The Scala table entries use
+    * the same three-fold [[l2sq]] order as [[l2sqSql]], so the oracle
+    * replays the exact doubles. */
+  def pqAdcTopK(codes: DataFrame, queryVec: Array[Double],
+                codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val subDim = codebook(0)(0).length
+    require(queryVec.length == codebook.length * subDim,
+      s"query dim ${queryVec.length} != ${codebook.length}×$subDim")
+    def dotS(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // dtab(m)(code), each entry in l2sq's exact op order
+    val dtab = codebook.indices.map { m =>
+      val q = queryVec.slice(m * subDim, (m + 1) * subDim)
+      codebook(m).map(c => dotS(q, q) - 2.0 * dotS(q, c) + dotS(c, c)).toSeq
+    }
+    val adist = codebook.indices.map { m =>
+      element_at(typedLit(dtab(m)), element_at(col("codes"), m + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    codes.select(col("vec_id"), round(adist, 6).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Dense random projection (Johnson–Lindenstrauss dimensionality
+    * reduction): project onto `planes` — one codegen'd [[dot]] per
+    * output dim, planes inlined as literals, zero shuffle (the dense
+    * sibling of [[withLshBucket]]'s sign bits). The cheap front of a
+    * cluster/dedup cascade: k-means or SemDeDup over d′ ≪ d costs
+    * d′/d of every distance while JL keeps relative distances within
+    * (1±ε) at d′ = O(log n / ε²). */
+  def randomProject(vectors: DataFrame, idCol: Column, vecCol: Column,
+                    planes: Array[Array[Double]]): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val proj = planes.map(p => dot(v, typedLit(p.toSeq)))
+    vectors.select(idCol.as("vec_id"), array(proj: _*).as("proj"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-compare): assign
     * every vector its nearest codebook cell (one map-side projection,
     * [[withIvfCell]] — no corpus shuffle), then compare pairs WITHIN a

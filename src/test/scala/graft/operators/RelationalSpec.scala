@@ -310,4 +310,25 @@ class RelationalSpec extends SparkSpec {
     assert(open == open.sorted.reverse && open.distinct == open,
       s"open-walk counts must strictly shrink: $open")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; null payloads don't lie") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, Option.empty[String])).toDF("id", "v")
+    val neu = Seq((2L, Some("b")), (3L, Some("C2")), (4L, Some("d")),
+      (5L, Option.empty[String])).toDF("id", "v")
+    val got = Relational.snapshotDiff(old, neu, col("id"), col("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added",
+      // present in both with a NULL payload — unchanged, NOT added:
+      // presence is tracked by markers, comparison is null-safe
+      5L -> "unchanged"))
+    // null → value transition is a change
+    val got2 = Relational.snapshotDiff(
+        Seq((5L, Option.empty[String])).toDF("id", "v"),
+        Seq((5L, Some("x"))).toDF("id", "v"), col("id"), col("v"))
+      .as[(Long, String)].head()
+    assert(got2 == (5L -> "changed"))
+  }
 }

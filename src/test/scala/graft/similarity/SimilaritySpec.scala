@@ -379,6 +379,90 @@ class SimilaritySpec extends SparkSpec {
     assert(withFar.length == init.length + 1)
   }
 
+  test("pqEncode: a vector assembled from centroids encodes to exactly those codes") {
+    // 2 subspaces × 2 dims, 3 codes each
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0)),
+      Array(Array(1.0, 1.0), Array(-5.0, 2.0), Array(7.0, -7.0)))
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0, 7.0, -7.0)), // codes (1, 2) exactly
+      (2L, Seq(0.1, 9.8, -4.6, 2.2)), // near (2, 1)
+      (3L, Seq(0.0, 0.0, 1.0, 1.0))) // exact (0, 0)
+      .toDF("vec_id", "v")
+    val got = Similarity.pqEncode(vecs, col("vec_id"), col("v"), cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(1L, 2L))
+    assert(got(2L) == Seq(2L, 1L))
+    assert(got(3L) == Seq(0L, 0L))
+    // long form is the exact explode of the wide form
+    val long = Similarity.pqCodesLong(
+        Similarity.pqEncode(vecs, col("vec_id"), col("v"), cb))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(long == got.flatMap { case (id, cs) =>
+      cs.zipWithIndex.map { case (c, m) => (id, m, c) } }.toSet)
+  }
+
+  test("pqEncode ties break to the lower code") {
+    val cb: Array[Array[Array[Double]]] =
+      Array(Array(Array(1.0, 1.0), Array(1.0, 1.0)))
+    val got = Similarity.pqEncode(Seq((1L, Seq(3.0, 4.0))).toDF("vec_id", "v"),
+        col("vec_id"), col("v"), cb)
+      .as[(Long, Seq[Long])].head()
+    assert(got._2 == Seq(0L))
+  }
+
+  test("pqAdcTopK: ADC distance is exact when corpus vectors sit on centroids") {
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(4.0, 0.0)),
+      Array(Array(0.0, 0.0), Array(0.0, 3.0)))
+    // vectors ON centroid grid: ADC == true squared L2 to the query
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(4.0, 0.0, 0.0, 3.0)),
+      (3L, Seq(4.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val codes = Similarity.pqEncode(vecs, col("vec_id"), col("v"), cb)
+    val q = Array(4.0, 0.0, 0.0, 0.0)
+    val got = Similarity.pqAdcTopK(codes, q, cb, 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(3L) == 0.0) // the query itself
+    assert(got(2L) == 9.0) // off by (0,3) in subspace 2
+    assert(got(1L) == 16.0) // off by (4,0) in subspace 1
+  }
+
+  test("pqAdcTopK on the corpus: codes-only search recalls true neighbors") {
+    val cb = Similarity.pqCodebook(emb, col("vec_id"), col("embedding"), 1L to 8L, 4)
+    val codes = Similarity.pqEncode(
+      emb.filter($"vec_id" =!= 0), col("vec_id"), col("embedding"), cb)
+    val qv = emb.filter($"vec_id" === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val adc = Similarity.pqAdcTopK(codes, qv, cb, 10)
+      .as[(Long, Double)].collect()
+    assert(adc.length == 10)
+    assert(adc.map(_._2).toSeq == adc.map(_._2).sorted.toSeq)
+    // seeded 8-code-per-subspace codebooks are coarse: require overlap
+    // with the exact-L2 top-10, not equality
+    val exact = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", Similarity.l2sq(col("embedding").cast("array<double>"),
+        typedLit(qv.toSeq)).as("d"))
+      .orderBy($"d", $"vec_id").limit(10).as[(Long, Double)].collect()
+    assert(adc.map(_._1).toSet.intersect(exact.map(_._1).toSet).nonEmpty)
+  }
+
+  test("randomProject: projection is the plane-wise dot (linear, right dims)") {
+    val planes: Array[Array[Double]] = Array(Array(1.0, 0.0), Array(1.0, 1.0))
+    val df = Seq((1L, Seq(2.0, 3.0)), (2L, Seq(-1.0, 4.0))).toDF("vec_id", "v")
+    val got = Similarity.randomProject(df, col("vec_id"), col("v"), planes)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(2.0, 5.0))
+    assert(got(2L) == Seq(-1.0, 3.0))
+    // linearity on the sum vector
+    val sum = Similarity.randomProject(
+        Seq((3L, Seq(1.0, 7.0))).toDF("vec_id", "v"), col("vec_id"), col("v"), planes)
+      .as[(Long, Seq[Double])].head()._2
+    assert(sum.zip(got(1L).zip(got(2L)).map(p => p._1 + p._2)).forall(p => p._1 == p._2))
+  }
+
   test("semanticDedup keep-the-earliest: originals of planted dups stay kept") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(
