@@ -36,7 +36,16 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    try:
+        failed = json.load(open(f"{out_dir}/failed.json"))
+    except FileNotFoundError:
+        failed = {}
+    for name, msg in sorted(failed.items()):
+        print(f"FAIL {name}: query threw during Verify: {msg.splitlines()[0][:200]}")
+        n_bad += 1
     for name, sql in sorted(oracle.items()):
+        if name in failed:
+            continue  # already reported red above
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")

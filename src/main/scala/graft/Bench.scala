@@ -123,7 +123,18 @@ object Bench {
     // the compile cost and any hot pass are visible in the artifact.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2).max(1)
     val suite = base ++ fastPath
+    // Load watermark: the record's pass totals have twice differed ~1.7×
+    // under ambient load on this shared box. A 1-minute loadavg snapshot
+    // at each pass boundary makes the artifact self-describing — a hot
+    // pass with a hot loadavg is environment; a hot pass on a quiet box
+    // is code.
+    def load1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1d }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val allPasses: Seq[(Seq[Double], Seq[Double])] = (1 to iters).map { _ =>
+      passLoads += load1m()
       val pairs = suite.map { case (name, run) =>
         def once(): Double = {
           // per-query isolation: drop frames persisted inside pipeline
@@ -146,6 +157,7 @@ object Bench {
       }
       (pairs.map(_._1), pairs.map(_._2))
     }
+    passLoads += load1m() // closing watermark after the final pass
     val passTimes = allPasses.map(_._2) // counted = the warm run of each pair
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = passTimes.map(_(i))
@@ -184,7 +196,8 @@ object Bench {
       val total = results.collect { case (_, v, true, _) => v }.sum
       val passes = passTotals.map(fmt(_, scale)).mkString("[", ",", "]")
       val colds = coldTotals.map(fmt(_, scale)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"pass_totals":$passes,"cold_totals":$colds,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
+      val loads = passLoads.map(fmt(_, 2)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","iters":$iters,"pass_totals":$passes,"cold_totals":$colds,"load_1m":$loads,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     }
     val fullNames = results.map(_._1)
     // qNN prefixes are unique; the xNN extras can collide (x36_fast vs

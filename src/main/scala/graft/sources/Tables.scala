@@ -18,13 +18,44 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
-    * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    * We read it as raw long nanos (legacy conf) and rebuild a microsecond
-    * timestamp with integer `div` — double division would lose precision
-    * above 2^53 ns. Truncation (not rounding) matches how other engines
-    * narrow ns→µs. */
+  /** The events table's `ts` encoding has drifted across corpus
+    * generations — parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright, [PARQUET_TYPE_ILLEGAL]) in older drops,
+    * plain `timestamp[us]` in newer ones — so the reader adapts to the
+    * encoding it actually finds instead of hard-wiring one:
+    *
+    *  - `LongType` (TIMESTAMP(NANOS) surfaced as raw nanos via the
+    *    legacy conf, or a plain int64-nanos column): rebuild a
+    *    microsecond timestamp with integer `div` — double division would
+    *    lose precision above 2^53 ns; truncation (not rounding) matches
+    *    how other engines narrow ns→µs.
+    *  - `TimestampType`: already what every consumer expects.
+    *  - `TimestampNTZType` (parquet timestamp[us] with
+    *    isAdjustedToUTC=false, Spark's default inference): cast to
+    *    session-local TimestampType. The engine pins the session TZ to
+    *    UTC (Bench/Verify/SparkSpec), so the cast is a pure re-tag of
+    *    identical micros — and downstream date arithmetic matches the
+    *    DuckDB oracle, which also reads the file as wall-clock UTC.
+    *  - anything else: fail loudly naming the type. A reader that
+    *    silently misreads a new encoding is strictly worse than one that
+    *    throws (a µs-as-ns misread once compressed 30 days of events
+    *    into 43 minutes and returned plausible-looking garbage).
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType     => df
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected raw int64 nanos, " +
+          "TIMESTAMP, or TIMESTAMP_NTZ; teach Tables.normalizeEventsTs the new encoding")
+    }
+  }
+
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    // harmless for non-NANOS files; required to read NANOS files at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
@@ -37,8 +68,7 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
   def events(s: SparkSession, dir: String): DataFrame =
-    eventsRaw(s, dir).withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(eventsRaw(s, dir))
   /** Repair pathological scan under-parallelism. A single-file, single-
     * row-group parquet table plans as ONE scan task no matter how many
     * cores the cluster has (extra byte-range splits of one row group read

@@ -9,33 +9,31 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * extension (SURVEY.md §2.12: the reference is batch-only; this mirrors
   * its time-slot aggregations as watermarked windowed streams).
   *
-  * The events parquet stores TIMESTAMP(NANOS), which Spark's reader
-  * rejects; the stream reads the raw long nanos with an explicit schema
-  * and rebuilds a microsecond timestamp — same convention as
-  * [[graft.sources.Tables.events]].
+  * The events parquet's `ts` encoding varies by corpus generation
+  * (TIMESTAMP(NANOS) vs timestamp[us]); streaming reads can't infer a
+  * schema, so a hard-wired one silently REINTERPRETS a drifted file —
+  * a forced LongType over a micros file once compressed 30 days of
+  * events into 43 minutes without a single error. Instead the stream
+  * probes the files' actual schema with a batch read at construction
+  * time (metadata-only — no data scan) and derives both its source
+  * schema and the ts rebuild from what is really on disk, delegating
+  * the normalization rules to [[graft.sources.Tables.normalizeEventsTs]]
+  * so batch and stream can never diverge.
   */
 object EventsStream {
-
-  /** Explicit source schema (streaming reads can't infer): ts as raw
-    * nanos long. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
 
   /** File-stream source over a directory; `glob` selects which parquet
     * files inside it belong to the stream (the source requires a
     * directory basePath, not a file). */
   def read(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
-    // same legacy-nanos handling as the batch reader (Tables.events)
+    // harmless for non-NANOS files; required to read NANOS files at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    // batch-side probe of the real on-disk schema (footer read only)
+    val resolved = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream.schema(resolved)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventsTs(raw)
   }
 
   /** Tumbling-window counts per event type with a watermark — the

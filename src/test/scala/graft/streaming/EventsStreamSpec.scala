@@ -53,11 +53,13 @@ class EventsStreamSpec extends SparkSpec {
     // one file per trigger forces the duplicate copy into a SECOND batch,
     // exercising the anti-join-against-target path, not just in-batch dedup
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(EventsStream.rawSchema)
-      .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val resolved = spark.read.option("pathGlobFilter", "*.parquet")
+      .parquet(src.toString).schema
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(resolved)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
     EventsStream.runToParquetDedup(stream, out)
     val written = spark.read.parquet(out)
     val batch = Tables.events(spark, sfDir)
