@@ -12,8 +12,10 @@ import graft.sources.Tables
   * document-quality prior (q124), product quantization + ADC search —
   * the compressed-vector tier of the ANN stack (q125/q126), JL random
   * projection (q127), crawl-release snapshot diff (q128), latest-crawl
-  * selection per canonical URL (q129), and the deterministic seeded
-  * training-order shuffle with exact global positions (q130).
+  * selection per canonical URL (q129), the deterministic seeded
+  * training-order shuffle with exact global positions (q130), and
+  * seed-personalized PageRank — proximity-to-vetted-seeds as the
+  * quality prior (q131).
   *
   * Graph/URL inputs are synthesized deterministically from `doc_id`
   * (hash-generated edges, planted URL variants) with the SAME arithmetic
@@ -87,6 +89,55 @@ object CorpusQueries {
        |$iterCtes
        |SELECT node AS doc_id,
        |  CAST(floor(rank * 1000000) AS BIGINT) AS pr_micro FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB replay of the q131 personalized PageRank: same hash-generated
+    * graph as q124, but teleportation lands on the seed distribution
+    * (doc_id%10==0, weight 2 for %20==0 else 1, normalized) and dangling
+    * mass re-teleports BY that distribution — the Haveliwala update
+    *   r'(v) = (1−d)·p(v) + d·(Σ contribs + dmass·p(v)).
+    * The teleport factor must be `(1 - CAST(0.85 AS DOUBLE))`, not
+    * `(1 - 0.85)`: DuckDB evaluates the latter in exact DECIMAL (0.15,
+    * one ulp BELOW Scala's binary64 1−0.85 = 0.15000000000000002), and
+    * that ulp crossed a floor-quantization boundary at sf0.01 (doc 55:
+    * 1614 vs 1615 micro). Forcing the subtraction into binary64 makes
+    * both engines compute the identical constant. */
+  private def pprSql(iters: Int): String = {
+    val h = TextFunctions.portableHashSql(
+      "(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank / g.outdeg) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY e.dst),
+         |m$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+         |  FROM r${i - 1} r LEFT JOIN deg g ON g.src = r.node
+         |  WHERE g.src IS NULL),
+         |r$i AS (SELECT pp.node,
+         |    (1 - CAST(0.85 AS DOUBLE)) * pp.p + 0.85 * (coalesce(c.contrib, 0.0) + m.dmass * pp.p) AS rank,
+         |    pp.p AS p
+         |  FROM p pp CROSS JOIN m$i m
+         |  LEFT JOIN c$i c ON c.node = pp.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+       |  CAST(count(*) AS BIGINT) AS Nb FROM docs),
+       |edges AS (SELECT d.doc_id AS src, $h % Nb AS dst
+       |  FROM docs d CROSS JOIN nd CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+       |  WHERE $h % Nb <> d.doc_id),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+       |  FROM edges GROUP BY src),
+       |wt AS (SELECT sum(CASE WHEN doc_id % 20 = 0 THEN 2.0 ELSE 1.0 END) AS total
+       |  FROM docs WHERE doc_id % 10 = 0),
+       |p AS (SELECT d.doc_id AS node,
+       |    (CASE WHEN d.doc_id % 10 = 0 THEN
+       |       (CASE WHEN d.doc_id % 20 = 0 THEN 2.0 ELSE 1.0 END)
+       |     ELSE 0.0 END) / wt.total AS p
+       |  FROM docs d CROSS JOIN wt),
+       |r0 AS (SELECT node, p AS rank, p FROM p),
+       |$iterCtes
+       |SELECT node AS doc_id,
+       |  CAST(floor(rank * 1000000) AS BIGINT) AS ppr_micro FROM r$iters""".stripMargin
   }
 
   private val CrawlHosts = Seq("crawl-a.example.com", "crawl-b.example.org",
@@ -268,5 +319,32 @@ object CorpusQueries {
             docs(s, dir).select(col("doc_id"), h.as("_h")),
             struct(col("_h"), col("doc_id")), lit(1L))
           .select(col("doc_id"), col("running").as("pos"))
+      }),
+
+    // Personalized PageRank over the SAME hash-generated graph as q124,
+    // teleporting to a weighted seed set (doc_id%10==0; weight 2 for
+    // %20==0 else 1) — proximity-to-seeds as a quality prior: pages no
+    // seed can reach through links rank exactly 0 instead of collecting
+    // uniform teleport mass. Same floor micro-quantization as q124.
+    Q("q131_personalized_pagerank",
+      Some(pprSql(3)),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+        val nb = d.agg(count(lit(1)).as("Nb"))
+        val edges = d.crossJoin(broadcast(nb))
+          .select(col("doc_id").as("src"),
+            explode(sequence(lit(1), lit(3))).as("j"), col("Nb"))
+          .withColumn("dst",
+            TextFunctions.portableHash(
+              concat(col("src").cast("string"), lit(":"), col("j"))) % col("Nb"))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst")
+        val seeds = d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0, 2.0).otherwise(1.0).as("w"))
+        Graph.personalizedPageRank(d, col("doc_id"), edges, col("src"), col("dst"),
+            seeds, col("doc_id"), col("w"), iterations = 3)
+          .select(col("node").as("doc_id"),
+            floor(col("rank") * 1000000).as("ppr_micro"))
       }))
 }

@@ -50,6 +50,59 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  private def pprRanks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                       seeds: Seq[(Long, Double)], iters: Int): Map[Long, Double] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("s", "t")
+    val p = seeds.toDF("id", "w")
+    Graph.personalizedPageRank(n, col("id"), e, col("s"), col("t"),
+        p, col("id"), col("w"), iters)
+      .as[(Long, Double)].collect().toMap
+  }
+
+  test("personalized: rank mass sums to 1 with seeded teleport and dangling nodes") {
+    val edges = Seq(1L -> 4L, 2L -> 4L, 3L -> 4L)
+    for (k <- 1 to 3) {
+      val r = pprRanks(Seq(1L, 2L, 3L, 4L), edges, Seq(1L -> 1.0, 2L -> 3.0), k)
+      assert(math.abs(r.values.sum - 1.0) < 1e-9, s"iter $k: ${r.values.sum}")
+      assert(r(2L) > r(1L), "heavier seed must outrank the lighter one")
+    }
+  }
+
+  test("personalized: uniform preferences reproduce plain PageRank") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 3L)
+    val plain = ranks(nodes, edges, 3)
+    val ppr = pprRanks(nodes, edges, nodes.map(_ -> 1.0), 3)
+    // same update rule up to fp association ((1−d)/N vs (1−d)·(1/N))
+    nodes.foreach(k => assert(math.abs(plain(k) - ppr(k)) < 1e-12, s"node $k"))
+  }
+
+  test("personalized: a page unreachable from the seeds ranks exactly 0") {
+    // 3 -> 1 links OUT of the spam node; nothing links in, and it is not
+    // a seed — plain PageRank still gives it teleport mass, PPR gives 0
+    val r = pprRanks(Seq(1L, 2L, 3L), Seq(1L -> 2L, 2L -> 1L, 3L -> 1L),
+      Seq(1L -> 1.0), 3)
+    assert(r(3L) == 0.0)
+    assert(ranks(Seq(1L, 2L, 3L), Seq(1L -> 2L, 2L -> 1L, 3L -> 1L), 3)(3L) > 0)
+  }
+
+  test("personalized: hand-computed one-iteration values on a weighted 2-cycle") {
+    // p = (2/3, 1/3); iter 1: contrib(2) = r0(1) = 2/3, contrib(1) = 1/3
+    val r = pprRanks(Seq(1L, 2L), Seq(1L -> 2L, 2L -> 1L), Seq(1L -> 2.0, 2L -> 1.0), 1)
+    assert(math.abs(r(1L) - ((1 - d) * (2.0 / 3) + d * (1.0 / 3))) < 1e-12)
+    assert(math.abs(r(2L) - ((1 - d) * (1.0 / 3) + d * (2.0 / 3))) < 1e-12)
+  }
+
+  test("personalized: degenerate preference vectors fail loudly") {
+    intercept[IllegalArgumentException] {
+      pprRanks(Seq(1L, 2L), Seq(1L -> 2L), Seq.empty, 1)
+    }
+    intercept[IllegalArgumentException] {
+      pprRanks(Seq(1L, 2L), Seq(1L -> 2L), Seq(1L -> -1.0), 1)
+    }
+  }
+
   test("deterministic across partitioning") {
     val nodes = (0L until 200L)
     val edges = nodes.flatMap(i => Seq(i -> (i * 7 + 3) % 200, i -> (i * 13 + 5) % 200))
