@@ -150,4 +150,134 @@ object Graph {
     }
     ranks.select("node", "rank")
   }
+
+  /** HITS hubs-and-authorities (Kleinberg): alternating updates
+    *
+    *   auth'(v) = Σ_{u→v} hub(u)      hub'(u) = Σ_{u→v} auth'(v)
+    *
+    * each normalized after its update. The normalizer here is the MAX
+    * score, not the L1/L2 sum: any positive scalar yields the same
+    * ranking (the fixed point is defined up to scale), and `max` is
+    * order-independent — a floating SUM over a shuffled frame changes
+    * with partitioning and would make the result irreproducible across
+    * runs and engines, the same reason [[graft.similarity.Similarity.dot]]
+    * fixes its fold order. Corpus use: hubs ≈ link/directory pages,
+    * authorities ≈ canonical content pages — the complementary signal to
+    * PageRank's single centrality (a page can be a strong hub and a weak
+    * authority), used to separate navigation boilerplate from content
+    * when weighting a crawl.
+    *
+    * Scale shape per iteration: the edge list (8-byte src,dst — persisted
+    * once, pre-partitioned on src) joins the auth frame on dst then
+    * aggregates on src (hub update), and the hub frame on src then
+    * aggregates on dst (auth update) — two bounded shuffles of
+    * (id, double) pairs; the two 1-row max normalizers broadcast back in
+    * (never a driver collect); `localCheckpoint` truncates lineage per
+    * round. Nodes without the relevant edges coalesce to score 0.
+    */
+  /** Semi-supervised label propagation: seed nodes carry labels, every
+    * round each node adopts the MODE label among its (undirected)
+    * neighbors' current labels, seeds stay clamped to their seed label,
+    * and an unlabeled node with no labeled neighbor stays unlabeled.
+    * Ties break to the SMALLEST label — the determinism rule that makes
+    * the result a pure function of the graph (and hash-checkable by an
+    * oracle): mode counting is integer arithmetic end to end, so unlike
+    * the rank operators there is no floating-point anywhere. Corpus use:
+    * propagate a small vetted topic/community labeling (curated seed
+    * domains) across the crawl link graph to give every page a topic
+    * prior without a classifier.
+    *
+    * Fixed iteration count, like [[pageRank]]: labels spread one hop per
+    * round, so k rounds label everything within distance k of a seed —
+    * a radius knob, not a convergence guess.
+    *
+    * Scale shape per round: the undirected edge list (built once as
+    * src∪reversed, persisted, pre-partitioned on src) joins the current
+    * (node, label) frame on src, then one `groupBy(dst, label)` count and
+    * one per-dst argmax window over the COUNTS frame (|labeled-neighbor
+    * pairs| rows, not corpus rows); `localCheckpoint` truncates lineage
+    * each round. No driver reads at all.
+    */
+  def labelPropagation(nodes: DataFrame, nodeCol: Column, seedLabelCol: Column,
+                       edges: DataFrame, srcCol: Column, dstCol: Column,
+                       iterations: Int,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val seeds = scope.persist(
+      nodes.select(nodeCol.as("node"), seedLabelCol.cast("long").as("seed_label")))
+    val dir = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val und = scope.persist(
+      dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
+
+    var labels = seeds.select(col("node"), col("seed_label").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val neighborCounts = und
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val byCount = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label").asc)
+      val mode = neighborCounts
+        .withColumn("_rk", row_number().over(byCount))
+        .filter(col("_rk") === 1)
+        .select(col("dst").as("node"), col("label").as("mode_label"))
+      labels = seeds
+        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
+        .join(mode, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("mode_label"), col("prev")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  def hits(nodes: DataFrame, nodeCol: Column,
+           edges: DataFrame, srcCol: Column, dstCol: Column,
+           iterations: Int,
+           scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val nodeDf = scope.persist(nodes.select(nodeCol.as("node")))
+    val e = scope.persist(
+      edges.select(srcCol.as("src"), dstCol.as("dst")).repartition(col("src")))
+
+    var scores = nodeDf
+      .select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // auth update from current hubs, then max-normalize
+      val authRaw = e
+        .join(scores.select(col("node").as("src"), col("hub")), "src")
+        .groupBy("dst").agg(sum("hub").as("auth_raw"))
+      val aMax = authRaw.agg(
+        coalesce(max("auth_raw"), lit(1.0)).as("a_max"))
+      // localCheckpoint: auth feeds BOTH the hub update and the emitted
+      // frame — without materialization the authRaw aggregation would
+      // run twice per iteration (and lineage would double per round).
+      val auth = nodeDf
+        .join(authRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"),
+          (coalesce(col("auth_raw"), lit(0.0)) / col("a_max")).as("auth"))
+        .localCheckpoint()
+      // hub update from the NEW auths (the standard sequencing), then
+      // max-normalize
+      val hubRaw = e
+        .join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy("src").agg(sum("auth").as("hub_raw"))
+      val hMax = hubRaw.agg(
+        coalesce(max("hub_raw"), lit(1.0)).as("h_max"))
+      scores = nodeDf
+        .join(hubRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(hMax))
+        .join(auth, Seq("node"))
+        .select(col("node"),
+          (coalesce(col("hub_raw"), lit(0.0)) / col("h_max")).as("hub"),
+          col("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
 }

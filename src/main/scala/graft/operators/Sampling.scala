@@ -206,4 +206,67 @@ object Sampling {
         Window.partitionBy(col("source")).orderBy(col("_h"), col("sid"))))
       .withColumn("vt", col("k").cast("double") / wCol)
   }
+
+  /** Temperature-scaled mixture allocation (the multilingual α-sampling
+    * rebalance of XLM-R/mC4): a class's share of the training budget is
+    * proportional to `(n_class/N)^α` instead of its natural share, so
+    * α < 1 up-weights low-resource classes and α = 1 keeps the natural
+    * mix. Returns one row per class: `(class, n_docs, z6, alloc)`.
+    *
+    * Engine-portable by EXACT arithmetic — the same discipline as
+    * `portableHash`: the tempered score is integerized as
+    * `z6 = floor((n/N)^α · 10⁶)` and the allocation as
+    * `alloc = budget·z6 div Σz6` (integer multiply/divide). For the
+    * default α = 0.5 the float steps are `/`, `sqrt`, `·10⁶` — all
+    * correctly rounded by IEEE 754, so every engine computes the
+    * identical z6 and the allocation is bit-determined end to end; no
+    * summation-order or libm-ulp hazard anywhere (`pow` for other α is
+    * correctly rounded on common platforms but not IEEE-guaranteed,
+    * which is why the oracle binding pins α = 0.5). Σ alloc ≤ budget
+    * with shortfall < |classes| (floor residue; the standard
+    * largest-remainder patch is caller policy, not taken here so the
+    * allocation stays a pure per-class function of (n, N, budget)).
+    *
+    * Scale shape: one map-side-combinable count shuffle to |classes|
+    * rows; the total and Σz6 are 1-row aggregates broadcast back — the
+    * whole computation after the count is on a |classes|-row frame.
+    */
+  def temperatureAllocation(df: DataFrame, classCol: Column,
+                            budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(classCol.as("class")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    val share = col("n_docs").cast("double") / col("n_total").cast("double")
+    val tempered = if (alpha == 0.5) sqrt(share) else pow(share, lit(alpha))
+    val z = counts.crossJoin(broadcast(total))
+      .withColumn("z6", floor(tempered * lit(1000000.0)).cast("long"))
+    val zSum = z.agg(sum("z6").as("z_sum"))
+    z.crossJoin(broadcast(zSum))
+      .select(col("class"), col("n_docs"),
+        col("z6"),
+        expr(s"$budget * z6 div z_sum").as("alloc"))
+  }
+
+  /** Draw the temperature-allocated sample: each class contributes its
+    * [[temperatureAllocation]] `alloc` rows, chosen deterministically by
+    * portable-hash rank within the class (same keyed-draw discipline as
+    * [[stratifiedExact]] — reproducible across runs, engines, and
+    * partitionings). One narrow per-class window (rank over
+    * (class, id, hash)) plus a broadcast join of the |classes|-row
+    * allocation table; document bodies never enter the shuffle (callers
+    * semi-join the returned ids when they need full rows).
+    */
+  def temperatureDraw(df: DataFrame, classCol: Column, idCol: Column,
+                      budget: Long, alpha: Double = 0.5): DataFrame = {
+    val alloc = temperatureAllocation(df, classCol, budget, alpha)
+      .select(col("class"), col("alloc"))
+    df.select(classCol.as("class"), idCol.as("sid"),
+        portableHash(idCol.cast("string")).as("_h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("class")).orderBy(col("_h"), col("sid"))))
+      .join(broadcast(alloc), Seq("class"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("class"), col("sid"), col("rk"))
+  }
 }

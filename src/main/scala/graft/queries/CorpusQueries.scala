@@ -13,9 +13,10 @@ import graft.sources.Tables
   * the compressed-vector tier of the ANN stack (q125/q126), JL random
   * projection (q127), crawl-release snapshot diff (q128), latest-crawl
   * selection per canonical URL (q129), the deterministic seeded
-  * training-order shuffle with exact global positions (q130), and
+  * training-order shuffle with exact global positions (q130),
   * seed-personalized PageRank — proximity-to-vetted-seeds as the
-  * quality prior (q131).
+  * quality prior (q131), and HITS hubs/authorities — the
+  * directory-vs-content page separation (q133).
   *
   * Graph/URL inputs are synthesized deterministically from `doc_id`
   * (hash-generated edges, planted URL variants) with the SAME arithmetic
@@ -138,6 +139,86 @@ object CorpusQueries {
        |$iterCtes
        |SELECT node AS doc_id,
        |  CAST(floor(rank * 1000000) AS BIGINT) AS ppr_micro FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB replay of the q133 HITS iterations over the q124 graph:
+    * auth from current hubs, max-normalize, hub from the NEW auths,
+    * max-normalize — `max` (not an L1/L2 sum) is the normalizer
+    * precisely because it is summation-order-independent, so the only
+    * cross-engine float hazard left is the per-node contribution sums.
+    * Unlike q124's teleport-smeared ranks, HITS scores are SMALL
+    * RATIONALS (count/max ratios like 42/125) that land exactly on the
+    * micro-quantization grid, where a summation-order ulp flips the
+    * floor digit (observed at sf0.01: 335999 vs 336000). The quantizer
+    * is therefore `floor(x·10⁶ + 10⁻³)`: the nudge is ~10⁷× the ulp
+    * noise and 10⁻³ of the grid step, so both engines land on the same
+    * side of every boundary, and a value within 10⁻³ micro BELOW a grid
+    * point quantizes up — a documented definition choice, applied
+    * identically on both sides. */
+  private def hitsSql(iters: Int): String = {
+    val h = TextFunctions.portableHashSql(
+      "(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    val iterCtes = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, sum(r.hub) AS auth_raw
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst),
+         |am$i AS (SELECT coalesce(max(auth_raw), 1.0) AS a_max FROM ar$i),
+         |a$i AS (SELECT d.doc_id AS node,
+         |    coalesce(ar.auth_raw, 0.0) / am.a_max AS auth
+         |  FROM docs d CROSS JOIN am$i am
+         |  LEFT JOIN ar$i ar ON ar.node = d.doc_id),
+         |hr$i AS (SELECT e.src AS node, sum(a.auth) AS hub_raw
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |hm$i AS (SELECT coalesce(max(hub_raw), 1.0) AS h_max FROM hr$i),
+         |r$i AS (SELECT d.doc_id AS node,
+         |    coalesce(hr.hub_raw, 0.0) / hm.h_max AS hub, a.auth AS auth
+         |  FROM docs d CROSS JOIN hm$i hm
+         |  LEFT JOIN hr$i hr ON hr.node = d.doc_id
+         |  JOIN a$i a ON a.node = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS Nb FROM docs),
+       |edges AS (SELECT d.doc_id AS src, $h % Nb AS dst
+       |  FROM docs d CROSS JOIN nd CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+       |  WHERE $h % Nb <> d.doc_id),
+       |r0 AS (SELECT doc_id AS node, 1.0 AS hub, 1.0 AS auth FROM docs),
+       |$iterCtes
+       |SELECT node AS doc_id,
+       |  CAST(floor(hub * 1000000 + 0.001) AS BIGINT) AS hub_micro,
+       |  CAST(floor(auth * 1000000 + 0.001) AS BIGINT) AS auth_micro FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB replay of the q134 label propagation: seeds every 25th doc
+    * with one of 5 community labels, then `iters` rounds of
+    * mode-of-labeled-neighbors over the UNDIRECTED q124 graph with the
+    * operator's exact rules (seeds clamped, min-label tie-break,
+    * no-labeled-neighbor keeps previous). Counting is integer end to
+    * end — no float anywhere, so parity is exact by construction. */
+  private def labelPropSql(iters: Int): String = {
+    val h = TextFunctions.portableHashSql(
+      "(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    val iterCtes = (1 to iters).map { i =>
+      s"""nc$i AS (SELECT u.dst, l.label, count(*) AS cnt
+         |  FROM und u JOIN l${i - 1} l ON l.node = u.src
+         |  WHERE l.label IS NOT NULL GROUP BY u.dst, l.label),
+         |md$i AS (SELECT dst AS node, label AS mode_label FROM nc$i
+         |  QUALIFY row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1),
+         |l$i AS (SELECT sd.node, coalesce(sd.seed, m.mode_label, p.label) AS label
+         |  FROM sd LEFT JOIN md$i m ON m.node = sd.node
+         |  LEFT JOIN l${i - 1} p ON p.node = sd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS Nb FROM docs),
+       |edges AS (SELECT d.doc_id AS src, $h % Nb AS dst
+       |  FROM docs d CROSS JOIN nd CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+       |  WHERE $h % Nb <> d.doc_id),
+       |und AS (SELECT src, dst FROM edges
+       |  UNION ALL SELECT dst AS src, src AS dst FROM edges),
+       |sd AS (SELECT doc_id AS node,
+       |    CASE WHEN doc_id % 25 = 0 THEN (doc_id // 25) % 5 END AS seed
+       |  FROM docs),
+       |l0 AS (SELECT node, seed AS label FROM sd),
+       |$iterCtes
+       |SELECT node AS doc_id, CAST(label AS BIGINT) AS community FROM l$iters""".stripMargin
   }
 
   private val CrawlHosts = Seq("crawl-a.example.com", "crawl-b.example.org",
@@ -346,5 +427,56 @@ object CorpusQueries {
             seeds, col("doc_id"), col("w"), iterations = 3)
           .select(col("node").as("doc_id"),
             floor(col("rank") * 1000000).as("ppr_micro"))
+      }),
+
+    // HITS hubs-and-authorities over the q124 graph: the complementary
+    // link signal to PageRank's single centrality — hubs ≈ link/directory
+    // pages, authorities ≈ canonical content pages. Max-normalized
+    // (order-independent, unlike a floating L1 sum) and floor
+    // micro-quantized like q124/q131.
+    Q("q133_hits",
+      Some(hitsSql(2)),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+        val nb = d.agg(count(lit(1)).as("Nb"))
+        val edges = d.crossJoin(broadcast(nb))
+          .select(col("doc_id").as("src"),
+            explode(sequence(lit(1), lit(3))).as("j"), col("Nb"))
+          .withColumn("dst",
+            TextFunctions.portableHash(
+              concat(col("src").cast("string"), lit(":"), col("j"))) % col("Nb"))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst")
+        Graph.hits(d, col("doc_id"), edges, col("src"), col("dst"),
+            iterations = 2)
+          .select(col("node").as("doc_id"),
+            floor(col("hub") * 1000000 + lit(0.001)).as("hub_micro"),
+            floor(col("auth") * 1000000 + lit(0.001)).as("auth_micro"))
+      }),
+
+    // Semi-supervised label propagation over the undirected q124 graph:
+    // 20 seed docs carry one of 5 community labels; 3 rounds of
+    // mode-of-labeled-neighbors (seeds clamped, min-label ties) give
+    // every page within 3 hops a topic prior without a classifier.
+    // Integer counting end to end — exact cross-engine parity.
+    Q("q134_label_propagation",
+      Some(labelPropSql(3)),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+        val nb = d.agg(count(lit(1)).as("Nb"))
+        val edges = d.crossJoin(broadcast(nb))
+          .select(col("doc_id").as("src"),
+            explode(sequence(lit(1), lit(3))).as("j"), col("Nb"))
+          .withColumn("dst",
+            TextFunctions.portableHash(
+              concat(col("src").cast("string"), lit(":"), col("j"))) % col("Nb"))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst")
+        val seeded = d.withColumn("seed",
+          when(col("doc_id") % 25 === 0, expr("(doc_id div 25) % 5"))
+            .otherwise(lit(null).cast("long")))
+        Graph.labelPropagation(seeded, col("doc_id"), col("seed"),
+            edges, col("src"), col("dst"), iterations = 3)
+          .select(col("node").as("doc_id"), col("label").as("community"))
       }))
 }

@@ -434,6 +434,68 @@ object PipelineQueries {
             .otherwise(expr("doc_id div 2")).as("parent"))
         graft.operators.Relational.hierarchyDepth(
           tree, col("doc_id"), col("parent"))
+      }),
+
+    // Temperature-scaled mixture draw (XLM-R/mC4 α-sampling, α = 0.5):
+    // each lang's budget share ∝ sqrt(natural share), up-weighting
+    // low-resource langs; rows chosen per lang by portable-hash rank.
+    // Allocation is exact-integer end to end (floor-scaled tempered
+    // score, integer multiply/divide) and α = 0.5 keeps every float step
+    // IEEE-correctly-rounded (/, sqrt, ·10⁶) — bit-identical across
+    // engines with no summation-order hazard (see temperatureAllocation).
+    Q("q132_temperature_mix",
+      Some(s"""WITH c AS (SELECT lang AS class, count(*) AS n_docs
+              |  FROM documents GROUP BY lang),
+              |t AS (SELECT sum(n_docs) AS n_total FROM c),
+              |z AS (SELECT class, CAST(floor(sqrt(n_docs / n_total) * 1000000.0) AS BIGINT) AS z6
+              |  FROM c CROSS JOIN t),
+              |zs AS (SELECT sum(z6) AS z_sum FROM z),
+              |a AS (SELECT class, 200 * z6 // z_sum AS alloc FROM z CROSS JOIN zs),
+              |k AS (SELECT lang AS class, doc_id AS sid,
+              |    CAST(row_number() OVER (PARTITION BY lang
+              |      ORDER BY ${portableHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
+              |  FROM documents)
+              |SELECT class, sid, rk FROM k JOIN a USING (class)
+              |WHERE rk <= alloc""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sampling.temperatureDraw(
+          docs(s, dir), col("lang"), col("doc_id"), budget = 200)),
+
+    // Difficulty curriculum: bucket documents by corpus-LM surprisal
+    // (the q86 half-nat buckets — a proxy for example difficulty), then
+    // temperature-allocate the training budget across buckets and draw
+    // per bucket by hash rank — difficulty-aware sampling that keeps
+    // hard-and-rare buckets represented instead of letting the easy
+    // mode of the corpus swamp the draw. Pure composition of two
+    // already-oracled operators (unigramSurprisal ∘ temperatureDraw).
+    Q("q135_difficulty_curriculum",
+      Some(s"""WITH p AS (SELECT doc_id AS doc, unnest($toksSql) AS token FROM documents),
+              |dc AS (SELECT doc, token, count(*) AS c FROM p GROUP BY 1, 2),
+              |m AS (SELECT token, CAST(sum(c) AS DOUBLE) AS cc FROM dc GROUP BY token),
+              |t AS (SELECT CAST(sum(cc) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM m),
+              |sc AS (SELECT doc, -sum(c * ln((cc + 1) / (N + V))) / sum(c) AS sp
+              |  FROM dc JOIN m USING (token) CROSS JOIN t GROUP BY doc),
+              |b AS (SELECT doc, CAST(floor(sp * 2) AS BIGINT) AS bucket FROM sc),
+              |c2 AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket),
+              |tt AS (SELECT sum(n_docs) AS n_total FROM c2),
+              |z AS (SELECT bucket, CAST(floor(sqrt(n_docs / n_total) * 1000000.0) AS BIGINT) AS z6
+              |  FROM c2 CROSS JOIN tt),
+              |zs AS (SELECT sum(z6) AS z_sum FROM z),
+              |a AS (SELECT bucket, 150 * z6 // z_sum AS alloc FROM z CROSS JOIN zs),
+              |k AS (SELECT bucket, doc AS sid,
+              |    CAST(row_number() OVER (PARTITION BY bucket
+              |      ORDER BY ${portableHashSql("CAST(doc AS VARCHAR)")}, doc) AS INT) AS rk
+              |  FROM b)
+              |SELECT bucket, sid, rk FROM k JOIN a USING (bucket)
+              |WHERE rk <= alloc""".stripMargin),
+      (s, dir) => {
+        val sp = LanguageModel.unigramSurprisal(
+          docs(s, dir), col("doc_id"), tokens(col("text")))
+        val bucketed = sp.select(col("doc"),
+          floor(col("surprisal") * 2).cast("long").as("bucket"))
+        graft.operators.Sampling.temperatureDraw(
+            bucketed, col("bucket"), col("doc"), budget = 150)
+          .select(col("class").as("bucket"), col("sid"), col("rk"))
       })
   )
 }

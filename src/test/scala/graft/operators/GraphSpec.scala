@@ -103,6 +103,82 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  private def hitsScores(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                         iters: Int): Map[Long, (Double, Double)] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("s", "t")
+    Graph.hits(n, col("id"), e, col("s"), col("t"), iters)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+  }
+
+  test("hits: hand-computed one-iteration values on a co-citation pair") {
+    // 1 -> 3, 2 -> 3: both sources are perfect hubs, 3 the sole authority
+    val r = hitsScores(Seq(1L, 2L, 3L), Seq(1L -> 3L, 2L -> 3L), 1)
+    assert(r(3L) == (0.0, 1.0), s"node 3 must be pure authority: $r")
+    assert(r(1L) == (1.0, 0.0) && r(2L) == (1.0, 0.0),
+      s"symmetric sources must be max-normalized hubs: $r")
+  }
+
+  test("hits: hub and authority separate on a directory-page topology") {
+    // 1 is a directory (links to 2,3,4 which have content in-links from
+    // elsewhere); 5,6 also point at 2 — node 2 is the top authority,
+    // node 1 the top hub, and 1 earns ~no authority (only 4->1 back-link)
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 5L -> 2L, 6L -> 2L, 4L -> 1L)
+    val r = hitsScores(Seq(1L, 2L, 3L, 4L, 5L, 6L), edges, 3)
+    assert(r(1L)._1 == 1.0, "directory page must be the max-normalized top hub")
+    assert(r(2L)._2 == 1.0, "most-cited page must be the top authority")
+    assert(r(2L)._1 == 0.0, "sink content page has no out-links, hence hub 0")
+    assert(r(1L)._2 < 0.5, s"directory page should be a weak authority: ${r(1L)}")
+  }
+
+  test("hits: scores are in [0,1] and deterministic across partitioning") {
+    val nodes = (0L until 200L)
+    val edges = nodes.flatMap(i => Seq(i -> (i * 7 + 3) % 200, i -> (i * 13 + 5) % 200))
+    val a = hitsScores(nodes, edges, 2)
+    assert(a.values.forall { case (h, au) => h >= 0 && h <= 1 && au >= 0 && au <= 1 })
+    assert(a.values.exists(_._1 == 1.0) && a.values.exists(_._2 == 1.0),
+      "max normalization must pin the top of each score to exactly 1")
+    val n2 = nodes.toDF("id").repartition(7)
+    val e2 = edges.toDF("s", "t").repartition(5)
+    val b = Graph.hits(n2, col("id"), e2, col("s"), col("t"), 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, au) => id -> (h, au) }.toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (h, au)) =>
+      assert(math.abs(h - b(k)._1) < 1e-12 && math.abs(au - b(k)._2) < 1e-12, s"node $k")
+    }
+  }
+
+  test("labelPropagation: chain spreads labels one hop per round, min-label ties, seeds clamped") {
+    // undirected chain 1-2-3-4-5 with seeds 1→10, 5→20; node 6 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+      .withColumn("seed",
+        when(col("id") === 1, 10L).when(col("id") === 5, 20L)
+          .otherwise(lit(null).cast("long")))
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("s", "t")
+    def run(iters: Int): Map[Long, Option[Long]] =
+      Graph.labelPropagation(nodes, col("id"), col("seed"),
+          edges, col("s"), col("t"), iters)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val r1 = run(1)
+    assert(r1(2L) == Some(10L) && r1(4L) == Some(20L),
+      s"round 1 labels the seeds' neighbors: $r1")
+    assert(r1(3L).isEmpty, "mid-chain node has no labeled neighbor in round 1")
+    assert(r1(6L).isEmpty, "isolated unseeded node stays unlabeled")
+    val r2 = run(2)
+    assert(r2(3L) == Some(10L),
+      s"equal-count tie must break to the SMALLEST label: $r2")
+    assert(r2(1L) == Some(10L) && r2(5L) == Some(20L), "seeds stay clamped")
+    // synchronous updates need not converge: in round 3 node 4 ties
+    // between 3's label 10 and seed 5's 20, and min-label wins — the
+    // smaller community advances one more hop (standard sync-LP
+    // behavior; the iteration count is the caller's radius/stop knob)
+    val r3 = run(3)
+    assert(r3(4L) == Some(10L) && r3(5L) == Some(20L), s"round 3: $r3")
+  }
+
   test("deterministic across partitioning") {
     val nodes = (0L until 200L)
     val edges = nodes.flatMap(i => Seq(i -> (i * 7 + 3) % 200, i -> (i * 13 + 5) % 200))

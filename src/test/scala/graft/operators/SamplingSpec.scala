@@ -181,4 +181,45 @@ class SamplingSpec extends SparkSpec {
     val heavy = got.count(_ > 200L)
     assert(heavy > 60, s"25x weights should dominate the sample: $heavy/80 heavy")
   }
+
+  test("temperatureAllocation: alpha=0.5 flattens toward uniform, alpha=1 keeps natural shares") {
+    // 800/100 split: natural shares 8/9 vs 1/9; sqrt-tempered shares
+    // ~0.739 vs 0.261 — the low-resource class gains, the big one loses
+    val df = ((1L to 800L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("id", "cls")
+    val a5 = Sampling.temperatureAllocation(df, col("cls"), budget = 900L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val a1 = Sampling.temperatureAllocation(df, col("cls"), budget = 900L, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // z6 = (888888, 111111), z_sum = 999999; 900·z6 divides exactly
+    assert(a1("big") == 800L && a1("small") == 100L,
+      s"alpha=1 must track natural shares: $a1")
+    assert(a5("small") > 200L && a5("small") < 260L,
+      s"alpha=0.5 must lift the small class toward sqrt-share ~0.25: $a5")
+    assert(a5("big") + a5("small") <= 900L, "allocation must never exceed the budget")
+    assert(900L - (a5("big") + a5("small")) < 2, "floor shortfall is < |classes|")
+  }
+
+  test("temperatureDraw returns exactly the allocated rows per class, deterministically") {
+    val alloc = Sampling.temperatureAllocation(docs, col("lang"), budget = 200L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val drawn = Sampling.temperatureDraw(docs, col("lang"), col("doc_id"), budget = 200L)
+    val perClass = drawn.groupBy("class").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perClass == alloc.filter(_._2 > 0), s"draw counts $perClass != alloc $alloc")
+    val again = Sampling.temperatureDraw(docs.repartition(7), col("lang"),
+      col("doc_id"), budget = 200L)
+    assert(drawn.collect().toSet == again.collect().toSet,
+      "draw must be partitioning-invariant")
+  }
+
+  test("temperatureAllocation rejects degenerate parameters loudly") {
+    val df = Seq((1L, "a")).toDF("id", "cls")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureAllocation(df, col("cls"), budget = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureAllocation(df, col("cls"), budget = 10L, alpha = 0.0)
+    }
+  }
 }
