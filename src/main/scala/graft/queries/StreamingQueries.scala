@@ -46,6 +46,36 @@ object StreamingQueries {
         val joined = EventsStream.clickPurchaseJoin(EventsStream.read(s, dir))
         EventsStream.runToMemory(joined,
           s"q58_join_${runId.incrementAndGet()}", OutputMode.Append())
-      })
+      }),
+
+    // Native session_window aggregation (batch surface of the
+    // gaps-and-islands family the custom sessionize covers in
+    // streaming): per-user sessions with a 1-hour gap, window end =
+    // last event + gap. Session boundaries are half-open [start, end):
+    // an event exactly gap after its predecessor starts a NEW session,
+    // so the oracle's gap rule is `>=` at MICROSECOND precision —
+    // q25's second-floored `>` rule would disagree on exact-gap and
+    // sub-second boundaries.
+    Q("q136_session_window",
+      Some("""WITH g AS (SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL '1 hour' AS session_end,
+             |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+             |FROM s GROUP BY user_id, session_id""".stripMargin),
+      (s, dir) =>
+        graft.sources.Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"), col("sum_value")))
   )
 }

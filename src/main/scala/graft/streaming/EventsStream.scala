@@ -75,14 +75,23 @@ object EventsStream {
       }
   }
 
-  /** Stream-stream inner join: clicks joined to the same user's purchases
+  /** Stream-stream join: clicks joined to the same user's purchases
     * within ±`range` of the click, both sides watermarked so the join
     * STATE evicts — Spark buffers each side only until the other side's
     * watermark clears the time-range bound, which is what keeps a
     * perpetual two-stream join runnable at all. Self-join of one source
-    * stream through two filtered branches. */
+    * stream through two filtered branches.
+    *
+    * `joinType` "inner" (default) or "leftOuter": the outer form emits
+    * an unmatched click with null purchase columns once the watermark
+    * proves no in-range purchase can still arrive — the
+    * conversion-funnel shape (every click accounted for, matched or
+    * not) that an inner join silently drops. Outer emission REQUIRES
+    * the watermark: the null row exists only because eviction certifies
+    * the non-match, so an unbounded-lateness caller can't have it. */
   def clickPurchaseJoin(events: DataFrame, range: String = "1 hour",
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours",
+                        joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("value").as("click_value"))
@@ -94,7 +103,8 @@ object EventsStream {
     clicks.join(purchases,
       col("user_id") === col("p_user")
         && col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $range")
-        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $range"))
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $range"),
+      joinType)
       .select("user_id", "click_ts", "purchase_ts",
         "click_value", "purchase_value")
   }

@@ -180,6 +180,84 @@ class EventsStreamSpec extends SparkSpec {
       s"expected sessions 1 (2 events) then 2 (1 event) for user 1, got $u1")
   }
 
+  // NOTE for both tests below: the stream/batch frames are compared as
+  // COLLECTED sets, never joined to each other — fusing a batch
+  // session_window (or the batch interval join) into one plan with the
+  // memory-sink frame re-plans the sessionization aggregation and can
+  // surface unmerged partials (observed: a batch∖stream anti-join
+  // "found" 90 phantom rows while both standalone sides were stable and
+  // equal). Standalone evaluation — the shape Verify/the oracle use —
+  // is deterministic; the q136 oracle pins it against DuckDB.
+
+  test("left-outer interval join emits inner matches plus certified non-matches") {
+    val joined = EventsStream.runToMemory(
+      EventsStream.clickPurchaseJoin(EventsStream.read(spark, streamDir),
+        watermark = "0 seconds", joinType = "leftOuter"),
+      "louter_join_test", OutputMode.Append())
+      .select($"user_id", unix_timestamp($"click_ts").as("ct"),
+        unix_timestamp($"purchase_ts").as("pt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_timestamp($"ts").as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_timestamp($"ts").as("pt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inner = for {
+      (u, ct) <- clicks
+      (pu, pt) <- purchases if pu == u && pt >= ct - 3600 && pt <= ct + 3600
+    } yield (u, ct, Some(pt))
+    // every inner match emitted, exactly once, and nothing else non-null
+    assert(joined.filter(_._3.isDefined) == inner)
+    // every emitted null row is a click with truly no in-range purchase
+    val matchedClicks = inner.map(t => (t._1, t._2))
+    val nullRows = joined.filter(_._3.isEmpty).map(t => (t._1, t._2))
+    assert(nullRows.intersect(matchedClicks).isEmpty,
+      "a matched click was emitted as unmatched")
+    assert(nullRows.nonEmpty,
+      "the corpus has unmatched clicks; the outer join must surface some")
+    // completeness with a conservative margin: state eviction and the
+    // outer-row flush happen a batch apart, so only clicks several
+    // range-widths behind the final watermark are guaranteed out
+    val maxTs = ev.agg(max(unix_timestamp($"ts"))).head.getLong(0)
+    val mustEmit = (clicks -- matchedClicks).filter(_._2 + 5 * 3600 < maxTs)
+    val missing = mustEmit -- nullRows
+    assert(missing.isEmpty, s"${missing.size} certified-unmatched clicks never emitted")
+  }
+
+  test("streaming session_window equals the batch session_window aggregation") {
+    val streamed = EventsStream.runToMemory(
+      EventsStream.read(spark, streamDir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy($"user_id", session_window($"ts", "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n")),
+      "swin_test", OutputMode.Append())
+      .select($"user_id", unix_timestamp($"sw.start").as("ss"),
+        unix_timestamp($"sw.end").as("se"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy($"user_id", session_window($"ts", "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_timestamp($"sw.start").as("ss"),
+        unix_timestamp($"sw.end").as("se"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // nothing streamed may disagree with batch
+    assert((streamed -- batch).isEmpty,
+      "stream emitted a session the batch session_window disagrees with")
+    assert(streamed.nonEmpty)
+    // Append emits once the watermark (max event time, delay 0) passes a
+    // session's END; a session still open or just-closed at end-of-input
+    // legitimately never flushes, hence the margin
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(unix_timestamp($"ts"))).head.getLong(0)
+    val missing = (batch -- streamed).filter(_._3 + 3600 < maxTs)
+    assert(missing.isEmpty, s"${missing.size} closed sessions never emitted")
+  }
+
   test("mapGroupsWithState per-user totals equal the batch group-by") {
     val streamed = EventsStream.runToMemory(
       EventsStream.userTotals(EventsStream.read(spark, streamDir)).toDF(),
