@@ -319,12 +319,17 @@ object CorpusQueries {
 
     // JL random projection 64 → 8 dims (planes = seed embeddings 1..8):
     // the cheap front of a cluster/dedup cascade. Long-form dump.
+    // `+ 0` after the round: IEEE −0.0 + 0.0 = +0.0, normalizing the
+    // SIGNED ZERO a projection component that rounds to zero can carry
+    // (observed at sf0.001: one engine's '-0.0' vs the other's '0.0'
+    // hash-mismatching on an otherwise identical row). Applied on both
+    // sides so neither engine can leak a sign bit through repr().
     Q("q127_random_projection",
       Some(s"""WITH $eCte,
               |p AS (SELECT (vec_id - 1) AS j, v AS pv FROM e
               |  WHERE vec_id BETWEEN 1 AND 8)
               |SELECT t.vec_id, CAST(j AS INT) AS j,
-              |  round(${Similarity.dotSql("t.v", "pv")}, 4) AS x
+              |  round(${Similarity.dotSql("t.v", "pv")}, 4) + 0 AS x
               |FROM e t CROSS JOIN p""".stripMargin),
       (s, dir) => {
         val e = emb(s, dir)
@@ -332,7 +337,8 @@ object CorpusQueries {
           col("embedding"), PqSeeds)
         Similarity.randomProject(e, col("vec_id"), col("embedding"), planes)
           .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "x")))
-          .select(col("vec_id"), col("j"), round(col("x"), 4).as("x"))
+          .select(col("vec_id"), col("j"),
+            (round(col("x"), 4) + lit(0.0)).as("x"))
       }),
 
     // Snapshot diff between two synthetic corpus releases: ids ≡7 (mod

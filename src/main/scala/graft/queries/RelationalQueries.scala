@@ -323,7 +323,7 @@ object RelationalQueries {
     // project_eda.py:229-261; summary() ML_Modeling.py:145).
     Q("q18_stats",
       Some("""SELECT l_returnflag,
-             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
              |  round(stddev_samp(l_quantity), 4) AS sd_qty,
              |  round(min(l_extendedprice), 2) AS min_price,
              |  round(max(l_extendedprice), 2) AS max_price,
@@ -333,7 +333,11 @@ object RelationalQueries {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+            // + 0.0 normalizes a signed zero (IEEE −0.0 + 0.0 = +0.0):
+            // a near-zero correlation that rounds to zero must not leak
+            // its sign bit into the hash compare (q127's sf0.001 lesson)
+            (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0))
+              .as("corr_qty_price"),
             round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
             round(min(col("l_extendedprice")), 2).as("min_price"),
             round(max(col("l_extendedprice")), 2).as("max_price"),

@@ -230,12 +230,14 @@ object TextQueries {
               |            WHEN np < nn THEN 'negative'
               |            ELSE 'neutral' END AS sentiment,
               |  count(*) AS n,
-              |  round(avg(CAST(np - nn AS DOUBLE) / CAST(ntok AS DOUBLE)), 4) AS avg_polarity
+              |  round(avg(CAST(np - nn AS DOUBLE) / CAST(ntok AS DOUBLE)), 4) + 0 AS avg_polarity
               |FROM s GROUP BY 1""".stripMargin),
       (s, dir) =>
         TextAnalysis.withSentiment(docs(s, dir), col("text"))
           .groupBy("sentiment")
-          .agg(count(lit(1)).as("n"), round(avg(col("polarity")), 4).as("avg_polarity"))),
+          .agg(count(lit(1)).as("n"),
+            // + 0.0: signed-zero normalization (q127's sf0.001 lesson)
+            (round(avg(col("polarity")), 4) + lit(0.0)).as("avg_polarity"))),
 
     // PII scrubbing: URLs/emails/phones → typed placeholders, over a corpus
     // with one planted PII item per doc (the synthetic table carries none).
@@ -779,7 +781,7 @@ object TextQueries {
               |  CAST(count_if(z > 0) AS BIGINT) AS n_keep,
               |  CAST(sum(n_pos) AS BIGINT) AS hits_pos,
               |  CAST(sum(n_neg) AS BIGINT) AS hits_neg,
-              |  round(avg(2/(1 + exp(-z)) - 1), 4) AS avg_score
+              |  round(avg(2/(1 + exp(-z)) - 1), 4) + 0 AS avg_score
               |FROM z GROUP BY lang""".stripMargin)
     },
       (s, dir) => {
@@ -790,7 +792,8 @@ object TextQueries {
           count_if(col("sentiment") === "positive").as("n_keep"),
           sum("n_pos").as("hits_pos"),
           sum("n_neg").as("hits_neg"),
-          round(avg("polarity"), 4).as("avg_score"))
+          // + 0.0: signed-zero normalization (q127's sf0.001 lesson)
+          (round(avg("polarity"), 4) + lit(0.0)).as("avg_score"))
       }),
 
     // Per-domain quota enforcement (the crawl-curation cap: no registered
