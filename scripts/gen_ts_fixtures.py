@@ -49,6 +49,8 @@ def write(name, ts_type, ts_values):
 
 us = list(cols[1])
 write("nanos", pa.timestamp("ns"), [v * 1000 for v in us])   # rounds 1-6 encoding
+write("nanos_utc", pa.timestamp("ns", tz="UTC"),
+      [v * 1000 for v in us])                                 # adjusted-nanos variant
 write("us_ntz", pa.timestamp("us"), us)                       # round-7 regen encoding
 write("us_utc", pa.timestamp("us", tz="UTC"), us)             # adjusted-to-UTC variant
 
