@@ -41,7 +41,9 @@ def main(sf_dir, out_dir):
     except FileNotFoundError:
         failed = {}
     for name, msg in sorted(failed.items()):
-        print(f"FAIL {name}: query threw during Verify: {msg.splitlines()[0][:200]}")
+        # (msg.splitlines() or ['']) — getMessage can be an empty string,
+        # and an empty failure message must not crash the gate itself
+        print(f"FAIL {name}: query threw during Verify: {(msg.splitlines() or [''])[0][:200]}")
         n_bad += 1
     for name, sql in sorted(oracle.items()):
         if name in failed:

@@ -47,7 +47,11 @@ object Graph {
                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val nodeDf = scope.persist(nodes.select(nodeCol.as("node")))
+    // pre-partitioned on node: the per-iteration rank rebuild joins the
+    // node frame on `node` every round — partitioning the cached copy
+    // once buys that exchange out of the loop (same trade as the edges)
+    val nodeDf = scope.persist(
+      nodes.select(nodeCol.as("node")).repartition(col("node")))
     val n = nodeDf.count().toDouble
     require(n > 0, "pageRank over an empty node set")
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
@@ -107,10 +111,19 @@ object Graph {
                            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val nodeDf = scope.persist(nodes.select(nodeCol.as("node")))
+    val nodeDf = scope.persist(
+      nodes.select(nodeCol.as("node")).repartition(col("node")))
     require(nodeDf.count() > 0, "personalizedPageRank over an empty node set")
+    // Preference weights are restricted to the node set BEFORE the
+    // normalization total is computed: a seed outside the graph must not
+    // be counted in totalW and then dropped by the node join — that
+    // silently deflates Σp below 1 and every rank with it, exactly the
+    // silent-degradation mode the loud validation below exists to stop.
+    // Out-of-graph seeds simply don't participate (subgraph projection,
+    // same contract as edges referencing unknown ids in [[pageRank]]).
     val w = scope.persist(
-      prefs.select(prefNodeCol.as("node"), prefWeightCol.cast("double").as("w")))
+      prefs.select(prefNodeCol.as("node"), prefWeightCol.cast("double").as("w"))
+        .join(nodeDf, Seq("node"), "left_semi"))
     // Normalization total: a 1-row driver read (documented driver-tiny
     // contract) so a degenerate preference vector fails LOUDLY here, not
     // as silent NaN ranks downstream. Negative weights and an all-zero /
@@ -119,7 +132,9 @@ object Graph {
       coalesce(min("w"), lit(0.0)), coalesce(sum("w"), lit(0.0)))
       .head().toSeq.map(_.asInstanceOf[Double]).toArray
     require(minW >= 0, s"personalizedPageRank: negative preference weight $minW")
-    require(totalW > 0, "personalizedPageRank: preference weights sum to 0 (empty seed set?)")
+    require(totalW > 0,
+      "personalizedPageRank: preference weights sum to 0 over the node set " +
+        "(empty seed set, or all seeds outside the graph?)")
     val p = scope.persist(nodeDf
       .join(w, Seq("node"), "left")
       .select(col("node"), (coalesce(col("w"), lit(0.0)) / totalW).as("p")))
@@ -151,30 +166,6 @@ object Graph {
     ranks.select("node", "rank")
   }
 
-  /** HITS hubs-and-authorities (Kleinberg): alternating updates
-    *
-    *   auth'(v) = Σ_{u→v} hub(u)      hub'(u) = Σ_{u→v} auth'(v)
-    *
-    * each normalized after its update. The normalizer here is the MAX
-    * score, not the L1/L2 sum: any positive scalar yields the same
-    * ranking (the fixed point is defined up to scale), and `max` is
-    * order-independent — a floating SUM over a shuffled frame changes
-    * with partitioning and would make the result irreproducible across
-    * runs and engines, the same reason [[graft.similarity.Similarity.dot]]
-    * fixes its fold order. Corpus use: hubs ≈ link/directory pages,
-    * authorities ≈ canonical content pages — the complementary signal to
-    * PageRank's single centrality (a page can be a strong hub and a weak
-    * authority), used to separate navigation boilerplate from content
-    * when weighting a crawl.
-    *
-    * Scale shape per iteration: the edge list (8-byte src,dst — persisted
-    * once, pre-partitioned on src) joins the auth frame on dst then
-    * aggregates on src (hub update), and the hub frame on src then
-    * aggregates on dst (auth update) — two bounded shuffles of
-    * (id, double) pairs; the two 1-row max normalizers broadcast back in
-    * (never a driver collect); `localCheckpoint` truncates lineage per
-    * round. Nodes without the relevant edges coalesce to score 0.
-    */
   /** Semi-supervised label propagation: seed nodes carry labels, every
     * round each node adopts the MODE label among its (undirected)
     * neighbors' current labels, seeds stay clamped to their seed label,
@@ -204,7 +195,8 @@ object Graph {
                        scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val seeds = scope.persist(
-      nodes.select(nodeCol.as("node"), seedLabelCol.cast("long").as("seed_label")))
+      nodes.select(nodeCol.as("node"), seedLabelCol.cast("long").as("seed_label"))
+        .repartition(col("node")))
     val dir = edges.select(srcCol.as("src"), dstCol.as("dst"))
     val und = scope.persist(
       dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
@@ -234,50 +226,115 @@ object Graph {
     labels
   }
 
+  /** HITS hubs-and-authorities (Kleinberg): alternating updates
+    *
+    *   auth'(v) = Σ_{u→v} hub(u)      hub'(u) = Σ_{u→v} auth'(v)
+    *
+    * each normalized after its update. The normalizer here is the MAX
+    * score, not the L1/L2 sum: any positive scalar yields the same
+    * ranking (the fixed point is defined up to scale), and `max` is
+    * order-independent — a floating SUM over a shuffled frame changes
+    * with partitioning and would make the result irreproducible across
+    * runs and engines, the same reason [[graft.similarity.Similarity.dot]]
+    * fixes its fold order. Corpus use: hubs ≈ link/directory pages,
+    * authorities ≈ canonical content pages — the complementary signal to
+    * PageRank's single centrality (a page can be a strong hub and a weak
+    * authority), used to separate navigation boilerplate from content
+    * when weighting a crawl.
+    *
+    * Scale shape per iteration: the edge list is persisted TWICE — once
+    * pre-partitioned on `src` (feeding the auth update's join+agg) and
+    * once on `dst` (feeding the hub update) — the standard two-copy HITS
+    * layout. Unlike PageRank, whose single join key lets one projection
+    * serve every round, HITS joins the edge table on BOTH endpoints each
+    * iteration; with a single src-partitioned copy the hub update would
+    * re-exchange the full edge frame by dst once per round, and at crawl
+    * scale edges dwarf the (id, double) score frames — that exchange is
+    * the dominant per-round cost, so it's bought out once with memory.
+    * Per round only the score frames shuffle (into the two joins and two
+    * partial-agg exchanges); the two 1-row max normalizers broadcast back
+    * in (never a driver collect); `localCheckpoint` truncates lineage per
+    * round. Nodes without the relevant edges coalesce to score 0.
+    */
   def hits(nodes: DataFrame, nodeCol: Column,
            edges: DataFrame, srcCol: Column, dstCol: Column,
            iterations: Int,
            scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val nodeDf = scope.persist(nodes.select(nodeCol.as("node")))
-    val e = scope.persist(
-      edges.select(srcCol.as("src"), dstCol.as("dst")).repartition(col("src")))
-
+    val (nodeDf, eSrc, eByDst) =
+      hitsEdges(nodes, nodeCol, edges, srcCol, dstCol, scope)
     var scores = nodeDf
       .select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
-      // auth update from current hubs, then max-normalize
-      val authRaw = e
-        .join(scores.select(col("node").as("src"), col("hub")), "src")
-        .groupBy("dst").agg(sum("hub").as("auth_raw"))
-      val aMax = authRaw.agg(
-        coalesce(max("auth_raw"), lit(1.0)).as("a_max"))
-      // localCheckpoint: auth feeds BOTH the hub update and the emitted
-      // frame — without materialization the authRaw aggregation would
-      // run twice per iteration (and lineage would double per round).
-      val auth = nodeDf
-        .join(authRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(aMax))
-        .select(col("node"),
-          (coalesce(col("auth_raw"), lit(0.0)) / col("a_max")).as("auth"))
-        .localCheckpoint()
-      // hub update from the NEW auths (the standard sequencing), then
-      // max-normalize
-      val hubRaw = e
-        .join(auth.select(col("node").as("dst"), col("auth")), "dst")
-        .groupBy("src").agg(sum("auth").as("hub_raw"))
-      val hMax = hubRaw.agg(
-        coalesce(max("hub_raw"), lit(1.0)).as("h_max"))
-      scores = nodeDf
-        .join(hubRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(hMax))
-        .join(auth, Seq("node"))
-        .select(col("node"),
-          (coalesce(col("hub_raw"), lit(0.0)) / col("h_max")).as("hub"),
-          col("auth"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations)
+      scores = hitsIteration(nodeDf, eSrc, eByDst, scores).localCheckpoint()
     scores
+  }
+
+  /** Persisted inputs for [[hits]]: the node frame plus the two edge
+    * projections (src- and dst-partitioned). Exposed `private[graft]` so
+    * the plan audit can build one un-checkpointed iteration and assert
+    * the edge frames never re-exchange inside the loop.
+    */
+  private[graft] def hitsEdges(nodes: DataFrame, nodeCol: Column,
+                               edges: DataFrame, srcCol: Column, dstCol: Column,
+                               scope: CacheScope): (DataFrame, DataFrame, DataFrame) = {
+    val nodeDf = scope.persist(
+      nodes.select(nodeCol.as("node")).repartition(col("node")))
+    val eSrc = scope.persist(
+      edges.select(srcCol.as("src"), dstCol.as("dst")).repartition(col("src")))
+    val eByDst = scope.persist(eSrc.repartition(col("dst")))
+    (nodeDf, eSrc, eByDst)
+  }
+
+  /** One full HITS iteration (auth update, then hub update from the NEW
+    * auths — the standard sequencing), WITHOUT the final checkpoint, so
+    * the hub half's physical plan stays inspectable. The auth frame is
+    * still checkpointed internally: it feeds BOTH the hub update and the
+    * emitted frame — without materialization the auth aggregation would
+    * run twice per iteration (and lineage would double per round).
+    */
+  private[graft] def hitsIteration(nodeDf: DataFrame, eSrc: DataFrame,
+                                   eByDst: DataFrame, scores: DataFrame): DataFrame =
+    hitsHubUpdate(nodeDf, eByDst,
+      hitsAuthUpdate(nodeDf, eSrc, scores).localCheckpoint())
+
+  /** Auth half-update (un-checkpointed): join current hubs into the
+    * src-partitioned edge copy, aggregate on dst, max-normalize. */
+  private[graft] def hitsAuthUpdate(nodeDf: DataFrame, eSrc: DataFrame,
+                                    scores: DataFrame): DataFrame = {
+    val authRaw = eSrc
+      .join(scores.select(col("node").as("src"), col("hub")), "src")
+      .groupBy("dst").agg(sum("hub").as("auth_raw"))
+    val aMax = authRaw.agg(
+      coalesce(max("auth_raw"), lit(1.0)).as("a_max"))
+    nodeDf
+      .join(authRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .crossJoin(broadcast(aMax))
+      .select(col("node"),
+        (coalesce(col("auth_raw"), lit(0.0)) / col("a_max")).as("auth"))
+  }
+
+  /** Hub half-update (un-checkpointed), against the dst-partitioned edge
+    * copy — joining the src-partitioned copy here would re-exchange the
+    * full edge table by dst once per iteration (the scaladoc scale note).
+    *
+    * The emitted frame builds on `auth` directly, NOT on a fresh
+    * nodeDf ⋈ hubRaw ⋈ auth chain: the auth frame already carries every
+    * node exactly once (it was left-joined off the node set), so using
+    * it as the spine drops a third full-width join per iteration. */
+  private[graft] def hitsHubUpdate(nodeDf: DataFrame, eByDst: DataFrame,
+                                   auth: DataFrame): DataFrame = {
+    val hubRaw = eByDst
+      .join(auth.select(col("node").as("dst"), col("auth")), "dst")
+      .groupBy("src").agg(sum("auth").as("hub_raw"))
+    val hMax = hubRaw.agg(
+      coalesce(max("hub_raw"), lit(1.0)).as("h_max"))
+    auth
+      .join(hubRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .crossJoin(broadcast(hMax))
+      .select(col("node"),
+        (coalesce(col("hub_raw"), lit(0.0)) / col("h_max")).as("hub"),
+        col("auth"))
   }
 }

@@ -150,6 +150,77 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: neither half-update re-exchanges its edge copy (two-copy layout)") {
+    // The 100 TB guarantee behind the two-copy layout: inside the loop
+    // only (id, double) score frames may shuffle — the edge table, the
+    // dominant frame at crawl scale, is bought out once into a src- and
+    // a dst-partitioned cached copy. Audit one un-checkpointed
+    // half-update each way with broadcast joins disabled (so every join
+    // must prove its distribution): the edge side must satisfy the join
+    // from its cached partitioning, never from a fresh Exchange.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    // full-tree expansion across AQE wrappers and materialized stages
+    def expand(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case _ => p.children.flatMap(expand)
+    })
+    // what an exchange actually MOVES: its child subtree, stopping at
+    // further exchanges (separate stages) and at aggregates (a map-side
+    // combine below the exchange means (key, agg) rows move, bounded by
+    // distinct keys — not the raw rows beneath it)
+    def moved(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: ShuffleExchangeExec => Seq(p)
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => Seq(p)
+      case a: AdaptiveSparkPlanExec => p +: moved(a.executedPlan)
+      case q: QueryStageExec => p +: moved(q.plan)
+      case _ => p +: p.children.flatMap(moved)
+    }
+    // the edge caches are the only 2-column (src, dst) in-memory scans;
+    // the cache-fill repartition lives INSIDE the relation's cachedPlan,
+    // which this traversal deliberately does not enter
+    def isEdgeScan(p: SparkPlan): Boolean = p match {
+      case s: InMemoryTableScanExec => s.output.map(_.name).sorted == Seq("dst", "src")
+      case _ => false
+    }
+    def assertEdgeStaysPut(df: DataFrame, what: String): Unit = {
+      df.collect()
+      val nodes = expand(df.queryExecution.executedPlan)
+      assert(nodes.exists(isEdgeScan),
+        s"$what: edge cache must feed the join directly")
+      val bad = nodes.collect {
+        case s: ShuffleExchangeExec if moved(s.child).exists(isEdgeScan) => s
+      }
+      assert(bad.isEmpty,
+        s"$what re-exchanges the edge cache inside the loop:\n${bad.mkString("\n")}")
+    }
+
+    val nodes = (0L until 200L)
+    val edges = nodes.flatMap(i => Seq(i -> (i * 7 + 3) % 200, i -> (i * 13 + 5) % 200))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast joins off, so every join must PROVE its distribution —
+    // at test size AQE would otherwise just broadcast the edge table and
+    // the audit would assert nothing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try scala.util.Using.resource(new CacheScope()) { scope =>
+      val (nodeDf, eSrc, eByDst) = Graph.hitsEdges(nodes.toDF("id"), col("id"),
+        edges.toDF("s", "t"), col("s"), col("t"), scope)
+      val scores0 = nodeDf
+        .select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+        .localCheckpoint()
+      val auth = Graph.hitsAuthUpdate(nodeDf, eSrc, scores0)
+      assertEdgeStaysPut(auth, "auth half-update")
+      assertEdgeStaysPut(
+        Graph.hitsHubUpdate(nodeDf, eByDst, auth.localCheckpoint()),
+        "hub half-update")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("labelPropagation: chain spreads labels one hop per round, min-label ties, seeds clamped") {
     // undirected chain 1-2-3-4-5 with seeds 1→10, 5→20; node 6 isolated
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
