@@ -71,11 +71,8 @@ object StreamingQueries {
              |  count(*) AS n_events, round(sum(value), 4) AS sum_value
              |FROM s GROUP BY user_id, session_id""".stripMargin),
       (s, dir) =>
-        graft.sources.Tables.events(s, dir)
-          .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
-          .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("sum_value"))
-          .select(col("user_id"), col("sw.start").as("session_start"),
-            col("sw.end").as("session_end"), col("n_events"), col("sum_value")))
+        // standalone evaluation — the safe shape; composition must go
+        // through EventsStream.sessionAggComposable (see its scaladoc)
+        EventsStream.sessionAgg(graft.sources.Tables.events(s, dir)))
   )
 }

@@ -31,11 +31,18 @@ object Tables {
     *    how other engines narrow ns→µs.
     *  - `TimestampType`: already what every consumer expects.
     *  - `TimestampNTZType` (parquet timestamp[us] with
-    *    isAdjustedToUTC=false, Spark's default inference): cast to
-    *    session-local TimestampType. The engine pins the session TZ to
-    *    UTC (Bench/Verify/SparkSpec), so the cast is a pure re-tag of
-    *    identical micros — and downstream date arithmetic matches the
-    *    DuckDB oracle, which also reads the file as wall-clock UTC.
+    *    isAdjustedToUTC=false, Spark's default inference): the data
+    *    contract says the wall-clock values ARE UTC instants (the DuckDB
+    *    oracle reads the same file that way), so re-tag explicitly via
+    *    `convert_timezone('UTC', sessionZone, ts)::timestamp` — shift the
+    *    NTZ wall clock from UTC to the session zone, then cast, which
+    *    re-tags those session-local walls as the original instants. Under
+    *    a UTC session (the engine default) both steps are identity on the
+    *    stored micros; under any other session TZ the conversion keeps
+    *    the decoded instants equal to the int64-nanos path instead of
+    *    silently shifting them by the zone offset (a bare
+    *    `cast(TimestampType)` was only correct because Bench/Verify/
+    *    SparkSpec pin UTC — correctness no longer rests on that pin).
     *  - anything else: fail loudly naming the type. A reader that
     *    silently misreads a new encoding is strictly worse than one that
     *    throws (a µs-as-ns misread once compressed 30 days of events
@@ -47,7 +54,10 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType          => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType     => df
-      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType  =>
+        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          expr(s"convert_timezone('UTC', '$zone', ts)").cast(TimestampType))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other — expected raw int64 nanos, " +
           "TIMESTAMP, or TIMESTAMP_NTZ; teach Tables.normalizeEventsTs the new encoding")

@@ -22,14 +22,47 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object EventsStream {
 
+  /** Current-generation on-disk events schema (parquet timestamp[us],
+    * isAdjustedToUTC=false → TimestampNTZ under Spark's default
+    * inference). Used only as the explicit opt-in fallback for the
+    * start-stream-before-data pattern — see [[read]]. */
+  val defaultOnDiskSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-stream source over a directory; `glob` selects which parquet
     * files inside it belong to the stream (the source requires a
-    * directory basePath, not a file). */
-  def read(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
+    * directory basePath, not a file).
+    *
+    * PRECONDITION: at least one file matching `glob` already exists —
+    * the schema probe is a batch footer read, so an empty directory
+    * throws (AnalysisException) rather than guessing an encoding. For
+    * the start-stream-before-data pattern, pass `fallbackSchema`
+    * (e.g. [[defaultOnDiskSchema]]): it is used ONLY when the probe
+    * finds no files, and it re-states the hard-wired-schema risk the
+    * probe exists to remove — a drifted first file is then silently
+    * reinterpreted, so only opt in when the producer's encoding is
+    * pinned by contract. */
+  def read(spark: SparkSession, dir: String, glob: String = "events.parquet",
+           fallbackSchema: Option[StructType] = None): DataFrame = {
     // harmless for non-NANOS files; required to read NANOS files at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // batch-side probe of the real on-disk schema (footer read only)
-    val resolved = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val resolved =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          fallbackSchema.getOrElse(throw new IllegalStateException(
+            s"EventsStream.read: no parquet file matching '$glob' exists yet " +
+              s"under $dir, so the on-disk ts encoding cannot be probed. Either " +
+              "write at least one file before starting the stream, or pass " +
+              "fallbackSchema (e.g. EventsStream.defaultOnDiskSchema) to accept " +
+              "the pinned-encoding contract.", e))
+      }
     val raw = spark.readStream.schema(resolved)
       .option("pathGlobFilter", glob)
       .parquet(dir)
@@ -52,6 +85,33 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide))
       .agg(avg(col("value")).as("avg_value"))
+
+  /** Batch session_window aggregation (the q136 shape): per-user
+    * sessions with a `gap` inactivity bound, window end = last event +
+    * gap, half-open [start, end) at microsecond precision.
+    *
+    * SAFE STANDALONE ONLY. Composing this raw plan into a multi-frame
+    * plan (joining/anti-joining it against another frame) can re-plan
+    * the sessionization and surface UNMERGED partial sessions — an
+    * anti-join once "found" 90 phantom rows while both standalone sides
+    * were provably equal (EXPLAIN.md q136). For composition use
+    * [[sessionAggComposable]]. */
+  def sessionAgg(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** The composition-safe form of [[sessionAgg]]: eagerly materializes
+    * the aggregated sessions (localCheckpoint) so the logical plan a
+    * downstream join sees is the FINISHED row set, not a re-plannable
+    * sessionization — the fused-plan phantom-partial trap cannot
+    * reappear through this entry point. Costs one materialization;
+    * that is the trade the trap demands. */
+  def sessionAggComposable(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    sessionAgg(events, gap).localCheckpoint()
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n: Long, total: Double)

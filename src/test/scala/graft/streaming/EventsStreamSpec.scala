@@ -258,6 +258,40 @@ class EventsStreamSpec extends SparkSpec {
     assert(missing.isEmpty, s"${missing.size} closed sessions never emitted")
   }
 
+  test("sessionAggComposable survives the anti-join trap shape") {
+    // Regression pin for the fused-plan trap (EXPLAIN.md q136): fusing a
+    // RAW batch session_window agg into one plan with the memory-sink
+    // frame re-planned the sessionization and anti-join "found" 90
+    // phantom rows. sessionAggComposable materializes first, so the very
+    // same anti-join composition must now agree with the collected-set
+    // comparison the parity test uses.
+    val streamed = EventsStream.runToMemory(
+      EventsStream.read(spark, streamDir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy($"user_id", session_window($"ts", "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("sum_value")),
+      "swin_trap_test", OutputMode.Append())
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events", $"sum_value")
+    val batch = EventsStream.sessionAggComposable(Tables.events(spark, sfDir))
+    val key = Seq("user_id", "session_start", "session_end", "n_events", "sum_value")
+    // the fused shape itself: stream ∖ batch and batch ∖ stream anti-joins
+    val phantoms = streamed.join(batch, key, "left_anti")
+    assert(phantoms.count() == 0,
+      "anti-join composition surfaced sessions the batch agg disagrees with")
+    val missing = batch.join(streamed, key, "left_anti")
+    // only sessions still open (or just closed) at end-of-input may be
+    // held back by Append mode — same margin as the parity test
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(unix_timestamp($"ts"))).head.getLong(0)
+    val badMissing = missing
+      .filter(unix_timestamp($"session_end") + 3600 < maxTs).count()
+    assert(badMissing == 0,
+      s"$badMissing closed sessions vanished under the anti-join composition")
+    assert(streamed.count() > 0 && batch.count() > 0)
+  }
+
   test("mapGroupsWithState per-user totals equal the batch group-by") {
     val streamed = EventsStream.runToMemory(
       EventsStream.userTotals(EventsStream.read(spark, streamDir)).toDF(),
