@@ -98,6 +98,45 @@ object Bench {
         Dedup.nearDuplicates(Tables.documents(s, dir), col("doc_id"),
           col("text"), 0.8, MinHashConfig.generated(64, 16, portable = false))))
 
+    // Tokenizer-family rows (tracked round-over-round like x34-x36).
+    // Train rows time the full learning loop at the oracle-pinned small
+    // k (q116/q117 replay 4 merges; the per-round cost is what scales).
+    // Encode rows time PURE encode: the artifacts are trained once,
+    // driver-side, before the timed region (forced below with the JIT
+    // warmup) — a production pipeline trains once and encodes trillions
+    // of tokens, so encode throughput is the number that matters.
+    lazy val benchBpeMerges: Seq[(String, String)] =
+      graft.text.Bpe.learnMerges(graft.text.Bpe.initVocab(
+        Tables.documents(spark, sfDir), col("text")), 16).map(m => (m._1, m._2))
+    lazy val benchByteMerges: Seq[(String, String)] =
+      graft.text.Bpe.learnMerges(graft.text.Bpe.initByteVocab(
+        Tables.documents(spark, sfDir), col("text")), 16).map(m => (m._1, m._2))
+    lazy val benchUnigramScores: Seq[(String, Long)] = {
+      import spark.implicits._
+      graft.text.UnigramLm.train(Tables.documents(spark, sfDir), col("text"))
+        .as[(String, Long)].collect().toSeq
+    }
+    val tokenizers: Seq[(String, SparkSession => Unit)] = Seq(
+      "x37_bpe_train" -> toNoop((s, dir) => {
+        import s.implicits._
+        graft.text.Bpe.learnMerges(graft.text.Bpe.initVocab(
+            Tables.documents(s, dir), col("text")), 4)
+          .toDF("pa", "pb", "cnt")
+      }),
+      "x38_bpe_encode" -> toNoop((s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          graft.text.Bpe.applyMerges(col("text"), benchBpeMerges).as("pieces"))),
+      "x39_bpe_byte_encode" -> toNoop((s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          graft.text.Bpe.applyByteMerges(col("text"), benchByteMerges).as("pieces"))),
+      "x40_unigram_train" -> toNoop((s, dir) =>
+        graft.text.UnigramLm.train(Tables.documents(s, dir), col("text"))),
+      "x41_unigram_encode" -> toNoop((s, dir) => {
+        import s.implicits._
+        graft.text.UnigramLm.encode(Tables.documents(s, dir), col("doc_id"),
+          col("text"), benchUnigramScores.toDF("piece", "score_micro"))
+      }))
+
     // Single-shot timings at sf0.1 swing far more than the bench gate's
     // margin under ambient load (r5's file read ~23% hot vs a quiet re-run
     // of the same commit). Min-of-k is the standard fix: ambient load can
@@ -121,8 +160,11 @@ object Bench {
     // not the same query's pair in the other pass minutes away).
     // Cold-run totals are emitted alongside the counted pass totals so
     // the compile cost and any hot pass are visible in the artifact.
+    // force the encode artifacts OUTSIDE the timed region (see above)
+    locally { benchBpeMerges; benchByteMerges; benchUnigramScores; () }
+
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2).max(1)
-    val suite = base ++ fastPath
+    val suite = base ++ fastPath ++ tokenizers
     // Load watermark: the record's pass totals have twice differed ~1.7×
     // under ambient load on this shared box. A 1-minute loadavg snapshot
     // at each pass boundary makes the artifact self-describing — a hot

@@ -33,12 +33,12 @@ object TextQueries {
     s"$BpeL || array_to_string(regexp_extract_all(word, '.'), $BpeR || $BpeL) || " +
       s"$BpeR || $BpeL || '</w>' || $BpeR"
 
-  /** WITH-chain replaying `Bpe.learnMerges(initVocab(documents), k)`:
-    * s0 = wrapped vocab; per iteration i: pi = weighted adjacent-pair
-    * counts, mi = argmax (cnt DESC, pa, pb — the engine's tiebreak),
-    * si = vocab with the merge applied by literal replace. */
-  private def bpeCtes(k: Int): String = {
-    val iters = (1 to k).map { i =>
+  /** Per-iteration CTEs shared by the char- and byte-level replays:
+    * pi = weighted adjacent-pair counts over s(i-1), mi = argmax
+    * (cnt DESC, pa, pb — the engine's tiebreak), si = vocab with the
+    * merge applied by literal replace. */
+  private def bpeIterCtes(k: Int): String =
+    (1 to k).map { i =>
       s"""p$i AS (SELECT x[i] AS pa, x[i+1] AS pb, sum(n) AS cnt
          |  FROM (SELECT string_split(trim(seq, $BpeL || $BpeR), $BpeR || $BpeL) AS x, n
          |        FROM s${i - 1})
@@ -49,13 +49,42 @@ object TextQueries {
          |    $BpeL || pa || pb || $BpeR) AS seq, n
          |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
+
+  /** WITH-chain replaying `Bpe.learnMerges(initVocab(documents), k)`:
+    * s0 = wrapped vocab, then [[bpeIterCtes]]. */
+  private def bpeCtes(k: Int): String =
     s"""WITH w AS (SELECT unnest(${tokensSql(canonicalizeSql("text"))}) AS word
        |  FROM documents),
        |v AS (SELECT word, count(*) AS n FROM w
        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
        |s0 AS (SELECT $BpeWrapWordSql AS seq, n FROM v),
-       |$iters""".stripMargin
-  }
+       |${bpeIterCtes(k)}""".stripMargin
+
+  /** Byte-level twin of [[BpeWrapWordSql]]: hex the word's UTF-8 bytes
+    * (DuckDB `hex(encode(..))` and Spark `hex(encode(.., 'UTF-8'))` both
+    * render uppercase), wrap each two-digit pair as one symbol. */
+  private val BpeByteWrapWordSql: String =
+    s"$BpeL || array_to_string(regexp_extract_all(hex(encode(word)), '..'), " +
+      s"$BpeR || $BpeL) || $BpeR || $BpeL || '</w>' || $BpeR"
+
+  /** Planted multi-byte suffix: accents (2-byte), CJK (3-byte), emoji
+    * (4-byte) tokens — the inputs the char-level `[a-z]+` trainer drops
+    * and byte fallback must encode losslessly. The SQL side gets the
+    * identical literals (UTF-8 through both engines). */
+  private val BytePlants = Seq(" café naïve", " 日本語 データ", " 🦀rust 🚀go")
+  private val bytePlantSql =
+    s"""CASE doc_id % 3 WHEN 0 THEN '${BytePlants(0)}'
+       |  WHEN 1 THEN '${BytePlants(1)}' ELSE '${BytePlants(2)}' END""".stripMargin
+
+  /** WITH-chain replaying `Bpe.learnMerges(initByteVocab(planted), k)`:
+    * byte-symbol s0 over AS-IS whitespace tokens (no canonicalize, no
+    * alphabet filter), then the same iteration CTEs. */
+  private def bpeByteCtes(k: Int): String =
+    s"""WITH w AS (SELECT unnest(${tokensSql(s"text || $bytePlantSql")}) AS word
+       |  FROM documents),
+       |v AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT $BpeByteWrapWordSql AS seq, n FROM v),
+       |${bpeIterCtes(k)}""".stripMargin
 
   // ---- q118/q119 fixtures (must precede `queries`: the SQL strings
   // capture these at object init) ----------------------------------------
@@ -702,6 +731,42 @@ object TextQueries {
         val merges = graft.text.Bpe.learnMerges(
           graft.text.Bpe.initVocab(d, col("text")), BpeK).map(m => (m._1, m._2))
         d.select(explode(graft.text.Bpe.applyMerges(col("text"), merges))
+            .as("symbol"))
+          .groupBy("symbol").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("symbol")).limit(20)
+      }),
+
+    // Byte-fallback BPE encode (Bpe.initByteVocab/applyByteMerges): the
+    // GPT-2-style production default — base alphabet = the 256 UTF-8
+    // byte values as hex-pair symbols, so accents/CJK/emoji (planted
+    // per doc_id) are never OOV; unmerged bytes surface as single-byte
+    // tokens. The oracle replays training (4 merges over the byte
+    // vocab) and the encode: top per-symbol counts. (Decode stays in
+    // the round-trip SPEC at word granularity — a merged symbol can cut
+    // a multi-byte character, so per-symbol hex is not valid UTF-8 and
+    // the engines' invalid-byte behavior differs.)
+    Q("q137_bpe_byte_encode",
+      Some(s"""${bpeByteCtes(BpeK)},
+              |cw AS (SELECT unnest(${tokensSql(s"text || $bytePlantSql")}) AS word
+              |  FROM documents),
+              |enc AS (SELECT ${(1 to BpeK).foldLeft(s"$BpeByteWrapWordSql")((e, i) =>
+                 s"replace($e, $BpeL || m$i.pa || $BpeR || $BpeL || m$i.pb || $BpeR, " +
+                   s"$BpeL || m$i.pa || m$i.pb || $BpeR)")} AS seq
+              |  FROM cw ${(1 to BpeK).map(i => s"CROSS JOIN m$i").mkString(" ")}
+              |  WHERE word <> ''),
+              |sym AS (SELECT unnest(string_split(trim(seq, $BpeL || $BpeR),
+              |    $BpeR || $BpeL)) AS symbol FROM enc)
+              |SELECT symbol, count(*) AS cnt
+              |FROM sym GROUP BY symbol ORDER BY cnt DESC, symbol LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val plant = when(col("doc_id") % 3 === 0, lit(BytePlants(0)))
+          .when(col("doc_id") % 3 === 1, lit(BytePlants(1)))
+          .otherwise(lit(BytePlants(2)))
+        val d = docs(s, dir).select(col("doc_id"),
+          concat(col("text"), plant).as("text"))
+        val merges = graft.text.Bpe.learnMerges(
+          graft.text.Bpe.initByteVocab(d, col("text")), BpeK).map(m => (m._1, m._2))
+        d.select(explode(graft.text.Bpe.applyByteMerges(col("text"), merges))
             .as("symbol"))
           .groupBy("symbol").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), col("symbol")).limit(20)

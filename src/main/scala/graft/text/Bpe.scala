@@ -133,4 +133,62 @@ object Bpe {
       w => when(length(w) > 0, encodeWord(w))
         .otherwise(array().cast("array<string>"))))
   }
+
+  // ---- Byte-fallback (GPT-2-style byte-level) variant ---------------------
+  //
+  // The char-level trainer above restricts words to `^[a-z]+$` so its
+  // alphabet stays engine-portable ASCII — which makes everything else
+  // OOV. The production tokenizer-encode default closes that hole the
+  // way GPT-2's BPE does: the base alphabet is the 256 UTF-8 BYTE
+  // values, so EVERY word in every script (accents, CJK, emoji, binary
+  // junk) decomposes into in-alphabet symbols and no token is ever OOV
+  // — unmerged bytes simply surface as single-byte tokens (the
+  // "fallback"). Symbols are two-hex-digit renderings of the byte
+  // (uppercase — Spark's `hex` and DuckDB's `hex` agree, which keeps
+  // training DuckDB-replayable); a merged symbol is the concatenation
+  // of its parts' hex, so any symbol minus the `</w>` marker is a valid
+  // hex string and decoding is `unhex` — tokenization is losslessly
+  // invertible by construction ([[decodeByteSymbols]]).
+  //
+  // Same scale shape as the char-level path: one corpus shuffle for the
+  // vocab, every merge iteration on the Zipf-aggregated vocab frame,
+  // encode as one codegen'd projection with merges inlined as literals.
+
+  private def byteWrapWord(word: Column): Column =
+    concat(lit(L), array_join(
+      regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0)),
+      R + L), lit(R + L + EndOfWord + R))
+
+  /** Corpus → (seq, n) byte-level vocabulary: whitespace tokens counted
+    * AS-IS (no canonicalization, no alphabet filter — byte fallback
+    * exists precisely so nothing needs filtering), each rendered as
+    * wrapped hex-byte symbols + end-of-word marker. */
+  def initByteVocab(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(TextFunctions.tokens(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(byteWrapWord(col("word")).as("seq"), col("n"))
+
+  /** Byte-level encode with a learned merge table ([[learnMerges]] over
+    * [[initByteVocab]] — the trainer is representation-agnostic). Total:
+    * every whitespace token of every input encodes; no OOV path. */
+  def applyByteMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val encodeWord = (w: Column) => {
+      val merged = merges.foldLeft(byteWrapWord(w)) { case (s, (a, b)) =>
+        replace(s, lit(L + a + R + L + b + R), lit(L + a + b + R))
+      }
+      split(org.apache.spark.sql.functions.trim(merged, L + R), R + L)
+    }
+    flatten(transform(TextFunctions.tokens(text),
+      w => when(length(w) > 0, encodeWord(w))
+        .otherwise(array().cast("array<string>"))))
+  }
+
+  /** Invert [[applyByteMerges]] for one word's symbol run: drop the
+    * `</w>` marker (it may sit fused inside a merged symbol — its four
+    * chars are non-hex, so a literal replace can't corrupt payload),
+    * join the remaining hex, `unhex`, decode UTF-8. */
+  def decodeByteSymbols(symbols: Column): Column =
+    decode(unhex(replace(array_join(symbols, ""), lit(EndOfWord), lit(""))),
+      "UTF-8")
 }

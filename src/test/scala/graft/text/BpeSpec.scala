@@ -10,14 +10,16 @@ class BpeSpec extends SparkSpec {
   /** Independent sequential reference BPE (symbol lists, no strings):
     * the classic algorithm as written in the paper, against which the
     * distributed string-replace implementation is checked. */
-  private def refBpe(words: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+  private def refBpe(words: Seq[(String, Long)], k: Int,
+      symbolize: String => List[String] = _.toList.map(_.toString))
+      : Seq[(String, String, Long)] = {
     def mergeSeq(syms: List[String], a: String, b: String): List[String] = syms match {
       case x :: y :: rest if x == a && y == b => (a + b) :: mergeSeq(rest, a, b)
       case x :: rest => x :: mergeSeq(rest, a, b)
       case Nil => Nil
     }
     var vocab = words.map { case (w, n) =>
-      (w.toList.map(_.toString) :+ Bpe.EndOfWord, n)
+      (symbolize(w) :+ Bpe.EndOfWord, n)
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
@@ -89,6 +91,64 @@ class BpeSpec extends SparkSpec {
     // the learned merges actually fired
     assert(rows(1L).contains("ll"), rows(1L).toString)
     assert(rows(1L).contains("o" + Bpe.EndOfWord), rows(1L).toString)
+  }
+
+  /** UTF-8 bytes as uppercase hex-pair symbols — the byte-level base
+    * alphabet ([[Bpe.initByteVocab]]'s representation). */
+  private def hexSyms(w: String): List[String] =
+    w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toList
+
+  test("byte-level trainer matches the sequential reference on a multi-byte corpus") {
+    // accents (2-byte), CJK (3-byte), emoji (4-byte) — the words the
+    // char-level [a-z]+ trainer drops entirely
+    val words = Seq("café" -> 5L, "日本語" -> 3L, "🦀rust" -> 2L, "low" -> 4L)
+    val corpus = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Bpe.learnMerges(Bpe.initByteVocab(corpus, col("text")), 8)
+    val want = refBpe(words, 8, hexSyms)
+    assert(got == want, s"byte-level merges must equal the reference:\n$got\nvs\n$want")
+  }
+
+  test("byte-level encode round-trips every script losslessly") {
+    val docs = Seq((1L, "café naïve"), (2L, "日本語 データ"),
+      (3L, "🦀rust 🚀go"), (4L, "plain ascii words"), (5L, ""))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(Bpe.initByteVocab(docs, col("text")), 10)
+      .map(m => (m._1, m._2))
+    val rows = docs.select(col("doc_id"),
+        Bpe.decodeByteSymbols(
+          Bpe.applyByteMerges(col("text"), merges)).as("decoded"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // decode concatenates the words (</w> markers drop, whitespace was
+    // the tokenizer's separator) — byte-exact for every script
+    assert(rows(1L) == "cafénaïve", rows(1L))
+    assert(rows(2L) == "日本語データ", rows(2L))
+    assert(rows(3L) == "🦀rust🚀go", rows(3L))
+    assert(rows(4L) == "plainasciiwords", rows(4L))
+    assert(rows(5L) == "", "empty text decodes to empty")
+  }
+
+  test("byte fallback: input unseen at training time is never OOV") {
+    // train on ASCII only, encode emoji/CJK it has never seen
+    val train = Seq((1L, "the the the quick brown fox")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(Bpe.initByteVocab(train, col("text")), 5)
+      .map(m => (m._1, m._2))
+    val unseen = Seq((1L, "🦀 héllo 世界")).toDF("doc_id", "text")
+    val syms = unseen.select(Bpe.applyByteMerges(col("text"), merges).as("s"))
+      .head.getSeq[String](0)
+    // every symbol is hex pairs optionally fused with the </w> marker —
+    // i.e. drawn from the closed byte alphabet + learned merges; the
+    // unseen scripts surface as single-byte fallback tokens
+    val legal = ("^([0-9A-F]{2})*(" +
+      java.util.regex.Pattern.quote(Bpe.EndOfWord) + ")?$").r
+    syms.foreach(sym => assert(legal.matches(sym), s"OOV-shaped symbol: $sym"))
+    assert(syms.exists(s => s.matches("^[0-9A-F]{2}$")),
+      "unseen multi-byte scripts must fall back to single-byte symbols")
+    val decoded = unseen.select(Bpe.decodeByteSymbols(
+        Bpe.applyByteMerges(col("text"), merges)).as("d"))
+      .head.getString(0)
+    assert(decoded == "🦀héllo世界", decoded)
   }
 
   test("early stop: k larger than available pairs returns every merge once") {
