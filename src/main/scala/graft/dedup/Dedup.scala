@@ -604,6 +604,50 @@ object Dedup {
       .withColumn("overlap", col("n_hit").cast("double") / col("n_sh"))
   }
 
+  /** N-gram decontamination with SPAN REMOVAL — the GPT-3/PaLM-style
+    * eval-leak scrub. [[contamination]] only FLAGS overlapping docs;
+    * this rewrites the training text: every token position covered by a
+    * k-gram that also occurs anywhere in the eval corpus is cut, and
+    * the survivors re-join in order. Returns one row per train doc:
+    * (doc_id, n_tokens, n_removed, clean_text) — docs with no overlap
+    * pass through with n_removed = 0.
+    *
+    * Scale shape: the eval gram set is DRIVER-SMALL BY CONTRACT (eval
+    * suites are MBs against a 100 TB train corpus) and broadcast, so
+    * the hit scan is a map-side join over one positional-gram explode —
+    * no shuffle touches train text. Only the HIT positions (typically a
+    * tiny fraction) aggregate per doc, and the final doc_id join of
+    * that hit frame back to the corpus is AQE-broadcastable for the
+    * same reason. Positions travel as one covered-index array per
+    * contaminated doc; the rewrite itself is a per-row lambda filter
+    * (no explode of clean tokens, no re-sort). */
+  def decontaminateSpans(train: DataFrame, trainId: Column, trainText: Column,
+                         eval: DataFrame, evalText: Column,
+                         k: Int = 13, portable: Boolean = true): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    val evalGrams = broadcast(
+      eval.select(explode(
+          graft.functions.TextFunctions.shingleHashArray(tokens(evalText), k, portable)).as("sh"))
+        .distinct())
+    val t = train.select(trainId.as("doc_id"), tokens(trainText).as("toks"))
+    val hits = t
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.shingleHashArray(col("toks"), k, portable))
+          .as(Seq("p", "sh")))
+      .join(evalGrams, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("cov"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("cov"))).as("cov"))
+    t.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("toks"),
+          (_, i) => not(array_contains(coalesce(col("cov"),
+            array().cast("array<int>")), i))), " ").as("clean_text"))
+  }
+
   /** N-bit SimHash (generalizes [[simhash16]]): same distributed
     * bit-weight aggregate, `bits` wide. 16 bits is the compact
     * oracle-demo width; the near-dup path uses the full 60-bit portable

@@ -68,6 +68,29 @@ object TextFunctions {
   def combineShingle(h: Int => Column): Column =
     (1 until 3).foldLeft(h(0))((acc, j) => (acc * 8191L + h(j)) % ShingleM)
 
+  /** Ordered k-shingle hash ARRAY: element `i` (0-based) is the hash of
+    * the k-gram starting at token `i` — the POSITIONAL twin of
+    * [[graft.functions.expressions.ShingleHashGenerator]] (which emits
+    * an unordered bag for MinHash). Same arithmetic (per-token hash mod
+    * [[ShingleM]], `acc*8191 + h` fold), so values are interchangeable
+    * with the generator's and with [[shingleHashesSql]]. Used where a
+    * consumer needs to map a matched gram back to its token span
+    * (decontamination span removal). */
+  def shingleHashArray(toks: Column, k: Int, portable: Boolean = true): Column = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    // same per-token reduction as ShingleHashGenerator: md5Prefix60 % M
+    // (non-negative) on the portable path, sign-cleared xxhash64 % M on
+    // the fast path
+    val h: Column => Column =
+      if (portable) t => portableHash(t) % ShingleM
+      else t => fastHash(t).bitwiseAND(lit(Long.MaxValue)) % ShingleM
+    val th = transform(toks, h)
+    when(size(toks) < k, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => (1 until k).foldLeft(element_at(th, i))((acc, j) =>
+          (acc * 8191L + element_at(th, i + lit(j))) % ShingleM)))
+  }
+
   /** DuckDB twin: k-shingle hash list from a token-array expression —
     * same per-token `md5Prefix60 % M` + `acc*8191 + h (mod M)` fold as
     * [[graft.functions.expressions.ShingleHashGenerator]], for any k

@@ -456,6 +456,43 @@ object DedupQueries {
             round(col("overlap"), 4).as("overlap_r"))
       }),
 
+    // N-gram decontamination with span removal (the GPT-3-style eval
+    // scrub): q48 FLAGS contaminated docs; this rewrites them — every
+    // train-token position covered by a 5-gram that also occurs in the
+    // eval half (odd doc_ids) is cut and the survivors re-join in
+    // order. The planted near-dup pairs straddling the even/odd split
+    // provide real shared spans. Eval grams broadcast (driver-small by
+    // contract); only hit positions shuffle.
+    Q("q138_decontaminate_spans", {
+      val hs5 = shingleHashesSql("tk", 5)
+      Some(s"""WITH tr AS (SELECT doc_id, $toksSql AS tk FROM documents
+              |  WHERE doc_id % 2 = 0),
+              |evt AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 2 = 1),
+              |evg AS (SELECT DISTINCT unnest($hs5) AS sh FROM evt),
+              |g AS (SELECT doc_id, tk, $hs5 AS hs FROM tr),
+              |pos AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS p,
+              |    unnest(hs) AS sh FROM g),
+              |hp AS (SELECT DISTINCT doc_id, cov FROM (
+              |  SELECT h.doc_id, unnest(generate_series(h.p, h.p + 4)) AS cov
+              |  FROM (SELECT pos.doc_id, pos.p FROM pos JOIN evg USING (sh)) h)),
+              |tokpos AS (SELECT doc_id, unnest(tk) AS t,
+              |    unnest(generate_series(1, len(tk))) AS i FROM g),
+              |clean AS (SELECT tp.doc_id, string_agg(tp.t, ' ' ORDER BY tp.i) AS ctext
+              |  FROM tokpos tp LEFT JOIN hp ON hp.doc_id = tp.doc_id AND hp.cov = tp.i
+              |  WHERE hp.cov IS NULL GROUP BY tp.doc_id),
+              |rem AS (SELECT doc_id, count(*) AS n_removed FROM hp GROUP BY doc_id)
+              |SELECT g.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+              |  COALESCE(rem.n_removed, 0) AS n_removed,
+              |  COALESCE(clean.ctext, '') AS clean_text
+              |FROM g LEFT JOIN rem USING (doc_id) LEFT JOIN clean USING (doc_id)""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.decontaminateSpans(
+          d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 2 === 1), col("text"), k = 5)
+      }),
+
     // Incremental dedup: a delta batch classified against the existing
     // base corpus (exact_dup / near_dup / kept) WITHOUT re-clustering the
     // base — the production shape at 100 TB, where every arriving batch

@@ -95,6 +95,83 @@ object StressWebcorpus {
       Seq(col("q").desc, col("doc_id")), 1000))
     println(f"[webcorpus] domain quota: top-1000 per domain, 300 domains " +
       f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
+
+    // --- C: the FULL q123 composite end-to-end at 1M docs -------------
+    // Stages A/B time election and gate/quota in isolation; this runs
+    // the composed pipeline (gate → near-dup + best-rep election →
+    // domain quota → per-domain report) the way q123 chains it, with a
+    // SparkListener reading per-stage shuffle rows. Corpus: 200 copies
+    // per base doc where each group of 10 consecutive copies shares a
+    // 30-token salt — group members are exact dups (J=1), different
+    // groups fall below the 0.8 threshold (30 fresh shingles per side
+    // on a ≤100-token doc caps J at ~0.65) — so the dedup stage carries
+    // real mass:
+    // ~100k 10-member families, ~45 candidate pairs each.
+    val shufW = new java.util.concurrent.atomic.LongAdder
+    val shufR = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shufW.add(m.shuffleWriteMetrics.recordsWritten)
+        shufR.add(m.shuffleReadMetrics.recordsRead)
+      }
+    })
+    def snap(): (Long, Long) = { Thread.sleep(800); (shufW.sum, shufR.sum) }
+    def cstage(label: String)(f: => Long): Double = {
+      val (w0, r0) = snap(); val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (w1, r1) = snap()
+      println(f"[webcorpus] $label%-52s $secs%8.2f s  rows=$rows%,d " +
+        f"shufW=${w1 - w0}%,d shufR=${r1 - r0}%,d")
+      secs
+    }
+    val famSalt = array_join(transform(sequence(lit(0), lit(29)),
+      j => concat(lit("s"), col("doc_id"), lit("g"),
+        (col("i") / 10).cast("int"), lit("t"), j)), " ")
+    val families = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(199))).as("i"))
+      .select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" "), famSalt).as("text"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .localCheckpoint()
+    println(s"[webcorpus] composite corpus: ${families.count()} docs " +
+      "(10-member exact-dup families throughout)")
+    val wall0 = System.nanoTime()
+    var g2: org.apache.spark.sql.DataFrame = null
+    cstage("composite: classifier gate (persist barrier)") {
+      g2 = CacheScope.unmanaged.persist(
+        WeightedSentiment(gateW, 0.0).score(families, col("text"))
+          .filter(col("sentiment") === "positive")
+          .select("doc_id", "text", "n_chars"))
+      g2.count()
+    }
+    var sv: org.apache.spark.sql.DataFrame = null
+    cstage("composite: near-dup + best-rep election -> survivors") {
+      val pairs = Dedup.nearDuplicates(g2, col("doc_id"), col("text"), 0.8, cfg)
+      val removed = Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+          g2, col("doc_id"), col("n_chars"))
+        .filter(col("node") =!= col("rep")).select("node")
+      sv = CacheScope.unmanaged.persist(
+        g2.join(removed, g2("doc_id") === col("node"), "left_anti")
+          .withColumn("domain", concat(lit("site"),
+            pmod(col("doc_id"), lit(300)), lit(".com"))))
+      sv.count()
+    }
+    cstage("composite: domain quota + per-domain report") {
+      val kept = Relational.topKPerGroup(sv, Seq(col("domain")),
+          Seq(col("n_chars").desc, col("doc_id")), 1000)
+        .groupBy("domain").agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").as("kept_chars"))
+      val rep = sv.groupBy("domain").agg(count(lit(1)).as("n_dedup"))
+        .join(kept, Seq("domain"))
+      noop(rep); rep.count()
+    }
+    println(f"[webcorpus] composite wall (all three stages) " +
+      f"${(System.nanoTime() - wall0) / 1e9}%8.2f s")
     spark.stop()
   }
 }

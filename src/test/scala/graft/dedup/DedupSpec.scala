@@ -355,4 +355,51 @@ class DedupSpec extends SparkSpec {
     // must recover the same planted structure (~25 pairs at any sf)
     assert(pairs.size >= 20 && pairs.size <= 35, s"got ${pairs.size} pairs")
   }
+
+  private def decon(train: Seq[(Long, String)], eval: Seq[String], k: Int) =
+    Dedup.decontaminateSpans(
+        train.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        eval.map(Tuple1(_)).toDF("text"), col("text"), k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("decontaminateSpans cuts exactly the eval-gram-covered positions") {
+    // eval holds "c d e": the single matching 3-gram starts at token 2,
+    // so tokens 2-4 (c d e) are cut and the rest re-join in order
+    val out = decon(Seq(1L -> "a b c d e f"), Seq("x y c d e z"), k = 3)
+    assert(out.head == ((1L, 6L, 3L, "a b f")), out.head.toString)
+  }
+
+  test("decontaminateSpans merges overlapping hit spans") {
+    // both 3-grams of "a b c d" occur in eval; their spans overlap on
+    // b,c — covered set is all four tokens, once each
+    val out = decon(Seq(1L -> "a b c d"), Seq("a b c", "b c d"), k = 3)
+    assert(out.head == ((1L, 4L, 4L, "")), out.head.toString)
+  }
+
+  test("decontaminateSpans passes clean docs through untouched") {
+    val out = decon(Seq(1L -> "p q r s", 2L -> "a b c d e"),
+      Seq("a b c"), k = 3)
+    assert(out(0) == ((1L, 4L, 0L, "p q r s")), out(0).toString)
+    // doc 2 loses its matched gram but keeps the tail
+    assert(out(1) == ((2L, 5L, 3L, "d e")), out(1).toString)
+  }
+
+  test("decontaminateSpans on the corpus: planted pairs lose mass, others don't") {
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val out = Dedup.decontaminateSpans(even, $"doc_id", $"text",
+      odd, $"text", k = 5).cache()
+    assert(out.count() == even.count(), "one row per train doc")
+    val scrubbed = out.filter($"n_removed" > 0)
+    // the planted near-dup pairs straddling the split must surface
+    assert(scrubbed.count() > 0, "planted cross-split spans must be cut")
+    // removal is bounded by doc size and clean docs keep every token
+    assert(out.filter($"n_removed" > $"n_tokens").count() == 0)
+    val clean0 = out.filter($"n_removed" === 0)
+      .select(size(split($"clean_text", " ")).as("n"), $"n_tokens")
+    assert(clean0.filter($"n" =!= $"n_tokens").count() == 0,
+      "untouched docs must keep every token")
+    out.unpersist()
+  }
 }
