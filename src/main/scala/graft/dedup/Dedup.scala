@@ -637,9 +637,57 @@ object Dedup {
       .join(evalGrams, "sh")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("cov"))
-      .groupBy("doc_id")
+    cutCoveredPositions(t, hits)
+  }
+
+  /** Corpus-level EXACT-SUBSTRING dedup in the style of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): every
+    * duplicated run of `k` tokens is cut from every occurrence EXCEPT
+    * the globally first one (ordered by (doc_id, start)), survivors
+    * re-join in order. Catches the cross-document boilerplate /
+    * license-block / template mass that document-level MinHash leaves
+    * behind (two long docs sharing one paragraph never clear a doc-level
+    * Jaccard threshold). Same output contract as
+    * [[decontaminateSpans]]: (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape — the distributed stand-in for the paper's suffix
+    * array: one positional-gram explode (a (sh, doc, pos) row per
+    * token — linear), one map-side-combinable groupBy(sh) computing
+    * min(struct(doc,pos)) over ONLY df>=2 grams, one hash join of grams
+    * against that (duplicated-grams-only, typically a small fraction)
+    * frame, then the per-doc covered-position rebuild shared with
+    * decontaminateSpans. No sort-window over the corpus-scale gram
+    * frame anywhere; skew is bounded because a single gram's row count
+    * is its document frequency, and ubiquitous-boilerplate grams are
+    * exactly the rows this op exists to cut. */
+  def dedupExactSubstrings(df: DataFrame, idCol: Column, textCol: Column,
+                           k: Int = 50, portable: Boolean = true): DataFrame = {
+    require(k >= 1, s"run length must be >= 1, got $k")
+    val t = df.select(idCol.as("doc_id"), tokens(textCol).as("toks"))
+    val grams = t.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.shingleHashArray(col("toks"), k, portable))
+        .as(Seq("p", "sh")))
+    val firsts = grams
+      .groupBy("sh")
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"), col("first"))
+    val cuts = grams.join(firsts, "sh")
+      .filter(!(col("doc_id") === col("first.doc_id") && col("p") === col("first.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("cov"))
+    cutCoveredPositions(t, cuts)
+  }
+
+  /** Shared rebuild for the span-cutting ops: aggregate the (doc_id,
+    * cov) hit positions into one sorted covered-index array per doc,
+    * left-join back to the corpus, and filter the token array by index
+    * in a single per-row lambda — no clean-token explode, no re-sort. */
+  private def cutCoveredPositions(t: DataFrame, hits: DataFrame): DataFrame = {
+    val perDoc = hits.groupBy("doc_id")
       .agg(array_sort(collect_set(col("cov"))).as("cov"))
-    t.join(hits, Seq("doc_id"), "left")
+    t.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),

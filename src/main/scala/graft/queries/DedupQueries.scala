@@ -45,6 +45,22 @@ object DedupQueries {
       .map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
   }.mkString("\n     OR ")
 
+  /** Shared rebuild tail for the span-cutting oracles (q138/q139): given
+    * CTEs `g` (doc_id, tk, ...) and `cut` (doc_id, cov — 1-based covered
+    * token indices), re-join the surviving tokens in order and report
+    * per-doc counts — the SQL twin of `Dedup.cutCoveredPositions`. */
+  private val spanRebuildSql: String =
+    """tokpos AS (SELECT doc_id, unnest(tk) AS t,
+      |    unnest(generate_series(1, len(tk))) AS i FROM g),
+      |clean AS (SELECT tp.doc_id, string_agg(tp.t, ' ' ORDER BY tp.i) AS ctext
+      |  FROM tokpos tp LEFT JOIN cut ON cut.doc_id = tp.doc_id AND cut.cov = tp.i
+      |  WHERE cut.cov IS NULL GROUP BY tp.doc_id),
+      |rem AS (SELECT doc_id, count(*) AS n_removed FROM cut GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  COALESCE(rem.n_removed, 0) AS n_removed,
+      |  COALESCE(clean.ctext, '') AS clean_text
+      |FROM g LEFT JOIN rem USING (doc_id) LEFT JOIN clean USING (doc_id)""".stripMargin
+
   // ---- q123 fixtures: gate model + planted hosts ------------------------
   /** Near-balanced logistic gate (Σw ≈ 0) so the keep/drop decision rides
     * on each doc's token composition, not its length; both engines build
@@ -472,19 +488,10 @@ object DedupQueries {
               |g AS (SELECT doc_id, tk, $hs5 AS hs FROM tr),
               |pos AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS p,
               |    unnest(hs) AS sh FROM g),
-              |hp AS (SELECT DISTINCT doc_id, cov FROM (
+              |cut AS (SELECT DISTINCT doc_id, cov FROM (
               |  SELECT h.doc_id, unnest(generate_series(h.p, h.p + 4)) AS cov
               |  FROM (SELECT pos.doc_id, pos.p FROM pos JOIN evg USING (sh)) h)),
-              |tokpos AS (SELECT doc_id, unnest(tk) AS t,
-              |    unnest(generate_series(1, len(tk))) AS i FROM g),
-              |clean AS (SELECT tp.doc_id, string_agg(tp.t, ' ' ORDER BY tp.i) AS ctext
-              |  FROM tokpos tp LEFT JOIN hp ON hp.doc_id = tp.doc_id AND hp.cov = tp.i
-              |  WHERE hp.cov IS NULL GROUP BY tp.doc_id),
-              |rem AS (SELECT doc_id, count(*) AS n_removed FROM hp GROUP BY doc_id)
-              |SELECT g.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-              |  COALESCE(rem.n_removed, 0) AS n_removed,
-              |  COALESCE(clean.ctext, '') AS clean_text
-              |FROM g LEFT JOIN rem USING (doc_id) LEFT JOIN clean USING (doc_id)""".stripMargin)
+              |$spanRebuildSql""".stripMargin)
     },
       (s, dir) => {
         val d = docs(s, dir)
@@ -492,6 +499,31 @@ object DedupQueries {
           d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
           d.filter(col("doc_id") % 2 === 1), col("text"), k = 5)
       }),
+
+    // Corpus-level exact-substring dedup (Lee et al. 2021 shape): every
+    // duplicated 5-token run is cut from every occurrence except the
+    // globally first (ordered by doc_id, start) — the cross-document
+    // boilerplate scrub doc-level MinHash can't do. The oracle replays
+    // first-occurrence selection as a row_number window; the engine's
+    // map-side min(struct(doc,pos)) is the same ordering without a
+    // corpus-scale sort.
+    Q("q139_exact_substring_dedup", {
+      val hs5 = shingleHashesSql("tk", 5)
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |g AS (SELECT doc_id, tk, $hs5 AS hs FROM t),
+              |pos AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS p,
+              |    unnest(hs) AS sh FROM g),
+              |r AS (SELECT doc_id, p,
+              |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn
+              |  FROM pos),
+              |cut AS (SELECT DISTINCT doc_id, cov FROM (
+              |  SELECT doc_id, unnest(generate_series(p, p + 4)) AS cov
+              |  FROM r WHERE rn > 1)),
+              |$spanRebuildSql""".stripMargin)
+    },
+      (s, dir) =>
+        Dedup.dedupExactSubstrings(docs(s, dir), col("doc_id"), col("text"),
+          k = 5)),
 
     // Incremental dedup: a delta batch classified against the existing
     // base corpus (exact_dup / near_dup / kept) WITHOUT re-clustering the

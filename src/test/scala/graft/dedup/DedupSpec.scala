@@ -385,6 +385,46 @@ class DedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 5L, 3L, "d e")), out(1).toString)
   }
 
+  private def exsub(docs: Seq[(Long, String)], k: Int) =
+    Dedup.dedupExactSubstrings(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("dedupExactSubstrings keeps the first occurrence, cuts the rest") {
+    // the 3-gram (a b c) appears in both docs; doc 1 holds the globally
+    // first occurrence and keeps it, doc 2 loses its copy
+    val out = exsub(Seq(1L -> "a b c d e", 2L -> "x a b c y"), k = 3)
+    assert(out(0) == ((1L, 5L, 0L, "a b c d e")), out(0).toString)
+    assert(out(1) == ((2L, 5L, 3L, "x y")), out(1).toString)
+  }
+
+  test("dedupExactSubstrings cuts within-doc repeats too") {
+    // "a b c a b c": the second (a b c) run duplicates the first inside
+    // one document — positions 3-5 cut
+    val out = exsub(Seq(1L -> "a b c a b c"), k = 3)
+    assert(out.head == ((1L, 6L, 3L, "a b c")), out.head.toString)
+  }
+
+  test("dedupExactSubstrings first-occurrence order is (doc_id, position)") {
+    // same gram in docs 2 and 5: doc 2 wins regardless of input order
+    val out = exsub(Seq(5L -> "p q r", 2L -> "z p q r"), k = 3)
+    assert(out(0) == ((2L, 4L, 0L, "z p q r")), out(0).toString)
+    assert(out(1) == ((5L, 3L, 3L, "")), out(1).toString)
+  }
+
+  test("dedupExactSubstrings on the corpus scrubs the planted boilerplate") {
+    val out = Dedup.dedupExactSubstrings(docs, $"doc_id", $"text", k = 10)
+      .cache()
+    assert(out.count() == docs.count(), "one row per doc")
+    val scrubbed = out.filter($"n_removed" > 0)
+    // each planted near-dup pair shares >=10-token runs; the later doc
+    // of each pair must lose them
+    assert(scrubbed.count() >= 20, s"got ${scrubbed.count()} scrubbed docs")
+    assert(out.filter($"n_removed" > $"n_tokens").count() == 0)
+    out.unpersist()
+  }
+
   test("decontaminateSpans on the corpus: planted pairs lose mass, others don't") {
     val even = docs.filter($"doc_id" % 2 === 0)
     val odd = docs.filter($"doc_id" % 2 === 1)
