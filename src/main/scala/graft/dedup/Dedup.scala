@@ -580,6 +580,43 @@ object Dedup {
     members.withColumn("rep", first(col("node")).over(w))
   }
 
+  /** Leakage-safe (cluster-aware) train/eval split: assign every doc to
+    * train or eval so that NO near-duplicate pair straddles the split —
+    * the holdout discipline a training pipeline needs before it can
+    * trust an eval number (a random per-doc split leaks every duplicated
+    * doc's content across the boundary; the contamination check then
+    * flags the split itself). Docs are grouped by near-dup cluster
+    * ([[connectedComponents]] over the [[nearDuplicates]] pair graph;
+    * docs in no pair are their own singleton cluster), and the WHOLE
+    * cluster lands on one side, chosen by its canonical id:
+    * `cluster % nBuckets < evalBuckets` → eval, else train. The id-mod
+    * rule is deterministic across runs, engines, and partitionings (the
+    * same keyed-assignment discipline as `stratifiedExact`'s hash draw),
+    * and `evalBuckets/nBuckets` sets the expected eval fraction.
+    *
+    * Returns one row per doc: `(doc_id, cluster, split)`.
+    *
+    * Scale shape: everything past the near-dup pipeline moves only
+    * 8-byte ids — the CC label frame joins the corpus id projection
+    * (left join, id-keyed), and the split column is arithmetic on the
+    * cluster id. No text, no windows, no driver state. */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, textCol: Column,
+                       threshold: Double,
+                       cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                       nBuckets: Int = 10, evalBuckets: Int = 1): DataFrame = {
+    require(nBuckets > 0 && evalBuckets >= 0 && evalBuckets <= nBuckets,
+      s"need 0 <= evalBuckets <= nBuckets, got $evalBuckets/$nBuckets")
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, cfg)
+    val cc = connectedComponents(pairs, col("d1"), col("d2"))
+    df.select(idCol.as("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon"), col("doc_id")).as("cluster"))
+      .withColumn("split",
+        when(pmod(col("cluster"), lit(nBuckets)) < evalBuckets, lit("eval"))
+          .otherwise(lit("train")))
+  }
+
   /** Train/eval contamination: for each eval doc, the fraction of its
     * distinct shingles that appear ANYWHERE in the train corpus — the
     * benchmark-leakage check an LLM data pipeline runs before training.

@@ -269,4 +269,82 @@ object Sampling {
       .filter(col("rk") <= col("alloc"))
       .select(col("class"), col("sid"), col("rk"))
   }
+
+  // ---- mixture epoch planning -----------------------------------------
+
+  /** `floor(b·w / s)` in overflow-staged integer SQL (both Spark SQL with
+    * `divOp = "div"` and DuckDB with `divOp = "//"`): decompose b = q·s+r,
+    * so floor(b·w/s) = q·w + floor(r·w/s) exactly (q·w is an integer).
+    * Safe while `(b mod s)·w` and `(b div s)·w` stay inside int64 —
+    * callers pick which operand plays b so the small one multiplies. */
+  def mulDivSql(bE: String, wE: String, sE: String, divOp: String): String =
+    s"((($bE) $divOp ($sE)) * ($wE) + ((($bE) % ($sE)) * ($wE)) $divOp ($sE))"
+
+  /** `floor(a·10⁶ / b)` staged as two ·10³ hops (each exact by the same
+    * q·s+r lemma), so `a` only ever multiplies by 1000 — safe to
+    * a,b ≈ 9·10¹⁵, i.e. quadrillions of tokens per source. */
+  def microRatioSql(aE: String, bE: String, divOp: String): String = {
+    val a3 = s"(($aE) * 1000)"
+    s"(($a3 $divOp ($bE)) * 1000 + (($a3 % ($bE)) * 1000) $divOp ($bE))"
+  }
+
+  /** Per-source repetition (epoch) plan under a token budget — the
+    * data-mixing question a pretraining run answers before it starts:
+    * given each source's token count, a target mixture weight, a total
+    * token budget, and a repetition ceiling (the data-constrained-scaling
+    * rule of thumb that repeating a source beyond ~4 epochs stops
+    * helping), how many epochs of each source does the run take, and
+    * what mixture does that actually realize once the cap binds?
+    *
+    * Per source: `target = floor(budget·w / Σw)`, `epochs_micro =
+    * min(maxEpochs·10⁶, floor(target·10⁶ / tokens))`,
+    * `planned_tokens = floor(epochs_micro·tokens / 10⁶)`, `share_ppm =
+    * floor(planned·10⁶ / Σplanned)`. A capped source under-fills its
+    * target and the realized share drifts from the requested mixture —
+    * that drift (requested w vs share_ppm) is the signal the planner
+    * exists to surface. Sources missing from `weights` are excluded
+    * (weight 0); a source with zero tokens plans zero epochs.
+    *
+    * Engine-portable by EXACT integer arithmetic end to end (same
+    * discipline as [[temperatureAllocation]]): weights integerize to ppm
+    * on the driver, and every ratio is an overflow-staged int64
+    * floor-division ([[mulDivSql]]/[[microRatioSql]]) — no float step
+    * anywhere, so any engine computes bit-identical plans. Documented
+    * bounds: budget·wppm staged through Σwppm (safe to ~9·10¹² budget
+    * per 10⁶ Σwppm), token counts to ~9·10¹⁵ per source.
+    *
+    * Scale shape: one map-side-combinable grouped sum to |sources| rows;
+    * everything after is arithmetic on that tiny frame plus a 1-row
+    * broadcast total. The corpus is touched exactly once. */
+  def epochPlan(df: DataFrame, sourceCol: Column, tokenCntCol: Column,
+                weights: Map[String, Double], budget: Long,
+                maxEpochs: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "every mixture weight must be positive")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val wppm = weights.map { case (s, w) => s -> math.floor(w * 1e6).toLong }
+    val wsum = wppm.values.sum
+    val maxE6 = math.floor(maxEpochs * 1e6).toLong
+    val counts = df
+      .select(sourceCol.as("source"), tokenCntCol.cast("long").as("_tc"))
+      .filter(element_at(typedLit(wppm), col("source")).isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_tc").as("n_tokens"))
+      .withColumn("_wppm", element_at(typedLit(wppm), col("source")))
+      .withColumn("_target",
+        expr(mulDivSql(budget.toString, "_wppm", wsum.toString, "div")))
+      .withColumn("epochs_micro",
+        when(col("n_tokens") === 0, 0L).otherwise(
+          expr(s"least(${maxE6}L, ${microRatioSql("_target", "n_tokens", "div")})")))
+      .withColumn("planned_tokens",
+        expr(mulDivSql("n_tokens", "epochs_micro", "1000000", "div")))
+    val total = counts.agg(sum("planned_tokens").as("_t_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        when(col("_t_total") === 0, 0L)
+          .otherwise(expr(microRatioSql("planned_tokens", "_t_total", "div"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("epochs_micro"), col("planned_tokens"), col("share_ppm"))
+  }
 }

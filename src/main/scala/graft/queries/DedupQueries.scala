@@ -281,6 +281,42 @@ object DedupQueries {
         Dedup.connectedComponents(pairs, col("d1"), col("d2"))
       }),
 
+    // Leakage-safe train/eval split: near-dup clusters land WHOLE on one
+    // side of the holdout (cluster canon % 10 → eval bucket 0), so no
+    // near-duplicate pair straddles the split — the discipline that keeps
+    // eval numbers honest. The oracle closes the same q61 clusters
+    // recursively, then replays the bucket rule over every doc (docs in
+    // no pair are their own singleton cluster via the left join).
+    Q("q140_leakage_split",
+      Some(s"""WITH RECURSIVE ${baseCtes.stripPrefix("WITH ")},
+              |sig AS (
+              |  SELECT doc_id, mh0, mh1, mh2, mh3 FROM (
+              |    SELECT doc_id,
+              |$minhashExprs
+              |    FROM (SELECT doc_id, $shSql AS hs FROM t))),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t),
+              |pr AS (SELECT c.d1, c.d2 FROM cand c
+              |  JOIN shs a ON a.doc_id = c.d1
+              |  JOIN shs b ON b.doc_id = c.d2
+              |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8),
+              |edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+              |  UNION SELECT d2, d1 FROM pr),
+              |reach AS (
+              |  SELECT src AS node, src AS c FROM edges
+              |  UNION
+              |  SELECT e.dst, r.c FROM reach r JOIN edges e ON e.src = r.node),
+              |cc AS (SELECT node, min(c) AS canon FROM reach GROUP BY node)
+              |SELECT d.doc_id, coalesce(cc.canon, d.doc_id) AS cluster,
+              |  CASE WHEN coalesce(cc.canon, d.doc_id) % 10 < 1
+              |       THEN 'eval' ELSE 'train' END AS split
+              |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.leakageSafeSplit(docs(s, dir), col("doc_id"), col("text"), 0.8)),
+
     // The dedup DELETION step end to end: near-dup pairs → clusters →
     // anti-join away every non-canonical member, count survivors by lang.
     // This is what a pipeline actually ships — q61 diagnoses, q74 deletes.

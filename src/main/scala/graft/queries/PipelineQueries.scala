@@ -496,6 +496,53 @@ object PipelineQueries {
         graft.operators.Sampling.temperatureDraw(
             bucketed, col("bucket"), col("doc"), budget = 150)
           .select(col("class").as("bucket"), col("sid"), col("rk"))
+      }),
+
+    // Mixture epoch plan: per-source repetition factors under a token
+    // budget with a repetition ceiling (the data-constrained-scaling
+    // planner — how many epochs of each source, and what mixture that
+    // actually realizes once the cap binds). Sources are planted by
+    // doc_id % 4; weights web/books/code/wiki = 50/25/15/10%, budget
+    // 500k tokens, cap 2.5 epochs. Exact integer arithmetic end to end —
+    // the oracle's staged floor-divisions are generated by the SAME
+    // mulDivSql/microRatioSql the engine evaluates, so the two sides
+    // cannot drift.
+    Q("q141_epoch_plan", {
+      import graft.operators.Sampling.{microRatioSql, mulDivSql}
+      val wCase = """CASE source WHEN 'web' THEN 500000 WHEN 'books' THEN 250000
+                    |      WHEN 'code' THEN 150000 ELSE 100000 END""".stripMargin
+      Some(s"""WITH d AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              |      WHEN 2 THEN 'code' ELSE 'wiki' END AS source,
+              |    len($toksSql) AS tc FROM documents),
+              |c AS (SELECT source, count(*) AS n_docs,
+              |    CAST(sum(tc) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+              |e AS (SELECT source, n_docs, n_tokens,
+              |    CAST($wCase AS BIGINT) AS wppm FROM c),
+              |t AS (SELECT source, n_docs, n_tokens,
+              |    ${mulDivSql("500000::BIGINT", "wppm", "1000000", "//")} AS target FROM e),
+              |ep AS (SELECT source, n_docs, n_tokens,
+              |    CASE WHEN n_tokens = 0 THEN 0 ELSE
+              |      least(2500000::BIGINT, ${microRatioSql("target", "n_tokens", "//")})
+              |    END AS epochs_micro FROM t),
+              |pl AS (SELECT source, n_docs, n_tokens, epochs_micro,
+              |    ${mulDivSql("n_tokens", "epochs_micro", "1000000", "//")} AS planned_tokens
+              |  FROM ep),
+              |tt AS (SELECT CAST(sum(planned_tokens) AS BIGINT) AS t_total FROM pl)
+              |SELECT source, n_docs, n_tokens, epochs_micro, planned_tokens,
+              |  CASE WHEN t_total = 0 THEN 0 ELSE
+              |    ${microRatioSql("planned_tokens", "t_total", "//")} END AS share_ppm
+              |FROM pl CROSS JOIN tt""".stripMargin)
+    },
+      (s, dir) => {
+        val src = col("doc_id") % 4
+        val source = when(src === 0, "web").when(src === 1, "books")
+          .when(src === 2, "code").otherwise("wiki")
+        graft.operators.Sampling.epochPlan(
+          docs(s, dir).select(source.as("source"),
+            size(tokens(col("text"))).cast("long").as("tc")),
+          col("source"), col("tc"),
+          Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.15, "wiki" -> 0.10),
+          budget = 500000L, maxEpochs = 2.5)
       })
   )
 }

@@ -33,6 +33,31 @@ object SimilarityQueries {
           e.filter(col("vec_id") === 0), col("embedding"), 10)
       }),
 
+    // Two-stage truncate-then-rerank retrieval (Matryoshka shape): coarse
+    // top-50 by cosine over the first 16 dims, exact 64-dim rerank to
+    // top-10 — the corpus-sized pass pays a quarter of the arithmetic,
+    // the full-dim cosine touches 50 rows. Both cut points round to 4
+    // places before ordering (ties on vec_id) so the candidate set is
+    // engine-portable; the oracle replays both stages with the same
+    // slice + LIMIT.
+    Q("q142_truncated_rerank",
+      Some(s"""WITH $eCte,
+              |q AS (SELECT v AS qv, v[1:16] AS qp FROM e WHERE vec_id = 0),
+              |pv AS (SELECT vec_id, v, v[1:16] AS vp FROM e WHERE vec_id <> 0),
+              |c AS (SELECT vec_id, v, round(${Similarity.cosineSql("vp", "qp")}, 4) AS coarse_sim
+              |  FROM pv, q
+              |  ORDER BY coarse_sim DESC, vec_id LIMIT 50)
+              |SELECT vec_id, round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim, coarse_sim
+              |FROM c, q
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.knnTruncatedRerank(
+          e.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") === 0), col("embedding"),
+          dPrefix = 16, coarseK = 50, k = 10)
+      }),
+
     // Hyperplane-LSH bucket histogram (planes = vectors 1..4, shared with
     // the oracle so bucketing is engine-portable).
     Q("q40_lsh_buckets",

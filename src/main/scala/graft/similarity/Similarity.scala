@@ -54,6 +54,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval: coarse top-`coarseK` by cosine over the first
+    * `dPrefix` dimensions, exact full-dimension rerank of those
+    * candidates to top-`k` — the truncate-then-rerank pattern of
+    * Matryoshka-style embeddings (coarse filter on a cheap prefix, exact
+    * scoring only where it matters). The 100 TB economics: the
+    * corpus-sized scan pays a dPrefix-dim dot product instead of the
+    * full-dim one (a 4× prefix cut ≈ 4× less arithmetic and memory
+    * traffic on the only full pass), while the full-dim cosine touches
+    * exactly `coarseK` rows. Both stages plan TakeOrderedAndProject —
+    * bounded per-partition heaps, never a global sort.
+    *
+    * Recall is approximate by construction (a true neighbor whose prefix
+    * similarity falls outside the coarse top-`coarseK` is lost — the
+    * standard truncation trade); `coarseK = |corpus|` degrades to exact
+    * [[knnBrute]]. Both stages round scores to 4 places BEFORE ordering
+    * (ties then break on vec_id) so the candidate CUT is engine-portable,
+    * same discipline as [[knnBrute]]. */
+  def knnTruncatedRerank(vectors: DataFrame, idCol: Column, vecCol: Column,
+                         query: DataFrame, queryVecCol: Column,
+                         dPrefix: Int, coarseK: Int, k: Int): DataFrame = {
+    require(dPrefix > 0, s"dPrefix must be > 0, got $dPrefix")
+    require(k > 0 && coarseK >= k, s"need coarseK >= k > 0, got $coarseK/$k")
+    val v = vecCol.cast("array<double>")
+    val q = queryVecCol.cast("array<double>").as("qv")
+    val coarse = vectors.select(idCol.as("vec_id"), v.as("v"))
+      .crossJoin(broadcast(query.select(q)))
+      .withColumn("coarse_sim",
+        round(cosine(slice(col("v"), 1, dPrefix), slice(col("qv"), 1, dPrefix)), 4))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+      .limit(coarseK)
+    coarse
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select(col("vec_id"), col("cos_sim"), col("coarse_sim"))
+      .limit(k)
+  }
+
   /** Hyperplane-LSH bucket id from sign-bits of dot(v, plane_i):
     * bucket = Σ 2^(rank−1) · [dot(v, plane_i) > 0].
     *

@@ -442,4 +442,30 @@ class DedupSpec extends SparkSpec {
       "untouched docs must keep every token")
     out.unpersist()
   }
+
+  test("leakageSafeSplit: no near-dup pair straddles the split; singletons self-cluster") {
+    val split = Dedup.leakageSafeSplit(docs, $"doc_id", $"text", 0.8).cache()
+    assert(split.count() == docs.count(), "one row per doc")
+    // the defining property: both ends of every near-dup pair land on
+    // the same side (and in the same cluster)
+    val pairs = Dedup.nearDuplicates(docs, $"doc_id", $"text", 0.8)
+    val straddle = pairs
+      .join(split.select($"doc_id".as("d1"), $"split".as("s1"),
+        $"cluster".as("c1")), "d1")
+      .join(split.select($"doc_id".as("d2"), $"split".as("s2"),
+        $"cluster".as("c2")), "d2")
+    assert(straddle.filter($"s1" =!= $"s2" || $"c1" =!= $"c2").count() == 0,
+      "near-dup pairs must never straddle the train/eval boundary")
+    // docs in no pair are their own singleton cluster
+    val inPairs = pairs.select($"d1".as("doc_id"))
+      .union(pairs.select($"d2")).distinct()
+    val singletons = split.join(inPairs, Seq("doc_id"), "left_anti")
+    assert(singletons.filter($"cluster" =!= $"doc_id").count() == 0)
+    // the bucket rule: eval iff cluster % 10 == 0, both sides non-empty
+    assert(split.filter(($"cluster" % 10 === 0) =!= ($"split" === "eval"))
+      .count() == 0)
+    assert(split.filter($"split" === "eval").count() > 0)
+    assert(split.filter($"split" === "train").count() > 0)
+    split.unpersist()
+  }
 }

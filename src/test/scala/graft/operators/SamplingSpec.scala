@@ -222,4 +222,49 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureAllocation(df, col("cls"), budget = 10L, alpha = 0.0)
     }
   }
+
+  test("epochPlan: cap binds, budget splits by weight, shares are exact integers") {
+    // source a: 100 tokens, b: 1000 tokens; equal weights, budget 1000,
+    // cap 2 epochs → a's 500-token target wants 5 epochs, capped at 2
+    // (planned 200); b runs 0.5 epochs (planned 500)
+    val df = Seq(("a", 40L), ("a", 60L), ("b", 1000L)).toDF("src", "tc")
+    val plan = Sampling.epochPlan(df, col("src"), col("tc"),
+        Map("a" -> 0.5, "b" -> 0.5), budget = 1000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(plan("a") == ((2L, 100L, 2000000L, 200L, 285714L)), s"got ${plan("a")}")
+    assert(plan("b") == ((1L, 1000L, 500000L, 500L, 714285L)), s"got ${plan("b")}")
+  }
+
+  test("epochPlan: zero-token and unweighted sources are handled, guards throw") {
+    val df = Seq(("a", 100L), ("z", 0L), ("ghost", 50L)).toDF("src", "tc")
+    val plan = Sampling.epochPlan(df, col("src"), col("tc"),
+      Map("a" -> 0.7, "z" -> 0.3), budget = 100L, maxEpochs = 4.0)
+    val rows = plan.collect().map(r => r.getString(0) -> r).toMap
+    assert(!rows.contains("ghost"), "sources outside the mixture are excluded")
+    assert(rows("z").getLong(3) == 0L && rows("z").getLong(4) == 0L,
+      "a zero-token source plans zero epochs")
+    assert(rows("a").getLong(5) == 1000000L,
+      "the only planned source carries the whole realized mixture")
+    intercept[IllegalArgumentException] {
+      Sampling.epochPlan(df, col("src"), col("tc"), Map.empty, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochPlan(df, col("src"), col("tc"), Map("a" -> 0.5), -1L)
+    }
+  }
+
+  test("mulDivSql/microRatioSql stage exactly at int64-hostile magnitudes") {
+    // floor(b*w/s) and floor(a*1e6/b) at operands where the naive
+    // product overflows int64 — the staged forms must stay exact
+    val big = 8000000000000000L // 8e15
+    val got = spark.sql(
+      s"SELECT ${Sampling.mulDivSql(big.toString, "900000", "1000000", "div")} AS md, " +
+        s"${Sampling.microRatioSql("123456789012345", big.toString, "div")} AS mr")
+      .head()
+    val expMd = (BigInt(big) * 900000 / 1000000).toLong
+    val expMr = (BigInt(123456789012345L) * 1000000 / big).toLong
+    assert(got.getLong(0) == expMd && got.getLong(1) == expMr,
+      s"staged arithmetic drifted: $got vs ($expMd, $expMr)")
+  }
 }

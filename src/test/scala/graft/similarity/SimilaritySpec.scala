@@ -474,4 +474,34 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 10L).forall(keptIds.contains),
       "the lower-id original of each dup pair must be kept")
   }
+
+  test("knnTruncatedRerank with coarseK = |corpus| degrades to exact knnBrute") {
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    val n = corpus.count().toInt
+    val exact = Similarity.knnBrute(corpus, col("vec_id"), col("embedding"),
+      query, col("embedding"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val staged = Similarity.knnTruncatedRerank(corpus, col("vec_id"),
+        col("embedding"), query, col("embedding"),
+        dPrefix = 64, coarseK = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(staged.toSeq == exact.toSeq,
+      "full-width coarse stage must reproduce exact brute-force top-k")
+  }
+
+  test("knnTruncatedRerank: coarse prefix cut loses what rerank can't see") {
+    // q's mass lives in the TAIL dims: the prefix-aligned decoy wins the
+    // coarse stage at coarseK=1, the true neighbor needs coarseK=2
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // decoy: perfect prefix, ~0 full cosine
+      (2L, Seq(0.0, 1.0, 0.0, 10.0))). // true neighbor on full dims
+      toDF("vec_id", "v")
+    val query = Seq((0L, Seq(1.0, 0.0, 0.0, 10.0))).toDF("vec_id", "v")
+    def top(ck: Int) = Similarity.knnTruncatedRerank(corpus, col("vec_id"),
+        col("v"), query.select("v"), col("v"), dPrefix = 2, coarseK = ck, k = 1)
+      .head().getLong(0)
+    assert(top(1) == 1L, "coarseK=1 must keep only the prefix winner")
+    assert(top(2) == 2L, "widening the coarse stage recovers the true neighbor")
+  }
 }
