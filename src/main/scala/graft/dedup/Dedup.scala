@@ -580,6 +580,42 @@ object Dedup {
     members.withColumn("rep", first(col("node")).over(w))
   }
 
+  /** Cross-source overlap matrix: for every source pair, how much of the
+    * smaller source's distinct-shingle mass the two share — the
+    * corpus-composition diagnostic ("how much of Books is already in
+    * Web?") that decides whether sources should be deduped jointly and
+    * which mixture weights double-count. One row per unordered pair
+    * `(s1 < s2)` WITH any shared mass (fully disjoint pairs emit no
+    * row): shared distinct shingles, each side's distinct-shingle
+    * count, and `overlap = n_shared / min(n_s1, n_s2)` (containment of
+    * the smaller side, the Dolma/RedPajama-style overlap report).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    * pairs before any join — docs and text never cross the wire — and
+    * the self-join fans out at most |sources| rows per shingle hash, so
+    * the pair work is Σ_sh deg(sh)² with deg ≤ |sources| (a handful by
+    * contract), linear in corpus size. No doc-pair enumeration
+    * anywhere. */
+  def sourceOverlapMatrix(df: DataFrame, idCol: Column, textCol: Column,
+                          sourceCol: Column,
+                          cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+    val p = df.select(sourceCol.as("source"), idCol.as("_id"), textCol.as("_t"))
+    val sh = shingleHashes(p, col("_id"), col("_t"), cfg.shingleK, cfg.portable)
+      .join(p.select(col("_id").as("doc"), col("source")), "doc")
+      .select("source", "sh").distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("source").as("s1"), col("sh"))
+      .join(sh.select(col("source").as("s2"), col("sh")), "sh")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n_s1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n_s2"))), "s2")
+      .select(col("s1"), col("s2"), col("n_shared"), col("n_s1"), col("n_s2"),
+        round(col("n_shared").cast("double") / least(col("n_s1"), col("n_s2")), 6)
+          .as("overlap"))
+  }
+
   /** Leakage-safe (cluster-aware) train/eval split: assign every doc to
     * train or eval so that NO near-duplicate pair straddles the split —
     * the holdout discipline a training pipeline needs before it can
@@ -715,6 +751,93 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("cov"))
     cutCoveredPositions(t, cuts)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): from every window of `w` consecutive k-shingle
+    * hashes, select the minimum (ties to the earliest position), then
+    * dedupe — a position-anchored document sketch with the winnowing
+    * GUARANTEE that any shared run of at least `w + k − 1` tokens
+    * contributes at least one IDENTICAL selected (hash) to both docs.
+    * That local guarantee is what MinHash lacks: MinHash bounds
+    * set-level Jaccard, winnowing certifies substring-level matches —
+    * the plagiarism/attribution shape. Density is ~2/(w+1) of positions,
+    * so the sketch is a tunable fraction of the gram stream.
+    *
+    * Returns `(doc_id, p, sh)` — 1-based shingle position and selected
+    * hash. Docs shorter than `k` tokens have no shingles and emit no
+    * rows; docs with fewer than `w` shingles select from one short
+    * window (the whole doc).
+    *
+    * Scale shape: selection is ONE per-row projection (the window sweep
+    * is an array transform inside the row — no explode of the gram
+    * stream, no per-position shuffle); output is already deduped per doc
+    * by `array_distinct` before the explode. Downstream matching joins
+    * on `sh` like any posting list. */
+  def winnowing(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int = 3, w: Int = 4, portable: Boolean = true): DataFrame = {
+    require(k >= 1, s"shingle k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val t = df.select(idCol.as("doc_id"),
+      graft.functions.TextFunctions.shingleHashArray(
+        tokens(textCol), k, portable).as("hs"))
+    t.filter(size(col("hs")) >= 1)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => {
+            val win = slice(col("hs"), i, lit(w)) // truncates at the tail
+            val mn = array_min(win)
+            struct((i + array_position(win, mn) - 1).cast("long").as("p"),
+              mn.as("sh"))
+          }))).as("f"))
+      .select(col("doc_id"), col("f.p").as("p"), col("f.sh").as("sh"))
+  }
+
+  /** Content-defined chunking (FastCDC/LBFS shape, tokenized): cut a doc
+    * into chunks at positions where the rolling k-token shingle hash
+    * lands in a fixed residue class (`sh % divisor == 0`), so boundaries
+    * are a pure function of LOCAL content — two docs sharing a long span
+    * cut it identically regardless of how much prefix was inserted or
+    * deleted before it, which is exactly what fixed-size chunking
+    * breaks. The chunk-hash join then finds sub-document duplicate mass
+    * (boilerplate, templates, quoted blocks) across the corpus without
+    * any alignment search. Expected chunk length ≈ `divisor` tokens; the
+    * doc tail is always a chunk.
+    *
+    * Returns one row per chunk: `(doc_id, s, e, n_tok, chunk,
+    * chunk_hash)` with 1-based inclusive token span [s, e].
+    *
+    * Scale shape: the boundary scan is one positional-gram explode
+    * filtered to ~1/divisor of positions (narrow (doc, int) rows); span
+    * assembly is a per-DOC window over those boundary rows (bounded by
+    * tokens/divisor per doc, never corpus-wide); the chunk slice is one
+    * per-row projection of the token array. No corpus-scale sort, no
+    * pair enumeration — downstream dedup joins on `chunk_hash` like any
+    * exact-dedup key. */
+  def cdcChunks(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int = 8, divisor: Int = 32,
+                portable: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"window k must be >= 1, got $k")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val t = df.select(idCol.as("doc_id"), tokens(textCol).as("toks"))
+    val bnds = t.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.shingleHashArray(
+          col("toks"), k, portable)).as(Seq("p", "sh")))
+      .filter(pmod(col("sh"), lit(divisor)) === 0)
+      .select(col("doc_id"), (col("p") + k).as("e")) // 0-based p → 1-based end
+    val ends = bnds
+      .union(t.select(col("doc_id"), size(col("toks")).as("e")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+    ends.withColumn("s", coalesce(lag(col("e"), 1).over(w), lit(0)) + 1)
+      .join(t, "doc_id")
+      .select(col("doc_id"), col("s"), col("e"),
+        (col("e") - col("s") + 1).cast("long").as("n_tok"),
+        concat_ws(" ",
+          slice(col("toks"), col("s"), col("e") - col("s") + 1)).as("chunk"))
+      .withColumn("chunk_hash", portableHash(col("chunk")))
   }
 
   /** Shared rebuild for the span-cutting ops: aggregate the (doc_id,

@@ -561,6 +561,92 @@ object DedupQueries {
         Dedup.dedupExactSubstrings(docs(s, dir), col("doc_id"), col("text"),
           k = 5)),
 
+    // Cross-source overlap matrix: distinct-shingle containment for every
+    // source pair (sources planted by doc_id % 4) — the corpus-composition
+    // diagnostic that decides joint-vs-separate dedup and flags
+    // double-counted mixture weights. No doc-pair enumeration: the corpus
+    // collapses to distinct (source, shingle) rows and the join fans out
+    // at most |sources| per hash.
+    Q("q143_source_overlap",
+      Some(s"""WITH d AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              |      WHEN 2 THEN 'code' ELSE 'wiki' END AS source, text FROM documents),
+              |t AS (SELECT source, $toksSql AS tk FROM d),
+              |p AS (SELECT DISTINCT source, sh FROM
+              |  (SELECT source, unnest($shSql) AS sh FROM t)),
+              |sizes AS (SELECT source, count(*) AS n FROM p GROUP BY source),
+              |ov AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+              |  FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT s1, s2, n_shared, x.n AS n_s1, y.n AS n_s2,
+              |  round(CAST(n_shared AS DOUBLE) / least(x.n, y.n), 6) AS overlap
+              |FROM ov JOIN sizes x ON x.source = s1
+              |JOIN sizes y ON y.source = s2""".stripMargin),
+      (s, dir) => {
+        val src = col("doc_id") % 4
+        val source = when(src === 0, "web").when(src === 1, "books")
+          .when(src === 2, "code").otherwise("wiki")
+        Dedup.sourceOverlapMatrix(
+          docs(s, dir).withColumn("source", source),
+          col("doc_id"), col("text"), col("source"))
+      }),
+
+    // Content-defined chunking + chunk-level dup census: boundaries where
+    // the rolling 8-token shingle hash ≡ 0 (mod 32), one row per chunk
+    // with its corpus-wide copy count — sub-document duplicate mass
+    // (boilerplate, templates) surfaced without alignment search. The
+    // oracle replays boundary selection, the lag-window span assembly,
+    // the slice, the portable chunk hash, and the copy-count join.
+    Q("q144_cdc_chunk_dedup", {
+      val hs8 = shingleHashesSql("tk", 8)
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |g AS (SELECT doc_id, tk, $hs8 AS hs FROM t),
+              |b AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS p,
+              |    unnest(hs) AS sh FROM g),
+              |bn AS (SELECT doc_id, p + 7 AS e FROM b WHERE sh % 32 = 0),
+              |ends AS (SELECT doc_id, e FROM bn
+              |  UNION SELECT doc_id, len(tk) FROM t),
+              |sp AS (SELECT doc_id, e,
+              |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+              |  FROM ends),
+              |ch AS (SELECT sp.doc_id, s, e, e - s + 1 AS n_tok,
+              |    ${portableHashSql("array_to_string(tk[s:e], ' ')")} AS chunk_hash
+              |  FROM sp JOIN t USING (doc_id)),
+              |cg AS (SELECT chunk_hash, count(*) AS n_copies
+              |  FROM ch GROUP BY chunk_hash)
+              |SELECT doc_id, s, e, n_tok, chunk_hash, n_copies
+              |FROM ch JOIN cg USING (chunk_hash)""".stripMargin)
+    },
+      (s, dir) => {
+        val ch = Dedup.cdcChunks(docs(s, dir), col("doc_id"), col("text"),
+          k = 8, divisor = 32)
+        val cg = ch.groupBy("chunk_hash").agg(count(lit(1)).as("n_copies"))
+        ch.join(cg, "chunk_hash")
+          .select(col("doc_id"), col("s").cast("long").as("s"),
+            col("e").cast("long").as("e"), col("n_tok"),
+            col("chunk_hash"), col("n_copies"))
+      }),
+
+    // Winnowing fingerprints (MOSS): min-of-window selection over the
+    // 3-shingle hash stream, w=4 — the position-anchored sketch whose
+    // guarantee (any shared ≥ w+k−1-token run lands one identical
+    // fingerprint in both docs) makes substring-level matching joinable.
+    // The oracle replays the same window sweep with list_min +
+    // list_position (ties to the earliest position on both sides).
+    Q("q146_winnowing",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |g AS (SELECT doc_id, $shSql AS hs FROM t),
+              |wins AS (SELECT doc_id, unnest(generate_series(1,
+              |      greatest(len(hs) - 3, 1))) AS i, hs
+              |  FROM g WHERE len(hs) >= 1),
+              |sel AS (SELECT DISTINCT doc_id,
+              |    i + list_position(hs[i:i+3], list_min(hs[i:i+3])) - 1 AS p,
+              |    list_min(hs[i:i+3]) AS sh
+              |  FROM wins)
+              |SELECT doc_id, p, sh FROM sel""".stripMargin),
+      (s, dir) =>
+        Dedup.winnowing(docs(s, dir), col("doc_id"), col("text"),
+          k = 3, w = 4)),
+
     // Incremental dedup: a delta batch classified against the existing
     // base corpus (exact_dup / near_dup / kept) WITHOUT re-clustering the
     // base — the production shape at 100 TB, where every arriving batch

@@ -187,6 +187,38 @@ object SimilarityQueries {
           e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 3)
       }),
 
+    // Hard-negative mining: per anchor (vec_ids 0-4), the top-4 most
+    // similar vectors excluding self and the planted positives
+    // (anchor+10, anchor+20) — the contrastive-training batch builder.
+    // Anchors and positives broadcast; the corpus never shuffles for the
+    // exclusion and the rank keeps its WindowGroupLimit prune.
+    Q("q145_hard_negatives",
+      Some(s"""WITH $eCte,
+              |q AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 5),
+              |p AS (SELECT anchor_id, anchor_id + 10 AS vec_id FROM q
+              |  UNION ALL SELECT anchor_id, anchor_id + 20 FROM q),
+              |scored AS (SELECT q.anchor_id, e.vec_id,
+              |    round(${Similarity.cosineSql("v", "av")}, 4) AS cos_sim
+              |  FROM e CROSS JOIN q
+              |  WHERE e.vec_id <> q.anchor_id
+              |    AND NOT EXISTS (SELECT 1 FROM p
+              |      WHERE p.anchor_id = q.anchor_id AND p.vec_id = e.vec_id)),
+              |r AS (SELECT anchor_id, vec_id, cos_sim,
+              |    CAST(row_number() OVER (PARTITION BY anchor_id
+              |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+              |  FROM scored)
+              |SELECT anchor_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 4""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val anchors = e.filter(col("vec_id") < 5)
+        val positives = anchors.select(col("vec_id").as("anchor"),
+            (col("vec_id") + 10).as("pos"))
+          .union(anchors.select(col("vec_id"), col("vec_id") + 20))
+        Similarity.hardNegatives(e, col("vec_id"), col("embedding"),
+          anchors, col("vec_id"), col("embedding"),
+          positives, col("anchor"), col("pos"), k = 4)
+      }),
+
     // Per-dimension z-score normalization of the embedding column — the
     // distributed feature-scaling pass (1 map-side-combinable stats
     // shuffle, stats broadcast back). Emitted in long form (vec_id, dim,

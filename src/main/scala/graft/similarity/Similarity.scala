@@ -54,6 +54,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-`k` most-similar corpus vectors that are NOT the anchor itself
+    * and NOT one of its labeled positives — the negatives that actually
+    * move a contrastive loss (random negatives are trivially easy; the
+    * near-misses are the signal). Returns `(anchor_id, vec_id, cos_sim,
+    * rnk)`, rank 1 = hardest.
+    *
+    * Scale shape: anchors and the positive-pair list both broadcast
+    * (small by contract — a training batch's anchors and their labeled
+    * positives), so the corpus-sized scored frame never shuffles for the
+    * exclusion; the per-anchor top-k is the same rank window as
+    * [[knnBatch]] and keeps its WindowGroupLimit map-side prune (at most
+    * k·|anchors| rows per partition cross the exchange). Production at
+    * 100 TB swaps the brute scoring for ANN candidates ([[annIvfBatch]])
+    * and reuses the identical exclusion + rank tail. */
+  def hardNegatives(vectors: DataFrame, idCol: Column, vecCol: Column,
+                    anchors: DataFrame, anchorIdCol: Column, anchorVecCol: Column,
+                    positives: DataFrame, posAnchorCol: Column, posIdCol: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be > 0, got $k")
+    val v = vectors.select(idCol.as("vec_id"), vecCol.cast("array<double>").as("v"))
+    val a = anchors.select(anchorIdCol.as("anchor_id"),
+      anchorVecCol.cast("array<double>").as("av"))
+    val p = positives.select(posAnchorCol.as("anchor_id"), posIdCol.as("vec_id"))
+    v.crossJoin(broadcast(a))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .join(broadcast(p), Seq("anchor_id", "vec_id"), "left_anti")
+      .withColumn("cos_sim", round(cosine(col("v"), col("av")), 4))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("anchor_id", "vec_id", "cos_sim", "rnk")
+  }
+
   /** Two-stage retrieval: coarse top-`coarseK` by cosine over the first
     * `dPrefix` dimensions, exact full-dimension rerank of those
     * candidates to top-`k` — the truncate-then-rerank pattern of

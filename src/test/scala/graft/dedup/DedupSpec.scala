@@ -468,4 +468,89 @@ class DedupSpec extends SparkSpec {
     assert(split.filter($"split" === "train").count() > 0)
     split.unpersist()
   }
+
+  test("sourceOverlapMatrix: hand-computed containment; zero-overlap pairs absent") {
+    // A/B share the shingle (a b c); C shares nothing with either
+    val df = Seq((1L, "A", "a b c d"), (2L, "B", "a b c e"),
+      (3L, "C", "x y z w")).toDF("id", "src", "text")
+    val m = Dedup.sourceOverlapMatrix(df, col("id"), col("text"), col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m.keySet == Set(("A", "B")),
+      s"only the sharing pair may appear, got ${m.keySet}")
+    assert(m(("A", "B")) == ((1L, 2L, 2L, 0.5)), s"got ${m(("A", "B"))}")
+  }
+
+  test("sourceOverlapMatrix on the corpus: ratios in (0,1], pairs ordered") {
+    val source = when($"doc_id" % 2 === 0, "even").otherwise("odd")
+    val m = Dedup.sourceOverlapMatrix(docs.withColumn("source", source),
+      $"doc_id", $"text", $"source").cache()
+    assert(m.filter($"s1" >= $"s2").count() == 0, "pairs must be s1 < s2")
+    assert(m.filter($"overlap" <= 0 || $"overlap" > 1).count() == 0)
+    assert(m.filter($"n_shared" > least($"n_s1", $"n_s2")).count() == 0,
+      "shared mass cannot exceed either side")
+    m.unpersist()
+  }
+
+  test("cdcChunks: chunks tile each doc; boundaries survive prefix insertion") {
+    val base = (0 until 200).map(i => s"t${i % 50}").mkString(" ")
+    val prefixed = (0 until 10).map(i => s"p$i").mkString(" ") + " " + base
+    val df = Seq((1L, base), (2L, prefixed)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, $"doc_id", $"text", k = 8, divisor = 8)
+      .orderBy($"doc_id", $"s").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(4)))
+    for (doc <- Seq(1L, 2L)) {
+      val spans = ch.filter(_._1 == doc)
+      val n = if (doc == 1L) 200 else 210
+      assert(spans.head._2 == 1 && spans.last._3 == n,
+        s"doc $doc chunks must start at 1 and end at $n")
+      assert(spans.sliding(2).forall {
+        case Array(a, b) => b._2 == a._3 + 1; case _ => true
+      }, s"doc $doc spans must be contiguous")
+      val rebuilt = spans.map(_._4).mkString(" ")
+      val orig = if (doc == 1L) base else prefixed
+      assert(rebuilt == orig, s"doc $doc chunks must tile the original text")
+      assert(spans.length > 3, s"doc $doc should cut several chunks at divisor 8")
+    }
+    // the CDC property: every doc-1 chunk except the first survives a
+    // 10-token prefix insertion verbatim (fixed-size chunking loses all)
+    val c1 = ch.filter(_._1 == 1L).map(_._4)
+    val c2 = ch.filter(_._1 == 2L).map(_._4).toSet
+    val lost = c1.drop(1).filterNot(c2.contains)
+    assert(lost.isEmpty,
+      s"content-defined boundaries must realign after the junction: lost $lost")
+  }
+
+  test("winnowing: selection is consistent, dense ~2/(w+1), guarantee holds") {
+    import graft.functions.TextFunctions.{shingleHashArray, tokens}
+    val shared = (0 until 30).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma $shared delta"),
+      (2L, s"x1 y2 $shared z3 w4 v5"),
+      (3L, "too short"),        // < k tokens after split? 2 tokens < 3 → no rows
+      (4L, "just four tokens here")). // 4 tokens → 2 shingles < w → one window
+      toDF("doc_id", "text")
+    val fp = Dedup.winnowing(df, $"doc_id", $"text", k = 3, w = 4).cache()
+    // every selected (p, sh) really is the hash at that position
+    val hs = df.select($"doc_id",
+        shingleHashArray(tokens($"text"), 3, portable = true).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rows = fp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (d, p, sh) => hs(d)(p.toInt - 1) == sh },
+      "selected hash must sit at its claimed position")
+    // the winnowing guarantee: a shared >= w+k-1 token run yields at
+    // least one identical fingerprint hash in both docs
+    val s1 = rows.filter(_._1 == 1L).map(_._3).toSet
+    val s2 = rows.filter(_._1 == 2L).map(_._3).toSet
+    assert((s1 & s2).nonEmpty, "shared 30-token run must share a fingerprint")
+    // selection is sparse: at most one fingerprint per window start
+    val n1 = rows.count(_._1 == 1L)
+    assert(n1 <= hs(1L).size - 3 && n1 >= hs(1L).size / 5,
+      s"density out of range: $n1 of ${hs(1L).size} positions")
+    // degenerate docs
+    assert(!rows.exists(_._1 == 3L), "docs with no shingles emit no rows")
+    assert(rows.count(_._1 == 4L) == 1, "fewer shingles than w → one window")
+    fp.unpersist()
+  }
 }

@@ -504,4 +504,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1) == 1L, "coarseK=1 must keep only the prefix winner")
     assert(top(2) == 2L, "widening the coarse stage recovers the true neighbor")
   }
+
+  test("hardNegatives excludes self and positives; degrades to knnBatch when unlabeled") {
+    val e = emb.select("vec_id", "embedding")
+    val anchors = e.filter($"vec_id" < 3)
+    val positives = Seq((0L, 5L), (0L, 7L), (1L, 5L)).toDF("a", "p")
+    val hn = Similarity.hardNegatives(e, col("vec_id"), col("embedding"),
+      anchors, col("vec_id"), col("embedding"),
+      positives, col("a"), col("p"), k = 5).cache()
+    assert(hn.filter($"anchor_id" === $"vec_id").count() == 0, "self excluded")
+    assert(hn.join(positives, $"anchor_id" === $"a" && $"vec_id" === $"p")
+      .count() == 0, "labeled positives excluded")
+    assert(hn.groupBy("anchor_id").count().filter($"count" =!= 5).count() == 0,
+      "exactly k negatives per anchor")
+    // with no labels it is exactly batch kNN
+    val none = Seq.empty[(Long, Long)].toDF("a", "p")
+    val unlabeled = Similarity.hardNegatives(e, col("vec_id"), col("embedding"),
+        anchors, col("vec_id"), col("embedding"), none, col("a"), col("p"), k = 3)
+      .select($"anchor_id".as("query_id"), $"vec_id", $"cos_sim", $"rnk")
+    val knn = Similarity.knnBatch(e, col("vec_id"), col("embedding"),
+      anchors, col("vec_id"), col("embedding"), 3)
+    assert(unlabeled.collect().toSet == knn.collect().toSet,
+      "empty positive set must reproduce knnBatch")
+    hn.unpersist()
+  }
 }
