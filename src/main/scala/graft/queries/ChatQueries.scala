@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.Instruct
+
+/** Round-9 instruction/chat-data suite: the post-training corpus shape.
+  * Conversations are derived from the `events` stream (q25's
+  * sessionization, role/content from `event_type`/`props`), then audited
+  * ([[Instruct.alternationAudit]], q147), mask-indexed
+  * ([[Instruct.lossSpans]], q148), and template-rendered
+  * ([[Instruct.render]], q149). Every op is pure column arithmetic over
+  * the shared turn frame, so all three queries hash-check end to end
+  * against DuckDB replays of the identical derivation.
+  */
+object ChatQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** Shared DuckDB turn frame — the SQL twin of [[Instruct.turns]]:
+    * sessionize (q25 gap rule, `(ts, event_id)` orderd), derive
+    * role/content, number turns within the conversation, and compute the
+    * rendered-prefix length of all prior turns. The oracle windows
+    * directly on `(user_id, session_id)`; the engine recovers the same
+    * values from per-user running aggregates to stay on one exchange —
+    * same semantics, different physical shape, which is exactly what the
+    * hash compare certifies. */
+  private val turnsCtes: String =
+    """WITH t0 AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type IN ('click', 'view', 'signup')
+      |         THEN 'user' ELSE 'assistant' END AS role,
+      |    event_type || ' ' || props AS content
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |         OR CAST(floor(epoch(ts)) AS BIGINT)
+      |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+      |       THEN 1 ELSE 0 END AS new_session
+      |  FROM t0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g),
+      |turns AS (
+      |  SELECT user_id, session_id, role, content,
+      |    row_number() OVER conv AS turn_idx,
+      |    CAST(len('<|' || role || '|>' || content || '<|end|>') AS BIGINT) AS turn_len,
+      |    coalesce(sum(CAST(len('<|' || role || '|>' || content || '<|end|>') AS BIGINT))
+      |      OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_len
+      |  FROM s WINDOW conv AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Role-alternation audit + supervised-token budget per conversation:
+    // the SFT curation gate (starts with a user turn, strictly
+    // alternates, ends on the assistant) plus the loss/total token
+    // split the trainer's budget planning needs.
+    Q("q147_chat_audit",
+      Some(s"""$turnsCtes,
+              |a AS (SELECT *,
+              |    CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+              |        ORDER BY turn_idx) = role THEN 1 ELSE 0 END AS rep,
+              |    CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS BIGINT) AS n_tok
+              |  FROM turns)
+              |SELECT user_id, session_id,
+              |  count(*) AS n_turns,
+              |  CAST(count_if(role = 'user') AS BIGINT) AS n_user,
+              |  CAST(count_if(role = 'assistant') AS BIGINT) AS n_assistant,
+              |  CAST(sum(rep) AS BIGINT) AS n_repeats,
+              |  max(CASE WHEN turn_idx = 1 THEN role = 'user' END) AS starts_user,
+              |  max_by(role = 'assistant', turn_idx) AS ends_assistant,
+              |  CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) AS BIGINT)
+              |    AS n_loss_tokens,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_total_tokens,
+              |  (max(CASE WHEN turn_idx = 1 THEN role = 'user' END)
+              |    AND max_by(role = 'assistant', turn_idx)
+              |    AND sum(rep) = 0) AS valid
+              |FROM a GROUP BY user_id, session_id""".stripMargin),
+      (s, dir) => Instruct.alternationAudit(Instruct.turns(ev(s, dir)))),
+
+    // Loss-mask spans: the half-open character range of each assistant
+    // turn's CONTENT inside the conversation's rendered string (template
+    // scaffolding stays unsupervised). Offsets derive from the engine's
+    // single-exchange prefix sums; the oracle re-windows per
+    // conversation — the hash certifies the rebasing arithmetic.
+    Q("q148_chat_spans",
+      Some(s"""$turnsCtes
+              |SELECT user_id, session_id, turn_idx,
+              |  prefix_len + CAST(len('<|assistant|>') AS BIGINT) AS span_start,
+              |  CAST(len(content) AS BIGINT) AS span_len
+              |FROM turns WHERE role = 'assistant'""".stripMargin),
+      (s, dir) => Instruct.lossSpans(Instruct.turns(ev(s, dir)))),
+
+    // Chat-template render: one training-example string per
+    // conversation, turns concatenated in order — hash-checking the
+    // full rendered text pins header/end-marker layout AND ordering
+    // determinism (sort_array(collect_list(struct)) vs ordered
+    // string_agg).
+    Q("q149_chat_render",
+      Some(s"""$turnsCtes
+              |SELECT user_id, session_id,
+              |  string_agg('<|' || role || '|>' || content || '<|end|>', ''
+              |    ORDER BY turn_idx) AS rendered,
+              |  CAST(sum(turn_len) AS BIGINT) AS rendered_len
+              |FROM turns GROUP BY user_id, session_id""".stripMargin),
+      (s, dir) => Instruct.render(Instruct.turns(ev(s, dir))))
+  )
+}
