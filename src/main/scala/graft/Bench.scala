@@ -111,6 +111,12 @@ object Bench {
     lazy val benchByteMerges: Seq[(String, String)] =
       graft.text.Bpe.learnMerges(graft.text.Bpe.initByteVocab(
         Tables.documents(spark, sfDir), col("text")), 16).map(m => (m._1, m._2))
+    lazy val benchWpVocab: Seq[String] = {
+      val v0 = graft.text.WordPiece.initVocab(
+        Tables.documents(spark, sfDir), col("text"))
+      graft.text.WordPiece.vocabulary(v0,
+        graft.text.WordPiece.learnMerges(v0, 16))
+    }
     lazy val benchUnigramScores: Seq[(String, Long)] = {
       import spark.implicits._
       graft.text.UnigramLm.train(Tables.documents(spark, sfDir), col("text"))
@@ -135,7 +141,17 @@ object Bench {
         import s.implicits._
         graft.text.UnigramLm.encode(Tables.documents(s, dir), col("doc_id"),
           col("text"), benchUnigramScores.toDF("piece", "score_micro"))
-      }))
+      }),
+      "x42_wordpiece_train" -> toNoop((s, dir) => {
+        import s.implicits._
+        graft.text.WordPiece.learnMerges(graft.text.WordPiece.initVocab(
+            Tables.documents(s, dir), col("text")), 4)
+          .map(m => (m.pa, m.pb, m.cnt, m.score))
+          .toDF("pa", "pb", "cnt", "score")
+      }),
+      "x43_wordpiece_encode" -> toNoop((s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          graft.text.WordPiece.encode(col("text"), benchWpVocab).as("pieces"))))
 
     // Single-shot timings at sf0.1 swing far more than the bench gate's
     // margin under ambient load (r5's file read ~23% hot vs a quiet re-run

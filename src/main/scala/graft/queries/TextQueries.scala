@@ -60,6 +60,46 @@ object TextQueries {
        |s0 AS (SELECT $BpeWrapWordSql AS seq, n FROM v),
        |${bpeIterCtes(k)}""".stripMargin
 
+  // ---- WordPiece oracle SQL generation ----------------------------------
+  /** `##`-scheme twin of [[BpeWrapWordSql]]: first char plain,
+    * continuations `##`-prefixed (the WordPiece.wrapWord layout). */
+  private val WpWrapWordSql: String =
+    s"$BpeL || substr(word, 1, 1) || $BpeR || CASE WHEN len(word) > 1 " +
+      s"THEN $BpeL || '##' || array_to_string(" +
+      s"regexp_extract_all(substr(word, 2), '.'), $BpeR || $BpeL || '##') || $BpeR " +
+      "ELSE '' END"
+
+  /** WITH-chain replaying `WordPiece.learnMerges(initVocab(documents), k)`:
+    * per iteration ui = symbol counts, pi = pair counts, mi = argmax by
+    * likelihood score (score DESC, pa, pb — the engine's tiebreak; the
+    * score divides DOUBLE-cast operands in the same order as the
+    * engine, so scores are bit-identical, not just winners), ti = vocab
+    * with the merge applied (`##` stripped off the right part). */
+  private def wpCtes(k: Int): String = {
+    val split = s"string_split(trim(seq, $BpeL || $BpeR), $BpeR || $BpeL)"
+    val iter = (1 to k).map { i =>
+      s"""u$i AS (SELECT sym, sum(n) AS c
+         |  FROM (SELECT unnest($split) AS sym, n FROM t${i - 1}) GROUP BY sym),
+         |p$i AS (SELECT x[i] AS pa, x[i+1] AS pb, sum(n) AS cnt
+         |  FROM (SELECT $split AS x, n FROM t${i - 1})
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(x) - 1)) AS tt(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT p.pa, p.pb, p.cnt,
+         |    CAST(p.cnt AS DOUBLE) / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS score
+         |  FROM p$i p JOIN u$i ca ON ca.sym = p.pa JOIN u$i cb ON cb.sym = p.pb
+         |  ORDER BY score DESC, p.pa, p.pb LIMIT 1),
+         |t$i AS (SELECT replace(seq, $BpeL || pa || $BpeR || $BpeL || pb || $BpeR,
+         |    $BpeL || pa || regexp_replace(pb, '^##', '') || $BpeR) AS seq, n
+         |  FROM t${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS (SELECT unnest(${tokensSql(canonicalizeSql("text"))}) AS word
+       |  FROM documents),
+       |v AS (SELECT word, count(*) AS n FROM wd
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       |t0 AS (SELECT $WpWrapWordSql AS seq, n FROM v),
+       |$iter""".stripMargin
+  }
+
   /** Byte-level twin of [[BpeWrapWordSql]]: hex the word's UTF-8 bytes
     * (DuckDB `hex(encode(..))` and Spark `hex(encode(.., 'UTF-8'))` both
     * render uppercase), wrap each two-digit pair as one symbol. */
@@ -770,6 +810,48 @@ object TextQueries {
             .as("symbol"))
           .groupBy("symbol").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), col("symbol")).limit(20)
+      }),
+
+    // WordPiece training (graft.text.WordPiece): k=4 likelihood-scored
+    // merges — BPE's loop, but argmax over cnt(ab)/(c(a)*c(b)), the
+    // merge-what-cooccurs-more-than-chance rule. DuckDB replays every
+    // iteration: symbol counts, pair counts, scored argmax, literal
+    // rewrite; the hash covers the SCORES too (double-cast operands in
+    // identical IEEE order), not just the winning pairs.
+    Q("q150_wordpiece_train",
+      Some(s"""${wpCtes(BpeK)}
+              |SELECT * FROM (${(1 to BpeK).map(i =>
+                 s"SELECT $i AS it, pa, pb, CAST(cnt AS BIGINT) AS cnt, score FROM m$i")
+                 .mkString(" UNION ALL ")})
+              |ORDER BY it""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val merges = graft.text.WordPiece.learnMerges(
+          graft.text.WordPiece.initVocab(docs(s, dir), col("text")), BpeK)
+        merges.zipWithIndex
+          .map { case (m, i) => (i + 1, m.pa, m.pb, m.cnt, m.score) }
+          .toDF("it", "pa", "pb", "cnt", "score")
+      }),
+
+    // WordPiece greedy encode with the learned vocabulary: top-20 piece
+    // frequencies over the corpus. Greedy longest-prefix matching is an
+    // iterative per-word scan — not ANSI-expressible (the UnigramLm
+    // Viterbi precedent) — so correctness is spec-carried:
+    // WordPieceSpec replays the whole sf0.001 corpus against an
+    // independent plain-Scala matcher, plus lossless-ness and [UNK]
+    // invariants. The binding still runs under Verify for the
+    // rows-present check.
+    Q("q151_wordpiece_encode",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir)
+        val vocab0 = graft.text.WordPiece.initVocab(d, col("text"))
+        val merges = graft.text.WordPiece.learnMerges(vocab0, BpeK)
+        val vocab = graft.text.WordPiece.vocabulary(vocab0, merges)
+        d.select(explode(graft.text.WordPiece.encode(col("text"), vocab))
+            .as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("piece")).limit(20)
       }),
 
     // Mojibake detection + repair (TextFunctions.fixMojibake): artifacts
