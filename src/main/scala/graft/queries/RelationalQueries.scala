@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Buckets
-import graft.operators.Relational
+import graft.operators.{Layout, Relational}
 import graft.sources.Tables
 
 /** The relational operator surface of SURVEY.md §2.1–§2.8, expressed as
@@ -912,6 +912,34 @@ object RelationalQueries {
         a.join(b, col("p") <=> col("bp"))
           .groupBy(col("bp").as("p"))
           .agg(count(lit(1)).as("n"))
+      }),
+
+    // Z-order (Morton) layout audit — the data-skipping write path
+    // (operators.Layout): interleave l_partkey/l_suppkey bits, slice the
+    // z-range into 64 coarse buckets, report each bucket's bounding box
+    // over BOTH dimensions. The audit IS the data-skipping argument: a
+    // single-column sort gives unbounded boxes on the other key; z-order
+    // boxes stay ~1/8 of the domain on each axis, which is what parquet
+    // min/max pruning sees. The oracle replays the identical
+    // parallel-prefix bit spread (Layout.spread16Sql), so the layout key
+    // itself is hash-certified.
+    Q("q152_zorder_layout",
+      Some(s"""WITH d AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+              |  FROM lineitem),
+              |z AS (SELECT x, y, ${Layout.zValueSql("x", "y")} AS zv FROM d)
+              |SELECT zv >> 26 AS bucket, count(*) AS n,
+              |  min(x) AS x_min, max(x) AS x_max,
+              |  min(y) AS y_min, max(y) AS y_max
+              |FROM z GROUP BY bucket""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .select((col("l_partkey") % 65536).as("x"),
+            (col("l_suppkey") % 65536).as("y"))
+        d.select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("zv"))
+          .groupBy(shiftright(col("zv"), 26).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"))
       }),
 
     // Sessionization via lag + conditional cumulative sum — the gaps-and-

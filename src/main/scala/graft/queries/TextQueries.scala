@@ -854,6 +854,79 @@ object TextQueries {
           .orderBy(desc("cnt"), col("piece")).limit(20)
       }),
 
+    // Adaptive (per-language) quality thresholds: instead of one global
+    // length cutoff, gate each language on ITS OWN p05/p95 — the
+    // CCNet-style per-bucket calibration that keeps a short-sentence
+    // language from being scythed by thresholds fit to a verbose one.
+    // Composes groupedQuantilesExact (distinct-value-count percentiles,
+    // no per-group row buffering — the q29 scale argument) with a
+    // broadcast cutoff join; one corpus aggregation + one map-side gate.
+    Q("q153_adaptive_gate",
+      Some("""WITH c AS (SELECT lang,
+             |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4) AS lo,
+             |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS hi
+             |  FROM documents GROUP BY lang)
+             |SELECT d.lang, c.lo, c.hi, count(*) AS n_docs,
+             |  CAST(count_if(d.n_chars >= c.lo AND d.n_chars <= c.hi) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN d.n_chars >= c.lo AND d.n_chars <= c.hi
+             |      THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+             |FROM documents d JOIN c USING (lang)
+             |GROUP BY d.lang, c.lo, c.hi""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cuts = Relational.groupedQuantilesExact(d, "lang",
+          Seq(("n_chars", 0.05, "lo"), ("n_chars", 0.95, "hi")))
+        val in = col("n_chars") >= col("lo") && col("n_chars") <= col("hi")
+        d.join(broadcast(cuts), "lang")
+          .groupBy("lang", "lo", "hi")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(in, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(in, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      }),
+
+    // Corpus diversity report per source: type-token ratio and distinct-
+    // trigram novelty — the repetitiveness diagnostics a mixture planner
+    // reads before weighting a source (low TTR/novelty = boilerplate or
+    // TEMPLATE-generated text). Distinct counts collapse to per-value
+    // rows map-side before the count-distinct shuffle; nothing buffers
+    // a source's token stream.
+    Q("q154_diversity",
+      Some(s"""WITH tk AS (SELECT source,
+              |    list_filter(${tokensSql(canonicalizeSql("text"))}, t -> len(t) > 0) AS toks
+              |  FROM documents),
+              |tok AS (SELECT source, unnest(toks) AS tok FROM tk),
+              |a AS (SELECT source, count(*) AS n_tokens,
+              |    count(DISTINCT tok) AS n_types FROM tok GROUP BY source),
+              |tri AS (SELECT source, unnest(${shinglesSql("toks", 3)}) AS tri FROM tk),
+              |b AS (SELECT source, count(*) AS n_trigrams,
+              |    count(DISTINCT tri) AS n_tri_types FROM tri GROUP BY source)
+              |SELECT a.source, a.n_tokens, a.n_types,
+              |  round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) AS ttr,
+              |  b.n_trigrams, b.n_tri_types,
+              |  round(CAST(b.n_tri_types AS DOUBLE) / b.n_trigrams, 6) AS tri_novelty
+              |FROM a JOIN b USING (source)""".stripMargin),
+      (s, dir) => {
+        val toksCol = filter(tokens(canonicalize(col("text"))),
+          t => length(t) > 0)
+        val tk = docs(s, dir).select(col("source"), toksCol.as("toks"))
+        val a = tk.select(col("source"), explode(col("toks")).as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct("tok").as("n_types"))
+        val b = tk.select(col("source"),
+            explode(shingles(col("toks"), 3)).as("tri"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_trigrams"),
+            countDistinct("tri").as("n_tri_types"))
+        a.join(b, "source")
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+            col("n_trigrams"), col("n_tri_types"),
+            round(col("n_tri_types").cast("double") / col("n_trigrams"), 6)
+              .as("tri_novelty"))
+      }),
+
     // Mojibake detection + repair (TextFunctions.fixMojibake): artifacts
     // planted deterministically by doc_id — each segment is built by
     // running real target text through the UTF-8-as-cp1252 corruption the

@@ -26,6 +26,12 @@ import graft.text.WeightedSentiment
   * scale"). */
 object StressWebcorpus {
   def main(args: Array[String]): Unit = {
+    // stage selection ("AB", "C", default all): the A/B corpora pin
+    // ~2 GB of localCheckpoint + persist blocks that cannot be released
+    // mid-process (checkpoint RDD handles aren't exposed), and running
+    // the stage-C composite on top of them OOMs the 8g probe heap —
+    // run C in its own JVM for clean numbers
+    val stages = args.headOption.getOrElse("ABC").toUpperCase
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,11 +60,15 @@ object StressWebcorpus {
         .localCheckpoint() // pin 32 partitions; cut lineage out of timings
     }
 
+    val cfg = MinHashConfig.generated(64, 16, portable = false)
+    val gateW: Seq[(String, Double)] = Seq(
+      "spark" -> 0.5, "fast" -> 0.4, "slow" -> -0.45, "dup" -> -0.5)
+
     // --- A: best-quality election over worst-case cluster mass --------
+    if (stages.contains('A')) {
     val clustered = inflate(20, salt = false)
     println(s"[webcorpus] clustered corpus: ${clustered.count()} docs " +
       "(20 copies — every doc in a 20-strong near-dup class)")
-    val cfg = MinHashConfig.generated(64, 16, portable = false)
     time("pairs + CC + best-quality election (100k docs)") {
       val pairs = Dedup.nearDuplicates(clustered, col("doc_id"), col("text"),
         0.8, cfg)
@@ -67,11 +77,12 @@ object StressWebcorpus {
         col("doc_id"), col("q")))
     }
 
+    }
+
     // --- B: gate + domain quota over 1M unique docs -------------------
+    if (stages.contains('B')) {
     val corpus1m = inflate(200, salt = true)
     println(s"[webcorpus] unique corpus: ${corpus1m.count()} docs (salted copies)")
-    val gateW: Seq[(String, Double)] = Seq(
-      "spark" -> 0.5, "fast" -> 0.4, "slow" -> -0.45, "dup" -> -0.5)
     var gated: org.apache.spark.sql.DataFrame = null
     time("classifier gate, per-row logistic (1M docs)") {
       gated = CacheScope.unmanaged.persist(
@@ -95,7 +106,9 @@ object StressWebcorpus {
       Seq(col("q").desc, col("doc_id")), 1000))
     println(f"[webcorpus] domain quota: top-1000 per domain, 300 domains " +
       f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    }
 
+    if (stages.contains('C')) {
     // --- C: the FULL q123 composite end-to-end at 1M docs -------------
     // Stages A/B time election and gate/quota in isolation; this runs
     // the composed pipeline (gate → near-dup + best-rep election →
@@ -127,13 +140,17 @@ object StressWebcorpus {
         f"shufW=${w1 - w0}%,d shufR=${r1 - r0}%,d")
       secs
     }
+    // salt keyed on the BASE id under a name distinct from the output
+    // alias: referencing col("doc_id") here would lateral-alias-capture
+    // the NEW per-copy id computed in the same select (observed: every
+    // copy got a unique salt and the dedup stage had nothing to remove)
     val famSalt = array_join(transform(sequence(lit(0), lit(29)),
-      j => concat(lit("s"), col("doc_id"), lit("g"),
+      j => concat(lit("s"), col("base_id"), lit("g"),
         (col("i") / 10).cast("int"), lit("t"), j)), " ")
     val families = base
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id").as("base_id"), col("text"),
         explode(sequence(lit(0), lit(199))).as("i"))
-      .select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
+      .select((col("base_id") + col("i") * 1000000L).as("doc_id"),
         concat(col("text"), lit(" "), famSalt).as("text"))
       .withColumn("n_chars", length(col("text")))
       .repartition(32)
@@ -172,6 +189,7 @@ object StressWebcorpus {
     }
     println(f"[webcorpus] composite wall (all three stages) " +
       f"${(System.nanoTime() - wall0) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }
