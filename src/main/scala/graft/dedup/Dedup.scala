@@ -409,6 +409,57 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** [[nearDuplicates]] with an exact-duplicate collapse fast path — the
+    * production shape for crawl-scale corpora, where 30%+ of documents
+    * are byte-identical copies (Lee et al. 2021): group by content hash
+    * FIRST, run MinHash-LSH + exact-Jaccard verification only on the
+    * distinct texts (one representative per group), and connect each
+    * group's members to their representative with star pairs at J=1.
+    *
+    * Why it matters: identical texts have identical MinHash signatures,
+    * so an n-member exact-dup family collides in EVERY band and the band
+    * self-join emits its C(n,2) pairs `bands` times over — the 1M-doc
+    * composite probe measured ~53M raw candidate rows for 3.3M true
+    * pairs (16 bands, 10-member families) and re-shingled all 735k docs
+    * for verification when only 73.5k distinct texts existed
+    * (EXPLAIN.md "Full q123 composite"). The collapse pays one
+    * md5-keyed aggregation (the exact-dedup shuffle: 16-byte hash +
+    * 8-byte id per doc) to shrink every LSH stage by the duplication
+    * factor.
+    *
+    * Output contract: same schema `(d1, d2, jaccard)`, CONNECTIVITY-
+    * EQUIVALENT to [[nearDuplicates]] rather than pair-identical —
+    * within an exact family the C(n,2) clique becomes an (n−1)-edge
+    * star, and cross-family near-dup pairs are emitted between
+    * representatives only (members reach them through their star).
+    * Connected components, and therefore every cluster-level consumer
+    * ([[connectedComponents]], [[bestQualityCanon]], dedup deletion),
+    * see identical clusters — `NearDupCollapseSpec` proves the canon
+    * maps equal on mixed corpora. Exact pairs carry J=1.0 without
+    * verification: md5 is 128-bit, a collision is ~2^-64 at any corpus
+    * size, the same trust the exact-dedup family (q31/q94) already
+    * places in content hashes. */
+  def nearDuplicatesCollapsed(df: DataFrame, idCol: Column, textCol: Column,
+                              threshold: Double,
+                              cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                              scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // (h, doc, text) is read by the rep election, the star join, and the
+    // rep-corpus semi-join — persist so the (possibly expensive) source
+    // pipeline and the md5 run once
+    val keyed = scope.persist(
+      df.select(idCol.as("doc"), textCol.as("text"))
+        .withColumn("h", md5(col("text"))))
+    val reps = keyed.groupBy("h").agg(min("doc").as("rep"))
+    val exact = keyed.join(reps, "h")
+      .filter(col("doc") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc").as("d2"), lit(1.0).as("jaccard"))
+    val repCorpus = keyed.join(
+      reps.select(col("h"), col("rep").as("doc")), Seq("h", "doc"), "left_semi")
+    val near = nearDuplicates(repCorpus, col("doc"), col("text"),
+      threshold, cfg, scope)
+    exact.union(near)
+  }
+
   /** Connected components over a near-dup pair graph: every node gets the
     * smallest doc id reachable from it (`canon`) — the canonical-id step
     * that turns pairwise near-dup output into dedup CLUSTERS ("keep one

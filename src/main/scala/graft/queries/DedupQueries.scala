@@ -193,6 +193,52 @@ object DedupQueries {
             graft.dedup.MinHashConfig.generated(64, 16))
           .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))),
 
+    // Exact-dup collapse fast path (Dedup.nearDuplicatesCollapsed) over
+    // a corpus with planted byte-identical copies (q31's union shape):
+    // md5-group first, star-connect members to the min-id rep at J=1,
+    // run the production 64/16 LSH + exact verification on DISTINCT
+    // texts only. The 1M composite probe measured the full operator
+    // emitting every exact family's pairs once per band (16x) — this is
+    // the crawl-scale (30%+ exact dups, Lee et al. 2021) remedy. The
+    // oracle replays the collapse AND the rep-level LSH end to end.
+    Q("q155_collapsed_neardup",
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+              |grp AS (SELECT md5(text) AS h, min(doc_id) AS rep
+              |  FROM corpus GROUP BY md5(text)),
+              |exact AS (SELECT g.rep AS d1, c.doc_id AS d2, 1.0 AS jaccard_r
+              |  FROM corpus c JOIN grp g ON md5(c.text) = g.h
+              |  WHERE c.doc_id <> g.rep),
+              |t AS (SELECT c.doc_id, $toksSql AS tk FROM corpus c
+              |  JOIN grp g ON md5(c.text) = g.h AND c.doc_id = g.rep),
+              |sig AS (SELECT doc_id,
+              |$wideMinhashExprs
+              |  FROM (SELECT doc_id, $shSql AS hs FROM t)),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ($wideBandCond)),
+              |shs AS (SELECT doc_id, list_distinct($shSql) AS shs FROM t),
+              |near AS (SELECT c.d1, c.d2,
+              |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
+              |      AS jaccard_r
+              |  FROM cand c
+              |  JOIN shs a ON a.doc_id = c.d1
+              |  JOIN shs b ON b.doc_id = c.d2
+              |  WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8)
+              |SELECT * FROM exact UNION ALL SELECT * FROM near""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.union(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.nearDuplicatesCollapsed(corpus, col("doc_id"), col("text"), 0.8,
+            graft.dedup.MinHashConfig.generated(64, 16))
+          .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))
+      }),
+
     // Exact all-pairs n-gram Jaccard (no LSH prefilter) at a 0.5 floor —
     // the ground truth the LSH pipeline approximates.
     // minIntersection=2 is a safe prune for the 0.5 floor: j >= 0.5 needs

@@ -108,18 +108,19 @@ object StressWebcorpus {
       f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
     }
 
-    if (stages.contains('C')) {
-    // --- C: the FULL q123 composite end-to-end at 1M docs -------------
-    // Stages A/B time election and gate/quota in isolation; this runs
-    // the composed pipeline (gate → near-dup + best-rep election →
-    // domain quota → per-domain report) the way q123 chains it, with a
-    // SparkListener reading per-stage shuffle rows. Corpus: 200 copies
+    // --- C/D: the FULL q123 composite end-to-end at 1M docs -----------
+    // Stages A/B time election and gate/quota in isolation; C runs the
+    // composed pipeline (gate → near-dup + best-rep election → domain
+    // quota → per-domain report) the way q123 chains it, with a
+    // SparkListener reading per-stage shuffle rows; D is the identical
+    // composite with `Dedup.nearDuplicatesCollapsed` — the exact-dup
+    // collapse fast path the C numbers motivated. Corpus: 200 copies
     // per base doc where each group of 10 consecutive copies shares a
     // 30-token salt — group members are exact dups (J=1), different
     // groups fall below the 0.8 threshold (30 fresh shingles per side
     // on a ≤100-token doc caps J at ~0.65) — so the dedup stage carries
-    // real mass:
-    // ~100k 10-member families, ~45 candidate pairs each.
+    // real mass: ~100k 10-member families, ~45 candidate pairs each.
+    if (stages.contains('C') || stages.contains('D')) {
     val shufW = new java.util.concurrent.atomic.LongAdder
     val shufR = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -157,38 +158,50 @@ object StressWebcorpus {
       .localCheckpoint()
     println(s"[webcorpus] composite corpus: ${families.count()} docs " +
       "(10-member exact-dup families throughout)")
-    val wall0 = System.nanoTime()
-    var g2: org.apache.spark.sql.DataFrame = null
-    cstage("composite: classifier gate (persist barrier)") {
-      g2 = CacheScope.unmanaged.persist(
-        WeightedSentiment(gateW, 0.0).score(families, col("text"))
-          .filter(col("sentiment") === "positive")
-          .select("doc_id", "text", "n_chars"))
-      g2.count()
+
+    def composite(tag: String,
+                  nearDup: org.apache.spark.sql.DataFrame =>
+                    org.apache.spark.sql.DataFrame): Unit = {
+      val wall0 = System.nanoTime()
+      var g2: org.apache.spark.sql.DataFrame = null
+      cstage(s"composite[$tag]: classifier gate (persist barrier)") {
+        g2 = CacheScope.unmanaged.persist(
+          WeightedSentiment(gateW, 0.0).score(families, col("text"))
+            .filter(col("sentiment") === "positive")
+            .select("doc_id", "text", "n_chars"))
+        g2.count()
+      }
+      var sv: org.apache.spark.sql.DataFrame = null
+      cstage(s"composite[$tag]: near-dup + election -> survivors") {
+        val pairs = nearDup(g2)
+        val removed = Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
+            g2, col("doc_id"), col("n_chars"))
+          .filter(col("node") =!= col("rep")).select("node")
+        sv = CacheScope.unmanaged.persist(
+          g2.join(removed, g2("doc_id") === col("node"), "left_anti")
+            .withColumn("domain", concat(lit("site"),
+              pmod(col("doc_id"), lit(300)), lit(".com"))))
+        sv.count()
+      }
+      cstage(s"composite[$tag]: domain quota + per-domain report") {
+        val kept = Relational.topKPerGroup(sv, Seq(col("domain")),
+            Seq(col("n_chars").desc, col("doc_id")), 1000)
+          .groupBy("domain").agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").as("kept_chars"))
+        val rep = sv.groupBy("domain").agg(count(lit(1)).as("n_dedup"))
+          .join(kept, Seq("domain"))
+        noop(rep); rep.count()
+      }
+      println(f"[webcorpus] composite[$tag] wall (all three stages) " +
+        f"${(System.nanoTime() - wall0) / 1e9}%8.2f s")
     }
-    var sv: org.apache.spark.sql.DataFrame = null
-    cstage("composite: near-dup + best-rep election -> survivors") {
-      val pairs = Dedup.nearDuplicates(g2, col("doc_id"), col("text"), 0.8, cfg)
-      val removed = Dedup.bestQualityCanon(pairs, col("d1"), col("d2"),
-          g2, col("doc_id"), col("n_chars"))
-        .filter(col("node") =!= col("rep")).select("node")
-      sv = CacheScope.unmanaged.persist(
-        g2.join(removed, g2("doc_id") === col("node"), "left_anti")
-          .withColumn("domain", concat(lit("site"),
-            pmod(col("doc_id"), lit(300)), lit(".com"))))
-      sv.count()
-    }
-    cstage("composite: domain quota + per-domain report") {
-      val kept = Relational.topKPerGroup(sv, Seq(col("domain")),
-          Seq(col("n_chars").desc, col("doc_id")), 1000)
-        .groupBy("domain").agg(count(lit(1)).as("n_kept"),
-          sum("n_chars").as("kept_chars"))
-      val rep = sv.groupBy("domain").agg(count(lit(1)).as("n_dedup"))
-        .join(kept, Seq("domain"))
-      noop(rep); rep.count()
-    }
-    println(f"[webcorpus] composite wall (all three stages) " +
-      f"${(System.nanoTime() - wall0) / 1e9}%8.2f s")
+
+    if (stages.contains('C'))
+      composite("full", g =>
+        Dedup.nearDuplicates(g, col("doc_id"), col("text"), 0.8, cfg))
+    if (stages.contains('D'))
+      composite("collapsed", g =>
+        Dedup.nearDuplicatesCollapsed(g, col("doc_id"), col("text"), 0.8, cfg))
     }
     spark.stop()
   }
