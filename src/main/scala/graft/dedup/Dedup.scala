@@ -822,26 +822,57 @@ object Dedup {
     *
     * Scale shape: selection is ONE per-row projection (the window sweep
     * is an array transform inside the row — no explode of the gram
-    * stream, no per-position shuffle); output is already deduped per doc
-    * by `array_distinct` before the explode. Downstream matching joins
-    * on `sh` like any posting list. */
+    * stream, no per-position shuffle); the per-doc dedupe keeps only
+    * selections that DIFFER from the previous window's — O(n) adjacent
+    * comparisons, correct because a position's covering windows form a
+    * contiguous range and the first-min tiebreak keeps the selection
+    * stable across it (if windows i < j both select p, every window
+    * between them lies inside window_i ∪ window_j, still has hs[p] as
+    * its min, and an earlier equal-min position would already have won
+    * window i — so repeats are always consecutive). The first version
+    * used `array_distinct` here: O(n²) struct comparisons per doc, and
+    * at sf0.1 the single slowest query in the bench (20.4 s → see
+    * BENCH_r09); the adjacent-dedupe form is the same output by the
+    * argument above. Downstream matching joins on `sh` like any posting
+    * list. */
   def winnowing(df: DataFrame, idCol: Column, textCol: Column,
                 k: Int = 3, w: Int = 4, portable: Boolean = true): DataFrame = {
     require(k >= 1, s"shingle k must be >= 1, got $k")
     require(w >= 1, s"window w must be >= 1, got $w")
-    val t = df.select(idCol.as("doc_id"),
-      graft.functions.TextFunctions.shingleHashArray(
-        tokens(textCol), k, portable).as("hs"))
-    t.filter(size(col("hs")) >= 1)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+    // Everything below is ONE expression with the shingle-hash array and
+    // the window picks bound as LAMBDA VARIABLES (`transform(array(e),
+    // v => …)` is the let-binding idiom): plain column references here
+    // get inlined by projection collapse / predicate pushdown into every
+    // use site — the first version filtered on size(hs) over a projected
+    // hs column, which pushed the filter under the projection, collapsed
+    // the two projects, and inlined the md5 shingle sweep into the
+    // per-window slice(hs, …) lambda — re-hashing the whole doc once per
+    // window (measured 17 s at sf0.1 for an op whose stages each cost
+    // ~1.2 s in isolation). With both bindings the sweep runs once per
+    // doc and empty-shingle docs short-circuit to an empty array (no
+    // filter, nothing to push).
+    val emptyFp = array().cast("array<struct<p:long,sh:long>>")
+    val fps = flatten(transform(
+      array(graft.functions.TextFunctions.shingleHashArray(
+        tokens(textCol), k, portable)),
+      hs => {
+        val picks = transform(
+          sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
           i => {
-            val win = slice(col("hs"), i, lit(w)) // truncates at the tail
+            val win = slice(hs, i, lit(w)) // truncates at the tail
             val mn = array_min(win)
             struct((i + array_position(win, mn) - 1).cast("long").as("p"),
               mn.as("sh"))
-          }))).as("f"))
+          })
+        when(size(hs) >= 1,
+          flatten(transform(array(picks), ps =>
+            transform(
+              filter(sequence(lit(1), size(ps)),
+                i => i === 1 || element_at(ps, i) =!= element_at(ps, i - 1)),
+              i => element_at(ps, i)))))
+          .otherwise(emptyFp)
+      }))
+    df.select(idCol.as("doc_id"), explode(fps).as("f"))
       .select(col("doc_id"), col("f.p").as("p"), col("f.sh").as("sh"))
   }
 

@@ -84,11 +84,20 @@ object TextFunctions {
     val h: Column => Column =
       if (portable) t => portableHash(t) % ShingleM
       else t => fastHash(t).bitwiseAND(lit(Long.MaxValue)) % ShingleM
-    val th = transform(toks, h)
-    when(size(toks) < k, array().cast("array<long>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => (1 until k).foldLeft(element_at(th, i))((acc, j) =>
-          (acc * 8191L + element_at(th, i + lit(j))) % ShingleM)))
+    // `transform(array(e), v => …)` is the let-binding idiom: the token
+    // array and the per-token hash array are each bound ONCE as lambda
+    // variables. Splicing the hash-transform expression directly into
+    // the k element_at sites (the first version) re-evaluated the whole
+    // per-token md5 transform at EVERY site — O(n·k) full-array
+    // evaluations per doc; q144's k=8 chunking paid 8.3 s at sf0.1 for
+    // what is now sub-second.
+    val empty = array().cast("array<long>")
+    flatten(transform(array(toks), tk =>
+      flatten(transform(array(transform(tk, h)), th =>
+        when(size(tk) < k, empty)
+          .otherwise(transform(sequence(lit(1), size(tk) - (k - 1)),
+            i => (1 until k).foldLeft(element_at(th, i))((acc, j) =>
+              (acc * 8191L + element_at(th, i + lit(j))) % ShingleM)))))))
   }
 
   /** DuckDB twin: k-shingle hash list from a token-array expression —

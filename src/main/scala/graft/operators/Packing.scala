@@ -58,4 +58,18 @@ object Packing {
       }
       .toDF("doc_id", "shard", "bin", "w", "fill")
   }
+
+  /** Document boundary offsets inside each packed sequence — the
+    * attention-mask spans a trainer needs so cross-document positions
+    * don't attend to each other (the "sample packing" mask): for every
+    * doc, the half-open token range `[seq_start, seq_start + seq_len)`
+    * it occupies in its (shard, bin) sequence.
+    *
+    * Derivation is a pure projection over [[packGreedy]]'s output:
+    * `fill` is the bin's running fill AFTER placing the doc, so
+    * `seq_start = fill − w` — no window, no extra shuffle; the one
+    * mapPartitions walk already computed the recurrence. */
+  def packedBoundaries(packed: DataFrame): DataFrame =
+    packed.select(col("shard"), col("bin"), col("doc_id"),
+      (col("fill") - col("w")).as("seq_start"), col("w").as("seq_len"))
 }

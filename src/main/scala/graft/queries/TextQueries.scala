@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -360,6 +361,57 @@ object TextQueries {
         graft.operators.Packing.packGreedy(
           docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
           col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L)),
+
+    // Packed-sequence boundary masks (Packing.packedBoundaries): the
+    // per-doc [seq_start, seq_start+seq_len) token spans inside each
+    // packed context window — what the trainer's attention mask reads so
+    // cross-document positions don't attend. Pure projection over the
+    // q64 walk (seq_start = fill − w): zero extra shuffle, and the
+    // oracle extends the same recursive CTE by one arithmetic column.
+    Q("q156_pack_boundaries",
+      Some(s"""WITH RECURSIVE d AS (
+              |  SELECT doc_id, doc_id // 100 AS shard, len($toksSql) AS w
+              |  FROM documents),
+              |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM d),
+              |pack AS (
+              |  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+              |  FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.shard, o.rn, o.doc_id, o.w,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.bin ELSE p.bin + 1 END,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.fill + o.w ELSE o.w END
+              |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+              |SELECT shard, bin, doc_id, fill - w AS seq_start, w AS seq_len
+              |FROM pack""".stripMargin),
+      (s, dir) =>
+        graft.operators.Packing.packedBoundaries(
+          graft.operators.Packing.packGreedy(
+            docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
+            col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L))),
+
+    // Deterministic stratified k-fold assignment: within each language
+    // stratum, docs ranked by portable hash (tiebreak doc_id) and dealt
+    // round-robin into k folds — EXACTLY balanced per stratum (hash%k
+    // would only balance in expectation), deterministic across engines
+    // and runs, no RNG state. One rank window per stratum; the CV loop
+    // trains on k-1 folds without re-shuffling the corpus.
+    Q("q157_kfold",
+      Some(s"""WITH r AS (SELECT lang, n_chars,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY ${portableHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+              |  FROM documents)
+              |SELECT lang, CAST((rn - 1) % 5 AS BIGINT) AS fold,
+              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM r GROUP BY lang, fold""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(portableHash(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, dir)
+          .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("long"))
+          .groupBy("lang", "fold")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      }),
 
     // Fixed-size overlapping chunking (50-token windows every 40): the
     // RAG/context-window splitting pass, as a pure per-row generator.

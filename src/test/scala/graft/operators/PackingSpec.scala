@@ -39,6 +39,30 @@ class PackingSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 0L, 99L), (2L, 1L, 1L, 5L)))
   }
 
+  test("packedBoundaries: spans tile each bin exactly, in doc order") {
+    val rows = Seq((1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (1L, 4L, 10L), (2L, 10L, 6L), (2L, 11L, 4L))
+    val packed = Packing.packGreedy(rows.toDF("shard", "doc_id", "w"),
+      col("doc_id"), col("w"), col("shard"), capacity = 10)
+    val b = Packing.packedBoundaries(packed).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    // within every (shard, bin): spans start at 0, are contiguous
+    // (each start = previous start + previous len), and never overlap
+    b.groupBy(_._1).foreach { case ((shard, bin), ds) =>
+      val spans = ds.map(_._2).sortBy(_._1) // by doc_id (packing order)
+      var expect = 0L
+      spans.foreach { case (doc, start, len) =>
+        assert(start === expect, s"shard=$shard bin=$bin doc=$doc")
+        expect = start + len
+      }
+    }
+    // and the mask derivation adds no shuffle beyond packGreedy's own
+    val plan = Packing.packedBoundaries(packed).queryExecution
+      .executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size ===
+      "Exchange".r.findAllIn(packed.queryExecution.executedPlan.toString).size)
+  }
+
   test("packing invariants hold on randomized seeded input") {
     val rnd = new scala.util.Random(20260812L)
     val cap = 100L
