@@ -41,11 +41,16 @@ object TextFunctions {
     s"list_reduce(list_transform(string_split(substr(md5($e),1,15),''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
-  /** k-token shingles ("w1 w2 w3") for MinHash / n-gram Jaccard. */
+  /** k-token shingles ("w1 w2 w3") for MinHash / n-gram Jaccard. The
+    * caller's token expression is lambda-bound once (the
+    * `transform(array(e), v => …)` let idiom — see [[shingleHashArray]]'s
+    * note): element_at references it k times per position, and a spliced
+    * tokenize expression would re-evaluate at every site. */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*)))
+    flatten(transform(array(toks), tk =>
+      when(size(tk) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tk) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + lit(j))): _*)))))
 
   /** DuckDB twin of [[shingles]]; `toksE` must be a (CTE-bound) expression
     * named such that `<toksE>[i]` indexes it. */

@@ -72,15 +72,19 @@ object Bpe {
   /** Adjacent-symbol pair counts over the vocab, weighted by word
     * frequency — map-side combinable, vocab-sized. */
   def pairCounts(vocab: DataFrame): DataFrame = {
-    val x = split(org.apache.spark.sql.functions.trim(col("seq"), L + R),
-      R + L)
-    vocab.select(col("n"),
-        explode(when(size(x) >= 2,
-            transform(sequence(lit(1), size(x) - 1),
-              i => struct(element_at(x, i).as("pa"),
-                element_at(x, i + 1).as("pb"))))
-          .otherwise(array().cast("array<struct<pa:string,pb:string>>")))
-          .as("p"))
+    // split bound once as a lambda variable (the transform(array(e), v
+    // => …) let idiom — see TextFunctions.shingleHashArray): element_at
+    // references it at 2 sites per position, and a spliced split
+    // expression re-evaluates per site after projection collapse
+    val pairs = flatten(transform(
+      array(split(org.apache.spark.sql.functions.trim(col("seq"), L + R),
+        R + L)),
+      x => when(size(x) >= 2,
+          transform(sequence(lit(1), size(x) - 1),
+            i => struct(element_at(x, i).as("pa"),
+              element_at(x, i + 1).as("pb"))))
+        .otherwise(array().cast("array<struct<pa:string,pb:string>>"))))
+    vocab.select(col("n"), explode(pairs).as("p"))
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(sum("n").as("cnt"))
   }

@@ -71,15 +71,22 @@ object LanguageModel {
                       lambda: Double = 0.7,
                       scope: graft.operators.CacheScope =
                         graft.operators.CacheScope.unmanaged): DataFrame = {
-    val tk = toks
     val pairStruct = "array<struct<w1:string,w2:string>>"
-    val uniStream = transform(tk, t => struct(t.as("w1"), lit(null).cast("string").as("w2")))
-    val biStream = when(size(tk) < 2, array().cast(pairStruct))
-      .otherwise(transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+    // bind the caller's token expression ONCE as a lambda variable (the
+    // transform(array(e), v => …) let idiom — see shingleHashArray):
+    // element_at references it at 2 sites per position, and a spliced
+    // tokenize expression would re-run per site after projection collapse
+    val streams = flatten(transform(array(toks), tk => {
+      val uniStream = transform(tk,
+        t => struct(t.as("w1"), lit(null).cast("string").as("w2")))
+      val biStream = when(size(tk) < 2, array().cast(pairStruct))
+        .otherwise(transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      concat(uniStream.cast(pairStruct), biStream)
+    }))
     // one Generate per row carrying both streams; one exchange for both
     val counts = scope.persist(df.select(idCol.as("doc"),
-        explode(concat(uniStream.cast(pairStruct), biStream)).as("b"))
+        explode(streams).as("b"))
       .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("c")))
     val docBi = counts.filter(col("w2").isNotNull)
