@@ -133,13 +133,31 @@ object WordPiece {
   /** `[UNK]` — emitted once for a word with no greedy tokenization. */
   val Unk = "[UNK]"
 
-  /** Greedy longest-prefix-first encode of one word column against an
-    * inlined vocabulary — the Catalyst-fold formulation described in
-    * the object doc. Returns `array<string>` of pieces, or
-    * `[[Unk]]` alone when some cursor position matches nothing. */
+  /** Greedy longest-prefix-first encode of one word column — the
+    * production path: the codegen'd
+    * [[graft.functions.expressions.WordPieceEncode]] expression (one
+    * tight JVM loop + hash-set probe per candidate, inside the
+    * surrounding WholeStageCodegen span). Returns `array<string>` of
+    * pieces, or `[[Unk]]` alone when some cursor position matches
+    * nothing. */
   def encodeWord(word: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.WordPieceEncode(
+      Bridge.expression(word), vocab))
+  }
+
+  /** The pure-Column fold formulation of [[encodeWord]] — retained as a
+    * semantics cross-check (`WordPieceSpec` asserts fold == expression
+    * == independent matcher), NOT the hot path: higher-order lambdas
+    * evaluate interpreted (no doGenCode), which cost ~95 s / 50M tokens
+    * at the 1M-doc probe vs the expression's tight loop. */
+  def encodeWordFold(word: Column, vocab: Seq[String]): Column = {
     require(vocab.nonEmpty, "WordPiece vocabulary must be non-empty")
-    val vlit = lit(vocab.toArray)
+    // isInCollection compiles to Catalyst InSet — an O(1) hash-set
+    // probe (still codegen'd), vs array_contains' O(|V|) scan: at the
+    // 1M-doc probe the scan form spent ~99 s encoding 50M tokens with
+    // |V| only 46; production vocabularies are 30k+
+    val inVocab = (c: Column) => c.isInCollection(vocab)
     val maxLen = vocab.map(_.stripPrefix("##").length).max
     val emptyToks = array().cast("array<string>")
     val noToks = lit(null).cast("array<string>")
@@ -158,7 +176,7 @@ object WordPiece {
         val step = (1 to maxLen).foldLeft(failed) { (elseC, l) =>
           val piece = concat(when(pos === 1, lit("")).otherwise(lit("##")),
             word.substr(pos, lit(l)))
-          when(pos + (l - 1) <= length(word) && array_contains(vlit, piece),
+          when(pos + (l - 1) <= length(word) && inVocab(piece),
             struct((pos + l).as("pos"), concat(toks, array(piece)).as("toks")))
             .otherwise(elseC)
         }

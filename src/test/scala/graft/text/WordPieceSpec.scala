@@ -72,7 +72,7 @@ class WordPieceSpec extends SparkSpec {
     assert(got("quo") === Seq(WordPiece.Unk))
   }
 
-  test("corpus encode matches the independent reference matcher exactly") {
+  test("corpus encode: expression == fold == independent reference matcher") {
     val d = Tables.documents(spark, sfDir)
     val v0 = WordPiece.initVocab(d, col("text"))
     val merges = WordPiece.learnMerges(v0, 6)
@@ -85,11 +85,14 @@ class WordPieceSpec extends SparkSpec {
       .filter(length(col("w")) > 0)
       .distinct()
     val got = words.select(col("w"),
-        WordPiece.encodeWord(col("w"), vocab).as("p"))
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+        WordPiece.encodeWord(col("w"), vocab).as("p"),
+        WordPiece.encodeWordFold(col("w"), vocab).as("pf"))
+      .collect().map(r =>
+        (r.getString(0), r.getSeq[String](1).toSeq, r.getSeq[String](2).toSeq))
     assert(got.nonEmpty)
-    got.foreach { case (w, pieces) =>
-      assert(pieces === refEncode(w, vset), s"mismatch on '$w'")
+    got.foreach { case (w, pieces, foldPieces) =>
+      assert(pieces === refEncode(w, vset), s"expression mismatch on '$w'")
+      assert(foldPieces === pieces, s"fold/expression disagree on '$w'")
       // losslessness: non-UNK pieces reassemble the word
       if (pieces != Seq(WordPiece.Unk))
         assert(pieces.map(_.stripPrefix("##")).mkString === w)
