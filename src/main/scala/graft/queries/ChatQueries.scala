@@ -17,6 +17,8 @@ import graft.text.Instruct
   */
 object ChatQueries {
 
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
@@ -46,7 +48,7 @@ object ChatQueries {
       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM g),
       |turns AS (
-      |  SELECT user_id, session_id, role, content,
+      |  SELECT user_id, session_id, role, content, ts,
       |    row_number() OVER conv AS turn_idx,
       |    CAST(len('<|' || role || '|>' || content || '<|end|>') AS BIGINT) AS turn_len,
       |    coalesce(sum(CAST(len('<|' || role || '|>' || content || '<|end|>') AS BIGINT))
@@ -101,6 +103,58 @@ object ChatQueries {
     // full rendered text pins header/end-marker layout AND ordering
     // determinism (sort_array(collect_list(struct)) vs ordered
     // string_agg).
+    // Streaming chat audit (ChatStream.audit) run to completion over the
+    // static events table, restricted — on BOTH engines — to
+    // conversations whose close precedes the final watermark by more
+    // than the gap (those are guaranteed emitted via event-time timeout;
+    // later ones may sit in open state at stream end). Values are the
+    // q147 audit columns, so this row proves stream==batch==DuckDB in
+    // one hash.
+    Q("q158_chat_audit_stream",
+      Some(s"""$turnsCtes,
+              |a AS (SELECT *,
+              |    CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+              |        ORDER BY turn_idx) = role THEN 1 ELSE 0 END AS rep,
+              |    CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS BIGINT) AS n_tok
+              |  FROM turns),
+              |audit AS (SELECT user_id, session_id,
+              |  count(*) AS n_turns,
+              |  CAST(count_if(role = 'user') AS BIGINT) AS n_user,
+              |  CAST(count_if(role = 'assistant') AS BIGINT) AS n_assistant,
+              |  CAST(sum(rep) AS BIGINT) AS n_repeats,
+              |  max(CASE WHEN turn_idx = 1 THEN role = 'user' END) AS starts_user,
+              |  max_by(role = 'assistant', turn_idx) AS ends_assistant,
+              |  CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) AS BIGINT)
+              |    AS n_loss_tokens,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_total_tokens,
+              |  (max(CASE WHEN turn_idx = 1 THEN role = 'user' END)
+              |    AND max_by(role = 'assistant', turn_idx)
+              |    AND sum(rep) = 0) AS valid,
+              |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch
+              |FROM a GROUP BY user_id, session_id)
+              |SELECT user_id, session_id, n_turns, n_user, n_assistant,
+              |  n_repeats, starts_user, ends_assistant, n_loss_tokens,
+              |  n_total_tokens, valid
+              |FROM audit
+              |WHERE last_epoch + 3600 < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
+              |                           FROM events)""".stripMargin),
+      (s, dir) => {
+        val emitted = graft.streaming.EventsStream.runToMemory(
+          graft.streaming.ChatStream.audit(
+            graft.streaming.EventsStream.read(s, dir)).toDF(),
+          s"q158_chat_${runId.incrementAndGet()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        val events = ev(s, dir)
+        val bounds = Instruct.turns(events)
+          .groupBy("user_id", "session_id")
+          .agg(max(unix_timestamp(col("ts"))).as("last_epoch"))
+        val maxE = events.agg(max(unix_timestamp(col("ts"))).as("max_epoch"))
+        val closed = bounds.join(broadcast(maxE))
+          .filter(col("last_epoch") + 3600 < col("max_epoch"))
+          .select("user_id", "session_id")
+        emitted.join(closed, Seq("user_id", "session_id"), "left_semi")
+      }),
+
     Q("q149_chat_render",
       Some(s"""$turnsCtes
               |SELECT user_id, session_id,
