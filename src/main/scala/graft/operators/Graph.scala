@@ -323,6 +323,71 @@ object Graph {
     * nodeDf ⋈ hubRaw ⋈ auth chain: the auth frame already carries every
     * node exactly once (it was left-joined off the node set), so using
     * it as the spine drops a third full-width join per iteration. */
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple graph induced by `edges` (direction and
+    * multiplicity dropped, self-loops removed) — the link-spam /
+    * community-density signal next to PageRank/HITS (a page farm is a
+    * near-clique: high LCC at low degree; organic hub neighborhoods are
+    * sparse).
+    *
+    * Algorithm: degree-oriented wedge join (the compact-forward /
+    * node-iterator++ shape, Latapy 2008). Every canonical edge {u,v}
+    * orients from the endpoint with the smaller `(degree, id)` key to
+    * the larger; wedges are pairs of out-neighbors of a shared low
+    * vertex, and a wedge (y, z) closes iff the oriented edge y→z
+    * exists. Each triangle has exactly one vertex from which both
+    * others are out-neighbors (its key-minimum), so it is found exactly
+    * once — no /3 correction, no double counting.
+    *
+    * Why this is THE scale shape: an unoriented neighbor self-join
+    * explodes on hubs (Σ deg² — one 10⁶-degree node is 10¹² wedges);
+    * degree-orientation caps every out-degree at O(√m), bounding total
+    * wedge work at O(m^1.5) — on a power-law web graph orders of
+    * magnitude below Σ deg². Three shuffles total (degree count, wedge
+    * self-join on the low vertex, closing equi-join on (y, z)); all
+    * joins are equi-joins on 8-byte keys, no driver state. Returns
+    * `(node, deg, n_tri, lcc)` for every node with degree ≥ 1. */
+  def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val und = edges
+      .select(least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = scope.persist(
+      und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg")))
+    // orient by (deg, id): lo = smaller key, carrying the hi endpoint's
+    // degree so the wedge pair can be canonicalized without a re-join
+    val keyed = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = scope.persist(keyed.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+      when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dhi")))
+    val a = oriented.select(col("lo"), col("hi").as("h1"), col("dhi").as("d1"))
+    val b = oriented.select(col("lo"), col("hi").as("h2"), col("dhi").as("d2"))
+    val wedges = a.join(b, "lo")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("h1") < col("h2")))
+    val tris = wedges.join(
+      oriented.select(col("lo").as("h1"), col("hi").as("h2")), Seq("h1", "h2"))
+      .select(col("lo"), col("h1"), col("h2"))
+    val perNode = tris
+      .select(explode(array(col("lo"), col("h1"), col("h2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("n_tri") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   private[graft] def hitsHubUpdate(nodeDf: DataFrame, eByDst: DataFrame,
                                    auth: DataFrame): DataFrame = {
     val hubRaw = eByDst

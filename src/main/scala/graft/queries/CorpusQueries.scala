@@ -270,6 +270,63 @@ object CorpusQueries {
             floor(col("rank") * 1000000).as("pr_micro"))
       }),
 
+    // Per-node triangle counts + local clustering coefficient over the
+    // q124 hash-generated link graph (Graph.triangleCounts): the
+    // link-spam/community-density signal — a page farm is a near-clique
+    // (high LCC at low degree). The oracle replays the degree-oriented
+    // wedge join (compact-forward) exactly: canonical undirected edges,
+    // (deg, id) orientation, wedge pairs of a shared low vertex, closing
+    // equi-join — each triangle found once from its key-minimum vertex.
+    Q("q159_triangles", {
+      val h = TextFunctions.portableHashSql(
+        "(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+      Some(s"""WITH docs AS (SELECT doc_id FROM documents),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS Nb FROM docs),
+              |raw AS (SELECT d.doc_id AS src, $h % Nb AS dst
+              |  FROM docs d CROSS JOIN nd CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+              |  WHERE $h % Nb <> d.doc_id),
+              |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |  FROM raw),
+              |deg AS (SELECT n, count(*) AS deg FROM (
+              |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+              |  GROUP BY n),
+              |o AS (SELECT
+              |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              |         THEN u ELSE v END AS lo,
+              |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              |         THEN v ELSE u END AS hi,
+              |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              |         THEN dv.deg ELSE du.deg END AS dhi
+              |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+              |tri AS (SELECT a.lo, a.hi AS h1, b.hi AS h2
+              |  FROM o a JOIN o b ON a.lo = b.lo
+              |   AND (a.dhi < b.dhi OR (a.dhi = b.dhi AND a.hi < b.hi))
+              |  JOIN o c ON c.lo = a.hi AND c.hi = b.hi),
+              |pn AS (SELECT n, count(*) AS n_tri FROM (
+              |    SELECT lo AS n FROM tri UNION ALL SELECT h1 AS n FROM tri
+              |    UNION ALL SELECT h2 AS n FROM tri)
+              |  GROUP BY n)
+              |SELECT deg.n AS node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri,
+              |  CASE WHEN deg.deg >= 2
+              |       THEN round(2.0 * coalesce(pn.n_tri, 0)
+              |         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+              |       ELSE 0.0 END AS lcc
+              |FROM deg LEFT JOIN pn ON pn.n = deg.n""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+        val nb = d.agg(count(lit(1)).as("Nb"))
+        val edges = d.crossJoin(broadcast(nb))
+          .select(col("doc_id").as("src"),
+            explode(sequence(lit(1), lit(3))).as("j"), col("Nb"))
+          .withColumn("dst",
+            TextFunctions.portableHash(
+              concat(col("src").cast("string"), lit(":"), col("j"))) % col("Nb"))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst")
+        Graph.triangleCounts(edges, col("src"), col("dst"))
+      }),
+
     // PQ encode: every embedding compressed to 4 sub-codes (64× vs
     // f32 at production dims). Long-form dump of the wide codes.
     Q("q125_pq_encode",

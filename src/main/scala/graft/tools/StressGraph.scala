@@ -60,6 +60,12 @@ object StressGraph {
       val tops = h.agg(max("hub"), max("auth")).head
       println(s"[graph]   max hub = ${tops.getDouble(0)}, max auth = ${tops.getDouble(1)} (must be 1.0)")
     }
+    timed("triangles") {
+      val t = Graph.triangleCounts(edges, col("src"), col("dst"))
+      val agg = t.agg(sum("n_tri"), max("deg"), avg("lcc")).head
+      println(f"[graph]   Σtri/3 = ${agg.getLong(0) / 3}%,d triangles, " +
+        f"max deg = ${agg.getLong(1)}, mean lcc = ${agg.getDouble(2)}%.6f")
+    }
     timed("label_prop(3)") {
       val seeded = nodes.withColumn("seed",
         when(col("node") % 1000 === 0, col("node") % 5)

@@ -263,4 +263,43 @@ class GraphSpec extends SparkSpec {
     assert(a.keySet == b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"node $k") }
   }
+
+  test("triangleCounts: hand-computed, direction/multiplicity/self-loop proof") {
+    // triangle {1,2,3}; tail 3-4; K4 on {10,11,12,13} (4 triangles, each
+    // node in 3); duplicate, reversed, and self-loop edges must not count
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L), (3L, 4L), (4L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L)
+    ).toDF("s", "t")
+    val got = Graph.triangleCounts(edges, col("s"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    Seq(10L, 11L, 12L, 13L).foreach { n =>
+      assert(got(n) == ((3L, 3L, 1.0)), s"K4 node $n")
+    }
+    // global count: Σ n_tri / 3 = 1 + 4
+    assert(got.values.map(_._2).sum / 3 == 5L)
+  }
+
+  test("triangleCounts: orientation finds each triangle exactly once (random graph)") {
+    // deterministic pseudo-random graph; reference counts by brute force
+    val rnd = new scala.util.Random(20260814L)
+    val n = 40
+    val es = (for (_ <- 1 to 160)
+      yield (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    def adj(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+    val ref = (for {
+      a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n
+      if adj(a, b) && adj(b, c) && adj(a, c)
+    } yield (a, b, c)).size
+    val got = Graph.triangleCounts(es.toDF("s", "t"), col("s"), col("t"))
+      .agg(org.apache.spark.sql.functions.sum("n_tri")).head.getLong(0)
+    assert(got == 3L * ref, s"expected $ref triangles, got sum $got")
+  }
 }
