@@ -428,6 +428,57 @@ object TextQueries {
         graft.text.Chunking.chunkTokens(docs(s, dir), col("doc_id"),
           tokens(col("text")), chunkSize = 50, stride = 40)),
 
+    // End-to-end RAG retrieval composite: chunk (q71's 50/40 windows) →
+    // deterministic 16-d chunk embedding (portable-hash features — the
+    // committed stand-in for a model encoder, same seam as the planted
+    // classifiers) → brute-force top-5 per query with self-doc chunks
+    // excluded. Queries = chunk 0 of every doc_id%100==0 doc, broadcast
+    // against the chunk corpus; WindowGroupLimit keeps the rank prune
+    // map-side. The production path swaps the brute scan for the IVF /
+    // truncated-rerank tiers (q40/q126/q142) behind the same
+    // (qdoc, doc, chunk_id, dot) shape — this query hash-certifies the
+    // whole chunk→embed→score→rank composition end to end.
+    Q("q160_rag_retrieval", {
+      val hj = portableHashSql("(chunk || ':' || CAST(j AS VARCHAR))")
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |s AS (SELECT doc_id, tk,
+              |    unnest(generate_series(1, len(tk), 40)) AS start FROM t),
+              |c AS (SELECT doc_id AS doc, CAST((start - 1) // 40 AS INT) AS chunk_id,
+              |    array_to_string(tk[start:least(start + 49, len(tk))], ' ') AS chunk
+              |  FROM s),
+              |e AS (SELECT doc, chunk_id, list_transform(generate_series(0, 15),
+              |    j -> CAST($hj % 1000 AS DOUBLE)) AS v FROM c),
+              |q AS (SELECT doc AS qdoc, v AS qv FROM e
+              |  WHERE doc % 100 = 0 AND chunk_id = 0),
+              |sc AS (SELECT q.qdoc, e.doc, e.chunk_id,
+              |    ${graft.similarity.Similarity.dotSql("qv", "v")} AS dot
+              |  FROM q CROSS JOIN e WHERE e.doc <> q.qdoc)
+              |SELECT qdoc, CAST(rank AS BIGINT) AS rank, doc, chunk_id,
+              |  round(dot, 4) AS dot_r
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qdoc
+              |    ORDER BY dot DESC, doc, chunk_id) AS rank FROM sc)
+              |WHERE rank <= 5""".stripMargin)
+    },
+      (s, dir) => {
+        val ch = graft.text.Chunking.chunkTokens(docs(s, dir), col("doc_id"),
+          tokens(col("text")), chunkSize = 50, stride = 40)
+        val vec = transform(sequence(lit(0), lit(15)),
+          j => (portableHash(concat(col("chunk"), lit(":"), j.cast("string")))
+            % 1000).cast("double"))
+        val e = ch.select(col("doc"), col("chunk_id"), vec.as("v"))
+        val qs = e.filter(col("doc") % 100 === 0 && col("chunk_id") === 0)
+          .select(col("doc").as("qdoc"), col("v").as("qv"))
+        val scored = e.join(broadcast(qs), col("doc") =!= col("qdoc"))
+          .select(col("qdoc"), col("doc"), col("chunk_id"),
+            graft.similarity.Similarity.dot(col("qv"), col("v")).as("dot"))
+        val w = Window.partitionBy("qdoc")
+          .orderBy(desc("dot"), col("doc"), col("chunk_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qdoc"), col("rank"), col("doc"), col("chunk_id"),
+            round(col("dot"), 4).as("dot_r"))
+      }),
+
     // Per-doc OOV rate vs the corpus top-20 vocabulary (the synthetic
     // corpus has ~31 distinct tokens, so 20 leaves a real OOV tail),
     // decile-bucketed.
