@@ -96,6 +96,13 @@ object Bench {
       // the number behind "parameterize MinHash for real scale"
       "x36_lsh_wide64" -> toNoop((s, dir) =>
         Dedup.nearDuplicates(Tables.documents(s, dir), col("doc_id"),
+          col("text"), 0.8, MinHashConfig.generated(64, 16, portable = false))),
+      // the exact-dup collapse fast path at the same production config —
+      // tracked against x36_lsh_wide64 so the collapse overhead/payoff
+      // is visible round-over-round (payoff grows with dup density; the
+      // sf corpus is dup-free, so this row prices pure overhead)
+      "x44_collapsed_wide64" -> toNoop((s, dir) =>
+        Dedup.nearDuplicatesCollapsed(Tables.documents(s, dir), col("doc_id"),
           col("text"), 0.8, MinHashConfig.generated(64, 16, portable = false))))
 
     // Tokenizer-family rows (tracked round-over-round like x34-x36).

@@ -281,6 +281,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(col.getString(0) == out.getString(0) && col.getString(1) == out.getString(1))
   }
 
+  test("q153: per-language cutoffs broadcast back — the corpus never shuffles for the gate") {
+    val p = plan("q153_adaptive_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-side join input must not be hash-exchanged on lang for
+    // the gate join itself (the quantile internals may exchange their
+    // own melted distinct-value frame)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q160: retrieval queries broadcast; top-5 rank is pruned before the shuffle") {
+    val p = plan("q160_rag_retrieval")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q159: every triangle join is an equi-join — no cartesian on edge data") {
+    val p = plan("q159_triangles")
+    // wedge/closing/degree joins must all be hashed equi-joins; the
+    // BroadcastNestedLoopJoin occurrences in the TEXT are the 1-row Nb
+    // scalar broadcast of the synthetic edge generator, re-printed once
+    // per cached-subtree reference (the PlanProbe caveat), so their
+    // count is not assertable — the CartesianProduct absence is
+    val hashJoins = ("BroadcastHashJoin".r.findAllIn(p).size
+      + "SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size)
+    assert(hashJoins >= 5, s"expected the 5 equi-joins hashed, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q147: the turn frame audit runs on user-keyed exchanges only") {
+    val p = plan("q147_chat_audit")
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1))
+      .foreach(k => assert(k.contains("user_id"),
+        s"audit exchanged on a non-user key: $k\n$p"))
+  }
+
   test("GraftExtensions class applies cleanly (spark.sql.extensions entry point)") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
