@@ -479,6 +479,24 @@ object TextQueries {
             round(col("dot"), 4).as("dot_r"))
       }),
 
+    // Release manifest (operators.Release): the publish step — content-
+    // hash sharding (re-running reproduces the layout bit-for-bit) and a
+    // per-shard manifest with an order-insensitive, overflow-safe
+    // checksum a consumer verifies downloads against. One combinable
+    // aggregation; the write side is spec-carried (ReleaseSpec re-reads
+    // the files and re-derives the identical manifest).
+    Q("q161_release_manifest", {
+      val hid = portableHashSql("CAST(doc_id AS VARCHAR)")
+      val ht = portableHashSql("text")
+      Some(s"""SELECT $hid % 8 AS shard, count(*) AS n_docs,
+              |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+              |  CAST(sum($ht % 1073741824) AS BIGINT) AS checksum
+              |FROM documents GROUP BY shard""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Release.manifest(docs(s, dir), col("doc_id"),
+          col("text"), shards = 8)),
+
     // Per-doc OOV rate vs the corpus top-20 vocabulary (the synthetic
     // corpus has ~31 distinct tokens, so 20 leaves a real OOV tail),
     // decile-bucketed.
