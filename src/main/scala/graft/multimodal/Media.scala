@@ -163,6 +163,55 @@ object Media {
       .select("m1", "m2", "hamming")
   }
 
+  /** Per-row audio fingerprint: window codes + the 60-bit doc signature
+    * ([[MediaCodec.audioFingerprint]]/[[MediaCodec.audioSimhash60]]).
+    * Decode + DSP run in the codec mapPartitions seam like every other
+    * media op; payloads too short for one window drop (nothing to
+    * fingerprint — the caller sees absence, not a fake signature). */
+  def withAudioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val codes = MediaCodec.audioFingerprint(MediaCodec.decode(r.payload))
+          if (codes.isEmpty) None
+          else Some((r.media_id, codes, MediaCodec.audioSimhash60(codes)))
+        }
+      }.toDF("media_id", "fp_codes", "ahash")
+  }
+
+  /** Audio near-dup pairs within hamming `radius` of each other's 60-bit
+    * fingerprint SimHash — same exact pigeonhole banding as
+    * [[phashNearDupPairs]] (radius+1 bands over 60 bits; a
+    * within-radius pair must collide on ≥1 band). Amplitude-invariant
+    * by construction of the window codes. Scope: the doc-level signature
+    * targets re-encoded / re-leveled COPIES; a trimmed excerpt shifts
+    * the code-multiset proportions and can drift past the radius — trim
+    * detection joins on the `fp_codes` posting lists instead (a prefix
+    * trim's window codes are literally a subset of the original's;
+    * `AudioFingerprintSpec` pins that containment). */
+  def audioNearDupPairs(media: Dataset[MediaRow], radius: Int = 5): DataFrame = {
+    require(radius >= 0 && 60 % (radius + 1) == 0,
+      s"radius+1 must divide 60, got $radius")
+    val nBands = radius + 1
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
+    val p = withAudioFingerprint(media).select("media_id", "ahash")
+    val bandVals = (0 until nBands).map(b =>
+      shiftright(col("ahash"), b * width).bitwiseAND(lit(mask)))
+    val bands = p.select(col("media_id"), col("ahash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select("m1", "m2", "hamming")
+  }
+
   /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
     * frames are REAL PCM seeks (the samples at `offset_ms`); video
     * frames are the REAL MJPEG frame at `offset_ms` (raw JPEG bytes,
@@ -498,6 +547,85 @@ object MediaCodec {
 
   def checksum(payload: Array[Byte]): Long =
     payload.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L)
+
+  // ------------------------------------------------------------- audio fp
+
+  /** Fingerprint analysis window / hop (samples @ the payload's rate). */
+  val FpWindow = 1024
+  val FpHop = 512
+
+  /** 13 log-spaced probe frequencies, 200–3200 Hz (sub-Nyquist at the
+    * 8 kHz synth rate) → 12 adjacent-band comparisons per window. */
+  val FpFreqs: Array[Double] =
+    (0 until 13).map(i => 200.0 * math.pow(3200.0 / 200.0, i / 12.0)).toArray
+
+  /** Goertzel single-bin energy — the right DSP tool when only a handful
+    * of bins are probed (O(n) per bin, no FFT dependency, exact). */
+  def goertzel(samples: Array[Short], start: Int, len: Int,
+               rate: Float, freq: Double): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * freq / rate)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < len) {
+      val s0 = samples(start + i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Chromaprint-style audio fingerprint: per window, a 12-bit code with
+    * bit b = [energy(band b) > energy(band b+1)] — the SIGN of the
+    * spectral slope between adjacent probe bands. Comparing energies
+    * (never thresholding them) makes the code exactly amplitude-
+    * invariant: scaling every sample by a scales every band energy by
+    * a², and the comparisons cancel it. Returns one code per window
+    * (hop [[FpHop]]); non-audio and too-short payloads fingerprint to
+    * empty. */
+  def audioFingerprint(decoded: Decoded): Array[Long] = decoded match {
+    case AudioPcm(rate, samples) if samples.length >= FpWindow =>
+      val out = Array.newBuilder[Long]
+      var st = 0
+      while (st + FpWindow <= samples.length) {
+        val e = FpFreqs.map(f => goertzel(samples, st, FpWindow, rate, f))
+        var code = 0L
+        var b = 0
+        while (b < FpFreqs.length - 1) {
+          if (e(b) > e(b + 1)) code |= 1L << b
+          b += 1
+        }
+        out += code
+        st += FpHop
+      }
+      out.result()
+    case _ => Array.empty
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 60-bit SimHash over the window codes (each code mixed through
+    * splitmix64 so adjacent codes decorrelate across bits): the doc-level
+    * audio signature. 60 bits so the hamming banding radii divide evenly
+    * (the [[graft.dedup.Dedup.simhashNearDup]] convention). */
+  def audioSimhash60(codes: Array[Long]): Long = {
+    val acc = new Array[Int](60)
+    codes.foreach { c =>
+      val h = splitmix64(c)
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) { if (acc(i) > 0) sig |= 1L << i; i += 1 }
+    sig
+  }
 
   /** Feature embedding by decoded kind. Images: mean-pooled pixel grid
     * (`dim` rectangular cells, ⌈√dim⌉ columns, mean luma 0..1 each).
