@@ -942,6 +942,68 @@ object RelationalQueries {
             min("y").as("y_min"), max("y").as("y_max"))
       }),
 
+    // Table profile: per-column stats report (count/nulls/distinct/
+    // min/max/mean) over the numeric measure columns — the data-quality
+    // survey every ingest runs first. ONE pass: columns melt through
+    // stack() and every stat is a map-side-combinable aggregate; no
+    // per-column scans, no driver loop.
+    Q("q162_table_profile",
+      Some("""WITH m AS (
+             |  SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT col, count(*) AS n,
+             |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             |  round(min(v), 4) AS v_min, round(max(v), 4) AS v_max,
+             |  round(avg(v), 4) AS v_mean
+             |FROM m GROUP BY col""".stripMargin),
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val stackExpr = expr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+          ") AS (col, v)")
+        t(s, dir, "lineitem").select(stackExpr)
+          .groupBy("col")
+          .agg(count(lit(1)).as("n"),
+            (count(lit(1)) - count(col("v"))).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            round(min(col("v")), 4).as("v_min"),
+            round(max(col("v")), 4).as("v_max"),
+            round(avg(col("v")), 4).as("v_mean"))
+      }),
+
+    // Per-group z-score anomaly flags on the events stream (|z| >= 3
+    // against the event-type's own distribution) — the telemetry-hygiene
+    // gate. Two aggregations: per-type moments, then a broadcast
+    // join-back and a map-side flag; population std in EXACT two-pass
+    // form (no Welford state, no sampling).
+    Q("q163_value_anomalies",
+      Some("""WITH s AS (SELECT event_type, avg(value) AS mu,
+             |    sqrt(avg(value * value) - avg(value) * avg(value)) AS sigma,
+             |    count(*) AS n
+             |  FROM events GROUP BY event_type)
+             |SELECT e.event_type, s.n,
+             |  CAST(count_if(abs((e.value - s.mu) / sigma) >= 3) AS BIGINT)
+             |    AS n_anomalous,
+             |  round(max(abs((e.value - s.mu) / sigma)), 4) AS max_abs_z
+             |FROM events e JOIN s USING (event_type)
+             |GROUP BY e.event_type, s.n""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(avg("value").as("mu"),
+            sqrt(avg(col("value") * col("value")) - avg("value") * avg("value"))
+              .as("sigma"),
+            count(lit(1)).as("n"))
+        val z = abs((col("value") - col("mu")) / col("sigma"))
+        ev.join(broadcast(stats), "event_type")
+          .groupBy("event_type", "n")
+          .agg(sum(when(z >= 3, 1L).otherwise(0L)).as("n_anomalous"),
+            round(max(z), 4).as("max_abs_z"))
+      }),
+
     // Sessionization via lag + conditional cumulative sum — the gaps-and-
     // islands pattern a 100 TB event pipeline needs (engine extension;
     // exercises lag + two stacked windows over one partition shuffle).
