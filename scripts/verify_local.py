@@ -36,6 +36,23 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # Oracle type lint: an uncast aggregate-derived column types HUGEINT
+    # (int128) in DuckDB while Spark emits int64 — the driver's typed-value
+    # hash then mismatches with IDENTICAL numbers (round-9 q148). DESCRIBE
+    # is plan-only (no execution), so linting every oracle is cheap; any
+    # HUGEINT column is a red gate here before it can go red on the driver.
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE failed: {e}")
+            n_bad += 1
+            continue
+        huge = [c for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        if huge:
+            print(f"FAIL {name}: HUGEINT oracle columns {huge} — "
+                  f"CAST the aggregate to BIGINT in the oracle SQL")
+            n_bad += 1
     try:
         failed = json.load(open(f"{out_dir}/failed.json"))
     except FileNotFoundError:

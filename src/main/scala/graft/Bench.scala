@@ -186,7 +186,11 @@ object Bench {
     // force the encode artifacts OUTSIDE the timed region (see above)
     locally { benchBpeMerges; benchByteMerges; benchUnigramScores; () }
 
-    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2).max(1)
+    // default 3 passes (round-9 verdict #7): the per-query min over ≥3
+    // interleaved passes, with load_1m recorded at every pass boundary,
+    // makes the driver artifact itself carry a quiet-box estimate — a
+    // burst now has to straddle two of three passes minutes apart.
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3).max(1)
     val suite = base ++ fastPath ++ tokenizers
     // Load watermark: the record's pass totals have twice differed ~1.7×
     // under ambient load on this shared box. A 1-minute loadavg snapshot

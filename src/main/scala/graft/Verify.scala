@@ -28,7 +28,10 @@ object Verify {
     // which read as "not declared" instead of red. Collected here and
     // dumped as failed.json alongside oracle_sql.json.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
+    // sorted by name (like Bench): hash-map order varies across runs,
+    // which makes any session-state-dependent flake impossible to bisect
+    // — two Verify runs must execute (and report) in the same order.
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).foreach { case (name, fn) =>
       spark.catalog.clearCache() // drop frames persisted by earlier queries
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -3,8 +3,8 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 60-bit portable string hash: the first 15 hex digits of md5 as a long —
@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes: no hex-string render, no base-16 reparse, no intermediate
   * allocations. This chain sits under every shingle/minhash/fingerprint
   * query, so the constant factor matters at corpus scale. */
-case class PortableHash(child: Expression) extends UnaryExpression {
+case class PortableHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
 

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -9,7 +9,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * static [[graft.text.Porter.stem]] directly, so the stemming stage stays
   * inside the surrounding WholeStageCodegen span instead of forcing a
   * UDF boundary (deserialize → Scala closure → reserialize per row). */
-case class PorterStem(child: Expression) extends UnaryExpression {
+case class PorterStem(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
 

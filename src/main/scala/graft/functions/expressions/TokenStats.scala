@@ -1,16 +1,19 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Sum of character counts over a string array — the mean-word-length
   * numerator of the quality gates, as ONE codegen'd O(n) pass. Replaces
   * the `aggregate(transform(...))` higher-order form, which Catalyst
   * evaluates interpreted per row (a lambda dispatch per token). */
-case class TokenCharSum(child: Expression) extends UnaryExpression {
+case class TokenCharSum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
 
@@ -32,7 +35,10 @@ case class TokenCharSum(child: Expression) extends UnaryExpression {
   * pass. Replaces the `transform(array_distinct(toks), w → size −
   * array_remove)` form, which is interpreted AND O(distinct × tokens)
   * per row — quadratic on long documents. */
-case class TokenModeCount(child: Expression) extends UnaryExpression {
+case class TokenModeCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
 
@@ -58,7 +64,9 @@ case class TokenModeCount(child: Expression) extends UnaryExpression {
   * per-row cost of the gate path at 1M docs). Semantics are identical:
   * exact string equality, null elements never match, null array → null. */
 case class LexiconHitCount(child: Expression, words: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
 
@@ -96,11 +104,13 @@ case class LexiconHitCount(child: Expression, words: Seq[String])
   * held in a reference object, so model size never touches the plan. */
 case class LexiconWeightedSum(child: Expression, words: Seq[String],
                               weights: Seq[Double], bias: Double)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(words.size == weights.size, "one weight per word")
   require(words.distinct.size == words.size,
     "duplicate vocabulary entry — the fold form would double-count it; " +
       "merge the weights instead")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
@@ -145,7 +155,9 @@ case class LexiconWeightedSum(child: Expression, words: Seq[String],
   * (`TextFunctions.FpTokenMod/FpMod`) stay single-sourced. */
 case class RollingFingerprint(child: Expression, portable: Boolean,
                               tokenMod: Long, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
 

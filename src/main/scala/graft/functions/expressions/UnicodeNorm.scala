@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.text.Normalizer
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * implement identically — so the oracle replays it exactly. Same
   * codegen shape as [[PorterStem]]: a static shim call inside the
   * surrounding WholeStageCodegen span, no UDF boundary. */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
 
@@ -37,7 +40,10 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   * canonical decomposition (`ø`, CJK) pass through untouched — matching
   * DuckDB's `strip_accents` (utf8proc) so the search-key / dedup-key
   * pipelines stay oracle-replayable. */
-case class StripAccents(child: Expression) extends UnaryExpression {
+case class StripAccents(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
 

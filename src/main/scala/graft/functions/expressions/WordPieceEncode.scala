@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,9 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocab itself (driver-tiny by the tokenizer contract) and executors
   * receive it through plan serialization like any literal. */
 case class WordPieceEncode(child: Expression, vocab: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(vocab.nonEmpty, "WordPiece vocabulary must be non-empty")
+
+  // declared input type so misuse (a non-string column) fails at ANALYSIS
+  // with a typed message, not at execution with a ClassCastException in
+  // nullSafeEval/codegen (the sweep rule all sibling expressions follow)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -90,10 +90,15 @@ object ChatQueries {
     // scaffolding stays unsupervised). Offsets derive from the engine's
     // single-exchange prefix sums; the oracle re-windows per
     // conversation — the hash certifies the rebasing arithmetic.
+    // span_start's prefix_len is a raw window sum, which DuckDB types
+    // HUGEINT (int128) — the CAST back to BIGINT is load-bearing: the
+    // driver hashes typed values, and an int128-vs-int64 repr mismatch
+    // reads as red with identical numbers (the round-9 q148 failure;
+    // every other aggregate-derived oracle column already casts).
     Q("q148_chat_spans",
       Some(s"""$turnsCtes
               |SELECT user_id, session_id, turn_idx,
-              |  prefix_len + CAST(len('<|assistant|>') AS BIGINT) AS span_start,
+              |  CAST(prefix_len + len('<|assistant|>') AS BIGINT) AS span_start,
               |  CAST(len(content) AS BIGINT) AS span_len
               |FROM turns WHERE role = 'assistant'""".stripMargin),
       (s, dir) => Instruct.lossSpans(Instruct.turns(ev(s, dir)))),
@@ -106,8 +111,8 @@ object ChatQueries {
     // Streaming chat audit (ChatStream.audit) run to completion over the
     // static events table, restricted — on BOTH engines — to
     // conversations whose close precedes the final watermark by more
-    // than the gap (those are guaranteed emitted via event-time timeout;
-    // later ones may sit in open state at stream end). Values are the
+    // than gap+1 seconds (those are guaranteed emitted via event-time
+    // timeout; later ones may sit in open state at stream end). Values are the
     // q147 audit columns, so this row proves stream==batch==DuckDB in
     // one hash.
     Q("q158_chat_audit_stream",
@@ -136,7 +141,7 @@ object ChatQueries {
               |  n_repeats, starts_user, ends_assistant, n_loss_tokens,
               |  n_total_tokens, valid
               |FROM audit
-              |WHERE last_epoch + 3600 < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
+              |WHERE last_epoch + 3601 < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
               |                           FROM events)""".stripMargin),
       (s, dir) => {
         val emitted = graft.streaming.EventsStream.runToMemory(
@@ -149,8 +154,14 @@ object ChatQueries {
           .groupBy("user_id", "session_id")
           .agg(max(unix_timestamp(col("ts"))).as("last_epoch"))
         val maxE = events.agg(max(unix_timestamp(col("ts"))).as("max_epoch"))
+        // margin is gap+1, not gap: the stream's event-time timeout sits
+        // at the first second strictly beyond the floored-seconds gap
+        // band (EventsStream.sessionTimeoutMs) and fires only once the
+        // watermark passes it STRICTLY — gap+1 keeps the restriction to
+        // conversations whose timeout is provably behind the final
+        // watermark on both engines.
         val closed = bounds.join(broadcast(maxE))
-          .filter(col("last_epoch") + 3600 < col("max_epoch"))
+          .filter(col("last_epoch") + 3601 < col("max_epoch"))
           .select("user_id", "session_id")
         emitted.join(closed, Seq("user_id", "session_id"), "left_semi")
       }),

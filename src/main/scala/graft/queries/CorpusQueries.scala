@@ -89,7 +89,7 @@ object CorpusQueries {
        |r0 AS (SELECT doc_id AS node, 1.0 / N AS rank FROM docs CROSS JOIN nd),
        |$iterCtes
        |SELECT node AS doc_id,
-       |  CAST(floor(rank * 1000000) AS BIGINT) AS pr_micro FROM r$iters""".stripMargin
+       |  CAST(floor(rank * 1000000 + 0.001) AS BIGINT) AS pr_micro FROM r$iters""".stripMargin
   }
 
   /** DuckDB replay of the q131 personalized PageRank: same hash-generated
@@ -138,7 +138,7 @@ object CorpusQueries {
        |r0 AS (SELECT node, p AS rank, p FROM p),
        |$iterCtes
        |SELECT node AS doc_id,
-       |  CAST(floor(rank * 1000000) AS BIGINT) AS ppr_micro FROM r$iters""".stripMargin
+       |  CAST(floor(rank * 1000000 + 0.001) AS BIGINT) AS ppr_micro FROM r$iters""".stripMargin
   }
 
   /** DuckDB replay of the q133 HITS iterations over the q124 graph:
@@ -250,7 +250,14 @@ object CorpusQueries {
     // iteration sums drift by an ulp between engines, and round's .5
     // grid turns that into a flipped digit when a rank lands on a
     // half-boundary (node 326 at sf0.01 sits 2e-18 from one); floor has
-    // no tie grid (quantizeInt8's rationale).
+    // no tie grid (quantizeInt8's rationale). The +0.001 nudge is q133's
+    // micro-quantizer, applied identically on both sides: a rank whose
+    // exact value IS a grid point can land an ulp either side of it
+    // depending on the partition order of the float contribution sum
+    // (observed at 32 cores after the node frame gained
+    // repartition(node): doc 217 emitted 2170 vs the 4-core 2169), and
+    // the nudge — ~10⁷× the ulp noise, 10⁻³ of the grid step — puts
+    // both engines on the same side of every boundary.
     Q("q124_pagerank",
       Some(pagerankSql(3)),
       (s, dir) => {
@@ -267,7 +274,7 @@ object CorpusQueries {
         Graph.pageRank(d, col("doc_id"), edges, col("src"), col("dst"),
             iterations = 3)
           .select(col("node").as("doc_id"),
-            floor(col("rank") * 1000000).as("pr_micro"))
+            floor(col("rank") * 1000000 + lit(0.001)).as("pr_micro"))
       }),
 
     // Per-node triangle counts + local clustering coefficient over the
@@ -469,7 +476,9 @@ object CorpusQueries {
     // teleporting to a weighted seed set (doc_id%10==0; weight 2 for
     // %20==0 else 1) — proximity-to-seeds as a quality prior: pages no
     // seed can reach through links rank exactly 0 instead of collecting
-    // uniform teleport mass. Same floor micro-quantization as q124.
+    // uniform teleport mass. Same nudged floor micro-quantization as
+    // q124 (the partition-order ulp hazard is identical — this row was
+    // green only by summation-order luck before the nudge).
     Q("q131_personalized_pagerank",
       Some(pprSql(3)),
       (s, dir) => {
@@ -489,7 +498,7 @@ object CorpusQueries {
         Graph.personalizedPageRank(d, col("doc_id"), edges, col("src"), col("dst"),
             seeds, col("doc_id"), col("w"), iterations = 3)
           .select(col("node").as("doc_id"),
-            floor(col("rank") * 1000000).as("ppr_micro"))
+            floor(col("rank") * 1000000 + lit(0.001)).as("ppr_micro"))
       }),
 
     // HITS hubs-and-authorities over the q124 graph: the complementary

@@ -977,27 +977,35 @@ object RelationalQueries {
     // Per-group z-score anomaly flags on the events stream (|z| >= 3
     // against the event-type's own distribution) — the telemetry-hygiene
     // gate. Two aggregations: per-type moments, then a broadcast
-    // join-back and a map-side flag; population std in EXACT two-pass
-    // form (no Welford state, no sampling).
+    // join-back and a map-side flag; population variance in the ONE-PASS
+    // moments form (E[v²] − E[v]²), guarded: that form is
+    // cancellation-prone, and for a (near-)constant group the rounding
+    // residue can land a hair below zero — sqrt would give NaN and
+    // (v−mu)/0 has divergent NaN/Inf semantics between the engines — so
+    // variance clamps at 0 and a zero-sigma group flags nothing (its z
+    // is defined as 0 on both sides).
     Q("q163_value_anomalies",
       Some("""WITH s AS (SELECT event_type, avg(value) AS mu,
-             |    sqrt(avg(value * value) - avg(value) * avg(value)) AS sigma,
+             |    sqrt(greatest(avg(value * value) - avg(value) * avg(value), 0)) AS sigma,
              |    count(*) AS n
              |  FROM events GROUP BY event_type)
              |SELECT e.event_type, s.n,
-             |  CAST(count_if(abs((e.value - s.mu) / sigma) >= 3) AS BIGINT)
-             |    AS n_anomalous,
-             |  round(max(abs((e.value - s.mu) / sigma)), 4) AS max_abs_z
+             |  CAST(count_if(sigma > 0 AND abs((e.value - s.mu) / sigma) >= 3)
+             |    AS BIGINT) AS n_anomalous,
+             |  round(max(CASE WHEN sigma > 0
+             |    THEN abs((e.value - s.mu) / sigma) ELSE 0 END), 4) AS max_abs_z
              |FROM events e JOIN s USING (event_type)
              |GROUP BY e.event_type, s.n""".stripMargin),
       (s, dir) => {
         val ev = t(s, dir, "events")
         val stats = ev.groupBy("event_type")
           .agg(avg("value").as("mu"),
-            sqrt(avg(col("value") * col("value")) - avg("value") * avg("value"))
-              .as("sigma"),
+            sqrt(greatest(
+              avg(col("value") * col("value")) - avg("value") * avg("value"),
+              lit(0.0))).as("sigma"),
             count(lit(1)).as("n"))
-        val z = abs((col("value") - col("mu")) / col("sigma"))
+        val z = when(col("sigma") > 0,
+          abs((col("value") - col("mu")) / col("sigma"))).otherwise(lit(0.0))
         ev.join(broadcast(stats), "event_type")
           .groupBy("event_type", "n")
           .agg(sum(when(z >= 3, 1L).otherwise(0L)).as("n_anomalous"),

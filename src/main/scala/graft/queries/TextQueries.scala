@@ -101,6 +101,71 @@ object TextQueries {
        |$iter""".stripMargin
   }
 
+  /** DuckDB replay of the q151 greedy WordPiece encode — the
+    * longest-prefix-first scan as an UNROLLED per-position iteration
+    * (the q116 merge-replay discipline applied to the encoder): after
+    * [[wpCtes]] trains the vocab, each step CTE advances every word's
+    * cursor by its longest matching piece (LEFT JOIN candidates, argmax
+    * by body length via QUALIFY), a word whose cursor matches nothing
+    * goes DEAD (the whole word becomes one `[UNK]` — its already-consumed
+    * pieces must NOT count, exactly the expression's contract), and
+    * piece counts weight each distinct word by its corpus frequency.
+    * `steps` bounds the scan: every step consumes ≥ 1 char, so it must
+    * be ≥ the longest corpus token (8 across all shipped SFs; 12 leaves
+    * margin — a longer future token would surface as a row diff, not
+    * silently). Step/vocab CTEs are MATERIALIZED: DuckDB inlines a
+    * CTE per reference by default, and with vpl referenced once per
+    * step (and `em` unioning every step) the inlined form re-expands
+    * the whole training chain dozens of times — enough re-opens of
+    * documents.parquet to blow the fd limit before it blows the
+    * planner. */
+  private def wpEncodeSql(k: Int, steps: Int): String = {
+    val split = s"string_split(trim(seq, $BpeL || $BpeR), $BpeR || $BpeL)"
+    val stepCtes = (1 to steps).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT e.word, e.n, e.pos, e.dead, v.piece, v.blen
+         |  FROM e${i - 1} e LEFT JOIN vpl v
+         |    ON NOT e.dead AND e.pos <= len(e.word)
+         |   AND v.cont = (e.pos > 1)
+         |   AND e.pos + v.blen - 1 <= len(e.word)
+         |   AND substr(e.word, e.pos, v.blen) = v.body
+         |  QUALIFY row_number() OVER (PARTITION BY e.word
+         |    ORDER BY v.blen DESC NULLS LAST) = 1),
+         |e$i AS MATERIALIZED (SELECT word, n,
+         |    CASE WHEN piece IS NULL THEN pos ELSE pos + blen END AS pos,
+         |    dead OR (pos <= len(word) AND piece IS NULL) AS dead
+         |  FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    val emitted = (1 to steps)
+      .map(i => s"SELECT word, piece FROM g$i WHERE piece IS NOT NULL")
+      .mkString(" UNION ALL ")
+    s"""${wpCtes(k)},
+       |base AS (SELECT DISTINCT unnest($split) AS piece FROM t0),
+       |vocab AS (SELECT piece FROM base
+       |  ${(1 to k).map(i =>
+           s"UNION SELECT pa || regexp_replace(pb, '^##', '') AS piece FROM m$i")
+           .mkString("\n  ")}),
+       |vpl AS MATERIALIZED (SELECT piece,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
+       |    (piece LIKE '##%') AS cont,
+       |    len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END) AS blen
+       |  FROM vocab),
+       |cw AS MATERIALIZED (SELECT word, count(*) AS n
+       |  FROM (SELECT unnest(${tokensSql(canonicalizeSql("text"))}) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |e0 AS (SELECT word, n, 1 AS pos, false AS dead FROM cw),
+       |$stepCtes,
+       |st AS MATERIALIZED (SELECT word, n, dead, pos > len(word) AS complete FROM e$steps),
+       |em AS ($emitted)
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM (
+       |  SELECT em.piece, sum(st.n) AS cnt
+       |  FROM em JOIN st USING (word) WHERE st.complete GROUP BY em.piece
+       |  UNION ALL
+       |  SELECT '[UNK]' AS piece, sum(n) AS cnt FROM st WHERE st.dead)
+       |WHERE cnt IS NOT NULL
+       |ORDER BY cnt DESC, piece LIMIT 20""".stripMargin
+  }
+
   /** Byte-level twin of [[BpeWrapWordSql]]: hex the word's UTF-8 bytes
     * (DuckDB `hex(encode(..))` and Spark `hex(encode(.., 'UTF-8'))` both
     * render uppercase), wrap each two-digit pair as one symbol. */
@@ -955,15 +1020,15 @@ object TextQueries {
       }),
 
     // WordPiece greedy encode with the learned vocabulary: top-20 piece
-    // frequencies over the corpus. Greedy longest-prefix matching is an
-    // iterative per-word scan — not ANSI-expressible (the UnigramLm
-    // Viterbi precedent) — so correctness is spec-carried:
-    // WordPieceSpec replays the whole sf0.001 corpus against an
-    // independent plain-Scala matcher, plus lossless-ness and [UNK]
-    // invariants. The binding still runs under Verify for the
-    // rows-present check.
+    // frequencies over the corpus. The greedy longest-prefix scan IS
+    // ANSI-expressible after all — wpEncodeSql unrolls it per cursor
+    // position (the q116/q64 recurrence-replay pattern), so this row is
+    // fully hash-checked against DuckDB; WordPieceSpec additionally
+    // replays the corpus against an independent plain-Scala matcher
+    // (expression == fold == matcher) and pins losslessness and the
+    // whole-word [UNK] rule.
     Q("q151_wordpiece_encode",
-      None,
+      Some(wpEncodeSql(BpeK, 12)),
       (s, dir) => {
         val d = docs(s, dir)
         val vocab0 = graft.text.WordPiece.initVocab(d, col("text"))

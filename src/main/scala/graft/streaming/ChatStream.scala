@@ -36,10 +36,15 @@ case class ChatAudit(user_id: Long, session_id: Long, n_turns: Long,
   * Shares [[EventsStream.sessionize]]'s state discipline exactly: state
   * is one accumulator row per user (bounded by |users|, not history),
   * closed conversations leave a counter-preserving marker, timeout
-  * timestamps clamp above the current watermark. Role/content/token
-  * arithmetic mirrors [[Instruct]] literally (same role partition, same
-  * whitespace token count over `event_type ⊔ props`), and the
-  * batch==stream parity spec holds the two implementations together. */
+  * timestamps clamp above the current watermark, and the gap rule is the
+  * SHARED floored-seconds comparison ([[EventsStream.sameSession]]) —
+  * the batch twin ([[Instruct.turns]]) and the DuckDB oracle both diff
+  * `unix_timestamp` (floor-to-second) epochs, so a millisecond-exact
+  * diff here would split a gap in the (gapSec, gapSec+1) band
+  * differently from batch. Role/content/token arithmetic mirrors
+  * [[Instruct]] literally (same role partition, same whitespace token
+  * count over `event_type ⊔ props`), and the batch==stream parity spec
+  * holds the two implementations together. */
 object ChatStream {
 
   private def isUserType(t: String): Boolean =
@@ -52,7 +57,6 @@ object ChatStream {
             watermarkDelay: String = "0 seconds"): Dataset[ChatAudit] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSec * 1000L
 
     def close(uid: Long, s: OpenChatAudit): ChatAudit =
       ChatAudit(uid, s.session_id, s.n_turns, s.n_user, s.n_assistant,
@@ -89,7 +93,8 @@ object ChatStream {
                 if (asst) toks else 0L, toks)
               cur = cur match {
                 case Some(s) if s.n_turns == 0L => Some(open(s.session_id))
-                case Some(s) if e.ts.getTime - s.last_ts_ms <= gapMs =>
+                case Some(s)
+                  if EventsStream.sameSession(s.last_ts_ms, e.ts.getTime, gapSec) =>
                   Some(s.copy(
                     last_ts_ms = math.max(s.last_ts_ms, e.ts.getTime),
                     n_turns = s.n_turns + 1,
@@ -109,7 +114,8 @@ object ChatStream {
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.last_ts_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(EventsStream.sessionTimeoutMs(s.last_ts_ms, gapSec),
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.reverse.iterator
           }

@@ -254,18 +254,41 @@ object EventsStream {
     * batch lag+cumsum form (q25), via `flatMapGroupsWithState` with an
     * event-time timeout (the stateful surface beyond running totals).
     *
-    * A session closes and emits when a gap > `gapSec` is observed within
-    * a batch, or when the watermark passes last_ts + gapSec (timeout).
+    * A session closes and emits when a gap > `gapSec` (in FLOORED
+    * seconds — [[sameSession]], the rule shared with the batch twin and
+    * its oracle) is observed within a batch, or when the watermark
+    * passes the end of the gap band ([[sessionTimeoutMs]]).
     * A timed-out user leaves a closed-marker state (one small row) so the
     * session counter survives the timeout; state is therefore bounded by
     * |users ever seen|, not history — the same bound as the batch q25
     * result itself. Session ids count from 1 per user in event-time
     * order, matching q25's cumsum. */
+  /** THE gap rule, shared by [[sessionize]], [[ChatStream.audit]], their
+    * batch twins (q25, [[graft.text.Instruct.turns]]) and the DuckDB
+    * oracles: two events belong to one session iff their FLOOR-TO-SECOND
+    * epoch difference is ≤ gapSec. The batch twins diff
+    * `unix_timestamp` values (floored seconds), so a millisecond-exact
+    * stream rule would split a gap in the (gapSec, gapSec+1) band
+    * differently from batch — one rule, defined once, keeps every
+    * formulation aligned on the band. (Epochs here are non-negative, so
+    * Java long division IS floor.) */
+  private[streaming] def sameSession(lastTsMs: Long, tsMs: Long,
+                                     gapSec: Long): Boolean =
+    tsMs / 1000L - lastTsMs / 1000L <= gapSec
+
+  /** Earliest event-time at which NO further event can extend a session
+    * last touched at `lastTsMs` under [[sameSession]]: the first
+    * millisecond of the first second strictly beyond the gap band. An
+    * event-time timeout set any earlier could fire while a
+    * still-in-session event (same floored second, later millisecond)
+    * remains admissible. */
+  private[streaming] def sessionTimeoutMs(lastTsMs: Long, gapSec: Long): Long =
+    (lastTsMs / 1000L + gapSec + 1L) * 1000L
+
   def sessionize(events: DataFrame, gapSec: Long = 3600,
                  watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSec * 1000L
     events.withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("ts")).as[SessionEvent]
       .groupByKey(_.user_id)
@@ -295,7 +318,7 @@ object EventsStream {
                 // an emitted session.
                 case Some(s) if s.n_events == 0L =>
                   Some(OpenSession(s.session_id, e.ts.getTime, 1))
-                case Some(s) if e.ts.getTime - s.last_ts_ms <= gapMs =>
+                case Some(s) if sameSession(s.last_ts_ms, e.ts.getTime, gapSec) =>
                   Some(OpenSession(s.session_id,
                     math.max(s.last_ts_ms, e.ts.getTime), s.n_events + 1))
                 case Some(s) =>
@@ -311,7 +334,8 @@ object EventsStream {
               // is rejected; an already-expired session then closes on the
               // next trigger instead of throwing.
               state.setTimeoutTimestamp(
-                math.max(s.last_ts_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(sessionTimeoutMs(s.last_ts_ms, gapSec),
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.reverse.iterator
           }

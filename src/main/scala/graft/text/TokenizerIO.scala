@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * Layout under `dir`:
   *  - `<dir>/meta.parquet`    — (family, k) one row
   *  - `<dir>/model.parquet`   — family-specific columns (see below)
+  *
+  * Write order is MODEL FIRST, META LAST on every save path: `readMeta`
+  * is the first thing every load does, so meta doubles as a cheap commit
+  * marker — a save that dies mid-way leaves a missing/stale meta (load
+  * fails loudly) rather than a torn artifact with valid meta over a
+  * missing model.
   */
 object TokenizerIO {
 
@@ -54,10 +60,10 @@ object TokenizerIO {
     import spark.implicits._
     require(family == FamilyBpe || family == FamilyByteBpe,
       s"saveMerges takes a BPE family, got '$family'")
-    writeMeta(spark, dir, family, merges.size)
     merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
       .toDF("it", "pa", "pb")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model.parquet")
+    writeMeta(spark, dir, family, merges.size)
   }
 
   /** Reload a merge table in learned order. */
@@ -74,9 +80,9 @@ object TokenizerIO {
   def saveWordPiece(spark: SparkSession, dir: String,
                     vocab: Seq[String]): Unit = {
     import spark.implicits._
-    writeMeta(spark, dir, FamilyWordPiece, vocab.size)
     vocab.toDF("piece")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model.parquet")
+    writeMeta(spark, dir, FamilyWordPiece, vocab.size)
   }
 
   def loadWordPiece(spark: SparkSession, dir: String): Seq[String] = {
@@ -90,12 +96,16 @@ object TokenizerIO {
   /** Persist the (piece, score_micro) frame [[UnigramLm.train]] returns.
     * Stored distributed (no coalesce): a production unigram vocab can be
     * 100k+ rows and the consumer ([[UnigramLm.encode]]) takes a FRAME,
-    * not a driver seq. */
+    * not a driver seq. `k` is counted from the WRITTEN files, not from a
+    * separate `scores.count()` action: an expensive/nondeterministic
+    * scores plan would otherwise execute twice and meta.k could disagree
+    * with the rows actually persisted. */
   def saveUnigram(scores: DataFrame, dir: String): Unit = {
-    writeMeta(scores.sparkSession, dir, FamilyUnigram,
-      scores.count().toInt)
+    val spark = scores.sparkSession
     scores.select(col("piece"), col("score_micro"))
       .write.mode("overwrite").parquet(s"$dir/model.parquet")
+    writeMeta(spark, dir, FamilyUnigram,
+      spark.read.parquet(s"$dir/model.parquet").count().toInt)
   }
 
   def loadUnigram(spark: SparkSession, dir: String): DataFrame = {

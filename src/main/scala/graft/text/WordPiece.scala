@@ -161,7 +161,7 @@ object WordPiece {
     val maxLen = vocab.map(_.stripPrefix("##").length).max
     val emptyToks = array().cast("array<string>")
     val noToks = lit(null).cast("array<string>")
-    aggregate(
+    val folded = aggregate(
       sequence(lit(1), length(word)),
       struct(lit(1).as("pos"), emptyToks.as("toks")),
       (st, i) => {
@@ -183,6 +183,12 @@ object WordPiece {
         when(toks.isNull || i =!= pos, st).otherwise(step)
       },
       st => coalesce(st.getField("toks"), array(lit(Unk))))
+    // empty word → empty array, matching the expression formulation on
+    // the FULL input domain (without this, sequence(1, 0) yields the
+    // descending [1, 0], the fold still runs, and an empty word came
+    // back [UNK] — a silent fold≠expression disagreement that encode()'s
+    // length guard merely masked)
+    when(length(word) === 0, emptyToks).otherwise(folded)
   }
 
   /** Corpus encode: canonicalized whitespace tokens each greedy-matched;

@@ -264,6 +264,33 @@ class GraphSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"node $k") }
   }
 
+  test("q124/q131 emitted micro-digits are partitioning-invariant (4 vs 32 shuffle partitions)") {
+    // The round-9 regression class: repartition(node) changed the float
+    // summation order of the contribution sum, and one rank crossed the
+    // floor(rank·1e6) boundary at 32 shuffle partitions but not at 4.
+    // The nudged quantizer (floor(x·1e6 + 1e-3), q133's rule, applied to
+    // both engines) must make the EMITTED digits a pure function of the
+    // data — this pin runs the exact query bindings at both partition
+    // counts and requires identical output. (Label-prop/HITS already
+    // carry this pin; the damped-float pair lacked it.)
+    for (name <- Seq("q124_pagerank", "q131_personalized_pagerank")) {
+      val q = graft.SparkEntry.registry.find(_.name == name).get
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      def run(p: String): Map[Long, Long] = {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        q.run(spark, sfDir).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      try {
+        val at4 = run("4")
+        val at32 = run("32")
+        val diff = at4.keySet.filter(k => !at32.get(k).contains(at4(k)))
+        assert(at4.keySet == at32.keySet && diff.isEmpty,
+          s"$name micro-digits differ across partitioning at docs ${diff.take(5)}")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("triangleCounts: hand-computed, direction/multiplicity/self-loop proof") {
     // triangle {1,2,3}; tail 3-4; K4 on {10,11,12,13} (4 triangles, each
     // node in 3); duplicate, reversed, and self-loop edges must not count

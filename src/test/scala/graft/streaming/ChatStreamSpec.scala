@@ -53,6 +53,45 @@ class ChatStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("gap inside the (gap, gap+1)s band: floored-seconds rule keeps stream == batch") {
+    // Two events 3600.8 s apart in milliseconds — but whose FLOORED
+    // second difference is exactly 3600, the shared sameSession rule's
+    // boundary. The batch twin (Instruct.turns) diffs unix_timestamp
+    // (floored seconds), so both must land in ONE conversation; the old
+    // millisecond-exact stream rule split here. No gap in the shipped
+    // test data lands in this band, so this synthetic case is the pin.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val u1Rows = Seq(
+      (1L, 1L, ts(86400100L), "click", "{\"k\": 1}"),
+      (1L, 2L, ts(90000900L), "purchase", "{\"k\": 2}")) // +3600800 ms
+    // batch: one conversation of two turns
+    val batch = Instruct.alternationAudit(Instruct.turns(
+      u1Rows.toDF("user_id", "event_id", "ts", "event_type", "props")))
+      .select($"session_id", $"n_turns").as[(Long, Long)].collect().toSeq
+    assert(batch == Seq((1L, 2L)), s"batch twin must see one session: $batch")
+
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String, String)]
+    val q = ChatStream.audit(
+        mem.toDF.toDF("user_id", "event_id", "ts", "event_type", "props"))
+      .toDF.writeStream.format("memory")
+      .queryName("chat_band_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(u1Rows: _*)
+      q.processAllAvailable()
+      // unrelated traffic pushes the watermark far past u1's timeout
+      mem.addData((2L, 10L, ts(200000000L), "view", "{}"))
+      q.processAllAvailable()
+      mem.addData((2L, 11L, ts(210000000L), "view", "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("chat_band_test").filter($"user_id" === 1L)
+      .select($"session_id", $"n_turns").as[(Long, Long)].collect().toSeq
+    assert(u1 == Seq((1L, 2L)),
+      s"stream must keep the band gap in one conversation like batch: $u1")
+  }
+
   test("audit emits on event-time timeout and keeps the session counter") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

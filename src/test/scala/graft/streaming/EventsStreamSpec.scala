@@ -140,6 +140,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("sessionize: gap inside the (gap, gap+1)s band stays one session (floored-seconds rule)") {
+    // ms diff 3600800 > gapMs, floored-second diff exactly 3600 — the
+    // batch q25 twin (unix_timestamp diffs) keeps these together, so the
+    // stream must too; the old millisecond-exact rule split here. (The
+    // shipped test data has no gap in this band — synthetic pin.)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = EventsStream.sessionize(mem.toDF.toDF("user_id", "ts"))
+      .toDF.writeStream.format("memory")
+      .queryName("session_band_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(86400100L)), (1L, ts(90000900L)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(200000000L)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(210000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("session_band_test").filter($"user_id" === 1L)
+      .select($"session_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(u1 == Seq((1L, 2L)),
+      s"band gap must stay one session like the batch twin, got $u1")
+  }
+
   test("sessionize keeps the per-user session counter across event-time timeouts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

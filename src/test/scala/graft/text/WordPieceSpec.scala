@@ -72,6 +72,30 @@ class WordPieceSpec extends SparkSpec {
     assert(got("quo") === Seq(WordPiece.Unk))
   }
 
+  test("empty word: expression and fold agree on an empty array") {
+    // the advertised fold == expression contract must hold on the FULL
+    // input domain: the fold's sequence(1, 0) is a DESCENDING [1, 0], so
+    // without the explicit empty-input short-circuit the fold still ran
+    // and emitted [UNK] where the expression returns [] — masked in
+    // production only because encode() guards length > 0
+    val vocab = Seq("a", "##b")
+    val r = Seq("").toDF("w")
+      .select(WordPiece.encodeWord(col("w"), vocab).as("p"),
+        WordPiece.encodeWordFold(col("w"), vocab).as("pf"))
+      .head()
+    assert(r.getSeq[String](0).isEmpty, "expression must return [] on ''")
+    assert(r.getSeq[String](1).isEmpty, "fold must return [] on ''")
+  }
+
+  test("non-string input fails at analysis, not execution") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n")
+        .select(WordPiece.encodeWord(col("n"), Seq("a")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("corpus encode: expression == fold == independent reference matcher") {
     val d = Tables.documents(spark, sfDir)
     val v0 = WordPiece.initVocab(d, col("text"))
