@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Crawl-frontier expansion — the web-family composite that closes the
+  * crawl loop: fetched pages carry outlinks; the frontier is the set of
+  * canonical link targets NOT yet crawled, with per-URL discovery
+  * stats for prioritization. Composes the existing web primitives:
+  * href extraction (the q114 HTML machinery's sibling), URL
+  * canonicalization (q115's [[TextFunctions.canonicalizeUrl]] — dedup
+  * BEFORE fetch, the cheapest dedup a crawler has), and the
+  * bloom-accelerated anti-join against the crawled index
+  * ([[Relational.bloomAntiJoin]], the q89 stored-index discipline).
+  *
+  * Scale shape (100 TB crawl): link extraction/canonicalization are one
+  * codegen'd map-side pass; the per-URL aggregation is the single
+  * frontier-scale shuffle (map-side combinable counts); the crawled-index
+  * check bloom-bypasses the overwhelmingly-new fraction so only
+  * might-be-seen URLs pay the anti-join exchange. No all-pairs shapes
+  * anywhere.
+  */
+object Frontier {
+
+  /** All `href="…"` targets of an HTML page, document order. Attribute
+    * extraction wants the raw markup — run BEFORE any tag stripping
+    * ([[TextFunctions]]'s HTML extraction destroys the attributes). Same
+    * Java ∩ RE2 regex discipline as the HTML/URL families, so the DuckDB
+    * twin matches byte-for-byte. */
+  val HrefRe = "(?i)href=\"([^\"]*)\""
+
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(HrefRe), lit(1))
+
+  def extractLinksSql(e: String): String =
+    s"regexp_extract_all($e, '$HrefRe', 1)"
+
+  /** Absolute-http(s) links only: a crawler resolves relative links
+    * against the page URL — out of scope here (the reference pipelines
+    * carry absolute URLs) — and schemes like `mailto:`/`javascript:`
+    * are never fetchable. */
+  val AbsoluteHttpRe = "(?i)^https?://"
+
+  /** Frontier expansion: `pages (src_url, html)` × `crawled (url)` →
+    * `(url, n_refs, n_pages)` for every canonical outlink target not in
+    * the crawled index — `n_refs` total references, `n_pages` distinct
+    * referring pages (the in-degree prior a frontier scheduler ranks
+    * by). `crawled` must already hold CANONICAL urls (it is the output
+    * of previous rounds of this very loop). */
+  def expand(pages: DataFrame, srcUrlCol: Column, htmlCol: Column,
+             crawled: DataFrame, crawledUrlCol: Column,
+             scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val links = pages
+      .select(srcUrlCol.as("src"), explode(extractLinks(htmlCol)).as("link"))
+      .filter(col("link").rlike(AbsoluteHttpRe))
+      .select(col("src"), TextFunctions.canonicalizeUrl(col("link")).as("url"))
+    // persisted: the bloom anti-join reads the aggregated frontier twice
+    // (proven-new bypass + candidate branch) — persist the SMALL
+    // aggregated frame, never the raw link explosion
+    val agg = scope.persist(
+      links.groupBy("url")
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("src")).as("n_pages")))
+    Relational.bloomAntiJoin(agg, col("url"),
+      crawled.select(crawledUrlCol.as("url")), col("url"))
+  }
+}

@@ -368,6 +368,42 @@ object Relational {
       Literal(sketch, BinaryType), Bridge.expression(xxhash64(bigKey)))))
   }
 
+  /** Bloom-accelerated ANTI join — keep the big-side rows whose key is
+    * NOT in `small` (the crawl-frontier / not-yet-seen shape). The bloom
+    * probe's direction makes anti-joins the best case for the sketch: a
+    * row whose probe says "cannot be in small" is PROVEN new (a bloom
+    * filter has no false negatives) and bypasses the join entirely —
+    * only the might-contain fraction (true matches + fpp noise) pays the
+    * exact anti-join shuffle. At a crawl frontier where most discovered
+    * URLs are genuinely new, that is the difference between shuffling
+    * the whole frontier and shuffling a sliver.
+    *
+    * The big side is read twice (two complementary filters of one
+    * scan); for a columnar source a second pruned scan is far cheaper
+    * than shuffling the bypassed rows — callers with an expensive big
+    * plan persist it first. Semantics are EXACTLY `left_anti` on
+    * `bigKey = smallKey`: the result is the anti-join, just cheaper. */
+  def bloomAntiJoin(big: DataFrame, bigKey: Column,
+                    small: DataFrame, smallKey: Column,
+                    estimatedItems: Long = 1000000L,
+                    numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val agg = new BloomFilterAggregate(Bridge.expression(xxhash64(smallKey)),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression()
+    val sketch = small.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
+    if (sketch == null) return big // empty small side: everything is new
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType), Bridge.expression(xxhash64(bigKey))))
+    val provenNew = big.filter(!might)
+    val candidates = big.filter(might)
+      .join(small.select(smallKey.as("__bloom_k")).distinct(),
+        bigKey === col("__bloom_k"), "left_anti")
+    provenNew.unionByName(candidates)
+  }
+
   /** Distributed global prefix sum (running total in a TOTAL order) —
     * the scale-correct form of `sum() OVER (ORDER BY …)`: an
     * unpartitioned window funnels every row through ONE task; this runs

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.sources.Tables
-import graft.text.Instruct
+import graft.text.{Instruct, Preference}
 
 /** Round-9 instruction/chat-data suite: the post-training corpus shape.
   * Conversations are derived from the `events` stream (q25's
@@ -55,6 +56,42 @@ object ChatQueries {
       |      OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_len
       |  FROM s WINDOW conv AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))""".stripMargin
+
+  /** Shared preference-pair CTEs (extends [[turnsCtes]]): per-conversation
+    * audit (q147's valid gate + supervised-token budget), the prompt key
+    * (first turn's event type), the integer quality score, and the
+    * adjacent-rank pairing window — the SQL twin of
+    * [[Preference.pairs]]. Every aggregate-derived column CASTs back to
+    * BIGINT (the q148 HUGEINT lesson, enforced by the verify lint). */
+  private val prefPairCtes: String =
+    s"""$turnsCtes,
+       |pa AS (SELECT *,
+       |    CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS BIGINT) AS n_tok,
+       |    CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+       |        ORDER BY turn_idx) = role THEN 1 ELSE 0 END AS rep
+       |  FROM turns),
+       |audit AS (SELECT user_id, session_id,
+       |    (max(CASE WHEN turn_idx = 1 THEN role = 'user' END)
+       |      AND max_by(role = 'assistant', turn_idx)
+       |      AND sum(rep) = 0) AS valid,
+       |    CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) AS BIGINT)
+       |      AS n_loss
+       |  FROM pa GROUP BY user_id, session_id),
+       |pr AS (SELECT user_id, session_id, split_part(content, ' ', 1) AS prompt
+       |  FROM turns WHERE turn_idx = 1),
+       |sc AS (SELECT pr.prompt, audit.user_id, audit.session_id,
+       |    (CASE WHEN audit.valid THEN 100000 ELSE 0 END) + audit.n_loss AS score
+       |  FROM audit JOIN pr USING (user_id, session_id)),
+       |pairs AS (SELECT prompt,
+       |    user_id AS c_user, session_id AS c_session,
+       |    lead(user_id) OVER w AS r_user,
+       |    lead(session_id) OVER w AS r_session,
+       |    score - lead(score) OVER w AS margin
+       |  FROM sc WINDOW w AS (PARTITION BY prompt
+       |    ORDER BY score DESC, user_id, session_id)),
+       |kept AS (SELECT prompt, c_user, c_session, r_user, r_session,
+       |    CAST(margin AS BIGINT) AS margin
+       |  FROM pairs WHERE r_user IS NOT NULL AND margin > 0)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -165,6 +202,46 @@ object ChatQueries {
           .select("user_id", "session_id")
         emitted.join(closed, Seq("user_id", "session_id"), "left_semi")
       }),
+
+    // Preference-pair construction (Preference.pairs): conversations
+    // answering the same prompt (first turn's event type) ranked by the
+    // integer quality score (valid gate dominant, then supervised-token
+    // budget) and paired adjacently — chosen/rejected with a strict
+    // margin, the reward-model training input. n−1 pairs per prompt
+    // group, never all-pairs; one window over `prompt`.
+    Q("q164_pref_pairs",
+      Some(s"""$prefPairCtes
+              |SELECT prompt, c_user, c_session, r_user, r_session, margin
+              |FROM kept""".stripMargin),
+      (s, dir) => Preference.pairs(Instruct.turns(ev(s, dir)))),
+
+    // Inter-annotator agreement audit over the preference pairs: 3
+    // deterministic hash-annotators per pair (vote-for-chosen
+    // probability widens with the margin), then per-prompt unanimity /
+    // majority counts and the pairwise-agreement rate in exact integer
+    // micro-units — integer division on both engines, no float anywhere.
+    Q("q165_pref_agreement",
+      Some(s"""$prefPairCtes,
+              |pv AS (SELECT prompt,
+              |    concat_ws(':', prompt, c_user, c_session, r_user, r_session)
+              |      AS pair_key,
+              |    margin FROM kept),
+              |votes AS (SELECT prompt, pair_key,
+              |    ${TextFunctions.portableHashSql(
+                     "('ann' || CAST(ann AS VARCHAR) || ':' || pair_key)")} % 100
+              |      < 50 + least(margin, 50) AS vote
+              |  FROM pv CROSS JOIN (SELECT unnest([0, 1, 2]) AS ann)),
+              |pp AS (SELECT prompt, pair_key,
+              |    CAST(sum(CASE WHEN vote THEN 1 ELSE 0 END) AS BIGINT) AS v
+              |  FROM votes GROUP BY prompt, pair_key)
+              |SELECT prompt, count(*) AS n_pairs,
+              |  CAST(count_if(v = 3 OR v = 0) AS BIGINT) AS n_unanimous,
+              |  CAST(count_if(v >= 2) AS BIGINT) AS n_majority_chosen,
+              |  CAST((1000000 * sum(v * (v - 1) + (3 - v) * (2 - v)))
+              |    // (6 * count(*)) AS BIGINT) AS agree_micro
+              |FROM pp GROUP BY prompt""".stripMargin),
+      (s, dir) => Preference.agreement(
+        Preference.pairs(Instruct.turns(ev(s, dir))))),
 
     Q("q149_chat_render",
       Some(s"""$turnsCtes

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions
-import graft.operators.{Graph, Relational}
+import graft.operators.{BradleyTerry, Frontier, Graph, Relational}
 import graft.similarity.Similarity
 import graft.sources.Tables
 
@@ -223,6 +223,64 @@ object CorpusQueries {
 
   private val CrawlHosts = Seq("crawl-a.example.com", "crawl-b.example.org",
     "crawl-c.example.net", "crawl-d.example.io")
+
+  /** Host keyed by an arbitrary index COLUMN (0..3) — the link-target
+    * variant of [[PlantedHosts.column]], which is hard-keyed on doc_id. */
+  private def hostByIdx(idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    CrawlHosts.zipWithIndex.tail
+      .foldLeft(when(idx === 0, lit(CrawlHosts.head))) {
+        case (c, (h, i)) => c.when(idx === i, lit(h))
+      }
+
+  private def hostByIdxSql(e: String): String =
+    s"CASE $e ${CrawlHosts.zipWithIndex.map { case (h, i) =>
+      s"WHEN $i THEN '$h'" }.mkString(" ")} END"
+
+  /** DuckDB replay of the q166 Bradley–Terry fit: hash-paired document
+    * comparisons (partner = hash(doc_id) mod N, winner = the
+    * lexicographically greater (n_chars, doc_id) — deterministic), win
+    * counts rolled up to `source`, then `iters` unrolled Hunter-MM
+    * updates p_i' = W_i / Σ n_ij/(p_i+p_j), sum-normalized — the
+    * operator's exact arithmetic. Output floor-micro-quantized with the
+    * q124/q133 nudge (per-i denominator sums are float). */
+  private def btSql(iters: Int): String = {
+    val h = TextFunctions.portableHashSql("('bt:' || CAST(d.doc_id AS VARCHAR))")
+    val iterCtes = (1 to iters).map { i =>
+      s"""dn$i AS (SELECT g.i, sum(g.n / (pi.p + pj.p)) AS den
+         |  FROM games g JOIN r${i - 1} pi ON pi.item = g.i
+         |  JOIN r${i - 1} pj ON pj.item = g.jj
+         |  GROUP BY g.i),
+         |w$i AS (SELECT wins.item, wins.wins / dn.den AS praw
+         |  FROM wins JOIN dn$i dn ON dn.i = wins.item),
+         |t$i AS (SELECT sum(praw) AS tot FROM w$i),
+         |r$i AS (SELECT item, praw / tot AS p FROM w$i CROSS JOIN t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (SELECT doc_id, source, n_chars FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS Nb FROM d0),
+       |prd AS (SELECT d.doc_id, d.source, d.n_chars, $h % Nb AS j
+       |  FROM d0 d CROSS JOIN nd),
+       |cmp AS (SELECT
+       |    CASE WHEN (p.n_chars, p.doc_id) > (e.n_chars, e.doc_id)
+       |         THEN p.source ELSE e.source END AS w,
+       |    CASE WHEN (p.n_chars, p.doc_id) > (e.n_chars, e.doc_id)
+       |         THEN e.source ELSE p.source END AS l
+       |  FROM prd p JOIN d0 e ON e.doc_id = p.j
+       |  WHERE p.j <> p.doc_id AND p.source <> e.source),
+       |games AS (SELECT i, jj, CAST(count(*) AS DOUBLE) AS n FROM (
+       |    SELECT w AS i, l AS jj FROM cmp
+       |    UNION ALL SELECT l AS i, w AS jj FROM cmp)
+       |  GROUP BY i, jj),
+       |wins AS (SELECT it.item, coalesce(ww.wins, 0.0) AS wins
+       |  FROM (SELECT DISTINCT i AS item FROM games) it
+       |  LEFT JOIN (SELECT w AS item, CAST(count(*) AS DOUBLE) AS wins
+       |             FROM cmp GROUP BY w) ww USING (item)),
+       |kk AS (SELECT CAST(count(*) AS DOUBLE) AS K FROM wins),
+       |r0 AS (SELECT item, 1.0 / K AS p FROM wins CROSS JOIN kk),
+       |$iterCtes
+       |SELECT item AS source,
+       |  CAST(floor(p * 1000000 + 0.001) AS BIGINT) AS bt_micro
+       |FROM r$iters""".stripMargin
+  }
 
   /** Planted crawl-log URL for a doc: scheme case varies by doc_id%3,
     * a tracking param rides along on odd ids, host by doc_id%4 and path
@@ -550,5 +608,86 @@ object CorpusQueries {
         Graph.labelPropagation(seeded, col("doc_id"), col("seed"),
             edges, col("src"), col("dst"), iterations = 3)
           .select(col("node").as("doc_id"), col("label").as("community"))
+      }),
+
+    // Bradley–Terry source strengths from hash-paired document duels
+    // (BradleyTerry.fit): each doc meets a hash-drawn partner, the
+    // higher-quality doc's SOURCE takes the win, and 3 Hunter-MM rounds
+    // turn the win matrix into per-source strengths — the
+    // pairwise-comparison ranking a preference pipeline fits over
+    // sources/models. Nudged micro-quantization (the q124 family rule).
+    Q("q166_bradley_terry",
+      Some(btSql(3)),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "source", "n_chars")
+        val nb = d.agg(count(lit(1)).as("Nb"))
+        val paired = d.crossJoin(broadcast(nb))
+          .withColumn("j", TextFunctions.portableHash(
+            concat(lit("bt:"), col("doc_id").cast("string"))) % col("Nb"))
+          .filter(col("j") =!= col("doc_id"))
+        val opp = d.select(col("doc_id").as("j"),
+          col("source").as("src_j"), col("n_chars").as("nc_j"))
+        val pWins = col("n_chars") > col("nc_j") ||
+          (col("n_chars") === col("nc_j") && col("doc_id") > col("j"))
+        val cmp = paired.join(opp, "j")
+          .filter(col("source") =!= col("src_j"))
+          .select(when(pWins, col("source")).otherwise(col("src_j")).as("w"),
+            when(pWins, col("src_j")).otherwise(col("source")).as("l"))
+        BradleyTerry.fit(cmp, col("w"), col("l"), iterations = 3)
+          .select(col("item").as("source"),
+            floor(col("strength") * 1000000 + lit(0.001)).as("bt_micro"))
+      }),
+
+    // Crawl-frontier expansion (Frontier.expand): pages carry planted
+    // <a href> outlinks (hash-drawn targets over a 150-page space, with
+    // scheme-case/tracking-param/fragment variants, plus relative and
+    // mailto links that must be dropped); extraction → canonicalization
+    // → per-URL aggregation → bloom-accelerated anti-join against the
+    // already-crawled canonical index. Targets with page index < 50
+    // collapse into the crawled set; >= 50 are the frontier.
+    Q("q167_crawl_frontier", {
+      val canonSrc = TextFunctions.canonicalizeUrlSql(crawlUrlSql)
+      def kSql(j: Int) = "(" + TextFunctions.portableHashSql(
+        s"(CAST(doc_id AS VARCHAR) || ':lnk:$j')") + " % 150)"
+      def tgtSql(j: Int, scheme: String, suffix: String) =
+        s"'$scheme' || ${hostByIdxSql(s"${kSql(j)} % 4")} || '/page/' || " +
+          s"CAST(${kSql(j)} AS VARCHAR) || '$suffix'"
+      Some(s"""WITH pg AS (SELECT $canonSrc AS src,
+              |    '<html><body>' ||
+              |    '<a href="' || ${tgtSql(1, "HTTPS://", "#top")} || '">a</a>' ||
+              |    '<a class="n" href="' || ${tgtSql(2, "https://", "?utm_source=crawl")} || '">b</a>' ||
+              |    '<a href="' || ${tgtSql(3, "https://", "")} || '">c</a>' ||
+              |    '<a href="/rel/0">r</a><a href="mailto:ops@example.com">m</a>' ||
+              |    '</body></html>' AS html
+              |  FROM documents),
+              |lk AS (SELECT src, unnest(${Frontier.extractLinksSql("html")}) AS link
+              |  FROM pg),
+              |cl AS (SELECT src, ${TextFunctions.canonicalizeUrlSql("link")} AS url
+              |  FROM lk WHERE regexp_matches(link, '${Frontier.AbsoluteHttpRe}')),
+              |agg AS (SELECT url, count(*) AS n_refs,
+              |    CAST(count(DISTINCT src) AS BIGINT) AS n_pages
+              |  FROM cl GROUP BY url)
+              |SELECT url, n_refs, n_pages FROM agg
+              |WHERE url NOT IN (SELECT DISTINCT $canonSrc FROM documents)""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+        def k(j: Int) = TextFunctions.portableHash(
+          concat(col("doc_id").cast("string"), lit(s":lnk:$j"))) % 150
+        def tgt(j: Int, scheme: String, suffix: String) =
+          concat(lit(scheme), hostByIdx(k(j) % 4), lit("/page/"),
+            k(j).cast("string"), lit(suffix))
+        val html = concat(lit("<html><body>"),
+          lit("<a href=\""), tgt(1, "HTTPS://", "#top"), lit("\">a</a>"),
+          lit("<a class=\"n\" href=\""), tgt(2, "https://", "?utm_source=crawl"),
+          lit("\">b</a>"),
+          lit("<a href=\""), tgt(3, "https://", ""), lit("\">c</a>"),
+          lit("<a href=\"/rel/0\">r</a><a href=\"mailto:ops@example.com\">m</a>"),
+          lit("</body></html>"))
+        val pages = d.select(
+          TextFunctions.canonicalizeUrl(crawlUrlColumn).as("src"), html.as("html"))
+        val crawled = d.select(
+          TextFunctions.canonicalizeUrl(crawlUrlColumn).as("url")).distinct()
+        Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
       }))
 }

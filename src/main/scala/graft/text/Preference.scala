@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Preference/RLHF data construction — the post-training data shape next
+  * to the SFT chat family ([[Instruct]]): given conversations derived
+  * from the events stream, build preference PAIRS (chosen/rejected
+  * responses to the same prompt), audit annotator agreement over them,
+  * and fit per-source strengths from pairwise outcomes
+  * ([[graft.operators.BradleyTerry]]). Reference tie-in: extends the
+  * reference's sentiment-label pipeline
+  * (reference: code/nlp/Sentiment_Analysis.py:95-123, single-example
+  * labels) to the PAIRWISE form reward-model training consumes.
+  *
+  * Everything here is integer arithmetic over the shared turn frame
+  * (scores, hashes, integer-division ratios), so every op is
+  * DuckDB-replayable and hash-checked end to end — the determinism
+  * discipline of the label-prop/temperature families.
+  *
+  * Scale shape (100 TB events):
+  *  - [[pairs]]: one conversation-level aggregate ([[Instruct.alternationAudit]],
+  *    events-scale shuffle already paid by the turn frame), a broadcast-
+  *    sized prompt join, then ONE window over `prompt` — adjacent-rank
+  *    pairing emits n−1 pairs per prompt group (linear, never the
+  *    all-pairs K²).
+  *  - [[agreement]]: explode ×|annotators| (a constant) + two
+  *    map-side-combinable aggregations. No joins, no windows.
+  */
+object Preference {
+
+  /** Conversation quality score for preference ranking: validity
+    * dominates (a well-formed dialogue always beats a malformed one),
+    * then the supervised-token budget. Pure int64 — replayable. */
+  def qualityScore(valid: Column, nLossTokens: Column): Column =
+    when(valid, 100000L).otherwise(0L) + nLossTokens
+
+  /** Preference pairs from the turn frame ([[Instruct.turns]]):
+    * conversations answering the SAME PROMPT (first turn's event type —
+    * the task category) are ranked by [[qualityScore]] and paired
+    * ADJACENTLY in rank order (chosen = higher, rejected = next lower,
+    * `margin` = score difference). Adjacent pairing is the
+    * bounded-output construction: n−1 pairs per prompt group versus the
+    * quadratic all-pairs form, while still covering the full ranking
+    * chain. Zero-margin (tied) pairs are dropped — a preference pair
+    * with no strict preference teaches a reward model nothing and its
+    * chosen/rejected orientation would be tie-break noise.
+    *
+    * Output: `(prompt, c_user, c_session, r_user, r_session, margin)`
+    * with `margin > 0`. Deterministic: ties in score order break by
+    * `(user_id, session_id)`, so the pairing is a pure function of the
+    * events table. */
+  def pairs(turns: DataFrame): DataFrame = {
+    val audit = Instruct.alternationAudit(turns)
+    val prompts = turns.filter(col("turn_idx") === 1)
+      .select(col("user_id"), col("session_id"),
+        substring_index(col("content"), " ", 1).as("prompt"))
+    val scored = audit.join(prompts, Seq("user_id", "session_id"))
+      .select(col("prompt"), col("user_id"), col("session_id"),
+        qualityScore(col("valid"), col("n_loss_tokens")).as("score"))
+    val byRank = Window.partitionBy(col("prompt"))
+      .orderBy(col("score").desc, col("user_id"), col("session_id"))
+    scored
+      .withColumn("r_user", lead(col("user_id"), 1).over(byRank))
+      .withColumn("r_session", lead(col("session_id"), 1).over(byRank))
+      .withColumn("r_score", lead(col("score"), 1).over(byRank))
+      .filter(col("r_user").isNotNull && col("score") > col("r_score"))
+      .select(col("prompt"),
+        col("user_id").as("c_user"), col("session_id").as("c_session"),
+        col("r_user"), col("r_session"),
+        (col("score") - col("r_score")).as("margin"))
+  }
+
+  /** Per-annotator vote on one pair: agree-with-chosen iff the
+    * annotator's hash draw lands under `50 + min(margin, 50)` percent —
+    * wider margins are easier calls, a zero-margin pair would be a coin
+    * flip (which is why [[pairs]] drops them). Deterministic synthetic
+    * annotators (hash of annotator id + pair key): the AUDIT arithmetic
+    * is the operator; with human labels the vote column is the only
+    * thing a deployment swaps. */
+  def annotatorVote(annotator: Column, pairKey: Column, margin: Column): Column =
+    TextFunctions.portableHash(
+      concat(lit("ann"), annotator.cast("string"), lit(":"), pairKey)) % 100 <
+      lit(50L) + least(margin, lit(50L))
+
+  /** Inter-annotator agreement audit over [[pairs]]: `nAnnotators`
+    * deterministic votes per pair, then per-prompt
+    * `(n_pairs, n_unanimous, n_majority_chosen, agree_micro)` where
+    * `agree_micro` is the pairwise-agreement rate (fraction of
+    * annotator PAIRS voting the same way, the standard inter-rater
+    * statistic before chance correction) in exact integer micro-units:
+    * `(1e6 · Σ agreeing-annotator-pairs) div (C(k,2) · n_pairs)` —
+    * integer division on both engines, no float anywhere. */
+  def agreement(pairs: DataFrame, nAnnotators: Int = 3): DataFrame = {
+    require(nAnnotators >= 2, s"agreement needs >= 2 annotators, got $nAnnotators")
+    val key = concat_ws(":", col("prompt"),
+      col("c_user"), col("c_session"), col("r_user"), col("r_session"))
+    val votes = pairs
+      .select(col("prompt"), key.as("pair_key"), col("margin"),
+        explode(sequence(lit(0), lit(nAnnotators - 1))).as("ann"))
+      .withColumn("vote",
+        annotatorVote(col("ann"), col("pair_key"), col("margin")))
+    val perPair = votes.groupBy("prompt", "pair_key")
+      .agg(sum(when(col("vote"), 1L).otherwise(0L)).as("v"))
+    val k = lit(nAnnotators.toLong)
+    // TWICE the agreeing annotator pairs among k votes, v of them
+    // "chosen": 2·(C(v,2) + C(k−v,2)) = v(v−1) + (k−v)(k−v−1) — kept
+    // doubled so every intermediate stays int64 (a bare `/ 2` on long
+    // columns is a DOUBLE divide in Spark); the final ratio divides by
+    // k(k−1) instead of C(k,2), cancelling the factor exactly
+    val agree2 =
+      col("v") * (col("v") - 1) + (k - col("v")) * (k - col("v") - 1)
+    perPair.groupBy("prompt")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("v") === k || col("v") === 0, 1L).otherwise(0L))
+          .as("n_unanimous"),
+        sum(when(col("v") * 2 >= k + 1, 1L).otherwise(0L))
+          .as("n_majority_chosen"),
+        sum(agree2).as("agree_sum2"))
+      .select(col("prompt"), col("n_pairs"), col("n_unanimous"),
+        col("n_majority_chosen"),
+        expr(s"(1000000 * agree_sum2) div ((${nAnnotators.toLong} * " +
+          s"${nAnnotators.toLong - 1}) * n_pairs)").as("agree_micro"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BradleyTerrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fit(cmp: Seq[(String, String)], iters: Int): Map[String, Double] =
+    BradleyTerry.fit(cmp.toDF("w", "l"), col("w"), col("l"), iters)
+      .as[(String, Double)].collect().toMap
+
+  test("two items: MM lands on the closed-form MLE in one step and stays") {
+    // A beats B 3x, B beats A 1x -> BT MLE: p_A/(p_A+p_B) = 3/4, and with
+    // sum-normalization p = (0.75, 0.25). From p0 = (.5,.5) the first MM
+    // update already yields it (den = n/(p_A+p_B) = 4 for both), so more
+    // iterations must not move it — the fixed-point sanity check.
+    for (it <- 1 to 3) {
+      val p = fit(Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")), it)
+      assert(math.abs(p("A") - 0.75) < 1e-12 && math.abs(p("B") - 0.25) < 1e-12,
+        s"iters=$it: $p")
+    }
+  }
+
+  test("transitive dominance orders strengths; zero-win item pins to 0") {
+    // A beats B and C; B beats C; C never wins
+    val p = fit(Seq(("A", "B"), ("A", "C"), ("B", "C")), 3)
+    assert(p("A") > p("B") && p("B") > p("C"), p.toString)
+    assert(p("C") == 0.0, "an item with zero wins is the MM fixed point 0")
+    assert(math.abs(p.values.sum - 1.0) < 1e-12, "sum-normalized")
+  }
+
+  test("strengths reflect win RATES against shared opposition, not raw win counts") {
+    // A: 9 wins / 1 loss vs C. B: 2 wins / 18 losses vs C. A must
+    // outrank B by a wide factor even though both "have wins".
+    val cmp = Seq.fill(9)(("A", "C")) ++ Seq.fill(1)(("C", "A")) ++
+      Seq.fill(2)(("B", "C")) ++ Seq.fill(18)(("C", "B"))
+    val p = fit(cmp, 3)
+    assert(p("A") > 5 * p("B"), p.toString)
+  }
+
+  test("deterministic across partitioning (the q124-family pin)") {
+    val cmp = (0 until 300).map { i =>
+      val a = s"s${i % 7}"; val b = s"s${(i * 3 + 1) % 7}"
+      if (i % 5 < 3) (a, b) else (b, a)
+    }.filter(p => p._1 != p._2)
+    val one = fit(cmp, 3)
+    val other = BradleyTerry.fit(cmp.toDF("w", "l").repartition(13),
+        col("w"), col("l"), 3)
+      .as[(String, Double)].collect().toMap
+    assert(one.keySet == other.keySet)
+    one.foreach { case (k, v) =>
+      assert(math.abs(v - other(k)) < 1e-12, s"item $k")
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractLinks: hrefs in document order; expand drops relative/mailto") {
+    val html = """<html><body><a href="https://a.example/x">1</a>
+      |<a class="k" HREF="HTTP://b.example/y?utm_source=z">2</a>
+      |<a href="/relative/path">3</a>
+      |<a href="mailto:ops@example.com">4</a>
+      |<img src="https://ignored.example/img.png">
+      |</body></html>""".stripMargin
+    val links = Seq(html).toDF("h")
+      .select(Frontier.extractLinks(col("h")).as("l"))
+      .head.getSeq[String](0)
+    assert(links == Seq("https://a.example/x",
+      "HTTP://b.example/y?utm_source=z", "/relative/path",
+      "mailto:ops@example.com"), links.toString)
+  }
+
+  test("expand: canonicalization collapses variants, stats count refs and pages, crawled URLs drop") {
+    val pages = Seq(
+      // p1 links to target t twice (two raw variants of one canonical
+      // URL) and to the already-crawled c
+      ("https://p1.example", """<a href="https://t.example/doc?utm_source=x">a</a>
+        |<a href="HTTPS://T.example/doc#frag">b</a>
+        |<a href="https://c.example/seen">c</a>""".stripMargin),
+      // p2 links to t once, plus a relative link (dropped)
+      ("https://p2.example", """<a href="https://t.example/doc">d</a>
+        |<a href="/rel">e</a>""".stripMargin))
+      .toDF("src", "html")
+    val crawled = Seq("https://c.example/seen").toDF("url")
+    val got = Frontier.expand(pages, col("src"), col("html"),
+        crawled, col("url"))
+      .as[(String, Long, Long)].collect()
+      .map { case (u, r, p) => u -> (r, p) }.toMap
+    assert(got == Map("https://t.example/doc" -> ((3L, 2L))), got.toString)
+  }
+
+  test("bloomAntiJoin: exactly left_anti semantics, including duplicates and empty small side") {
+    val big = Seq(("k1", 1), ("k2", 2), ("k2", 22), ("k3", 3)).toDF("k", "v")
+    val small = Seq("k2", "k9").toDF("sk")
+    val got = Relational.bloomAntiJoin(big, col("k"), small, col("sk"))
+      .as[(String, Int)].collect().sorted.toSeq
+    val want = big.join(small, col("k") === col("sk"), "left_anti")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(got == want && want == Seq(("k1", 1), ("k3", 3)))
+    // empty crawled index: everything passes, nothing throws
+    val all = Relational.bloomAntiJoin(big, col("k"),
+        small.limit(0), col("sk")).count()
+    assert(all == 4)
+  }
+
+  test("bloomAntiJoin == left_anti on random keys (fpp only costs work, never rows)") {
+    val big = spark.range(0, 2000).select(concat(lit("b"), col("id") % 700).as("k"))
+    val small = spark.range(0, 300).select(concat(lit("b"), col("id") * 2).as("sk"))
+    val got = Relational.bloomAntiJoin(big, col("k"), small, col("sk"))
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    val want = big.join(small, col("k") === col("sk"), "left_anti")
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("plan: bloom probe present, proven-new branch join-free, no cartesian anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case _ => p.children.flatMap(expand)
+    })
+    val big = spark.range(0, 500).select(concat(lit("u"), col("id")).as("k"))
+    val small = spark.range(0, 100).select(concat(lit("u"), col("id") * 3).as("sk"))
+    val df = Relational.bloomAntiJoin(big, col("k"), small, col("sk"))
+    df.collect()
+    val nodes = expand(df.queryExecution.executedPlan)
+    val txt = nodes.mkString("\n")
+    assert(txt.contains("might_contain"),
+      s"bloom probe must gate the anti-join:\n$txt")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"no all-pairs shapes:\n$txt")
+  }
+}

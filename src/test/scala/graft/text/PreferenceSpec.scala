@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic turn frame in [[Instruct.turns]]'s shape. Conversation
+    * scores (valid·100000 + loss tokens) are controlled through role
+    * layout and content token counts. */
+  private def turnFrame(rows: Seq[(Long, Long, Long, String, String)]): DataFrame =
+    rows.toDF("user_id", "session_id", "turn_idx", "role", "content")
+
+  // prompt = first token of the first turn's content
+  private val turns = turnFrame(Seq(
+    // prompt "ask": three conversations, scores 100002 / 100004 / 2
+    (1L, 1L, 1L, "user", "ask one"), (1L, 1L, 2L, "assistant", "short reply"),
+    (2L, 1L, 1L, "user", "ask two"), (2L, 1L, 2L, "assistant", "a much longer reply"),
+    (3L, 1L, 1L, "assistant", "ask spam"), (3L, 1L, 2L, "assistant", "rep reply"),
+    // prompt "task": two conversations with IDENTICAL scores (tie)
+    (4L, 1L, 1L, "user", "task a"), (4L, 1L, 2L, "assistant", "same len"),
+    (5L, 1L, 1L, "user", "task b"), (5L, 1L, 2L, "assistant", "also len")))
+
+  test("pairs: adjacent ranking within a prompt, strict margins, ties dropped") {
+    val got = Preference.pairs(turns)
+      .select("prompt", "c_user", "r_user", "margin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // "ask" ranking: u2 (valid, 4 loss toks = 100004) > u1 (valid, 2 =
+    // 100002) > u3 (invalid: starts assistant + repeat; 4 = 4).
+    // Adjacent pairs: (u2 > u1, margin 2), (u1 > u3, margin 99998).
+    // "task": exact tie -> NO pair.
+    assert(got == Set(("ask", 2L, 1L, 2L), ("ask", 1L, 3L, 100002L - 4L)),
+      s"got $got")
+  }
+
+  test("pairs: chain covers the ranking without all-pairs blowup") {
+    // n conversations on one prompt with distinct scores -> exactly n-1 pairs
+    val many = turnFrame((1L to 6L).flatMap { u =>
+      val reply = (1L to u).map(i => s"w$i").mkString(" ") // u loss tokens
+      Seq((u, 1L, 1L, "user", "go now"), (u, 1L, 2L, "assistant", reply))
+    })
+    val got = Preference.pairs(many).collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getAs[Long]("margin") == 1L))
+  }
+
+  test("agreement: vote counts, unanimity/majority bookkeeping, exact micro ratio") {
+    val pairs = Preference.pairs(turns)
+    val got = Preference.agreement(pairs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == Set("ask"), s"only the non-tied prompt has pairs: $got")
+    val (nPairs, nUnan, nMaj, micro) = got("ask")
+    assert(nPairs == 2)
+    assert(nUnan <= nPairs && nMaj <= nPairs)
+    // pairwise-agreement rate over 3 annotators: per pair, agreeing
+    // annotator-pairs ∈ {1 (2-1 split), 3 (unanimous)} of 3 — so the
+    // micro ratio is bounded in [1/3, 1] and exactly integer-derived
+    assert(micro >= 333333L && micro <= 1000000L, s"micro $micro")
+    // exact recomputation from the vote counts themselves
+    val v = pairs
+      .select(col("prompt"),
+        concat_ws(":", col("prompt"), col("c_user"), col("c_session"),
+          col("r_user"), col("r_session")).as("k"), col("margin"),
+        explode(sequence(lit(0), lit(2))).as("ann"))
+      .withColumn("vote",
+        Preference.annotatorVote(col("ann"), col("k"), col("margin")))
+      .groupBy("k").agg(sum(when(col("vote"), 1L).otherwise(0L)).as("v"))
+      .as[(String, Long)].collect().toMap
+    assert(v.values.forall(x => x >= 0 && x <= 3))
+    val agree2 = v.values.map(x => x * (x - 1) + (3 - x) * (2 - x)).sum
+    assert(micro == 1000000L * agree2 / (6 * nPairs))
+    assert(nUnan == v.values.count(x => x == 0 || x == 3))
+    assert(nMaj == v.values.count(_ >= 2))
+  }
+
+  test("agreement: a wider margin never lowers a single annotator's chosen-vote chance") {
+    // vote threshold is 50 + min(margin, 50): for a FIXED hash draw,
+    // raising the margin can only flip votes toward chosen
+    val k = lit("prompt:1:1:2:2")
+    val votes = spark.range(0, 3).select(
+      Preference.annotatorVote(col("id"), k, lit(1L)).as("narrow"),
+      Preference.annotatorVote(col("id"), k, lit(60L)).as("wide"))
+      .as[(Boolean, Boolean)].collect()
+    votes.foreach { case (narrow, wide) =>
+      assert(!narrow || wide, "vote flipped away from chosen as margin grew")
+    }
+  }
+}
