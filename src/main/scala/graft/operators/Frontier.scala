@@ -43,6 +43,27 @@ object Frontier {
     * are never fetchable. */
   val AbsoluteHttpRe = "(?i)^https?://"
 
+  /** Per-host fetch budget over an expanded frontier — the politeness /
+    * scheduling quota: at most `k` URLs per host per crawl round, the
+    * best-evidenced first (`n_pages` desc — distinct referring pages is
+    * the robust in-degree prior; `n_refs`, then `url` break ties
+    * deterministically). One window over `host`; Spark plans the
+    * rank-≤-k filter as WindowGroupLimit, so per-host state is the
+    * top-k heap, not the host's whole frontier (the q123 quota
+    * discipline — the spec plan-asserts it). */
+  def hostBudget(frontier: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"host budget must be >= 1, got $k")
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_pages").desc, col("n_refs").desc, col("url"))
+    frontier
+      .withColumn("host", TextFunctions.urlHost(col("url")))
+      .withColumn("rk", row_number().over(byHost))
+      .filter(col("rk") <= k)
+      .select(col("host"), col("url"), col("n_refs"), col("n_pages"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Frontier expansion: `pages (src_url, html)` × `crawled (url)` →
     * `(url, n_refs, n_pages)` for every canonical outlink target not in
     * the crawled index — `n_refs` total references, `n_pages` distinct

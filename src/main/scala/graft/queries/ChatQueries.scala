@@ -243,6 +243,27 @@ object ChatQueries {
       (s, dir) => Preference.agreement(
         Preference.pairs(Instruct.turns(ev(s, dir))))),
 
+    // DPO training pack (Preference.dpoPack): each preference pair with
+    // BOTH rendered conversation strings — the literal (chosen, rejected)
+    // example a DPO/reward-model trainer consumes. The full rendered
+    // texts are in the hash, so pairing + rendering + rebasing certify
+    // together; the renders join against the (tiny) pair frame, never
+    // the other way around.
+    Q("q168_dpo_pack",
+      Some(s"""$prefPairCtes,
+              |rd AS (SELECT user_id, session_id,
+              |    string_agg('<|' || role || '|>' || content || '<|end|>', ''
+              |      ORDER BY turn_idx) AS rendered
+              |  FROM turns GROUP BY user_id, session_id)
+              |SELECT k.prompt, k.c_user, k.c_session, k.r_user, k.r_session,
+              |  k.margin, c.rendered AS chosen, r.rendered AS rejected,
+              |  CAST(len(c.rendered) AS BIGINT) AS chosen_len,
+              |  CAST(len(r.rendered) AS BIGINT) AS rejected_len
+              |FROM kept k
+              |JOIN rd c ON c.user_id = k.c_user AND c.session_id = k.c_session
+              |JOIN rd r ON r.user_id = k.r_user AND r.session_id = k.r_session""".stripMargin),
+      (s, dir) => Preference.dpoPack(Instruct.turns(ev(s, dir)))),
+
     Q("q149_chat_render",
       Some(s"""$turnsCtes
               |SELECT user_id, session_id,

@@ -236,6 +236,61 @@ object CorpusQueries {
     s"CASE $e ${CrawlHosts.zipWithIndex.map { case (h, i) =>
       s"WHEN $i THEN '$h'" }.mkString(" ")} END"
 
+  /** Shared DuckDB frontier CTEs (q167/q169): planted pages with 3
+    * hash-drawn `<a href>` outlinks each (scheme-case / tracking-param /
+    * fragment variants, plus relative and mailto links that must drop),
+    * href extraction, canonicalization, per-URL discovery stats, and the
+    * not-yet-crawled filter — the SQL twin of [[Frontier.expand]]'s
+    * whole chain, ending in the `fr` frame. */
+  private def frontierCtes: String = {
+    val canonSrc = TextFunctions.canonicalizeUrlSql(crawlUrlSql)
+    def kSql(j: Int) = "(" + TextFunctions.portableHashSql(
+      s"(CAST(doc_id AS VARCHAR) || ':lnk:$j')") + " % 150)"
+    def tgtSql(j: Int, scheme: String, suffix: String) =
+      s"'$scheme' || ${hostByIdxSql(s"${kSql(j)} % 4")} || '/page/' || " +
+        s"CAST(${kSql(j)} AS VARCHAR) || '$suffix'"
+    s"""WITH pg AS (SELECT $canonSrc AS src,
+       |    '<html><body>' ||
+       |    '<a href="' || ${tgtSql(1, "HTTPS://", "#top")} || '">a</a>' ||
+       |    '<a class="n" href="' || ${tgtSql(2, "https://", "?utm_source=crawl")} || '">b</a>' ||
+       |    '<a href="' || ${tgtSql(3, "https://", "")} || '">c</a>' ||
+       |    '<a href="/rel/0">r</a><a href="mailto:ops@example.com">m</a>' ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |lk AS (SELECT src, unnest(${Frontier.extractLinksSql("html")}) AS link
+       |  FROM pg),
+       |cl AS (SELECT src, ${TextFunctions.canonicalizeUrlSql("link")} AS url
+       |  FROM lk WHERE regexp_matches(link, '${Frontier.AbsoluteHttpRe}')),
+       |agg AS (SELECT url, count(*) AS n_refs,
+       |    CAST(count(DISTINCT src) AS BIGINT) AS n_pages
+       |  FROM cl GROUP BY url),
+       |fr AS (SELECT url, n_refs, n_pages FROM agg
+       |  WHERE url NOT IN (SELECT DISTINCT $canonSrc FROM documents))""".stripMargin
+  }
+
+  /** The planted frontier pages as a DataFrame — the engine twin of
+    * [[frontierCtes]]'s `pg`/crawled inputs, shared by q167/q169. */
+  private def frontierInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select(col("doc_id"))
+    def k(j: Int) = TextFunctions.portableHash(
+      concat(col("doc_id").cast("string"), lit(s":lnk:$j"))) % 150
+    def tgt(j: Int, scheme: String, suffix: String) =
+      concat(lit(scheme), hostByIdx(k(j) % 4), lit("/page/"),
+        k(j).cast("string"), lit(suffix))
+    val html = concat(lit("<html><body>"),
+      lit("<a href=\""), tgt(1, "HTTPS://", "#top"), lit("\">a</a>"),
+      lit("<a class=\"n\" href=\""), tgt(2, "https://", "?utm_source=crawl"),
+      lit("\">b</a>"),
+      lit("<a href=\""), tgt(3, "https://", ""), lit("\">c</a>"),
+      lit("<a href=\"/rel/0\">r</a><a href=\"mailto:ops@example.com\">m</a>"),
+      lit("</body></html>"))
+    val pages = d.select(
+      TextFunctions.canonicalizeUrl(crawlUrlColumn).as("src"), html.as("html"))
+    val crawled = d.select(
+      TextFunctions.canonicalizeUrl(crawlUrlColumn).as("url")).distinct()
+    (pages, crawled)
+  }
+
   /** DuckDB replay of the q166 Bradley–Terry fit: hash-paired document
     * comparisons (partner = hash(doc_id) mod N, winner = the
     * lexicographically greater (n_chars, doc_id) — deterministic), win
@@ -645,49 +700,33 @@ object CorpusQueries {
     // → per-URL aggregation → bloom-accelerated anti-join against the
     // already-crawled canonical index. Targets with page index < 50
     // collapse into the crawled set; >= 50 are the frontier.
-    Q("q167_crawl_frontier", {
-      val canonSrc = TextFunctions.canonicalizeUrlSql(crawlUrlSql)
-      def kSql(j: Int) = "(" + TextFunctions.portableHashSql(
-        s"(CAST(doc_id AS VARCHAR) || ':lnk:$j')") + " % 150)"
-      def tgtSql(j: Int, scheme: String, suffix: String) =
-        s"'$scheme' || ${hostByIdxSql(s"${kSql(j)} % 4")} || '/page/' || " +
-          s"CAST(${kSql(j)} AS VARCHAR) || '$suffix'"
-      Some(s"""WITH pg AS (SELECT $canonSrc AS src,
-              |    '<html><body>' ||
-              |    '<a href="' || ${tgtSql(1, "HTTPS://", "#top")} || '">a</a>' ||
-              |    '<a class="n" href="' || ${tgtSql(2, "https://", "?utm_source=crawl")} || '">b</a>' ||
-              |    '<a href="' || ${tgtSql(3, "https://", "")} || '">c</a>' ||
-              |    '<a href="/rel/0">r</a><a href="mailto:ops@example.com">m</a>' ||
-              |    '</body></html>' AS html
-              |  FROM documents),
-              |lk AS (SELECT src, unnest(${Frontier.extractLinksSql("html")}) AS link
-              |  FROM pg),
-              |cl AS (SELECT src, ${TextFunctions.canonicalizeUrlSql("link")} AS url
-              |  FROM lk WHERE regexp_matches(link, '${Frontier.AbsoluteHttpRe}')),
-              |agg AS (SELECT url, count(*) AS n_refs,
-              |    CAST(count(DISTINCT src) AS BIGINT) AS n_pages
-              |  FROM cl GROUP BY url)
-              |SELECT url, n_refs, n_pages FROM agg
-              |WHERE url NOT IN (SELECT DISTINCT $canonSrc FROM documents)""".stripMargin)
-    },
+    Q("q167_crawl_frontier",
+      Some(s"""$frontierCtes
+              |SELECT url, n_refs, n_pages FROM fr""".stripMargin),
       (s, dir) => {
-        val d = docs(s, dir).select(col("doc_id"))
-        def k(j: Int) = TextFunctions.portableHash(
-          concat(col("doc_id").cast("string"), lit(s":lnk:$j"))) % 150
-        def tgt(j: Int, scheme: String, suffix: String) =
-          concat(lit(scheme), hostByIdx(k(j) % 4), lit("/page/"),
-            k(j).cast("string"), lit(suffix))
-        val html = concat(lit("<html><body>"),
-          lit("<a href=\""), tgt(1, "HTTPS://", "#top"), lit("\">a</a>"),
-          lit("<a class=\"n\" href=\""), tgt(2, "https://", "?utm_source=crawl"),
-          lit("\">b</a>"),
-          lit("<a href=\""), tgt(3, "https://", ""), lit("\">c</a>"),
-          lit("<a href=\"/rel/0\">r</a><a href=\"mailto:ops@example.com\">m</a>"),
-          lit("</body></html>"))
-        val pages = d.select(
-          TextFunctions.canonicalizeUrl(crawlUrlColumn).as("src"), html.as("html"))
-        val crawled = d.select(
-          TextFunctions.canonicalizeUrl(crawlUrlColumn).as("url")).distinct()
+        val (pages, crawled) = frontierInputs(s, dir)
         Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
+      }),
+
+    // Per-host fetch budget over the expanded frontier
+    // (Frontier.hostBudget): the politeness/scheduling quota — at most 2
+    // URLs per host per round, best-evidenced first (distinct referring
+    // pages, then total refs, then URL). One window over host; the
+    // rank-≤-k filter plans as WindowGroupLimit (top-k heap per host,
+    // never the host's whole frontier buffered — spec-asserted).
+    Q("q169_frontier_budget",
+      Some(s"""$frontierCtes,
+              |hb AS (SELECT ${TextFunctions.urlHostSql("url")} AS host,
+              |    url, n_refs, n_pages,
+              |    row_number() OVER (PARTITION BY ${TextFunctions.urlHostSql("url")}
+              |      ORDER BY n_pages DESC, n_refs DESC, url) AS rk
+              |  FROM fr)
+              |SELECT host, url, n_refs, n_pages, CAST(rk AS BIGINT) AS rk
+              |FROM hb WHERE rk <= 2""".stripMargin),
+      (s, dir) => {
+        val (pages, crawled) = frontierInputs(s, dir)
+        Frontier.hostBudget(
+          Frontier.expand(pages, col("src"), col("html"), crawled, col("url")),
+          k = 2)
       }))
 }

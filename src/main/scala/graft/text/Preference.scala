@@ -74,6 +74,26 @@ object Preference {
         (col("score") - col("r_score")).as("margin"))
   }
 
+  /** DPO/reward-model training pack: each preference pair joined with
+    * BOTH conversations' rendered training strings ([[Instruct.render]])
+    * — `(prompt, …, margin, chosen, rejected, chosen_len, rejected_len)`,
+    * the literal example a DPO trainer consumes. The pair frame is tiny
+    * next to the conversation frame (≤ n−1 pairs per prompt group), so
+    * the two renders join AGAINST the pairs — standard fact-trimming:
+    * nothing conversation-scale shuffles twice. */
+  def dpoPack(turns: DataFrame): DataFrame = {
+    val p = pairs(turns)
+    val r = Instruct.render(turns)
+      .select(col("user_id"), col("session_id"), col("rendered"))
+    p.join(r.toDF("c_user", "c_session", "chosen"), Seq("c_user", "c_session"))
+      .join(r.toDF("r_user", "r_session", "rejected"), Seq("r_user", "r_session"))
+      .select(col("prompt"), col("c_user"), col("c_session"),
+        col("r_user"), col("r_session"), col("margin"),
+        col("chosen"), col("rejected"),
+        length(col("chosen")).cast("long").as("chosen_len"),
+        length(col("rejected")).cast("long").as("rejected_len"))
+  }
+
   /** Per-annotator vote on one pair: agree-with-chosen iff the
     * annotator's hash draw lands under `50 + min(margin, 50)` percent —
     * wider margins are easier calls, a zero-margin pair would be a coin

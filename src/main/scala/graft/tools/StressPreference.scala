@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BradleyTerry, Frontier}
+import graft.text.Preference
+
+/** Scale probe for the round-10 preference/frontier family (driver-side
+  * tooling): Bradley–Terry at 1M comparisons over 10k items, preference
+  * pairing + DPO pack over a 1M-conversation turn frame, and
+  * crawl-frontier expansion at 1M pages (3M links) against a 1M-URL
+  * crawled index. Records wall time per operator plus result-side
+  * sanity numbers proving real work. Committed numbers in EXPLAIN.md.
+  *
+  * Scale knob: SPARK_GRAFT_PREF_SCALE (default 1,000,000). */
+object StressPreference {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_PREF_SCALE", "1000000").toLong
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pref] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      r
+    }
+
+    // ---- Bradley–Terry: n comparisons over 10k items -------------------
+    val items = 10000L
+    val cmp = spark.range(n)
+      .select(pmod(xxhash64(concat(lit("a:"), col("id"))), lit(items)).as("a"),
+        pmod(xxhash64(concat(lit("b:"), col("id"))), lit(items)).as("b"),
+        pmod(xxhash64(concat(lit("r:"), col("id"))), lit(1000)).as("r"))
+      .filter(col("a") =!= col("b"))
+      // higher item id wins with probability scaling with the id gap —
+      // a planted ground-truth ordering the fit must recover
+      .select(
+        when(col("r") < lit(500) + (col("a") - col("b")) * 500 / items, col("a"))
+          .otherwise(col("b")).as("w"),
+        when(col("r") < lit(500) + (col("a") - col("b")) * 500 / items, col("b"))
+          .otherwise(col("a")).as("l"))
+      .cache()
+    val nc = cmp.count()
+    println(f"[pref] $nc%,d comparisons over $items%,d items")
+    timed("bradley_terry(3)") {
+      val p = BradleyTerry.fit(cmp, col("w"), col("l"), 3)
+      val row = p.agg(sum("strength"), max("strength")).head
+      println(f"[pref]   mass = ${row.getDouble(0)}%.6f  top = ${row.getDouble(1)}%.2e")
+      // planted ordering recovered: top-decile items outrank bottom decile
+      val hi = p.filter(col("item") >= items - items / 10)
+        .agg(avg("strength")).head.getDouble(0)
+      val lo = p.filter(col("item") < items / 10)
+        .agg(avg("strength")).head.getDouble(0)
+      println(f"[pref]   top-decile avg / bottom-decile avg = ${hi / lo}%.1f (must be >> 1)")
+    }
+    cmp.unpersist()
+
+    // ---- Preference pairs + DPO pack over n conversations --------------
+    // 1M conversations of 4 turns each (user/assistant alternating), 5
+    // prompt groups, loss-token budget varying by conversation id
+    val turns = spark.range(n)
+      .select(col("id").as("user_id"), lit(1L).as("session_id"),
+        explode(sequence(lit(1), lit(4))).as("turn_idx"))
+      .select(col("user_id"), col("session_id"), col("turn_idx"),
+        when(col("turn_idx") % 2 === 1, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        concat(lit("p"), col("user_id") % 5, lit(" body"),
+          // variable token count: id%7 extra words
+          expr("repeat(' w', cast(user_id % 7 as int))")).as("content"))
+      .cache()
+    val nt = turns.count()
+    println(f"[pref] $nt%,d turns, ${n}%,d conversations, 5 prompt groups")
+    timed("pairs") {
+      val np = Preference.pairs(turns).count()
+      println(f"[pref]   pairs = $np%,d")
+    }
+    timed("dpo_pack") {
+      val pk = Preference.dpoPack(turns)
+      val r = pk.agg(count(lit(1)), sum("chosen_len")).head
+      println(f"[pref]   packs = ${r.getLong(0)}%,d  chosen chars = ${r.getLong(1)}%,d")
+    }
+    turns.unpersist()
+
+    // ---- Frontier: n pages × 3 links vs an n-URL crawled index ---------
+    val pages = spark.range(n)
+      .select(concat(lit("https://h"), col("id") % 1000, lit(".example/p"),
+          col("id")).as("src"),
+        concat(lit("<html><body>"),
+          lit("<a href=\"https://h"),
+          pmod(xxhash64(concat(lit("l1:"), col("id"))), lit(1000)),
+          lit(".example/p"),
+          pmod(xxhash64(concat(lit("t1:"), col("id"))), lit(n * 5)),
+          lit("?utm_source=x\">a</a>"),
+          lit("<a href=\"https://h"),
+          pmod(xxhash64(concat(lit("l2:"), col("id"))), lit(1000)),
+          lit(".example/p"),
+          pmod(xxhash64(concat(lit("t2:"), col("id"))), lit(n * 5)),
+          lit("#f\">b</a>"),
+          lit("<a href=\"/rel\">r</a></body></html>")).as("html"))
+    val crawled = spark.range(n)
+      .select(concat(lit("https://h"), col("id") % 1000, lit(".example/p"),
+        col("id")).as("url"))
+    timed("frontier_expand") {
+      val fr = Frontier.expand(pages, org.apache.spark.sql.functions.col("src"),
+        col("html"), crawled, col("url"))
+      val r = fr.agg(count(lit(1)), sum("n_refs")).head
+      println(f"[pref]   frontier urls = ${r.getLong(0)}%,d  refs = ${r.getLong(1)}%,d")
+    }
+    timed("frontier_budget(16)") {
+      val fr = Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
+      val b = Frontier.hostBudget(fr, 16).count()
+      println(f"[pref]   budgeted urls = $b%,d (≤ 16 × 1000 hosts)")
+    }
+    spark.stop()
+  }
+}

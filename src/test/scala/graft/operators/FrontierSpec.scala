@@ -65,6 +65,34 @@ class FrontierSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hostBudget: top-k per host by evidence, deterministic ties, rank carried") {
+    val frontier = Seq(
+      ("https://a.example/1", 9L, 1L), // a: most refs but fewest pages
+      ("https://a.example/2", 3L, 3L),
+      ("https://a.example/3", 3L, 2L),
+      ("https://b.example/1", 1L, 1L))
+      .toDF("url", "n_refs", "n_pages")
+    val got = Frontier.hostBudget(frontier, k = 2)
+      .select("host", "url", "rk").as[(String, String, Long)]
+      .collect().toSet
+    // a.example: /2 (3 pages) then /3 (2 pages) — /1's raw refs lose to
+    // distinct-page evidence; b.example: its only row
+    assert(got == Set(
+      ("a.example", "https://a.example/2", 1L),
+      ("a.example", "https://a.example/3", 2L),
+      ("b.example", "https://b.example/1", 1L)), got.toString)
+  }
+
+  test("hostBudget plans as WindowGroupLimit (top-k heap per host, not full buffering)") {
+    val frontier = spark.range(0, 1000).select(
+      concat(lit("https://h"), col("id") % 7, lit(".example/p"), col("id")).as("url"),
+      (col("id") % 5 + 1).as("n_refs"), (col("id") % 3 + 1).as("n_pages"))
+    val plan = Frontier.hostBudget(frontier, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must plan as WindowGroupLimit:\n$plan")
+  }
+
   test("plan: bloom probe present, proven-new branch join-free, no cartesian anywhere") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

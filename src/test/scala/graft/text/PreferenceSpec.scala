@@ -77,6 +77,22 @@ class PreferenceSpec extends SparkSpec {
     assert(nMaj == v.values.count(_ >= 2))
   }
 
+  test("dpoPack: pairs carry both rendered conversations with exact lengths") {
+    val got = Preference.dpoPack(turns)
+      .select("c_user", "chosen", "rejected", "chosen_len", "rejected_len")
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "one pack row per kept pair")
+    // u2 > u1: chosen is u2's render, rejected u1's — template layout
+    // identical to Instruct.render
+    val (_, chosen, rejected, cLen, rLen) = got(2L)
+    assert(chosen ==
+      "<|user|>ask two<|end|><|assistant|>a much longer reply<|end|>")
+    assert(rejected ==
+      "<|user|>ask one<|end|><|assistant|>short reply<|end|>")
+    assert(cLen == chosen.length && rLen == rejected.length)
+  }
+
   test("agreement: a wider margin never lowers a single annotator's chosen-vote chance") {
     // vote threshold is 50 + min(margin, 50): for a FIXED hash draw,
     // raising the margin can only flip votes toward chosen
