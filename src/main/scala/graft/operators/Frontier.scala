@@ -43,6 +43,52 @@ object Frontier {
     * are never fetchable. */
   val AbsoluteHttpRe = "(?i)^https?://"
 
+  /** Disallow prefixes of a robots.txt's `User-agent: *` group(s) — the
+    * subset of the robots exclusion protocol a generic crawler honors.
+    * Sections split on the literal `User-agent:` header; a section
+    * applies iff its agent token is `*`; each applying section
+    * contributes its `Disallow:` values (rules for named agents are
+    * deliberately NOT honored — the spec plants a decoy section to pin
+    * that). Returns `array<string>` of path prefixes. Per-row HOF
+    * lambdas are fine here: robots files are KB-sized and
+    * host-cardinality, never corpus-scale. */
+  def robotsStarDisallows(robotsTxt: Column): Column =
+    flatten(transform(
+      filter(split(robotsTxt, "User-agent:"),
+        s => ltrim(s).startsWith("*")),
+      s => regexp_extract_all(s, lit(RobotsDisallowRe), lit(1))))
+
+  val RobotsDisallowRe = "(?i)Disallow:[ \\t]*([^\\s]+)"
+
+  /** DuckDB twin of [[robotsStarDisallows]] (same split, same section
+    * rule, same extraction regex). */
+  def robotsStarDisallowsSql(e: String): String =
+    "flatten(list_transform(" +
+      s"list_filter(string_split($e, 'User-agent:'), " +
+      "s -> starts_with(ltrim(s), '*')), " +
+      s"s -> regexp_extract_all(s, '$RobotsDisallowRe', 1)))"
+
+  /** Robots gate over an expanded frontier: each URL is `allowed` iff NO
+    * `User-agent: *` Disallow prefix of its host's robots.txt
+    * prefix-matches its path. `robots` is host-cardinality — broadcast
+    * — so the gate is one map-side join + per-URL bool aggregate; the
+    * frontier never reshuffles. Keeps every URL with its verdict (a
+    * crawler records blocked URLs; silently dropping them loses the
+    * audit trail). */
+  def robotsGate(frontier: DataFrame,
+                 robots: DataFrame, hostCol: Column, txtCol: Column): DataFrame = {
+    val rules = robots.select(hostCol.as("host"),
+      explode(robotsStarDisallows(txtCol)).as("dis"))
+    frontier
+      .withColumn("host", TextFunctions.urlHost(col("url")))
+      .withColumn("path",
+        regexp_replace(col("url"), TextFunctions.UrlHeadRe, ""))
+      .join(broadcast(rules), Seq("host"), "left")
+      .groupBy("url", "host", "n_refs", "n_pages")
+      .agg((!max(col("dis").isNotNull &&
+        col("path").startsWith(col("dis")))).as("allowed"))
+  }
+
   /** Per-host fetch budget over an expanded frontier — the politeness /
     * scheduling quota: at most `k` URLs per host per crawl round, the
     * best-evidenced first (`n_pages` desc — distinct referring pages is

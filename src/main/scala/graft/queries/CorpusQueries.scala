@@ -728,5 +728,45 @@ object CorpusQueries {
         Frontier.hostBudget(
           Frontier.expand(pages, col("src"), col("html"), crawled, col("url")),
           k = 2)
+      }),
+
+    // Robots-exclusion gate over the expanded frontier
+    // (Frontier.robotsGate): per-host robots.txt files are PARSED (the
+    // `User-agent: *` group's Disallow prefixes; a planted named-agent
+    // decoy section must NOT apply) and every frontier URL carries its
+    // allowed/blocked verdict — the fetch-legality audit a crawler runs
+    // before scheduling. Host i disallows /page/(i+1), so the prefix
+    // match does real work across the 0..149 page space.
+    Q("q170_robots_gate", {
+      val robotsRows = CrawlHosts.zipWithIndex.map { case (h, i) =>
+        s"('$h', 'User-agent: fetchbot' || chr(10) || 'Disallow: /secret' " +
+          s"|| chr(10) || chr(10) || 'User-agent: *' || chr(10) || " +
+          s"'Disallow: /page/${i + 1}' || chr(10) || 'Disallow: /admin')"
+      }.mkString(",\n|    ")
+      Some(s"""$frontierCtes,
+              |rb AS (SELECT * FROM (VALUES
+              |    $robotsRows) AS t(host, txt)),
+              |rules AS (SELECT host,
+              |    unnest(${Frontier.robotsStarDisallowsSql("txt")}) AS dis
+              |  FROM rb),
+              |fh AS (SELECT url, n_refs, n_pages,
+              |    ${TextFunctions.urlHostSql("url")} AS host,
+              |    regexp_replace(url, '${TextFunctions.UrlHeadRe}', '', 'g') AS path
+              |  FROM fr)
+              |SELECT f.url, f.host, f.n_refs, f.n_pages,
+              |  NOT coalesce(bool_or(starts_with(f.path, r.dis)), false) AS allowed
+              |FROM fh f LEFT JOIN rules r ON r.host = f.host
+              |GROUP BY f.url, f.host, f.n_refs, f.n_pages""".stripMargin)
+    },
+      (s, dir) => {
+        import s.implicits._
+        val (pages, crawled) = frontierInputs(s, dir)
+        val robots = CrawlHosts.zipWithIndex.map { case (h, i) =>
+          (h, "User-agent: fetchbot\nDisallow: /secret\n\nUser-agent: *\n" +
+            s"Disallow: /page/${i + 1}\nDisallow: /admin")
+        }.toDF("host", "txt")
+        Frontier.robotsGate(
+          Frontier.expand(pages, col("src"), col("html"), crawled, col("url")),
+          robots, col("host"), col("txt"))
       }))
 }

@@ -1234,6 +1234,70 @@ object TextQueries {
             sum("n_chars").as("kept_chars"))
         d.groupBy("domain").agg(count(lit(1)).as("n_docs"))
           .join(kept, Seq("domain"))
-      })
+      }),
+
+    // T5-style span corruption (Masking.spanCorrupt): hash-masked token
+    // blocks become <extra_id_K> sentinels in the input; the target
+    // enumerates each sentinel + its masked content — the denoising
+    // training example, deterministic (a pipeline re-run must reproduce
+    // the corpus byte-for-byte; no RNG). Full input/target strings are
+    // in the hash.
+    Q("q171_span_corrupt", {
+      val h = portableHashSql("(CAST(doc AS VARCHAR) || ':' || CAST(block AS VARCHAR))")
+      Some(s"""WITH p AS (SELECT doc_id AS doc, $toksSql AS tk FROM documents),
+              |ix AS (SELECT doc, tk, unnest(generate_series(1, len(tk))) AS i FROM p),
+              |tr AS (SELECT doc, tk[i] AS tok, CAST(i - 1 AS BIGINT) AS pos,
+              |    CAST((i - 1) // 3 AS BIGINT) AS block
+              |  FROM ix),
+              |tm AS (SELECT *, $h % 5 = 0 AS masked FROM tr),
+              |mb AS (SELECT DISTINCT doc, block FROM tm WHERE masked),
+              |mk AS (SELECT doc, block,
+              |    row_number() OVER (PARTITION BY doc ORDER BY block) - 1 AS k
+              |  FROM mb),
+              |ip AS (SELECT doc, pos, 0 AS sub, tok AS piece FROM tm WHERE NOT masked
+              |  UNION ALL
+              |  SELECT t.doc, t.pos, 0, '<extra_id_' || mk.k || '>'
+              |  FROM tm t JOIN mk ON mk.doc = t.doc AND mk.block = t.block
+              |  WHERE t.masked AND t.pos % 3 = 0),
+              |tp AS (SELECT t.doc, t.pos, 0 AS sub, '<extra_id_' || mk.k || '>' AS piece
+              |  FROM tm t JOIN mk ON mk.doc = t.doc AND mk.block = t.block
+              |  WHERE t.masked AND t.pos % 3 = 0
+              |  UNION ALL
+              |  SELECT doc, pos, 1, tok FROM tm WHERE masked),
+              |inp AS (SELECT doc, string_agg(piece, ' ' ORDER BY pos, sub) AS input_text
+              |  FROM ip GROUP BY doc),
+              |tgt AS (SELECT doc, string_agg(piece, ' ' ORDER BY pos, sub) AS target_text
+              |  FROM tp GROUP BY doc),
+              |nm AS (SELECT doc, count(*) AS n_masked FROM mb GROUP BY doc)
+              |SELECT i.doc, i.input_text,
+              |  coalesce(t.target_text, '') AS target_text,
+              |  CAST(coalesce(nm.n_masked, 0) AS BIGINT) AS n_masked
+              |FROM inp i LEFT JOIN tgt t ON t.doc = i.doc
+              |LEFT JOIN nm ON nm.doc = i.doc""".stripMargin)
+    },
+      (s, dir) =>
+        graft.text.Masking.spanCorrupt(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Fill-in-the-middle reorder (Masking.fim): two hash-drawn character
+    // offsets carve each document into <PRE>prefix<SUF>suffix<MID>middle
+    // — the code-model infilling example, a pure per-row projection.
+    Q("q172_fim", {
+      def h(tag: String) =
+        portableHashSql(s"(CAST(doc_id AS VARCHAR) || ':$tag')")
+      Some(s"""WITH b AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+              |    CASE WHEN len(text) > 0 THEN ${h("fim1")} % len(text) ELSE 0 END AS a,
+              |    CASE WHEN len(text) > 0 THEN ${h("fim2")} % len(text) ELSE 0 END AS bb
+              |  FROM documents),
+              |c AS (SELECT doc_id, text, n,
+              |    least(a, bb) AS p1, greatest(a, bb) AS p2 FROM b)
+              |SELECT doc_id AS doc,
+              |  '<PRE>' || substr(text, 1, CAST(p1 AS INT))
+              |    || '<SUF>' || substr(text, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT))
+              |    || '<MID>' || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))
+              |    AS fim_text,
+              |  CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2
+              |FROM c""".stripMargin)
+    },
+      (s, dir) => graft.text.Masking.fim(docs(s, dir), col("doc_id"), col("text")))
   )
 }

@@ -65,6 +65,45 @@ class FrontierSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("robotsStarDisallows: only the star group's rules apply; multiple star groups merge") {
+    val txt = """User-agent: fetchbot
+      |Disallow: /only-for-fetchbot
+      |
+      |User-agent: *
+      |Disallow: /private
+      |Disallow: /tmp
+      |Crawl-delay: 2
+      |
+      |User-agent: otherbot
+      |Disallow: /decoy
+      |
+      |User-agent: *
+      |disallow: /lower""".stripMargin
+    val got = Seq(txt).toDF("t")
+      .select(Frontier.robotsStarDisallows(col("t")).as("d"))
+      .head.getSeq[String](0)
+    assert(got == Seq("/private", "/tmp", "/lower"),
+      s"named-agent rules must not leak into the star set: $got")
+  }
+
+  test("robotsGate: prefix match per host, missing robots allows, verdicts kept") {
+    val frontier = Seq(
+      ("https://a.example/private/x", 1L, 1L), // blocked by /private
+      ("https://a.example/privately", 2L, 1L), // PREFIX match: also blocked
+      ("https://a.example/pub/1", 3L, 2L),     // allowed
+      ("https://b.example/private/x", 1L, 1L)) // b has no robots -> allowed
+      .toDF("url", "n_refs", "n_pages")
+    val robots = Seq(("a.example",
+      "User-agent: *\nDisallow: /private")).toDF("h", "t")
+    val got = Frontier.robotsGate(frontier, robots, col("h"), col("t"))
+      .select("url", "allowed").as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "https://a.example/private/x" -> false,
+      "https://a.example/privately" -> false,
+      "https://a.example/pub/1" -> true,
+      "https://b.example/private/x" -> true), got.toString)
+  }
+
   test("hostBudget: top-k per host by evidence, deterministic ties, rank carried") {
     val frontier = Seq(
       ("https://a.example/1", 9L, 1L), // a: most refs but fewest pages
