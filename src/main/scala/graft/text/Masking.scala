@@ -50,6 +50,7 @@ object Masking {
                   blockTokens: Int = 3, maskEvery: Int = 5): DataFrame = {
     require(blockTokens >= 1 && maskEvery >= 2,
       s"need blockTokens >= 1 and maskEvery >= 2, got $blockTokens/$maskEvery")
+    val blockStart = col("masked") && col("pos") % blockTokens === 0
     val toks = df.select(idCol.as("doc"),
         posexplode(TextFunctions.tokens(textCol)).as(Seq("pos", "tok")))
       .withColumn("block", (col("pos") / blockTokens).cast("long"))
@@ -57,46 +58,42 @@ object Masking {
         TextFunctions.portableHash(
           concat(col("doc").cast("string"), lit(":"), col("block")))
           % maskEvery === 0)
-    // sentinel ordinal per masked block: dense_rank over the document's
-    // masked blocks in token order (block ids are ordered like tokens)
+    // Sentinel ordinal as a RUNNING COUNT of masked block-starts in
+    // token order, minus one — valid for every row of a masked block
+    // (its own start precedes or equals it). The window partitions by
+    // `doc` alone, the SAME key as the final aggregation, so the whole
+    // operator is ONE hashpartitioning(doc) exchange; a
+    // dense_rank-over-(doc, masked) formulation would insert a second.
+    val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withOrd = toks.withColumn("k",
       when(col("masked"),
-        dense_rank().over(
-          Window.partitionBy(col("doc"), col("masked")).orderBy(col("block")))
-          - 1))
+        sum(when(blockStart, 1L).otherwise(0L)).over(byPos) - 1))
     val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
-    // input pieces: unmasked tokens + one sentinel at each masked
-    // block's first token (pos % blockTokens == 0 marks block starts)
-    val inputPieces = withOrd.filter(!col("masked"))
-      .select(col("doc"), struct(col("pos"), lit(0).as("sub"),
-        col("tok").as("piece")).as("p"))
-      .unionByName(withOrd
-        .filter(col("masked") && col("pos") % blockTokens === 0)
-        .select(col("doc"), struct(col("pos"), lit(0).as("sub"),
-          sentinel.as("piece")).as("p")))
-    // target pieces: sentinel at each masked block start (sub 0 sorts it
-    // before the block's tokens at sub 1), then the masked tokens
-    val targetPieces = withOrd
-      .filter(col("masked") && col("pos") % blockTokens === 0)
-      .select(col("doc"), struct(col("pos"), lit(0).as("sub"),
-        sentinel.as("piece")).as("p"))
-      .unionByName(withOrd.filter(col("masked"))
-        .select(col("doc"), struct(col("pos"), lit(1).as("sub"),
-          col("tok").as("piece")).as("p")))
-    def assemble(pieces: DataFrame, out: String): DataFrame =
-      pieces.groupBy("doc")
-        .agg(array_join(transform(sort_array(collect_list(col("p"))),
-          p => p.getField("piece")), " ").as(out))
-    val nMasked = toks.filter(col("masked"))
-      .select(col("doc"), col("block")).distinct()
-      .groupBy("doc").agg(count(lit(1)).as("n_masked"))
-    assemble(inputPieces, "input_text")
-      .join(assemble(targetPieces, "target_text"), Seq("doc"), "left")
-      .join(nMasked, Seq("doc"), "left")
-      .select(col("doc"),
-        col("input_text"),
-        coalesce(col("target_text"), lit("")).as("target_text"),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+    // One pass, three piece streams via null-skipping collect_list:
+    // input = unmasked tokens + one sentinel per masked block (at its
+    // first token); target = sentinel (sub 0, sorting before the block)
+    // + the masked tokens (sub 1). sort_array over (pos, sub, piece)
+    // restores token order regardless of aggregation arrival order.
+    def piece(cond: Column, sub: Int, text: Column) =
+      when(cond, struct(col("pos"), lit(sub).as("sub"), text.as("piece")))
+    def sortedJoin(arr: Column) =
+      array_join(transform(sort_array(arr), p => p.getField("piece")), " ")
+    // a masked block-start row contributes TWO target pieces (sentinel
+    // at sub 0, its token at sub 1) — hence two collect_lists per
+    // output, concatenated and sorted together (collect_list skips the
+    // null rows its `when` filters out)
+    withOrd.groupBy("doc")
+      .agg(
+        sortedJoin(concat(
+          collect_list(piece(!col("masked"), 0, col("tok"))),
+          collect_list(piece(blockStart, 0, sentinel)))).as("input_text"),
+        sortedJoin(concat(
+          collect_list(piece(blockStart, 0, sentinel)),
+          collect_list(piece(col("masked"), 1, col("tok"))))).as("target_text"),
+        sum(when(blockStart, 1L).otherwise(0L)).as("n_masked"))
+      .select(col("doc"), col("input_text"), col("target_text"),
+        col("n_masked"))
   }
 
   /** Fill-in-the-middle reorder: split points `p1 <= p2` are the sorted
