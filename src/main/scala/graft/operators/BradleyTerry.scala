@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   * Σ p = 1 each round. Fixed iteration count like [[Graph.pageRank]]:
   * the MM step is monotone in likelihood, so k is a precision knob.
   *
-  * Scale shape per iteration (the [[Graph.pageRank]] discipline): the
-  * games table — symmetrized once, persisted, pre-partitioned on `i` —
-  * never moves again; per round only the (item, double) strength frame
-  * shuffles into the two strength joins and one `groupBy(i)` partial-agg
-  * exchange, and the 1-row normalizer broadcasts back in. The driver
-  * sees ONE scalar up front (the item count for p₀) and nothing else;
-  * `localCheckpoint` truncates lineage per round.
+  * Scale shape per iteration: the games table — symmetrized once,
+  * persisted, pre-partitioned on `i` — NEVER moves: the strength frame
+  * is item-cardinality (the things being ranked: sources, models,
+  * annotators — broadcast-sized by this operator's contract, while the
+  * games/comparisons side is unbounded), so both per-iteration strength
+  * joins BROADCAST and the `groupBy(i)` denominator aggregation is
+  * satisfied by the cache's own partitioning — zero shuffles of
+  * games-sized data per round, spec-audited. (A hash-join formulation
+  * would re-exchange the games frame on `j` every iteration — the exact
+  * in-loop edge-exchange the HITS operator had to buy out with a second
+  * cached copy; broadcasting the small side dissolves it entirely.)
+  * The 1-row normalizer broadcasts back in; the driver sees ONE scalar
+  * up front (the item count for p₀); `localCheckpoint` truncates
+  * lineage per round.
   *
   * Degenerate inputs stay total-function: an item with zero wins fixes
   * at strength 0 (the MM fixed point for it), and a pair of zero-strength
@@ -58,20 +65,25 @@ object BradleyTerry {
     require(k > 0, "BradleyTerry.fit over an empty comparison set")
 
     var p = wins.select(col("item"), lit(1.0 / k).as("p")).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      val denom = games
-        .join(p.select(col("item").as("i"), col("p").as("pi")), "i")
-        .join(p.select(col("item").as("j"), col("p").as("pj")), "j")
-        .groupBy("i")
-        .agg(sum(col("n") / (col("pi") + col("pj"))).as("den"))
-      val raw = wins
-        .join(denom.withColumnRenamed("i", "item"), Seq("item"))
-        .select(col("item"), (col("wins") / col("den")).as("praw"))
-      val total = raw.agg(sum("praw").as("tot"))
-      p = raw.crossJoin(broadcast(total))
-        .select(col("item"), (col("praw") / col("tot")).as("p"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations)
+      p = iteration(games, wins, p).localCheckpoint()
     p.select(col("item"), col("p").as("strength"))
+  }
+
+  /** One MM iteration, un-checkpointed — exposed `private[graft]` so the
+    * plan audit can assert the games cache never re-exchanges. */
+  private[graft] def iteration(games: DataFrame, wins: DataFrame,
+                               p: DataFrame): DataFrame = {
+    val denom = games
+      .join(broadcast(p.select(col("item").as("i"), col("p").as("pi"))), "i")
+      .join(broadcast(p.select(col("item").as("j"), col("p").as("pj"))), "j")
+      .groupBy("i")
+      .agg(sum(col("n") / (col("pi") + col("pj"))).as("den"))
+    val raw = wins
+      .join(denom.withColumnRenamed("i", "item"), Seq("item"))
+      .select(col("item"), (col("wins") / col("den")).as("praw"))
+    val total = raw.agg(sum("praw").as("tot"))
+    raw.crossJoin(broadcast(total))
+      .select(col("item"), (col("praw") / col("tot")).as("p"))
   }
 }

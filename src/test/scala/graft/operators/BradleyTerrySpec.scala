@@ -40,6 +40,59 @@ class BradleyTerrySpec extends SparkSpec {
     assert(p("A") > 5 * p("B"), p.toString)
   }
 
+  test("iteration: the games cache never re-exchanges (strength joins broadcast)") {
+    // The 100 TB shape: games/comparisons are unbounded, items are
+    // broadcast-sized by contract — so per iteration NOTHING games-sized
+    // may shuffle. Audit one un-checkpointed iteration: the games
+    // in-memory scan must feed broadcast joins and a partial aggregate
+    // satisfied by its own cached partitioning, never a fresh Exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case _ => p.children.flatMap(expand)
+    })
+    def moved(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: ShuffleExchangeExec => Seq(p)
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => Seq(p)
+      case a: AdaptiveSparkPlanExec => p +: moved(a.executedPlan)
+      case q: QueryStageExec => p +: moved(q.plan)
+      case _ => p +: p.children.flatMap(moved)
+    }
+    def isGamesScan(p: SparkPlan): Boolean = p match {
+      case s: InMemoryTableScanExec =>
+        s.output.map(_.name).sorted == Seq("i", "j", "n")
+      case _ => false
+    }
+    val cmp = (0 until 300).map(i => (s"s${i % 7}", s"s${(i * 3 + 1) % 7}"))
+      .filter(p => p._1 != p._2).toDF("w", "l")
+    scala.util.Using.resource(new CacheScope()) { scope =>
+      val c = cmp.select(col("w"), col("l"))
+      val games = scope.persist(
+        c.select(col("w").as("i"), col("l").as("j"))
+          .union(c.select(col("l").as("i"), col("w").as("j")))
+          .groupBy("i", "j").agg(count(lit(1)).cast("double").as("n"))
+          .repartition(col("i")))
+      val wins = scope.persist(games.select(col("i").as("item")).distinct()
+        .join(c.groupBy(col("w").as("item"))
+          .agg(count(lit(1)).cast("double").as("wins")), Seq("item"), "left")
+        .select(col("item"), coalesce(col("wins"), lit(0.0)).as("wins")))
+      val p0 = wins.select(col("item"), lit(1.0 / 7).as("p")).localCheckpoint()
+      val it = BradleyTerry.iteration(games, wins, p0)
+      it.collect()
+      val nodes = expand(it.queryExecution.executedPlan)
+      assert(nodes.exists(isGamesScan), "games cache must feed the iteration")
+      val bad = nodes.collect {
+        case s: ShuffleExchangeExec if moved(s.child).exists(isGamesScan) => s
+      }
+      assert(bad.isEmpty,
+        s"iteration re-exchanges the games cache:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("deterministic across partitioning (the q124-family pin)") {
     val cmp = (0 until 300).map { i =>
       val a = s"s${i % 7}"; val b = s"s${(i * 3 + 1) % 7}"
