@@ -54,11 +54,31 @@ object Preference {
     * `(user_id, session_id)`, so the pairing is a pure function of the
     * events table. */
   def pairs(turns: DataFrame): DataFrame = {
-    val audit = Instruct.alternationAudit(turns)
-    val prompts = turns.filter(col("turn_idx") === 1)
-      .select(col("user_id"), col("session_id"),
-        substring_index(col("content"), " ", 1).as("prompt"))
-    val scored = audit.join(prompts, Seq("user_id", "session_id"))
+    // ONE pass over the turn frame: the audit columns the score needs
+    // (the [[Instruct.alternationAudit]] arithmetic) and the prompt key
+    // ride the SAME (user, session) aggregation — a separate
+    // audit-frame ⋈ prompt-frame formulation evaluates the events-scale
+    // turn derivation twice and pays a conversation-keyed join for a
+    // value one `max(when(turn_idx = 1, …))` recovers for free. The lag
+    // window and the aggregation both cluster by (user, session), which
+    // the turn frame's user_id partitioning already satisfies — so this
+    // whole stage adds ZERO exchanges beyond the turn frame's own.
+    val conv = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("turn_idx"))
+    val nTok = size(TextFunctions.tokens(col("content"))).cast("long")
+    val scored = turns
+      .withColumn("repeat",
+        when(lag(col("role"), 1).over(conv) === col("role"), 1L).otherwise(0L))
+      .withColumn("n_tok", nTok)
+      .groupBy("user_id", "session_id")
+      .agg(
+        max(when(col("turn_idx") === 1,
+          substring_index(col("content"), " ", 1))).as("prompt"),
+        (max(when(col("turn_idx") === 1, col("role") === "user"))
+          && max_by(col("role") === "assistant", col("turn_idx"))
+          && sum(col("repeat")) === 0).as("valid"),
+        sum(when(col("role") === "assistant", col("n_tok")).otherwise(0L))
+          .as("n_loss_tokens"))
       .select(col("prompt"), col("user_id"), col("session_id"),
         qualityScore(col("valid"), col("n_loss_tokens")).as("score"))
     val byRank = Window.partitionBy(col("prompt"))
