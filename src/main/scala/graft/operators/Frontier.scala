@@ -119,18 +119,65 @@ object Frontier {
   def expand(pages: DataFrame, srcUrlCol: Column, htmlCol: Column,
              crawled: DataFrame, crawledUrlCol: Column,
              scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val links = pages
-      .select(srcUrlCol.as("src"), explode(extractLinks(htmlCol)).as("link"))
-      .filter(col("link").rlike(AbsoluteHttpRe))
-      .select(col("src"), TextFunctions.canonicalizeUrl(col("link")).as("url"))
     // persisted: the bloom anti-join reads the aggregated frontier twice
     // (proven-new bypass + candidate branch) — persist the SMALL
     // aggregated frame, never the raw link explosion
-    val agg = scope.persist(
-      links.groupBy("url")
-        .agg(count(lit(1)).as("n_refs"),
-          countDistinct(col("src")).as("n_pages")))
+    val agg = scope.persist(discovered(pages, srcUrlCol, htmlCol))
     Relational.bloomAntiJoin(agg, col("url"),
       crawled.select(crawledUrlCol.as("url")), col("url"))
+  }
+
+  /** Link-discovery half of [[expand]]: extraction, absolute-http
+    * filter, canonicalization, per-URL stats — everything but the
+    * crawled-index check. Shared with [[runFrontierStream]]. */
+  def discovered(pages: DataFrame, srcUrlCol: Column, htmlCol: Column): DataFrame =
+    pages
+      .select(srcUrlCol.as("src"), explode(extractLinks(htmlCol)).as("link"))
+      .filter(col("link").rlike(AbsoluteHttpRe))
+      .select(col("src"), TextFunctions.canonicalizeUrl(col("link")).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"), countDistinct(col("src")).as("n_pages"))
+
+  /** The crawl loop as a STREAM: fetched pages arrive continuously, each
+    * microbatch's discovered URLs are bloom-anti-joined against the
+    * ACCUMULATING crawled index (seeded from whatever `crawledDir`
+    * already holds, grown with every batch's emissions) and appended to
+    * `frontierDir` — every canonical URL emits exactly once, at first
+    * discovery, with that batch's evidence stats. This is
+    * [[graft.streaming.EventsStream.runToParquetDedup]]'s merge-on-write
+    * discipline applied to the frontier: the per-batch index read is
+    * key-only, the anti-join is bloom-bypassed, and a replayed batch
+    * re-emits nothing (idempotent at-least-once → effectively-once).
+    * Production streams pass a durable checkpoint via their own
+    * harness; this runner drives the stream to completion for
+    * tests/local use. */
+  def runFrontierStream(pages: DataFrame, srcUrlCol: Column, htmlCol: Column,
+                        crawledDir: String, frontierDir: String): Unit = {
+    import graft.streaming.EventsStream
+    val spark = pages.sparkSession
+    val ckpt = EventsStream.tempCkpt("graft-frontier-ckpt")
+    try {
+      val q = pages.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val agg = discovered(batch, srcUrlCol, htmlCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val crawled =
+              try Some(spark.read.parquet(crawledDir).select("url"))
+              catch { case _: org.apache.spark.sql.AnalysisException => None }
+            val fresh = crawled.fold(agg: DataFrame)(c =>
+              Relational.bloomAntiJoin(agg, col("url"), c, col("url")))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              fresh.write.mode("append").parquet(frontierDir)
+              fresh.select("url").write.mode("append").parquet(crawledDir)
+            } finally fresh.unpersist(false)
+          } finally agg.unpersist(false)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally EventsStream.deleteRecursively(ckpt)
   }
 }

@@ -132,6 +132,42 @@ class FrontierSpec extends SparkSpec {
       s"rank<=k must plan as WindowGroupLimit:\n$plan")
   }
 
+  test("streaming frontier: exactly-once URL emission across batches, seeded index honored") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val crawledDir = java.nio.file.Files.createTempDirectory("graft_fr_crawled").toString
+    val frontierDir = java.nio.file.Files.createTempDirectory("graft_fr_out").toString + "/fr"
+    // seed: t0 is already crawled before the stream starts
+    Seq("https://t0.example/seen").toDF("url")
+      .write.mode("overwrite").parquet(crawledDir)
+    def page(src: String, targets: String*) =
+      (src, targets.map(t => s"""<a href="$t">l</a>""").mkString)
+    val mem = MemoryStream[(String, String)]
+    val run = () => Frontier.runFrontierStream(
+      mem.toDF.toDF("src", "html"), col("src"), col("html"),
+      crawledDir, frontierDir)
+    // batch 1: discovers t1 (twice, from two pages) and hits the seeded t0
+    mem.addData(
+      page("https://p1.example", "https://t1.example/a", "https://t0.example/seen"),
+      page("https://p2.example", "https://t1.example/a?utm_source=x"))
+    run()
+    // batch 2: re-links t1 (must NOT re-emit) and discovers t2
+    mem.addData(
+      page("https://p3.example", "https://t1.example/a", "https://t2.example/b"))
+    run()
+    val got = spark.read.parquet(frontierDir)
+      .as[(String, Long, Long)].collect()
+      .map { case (u, r, p) => u -> ((r, p)) }.toMap
+    assert(got == Map(
+      // batch-1 stats: 2 refs from 2 pages; t0 never emitted (seeded)
+      "https://t1.example/a" -> ((2L, 2L)),
+      "https://t2.example/b" -> ((1L, 1L))), got.toString)
+    // the index accumulated everything ever emitted plus the seed
+    val idx = spark.read.parquet(crawledDir).as[String].collect().toSet
+    assert(idx == Set("https://t0.example/seen",
+      "https://t1.example/a", "https://t2.example/b"))
+  }
+
   test("plan: bloom probe present, proven-new branch join-free, no cartesian anywhere") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
