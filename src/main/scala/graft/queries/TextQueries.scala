@@ -1298,6 +1298,52 @@ object TextQueries {
               |  CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2
               |FROM c""".stripMargin)
     },
-      (s, dir) => graft.text.Masking.fim(docs(s, dir), col("doc_id"), col("text")))
+      (s, dir) => graft.text.Masking.fim(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Tokenize→pack end-to-end (the literal pretraining data product):
+    // BPE trained on the corpus (q116's pinned k), every document's
+    // length measured in TOKENIZER pieces — not the whitespace proxy the
+    // standalone q64 uses — then the greedy 256-capacity packing walk
+    // with per-doc boundary spans. The oracle replays training, per-doc
+    // encoded lengths, and the packing recurrence in one chain: the
+    // hash certifies the composition, not just the stages.
+    Q("q173_tokenize_pack",
+      Some(s"""WITH RECURSIVE ${bpeCtes(BpeK).stripPrefix("WITH ")},
+              |cw AS (SELECT doc_id, unnest(${tokensSql(canonicalizeSql("text"))}) AS word
+              |  FROM documents),
+              |enc AS (SELECT doc_id, ${(1 to BpeK).foldLeft(s"$BpeWrapWordSql")((e, i) =>
+                 s"replace($e, $BpeL || m$i.pa || $BpeR || $BpeL || m$i.pb || $BpeR, " +
+                   s"$BpeL || m$i.pa || m$i.pb || $BpeR)")} AS seq
+              |  FROM cw ${(1 to BpeK).map(i => s"CROSS JOIN m$i").mkString(" ")}
+              |  WHERE word <> ''),
+              |wc AS (SELECT doc_id,
+              |    CAST(sum(len(string_split(trim(seq, $BpeL || $BpeR),
+              |      $BpeR || $BpeL))) AS BIGINT) AS w
+              |  FROM enc GROUP BY doc_id),
+              |dd AS (SELECT d.doc_id, d.doc_id // 100 AS shard,
+              |    coalesce(wc.w, 0) AS w
+              |  FROM documents d LEFT JOIN wc ON wc.doc_id = d.doc_id),
+              |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM dd),
+              |pack AS (
+              |  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+              |  FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.shard, o.rn, o.doc_id, o.w,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.bin ELSE p.bin + 1 END,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.fill + o.w ELSE o.w END
+              |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+              |SELECT shard, bin, doc_id, fill - w AS seq_start, w AS seq_len
+              |FROM pack""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.text.Bpe.learnMerges(
+          graft.text.Bpe.initVocab(d, col("text")), BpeK).map(m => (m._1, m._2))
+        graft.operators.Packing.packedBoundaries(
+          graft.operators.Packing.packGreedy(
+            d.withColumn("w",
+              size(graft.text.Bpe.applyMerges(col("text"), merges)).cast("long")),
+            col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L))
+      })
   )
 }
