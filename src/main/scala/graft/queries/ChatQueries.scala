@@ -7,13 +7,16 @@ import graft.functions.TextFunctions
 import graft.sources.Tables
 import graft.text.{Instruct, Preference}
 
-/** Round-9 instruction/chat-data suite: the post-training corpus shape.
+/** Instruction/chat-data suite: the post-training corpus shape.
   * Conversations are derived from the `events` stream (q25's
   * sessionization, role/content from `event_type`/`props`), then audited
   * ([[Instruct.alternationAudit]], q147), mask-indexed
-  * ([[Instruct.lossSpans]], q148), and template-rendered
-  * ([[Instruct.render]], q149). Every op is pure column arithmetic over
-  * the shared turn frame, so all three queries hash-check end to end
+  * ([[Instruct.lossSpans]], q148), template-rendered
+  * ([[Instruct.render]], q149), and extended to the PREFERENCE shape —
+  * pair construction ([[Preference.pairs]], q164), annotator-agreement
+  * audit ([[Preference.agreement]], q165), and the DPO training pack
+  * ([[Preference.dpoPack]], q168). Every op is pure column arithmetic
+  * over the shared turn frame, so every query hash-checks end to end
   * against DuckDB replays of the identical derivation.
   */
 object ChatQueries {
