@@ -93,6 +93,26 @@ class BradleyTerrySpec extends SparkSpec {
     }
   }
 
+  test("q166 emitted micro-digits are partitioning-invariant (4 vs 32 shuffle partitions)") {
+    // the q124 lesson applied to this family's own oracle row: the
+    // nudged quantizer must make the EMITTED digits a pure function of
+    // the data under any partitioning
+    val q = graft.SparkEntry.registry.find(_.name == "q166_bradley_terry").get
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(p: String): Map[String, Long] = {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      q.run(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    try {
+      val at4 = run("4")
+      val at32 = run("32")
+      val diff = at4.keySet.filter(k => !at32.get(k).contains(at4(k)))
+      assert(at4.keySet == at32.keySet && diff.isEmpty,
+        s"q166 micro-digits differ across partitioning at ${diff.take(5)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("deterministic across partitioning (the q124-family pin)") {
     val cmp = (0 until 300).map { i =>
       val a = s"s${i % 7}"; val b = s"s${(i * 3 + 1) % 7}"
