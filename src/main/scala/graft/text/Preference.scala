@@ -22,11 +22,17 @@ import graft.functions.TextFunctions
   * discipline of the label-prop/temperature families.
   *
   * Scale shape (100 TB events):
-  *  - [[pairs]]: one conversation-level aggregate ([[Instruct.alternationAudit]],
-  *    events-scale shuffle already paid by the turn frame), a broadcast-
-  *    sized prompt join, then ONE window over `prompt` — adjacent-rank
-  *    pairing emits n−1 pairs per prompt group (linear, never the
-  *    all-pairs K²).
+  *  - [[pairs]]: one conversation-level aggregate (the
+  *    [[Instruct.alternationAudit]] arithmetic fused with the prompt
+  *    key — zero exchanges beyond the turn frame's own), then ONE
+  *    window over `prompt` — adjacent-rank pairing emits n−1 pairs per
+  *    prompt group (linear, never the all-pairs K²). The window's scale
+  *    contract: prompt keys in real SFT data are high-cardinality (the
+  *    actual prompt text/hash), so groups are small and spread; the
+  *    synthetic corpus's 5 event-type prompts are the test fixture, not
+  *    the shape — a deployment with a handful of mega-prompts would
+  *    range-partition the ranking like the seeded-shuffle family (q130)
+  *    instead.
   *  - [[agreement]]: explode ×|annotators| (a constant) + two
   *    map-side-combinable aggregations. No joins, no windows.
   */
