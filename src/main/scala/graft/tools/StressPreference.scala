@@ -85,6 +85,23 @@ object StressPreference {
     }
     turns.unpersist()
 
+    // ---- Pretraining objectives over n synthetic documents -------------
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha bravo charlie delta echo foxtrot golf hotel "),
+          lit("india juliet kilo lima mike november oscar papa d"),
+          col("id") % 1000).as("text"))
+    timed("span_corrupt") {
+      val r = graft.text.Masking.spanCorrupt(docs, col("doc_id"), col("text"))
+        .agg(count(lit(1)), sum("n_masked"), sum(length(col("target_text")))).head
+      println(f"[pref]   docs = ${r.getLong(0)}%,d  masked blocks = ${r.getLong(1)}%,d  target chars = ${r.getLong(2)}%,d")
+    }
+    timed("fim") {
+      val r = graft.text.Masking.fim(docs, col("doc_id"), col("text"))
+        .agg(count(lit(1)), sum(length(col("fim_text")))).head
+      println(f"[pref]   docs = ${r.getLong(0)}%,d  fim chars = ${r.getLong(1)}%,d")
+    }
+
     // ---- Frontier: n pages × 3 links vs an n-URL crawled index ---------
     val pages = spark.range(n)
       .select(concat(lit("https://h"), col("id") % 1000, lit(".example/p"),
