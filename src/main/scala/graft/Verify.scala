@@ -53,7 +53,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // sorted for byte-identical artifacts across runs (hash-map order
+    // varies per JVM; the driver's json.load is order-blind but a
+    // deterministic artifact diffs cleanly round-over-round)
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
+      .toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failedJson = failed
