@@ -246,6 +246,36 @@ object ChatQueries {
       (s, dir) => Preference.agreement(
         Preference.pairs(Instruct.turns(ev(s, dir))))),
 
+    // Vote-reliability readout (Preference.voteReliability): pairs
+    // bucketed by preference margin; per bucket the mean
+    // vote-for-chosen and majority-correct rates in exact integer
+    // micro-units — the calibration audit of the annotation channel
+    // (rates must rise with margin; flat = annotators not reading the
+    // signal).
+    Q("q174_vote_reliability",
+      Some(s"""$prefPairCtes,
+              |pv AS (SELECT CAST(CASE WHEN margin < 5 THEN 0
+              |         WHEN margin < 20 THEN 1
+              |         WHEN margin < 50 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+              |    concat_ws(':', prompt, c_user, c_session, r_user, r_session)
+              |      AS pair_key,
+              |    margin FROM kept),
+              |votes AS (SELECT bin, pair_key,
+              |    ${TextFunctions.portableHashSql(
+                     "('ann' || CAST(ann AS VARCHAR) || ':' || pair_key)")} % 100
+              |      < 50 + least(margin, 50) AS vote
+              |  FROM pv CROSS JOIN (SELECT unnest([0, 1, 2]) AS ann)),
+              |pp AS (SELECT bin, pair_key,
+              |    CAST(sum(CASE WHEN vote THEN 1 ELSE 0 END) AS BIGINT) AS v
+              |  FROM votes GROUP BY bin, pair_key)
+              |SELECT bin, count(*) AS n_pairs,
+              |  CAST((1000000 * sum(v)) // (3 * count(*)) AS BIGINT) AS vote_micro,
+              |  CAST((1000000 * count_if(v >= 2)) // count(*) AS BIGINT)
+              |    AS majority_micro
+              |FROM pp GROUP BY bin""".stripMargin),
+      (s, dir) => Preference.voteReliability(
+        Preference.pairs(Instruct.turns(ev(s, dir))))),
+
     // DPO training pack (Preference.dpoPack): each preference pair with
     // BOTH rendered conversation strings — the literal (chosen, rejected)
     // example a DPO/reward-model trainer consumes. The full rendered

@@ -132,6 +132,41 @@ object Preference {
       concat(lit("ann"), annotator.cast("string"), lit(":"), pairKey)) % 100 <
       lit(50L) + least(margin, lit(50L))
 
+  /** Vote-reliability readout over [[pairs]] — the calibration-style
+    * audit of the annotation channel: pairs bucketed by preference
+    * MARGIN, and per bucket the mean vote-for-chosen rate and the
+    * majority-correct rate (the chosen side is ground truth by
+    * construction — it won the quality ranking), both in exact integer
+    * micro-units. A healthy channel shows both rates rising with the
+    * margin; a flat curve means the annotators aren't reading the
+    * signal. `binEdges` are the ascending margin upper-bounds of all
+    * but the last bucket. One explode + one aggregation — no joins. */
+  def voteReliability(pairs: DataFrame, nAnnotators: Int = 3,
+                      binEdges: Seq[Long] = Seq(5L, 20L, 50L)): DataFrame = {
+    require(nAnnotators >= 2 && binEdges == binEdges.sorted,
+      "need >= 2 annotators and ascending bin edges")
+    val key = concat_ws(":", col("prompt"),
+      col("c_user"), col("c_session"), col("r_user"), col("r_session"))
+    val bin = binEdges.zipWithIndex.foldRight(lit(binEdges.size.toLong)) {
+      case ((edge, i), rest) => when(col("margin") < edge, i.toLong).otherwise(rest)
+    }
+    val k = nAnnotators.toLong
+    pairs
+      .select(bin.as("bin"), key.as("pair_key"), col("margin"),
+        explode(sequence(lit(0), lit(nAnnotators - 1))).as("ann"))
+      .withColumn("vote",
+        annotatorVote(col("ann"), col("pair_key"), col("margin")))
+      .groupBy("bin", "pair_key")
+      .agg(sum(when(col("vote"), 1L).otherwise(0L)).as("v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).as("votes"),
+        sum(when(col("v") * 2 >= k + 1, 1L).otherwise(0L)).as("n_majority"))
+      .select(col("bin"), col("n_pairs"),
+        expr(s"(1000000 * votes) div ($k * n_pairs)").as("vote_micro"),
+        expr("(1000000 * n_majority) div n_pairs").as("majority_micro"))
+  }
+
   /** Inter-annotator agreement audit over [[pairs]]: `nAnnotators`
     * deterministic votes per pair, then per-prompt
     * `(n_pairs, n_unanimous, n_majority_chosen, agree_micro)` where

@@ -93,6 +93,26 @@ class PreferenceSpec extends SparkSpec {
     assert(cLen == chosen.length && rLen == rejected.length)
   }
 
+  test("voteReliability: binning respects edges; rates are exact integer ratios in range") {
+    val pairs = Seq(
+      ("p", 1L, 1L, 2L, 1L, 3L),    // bin 0 (margin < 5)
+      ("p", 3L, 1L, 4L, 1L, 30L),   // bin 2 ([20, 50))
+      ("p", 5L, 1L, 6L, 1L, 80L),   // bin 3 (>= 50)
+      ("p", 7L, 1L, 8L, 1L, 99L))   // bin 3
+      .toDF("prompt", "c_user", "c_session", "r_user", "r_session", "margin")
+    val got = Preference.voteReliability(pairs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(0L, 2L, 3L))
+    assert(got(3L)._1 == 2L, "two pairs land in the top bin")
+    // margin >= 50 forces the vote threshold to 100%: every annotator
+    // votes chosen, so both rates are exactly 1e6
+    assert(got(3L) == ((2L, 1000000L, 1000000L)), got.toString)
+    got.values.foreach { case (_, vm, mm) =>
+      assert(vm >= 0 && vm <= 1000000 && mm >= 0 && mm <= 1000000)
+    }
+  }
+
   test("agreement: a wider margin never lowers a single annotator's chosen-vote chance") {
     // vote threshold is 50 + min(margin, 50): for a FIXED hash draw,
     // raising the margin can only flip votes toward chosen
