@@ -43,6 +43,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var sbb = 0.0
     var i = 0
     while (i < n) {
+      // null element poisons to NULL — the composed HOF form's totality
+      // (same rule as DotProduct; real inputs are null-free, the probe
+      // is a bit test)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       sab += xi * yi
@@ -71,13 +75,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $saa = 0.0;
          |  double $sbb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = $a.getDouble($i);
          |    double $yi = $b.getDouble($i);
          |    $sab += $xi * $yi;
          |    $saa += $xi * $xi;
          |    $sbb += $yi * $yi;
          |  }
-         |  ${ev.value} = $sab / (Math.sqrt($saa) * Math.sqrt($sbb));
+         |  if (!${ev.isNull}) { ${ev.value} = $sab / (Math.sqrt($saa) * Math.sqrt($sbb)); }
          |}
        """.stripMargin
     })

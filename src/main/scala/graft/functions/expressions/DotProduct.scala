@@ -28,8 +28,13 @@ case class DotProduct(left: Expression, right: Expression)
   // Inputs are guaranteed array<double> by the Native wrapper's cast.
   override def dataType: DataType = DoubleType
 
-  // NULL for null inputs AND for mismatched dimensions (below) — so a
-  // dimension bug surfaces as NULL, exactly like the zip_with form.
+  // NULL for null inputs, mismatched dimensions, AND any null ELEMENT —
+  // exactly the aggregate(zip_with(a,b,_*_)) semantics on the full
+  // domain: a null element's product poisons the interpreted fold to
+  // NULL, so the native form must poison too. That totality is what
+  // makes [[graft.plans.HofDotProductToNative]] a sound rewrite for
+  // parquet-sourced arrays (element-nullable schemas by default); the
+  // per-element isNullAt is a bit probe, noise next to the multiply.
   override def nullable: Boolean = true
 
   override def prettyName: String = "dot_product"
@@ -45,6 +50,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -63,9 +69,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

@@ -12,7 +12,8 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct, PorterStem}
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`):
-  *  - the [[RegexAlternationToContains]] optimizer rule;
+  *  - the [[RegexAlternationToContains]] and [[HofDotProductToNative]]
+  *    optimizer rules;
   *  - SQL bindings for the native expressions (`dot_product`,
   *    `cosine_similarity`, `porter_stem`) so `spark.sql(...)` users get
   *    them too;
@@ -109,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RegexAlternationToContains)
+    e.injectOptimizerRule(_ => HofDotProductToNative)
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -237,6 +237,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("HofDotProductToNative rewrites the textbook aggregate(zip_with) dot product (opt-in rule)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ HofDotProductToNative
+    try {
+      // parquet-backed embeddings: LocalRelations constant-fold away
+      // before extra optimizer rules run
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val hof = "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (s, t) -> s + t)"
+      val q = e.selectExpr("vec_id", s"$hof AS d")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dot_product") && !opt.contains("aggregate("),
+        s"HOF form must lower to the native expression:\n$opt")
+      // values identical to the interpreted fold (same strict
+      // left-to-right summation)
+      val native = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == HofDotProductToNative)
+      val interp = e.selectExpr("vec_id", s"$hof AS d").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(native == interp, "rewrite must be value-identical")
+      // guards: a different seed, or a non-product lambda, must NOT match
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HofDotProductToNative
+      for (other <- Seq(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 1.0D, (s, t) -> s + t)",
+        "aggregate(zip_with(v, v, (x, y) -> x + y), 0.0D, (s, t) -> s + t)",
+        "aggregate(zip_with(v, v, (x, y) -> x * x), 0.0D, (s, t) -> s + t)")) {
+        val p = e.selectExpr(s"$other AS d").queryExecution.optimizedPlan.toString
+        assert(!p.contains("dot_product"), s"must not rewrite: $other\n$p")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == HofDotProductToNative)
+    }
+  }
+
   test("native expressions are SQL-callable once registered") {
     GraftExtensions.registerFunctions(spark)
     val out = spark.sql(
