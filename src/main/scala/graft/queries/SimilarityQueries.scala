@@ -23,7 +23,7 @@ object SimilarityQueries {
     Q("q39_knn_cosine",
       Some(s"""WITH $eCte,
               |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-              |SELECT vec_id, round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |SELECT vec_id, round(${Similarity.cosineSql("v", "qv")}, 4) + 0 AS cos_sim
               |FROM e, q WHERE vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => {
@@ -44,10 +44,10 @@ object SimilarityQueries {
       Some(s"""WITH $eCte,
               |q AS (SELECT v AS qv, v[1:16] AS qp FROM e WHERE vec_id = 0),
               |pv AS (SELECT vec_id, v, v[1:16] AS vp FROM e WHERE vec_id <> 0),
-              |c AS (SELECT vec_id, v, round(${Similarity.cosineSql("vp", "qp")}, 4) AS coarse_sim
+              |c AS (SELECT vec_id, v, round(${Similarity.cosineSql("vp", "qp")}, 4) + 0 AS coarse_sim
               |  FROM pv, q
               |  ORDER BY coarse_sim DESC, vec_id LIMIT 50)
-              |SELECT vec_id, round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim, coarse_sim
+              |SELECT vec_id, round(${Similarity.cosineSql("v", "qv")}, 4) + 0 AS cos_sim, coarse_sim
               |FROM c, q
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => {
@@ -88,7 +88,7 @@ object SimilarityQueries {
               |ev AS (SELECT b.vec_id, bucket, v FROM b JOIN e USING (vec_id)),
               |qq AS (SELECT bucket AS qbucket, v AS qv FROM ev WHERE vec_id = 0)
               |SELECT ev.vec_id, ev.bucket,
-              |  round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |  round(${Similarity.cosineSql("v", "qv")}, 4) + 0 AS cos_sim
               |FROM ev, qq WHERE ev.bucket = qbucket AND ev.vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin),
       (s, dir) => {
@@ -121,7 +121,7 @@ object SimilarityQueries {
               |      i -> (cv[i]-qv[i])*(cv[i]-qv[i])), (x,y) -> x+y), cell
               |  LIMIT 2)
               |SELECT corpus.vec_id, asgn.cell,
-              |  round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |  round(${Similarity.cosineSql("v", "qv")}, 4) + 0 AS cos_sim
               |FROM corpus
               |JOIN asgn USING (vec_id)
               |JOIN probes ON asgn.cell = probes.cell
@@ -156,7 +156,7 @@ object SimilarityQueries {
               |  UNION ALL SELECT CAST(xor(qb, 4) AS BIGINT) FROM q
               |  UNION ALL SELECT CAST(xor(qb, 8) AS BIGINT) FROM q)
               |SELECT ev.vec_id, ev.bucket,
-              |  round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |  round(${Similarity.cosineSql("v", "qv")}, 4) + 0 AS cos_sim
               |FROM ev JOIN probes ON ev.bucket = probes.pb CROSS JOIN q
               |WHERE ev.vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin),
@@ -174,7 +174,7 @@ object SimilarityQueries {
       Some(s"""WITH $eCte,
               |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
               |scored AS (SELECT query_id, vec_id,
-              |    round(${Similarity.cosineSql("v", "qv")}, 4) AS cos_sim
+              |    round(${Similarity.cosineSql("v", "qv")}, 4) + 0 AS cos_sim
               |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
               |r AS (SELECT query_id, vec_id, cos_sim,
               |    CAST(row_number() OVER (PARTITION BY query_id
@@ -198,7 +198,7 @@ object SimilarityQueries {
               |p AS (SELECT anchor_id, anchor_id + 10 AS vec_id FROM q
               |  UNION ALL SELECT anchor_id, anchor_id + 20 FROM q),
               |scored AS (SELECT q.anchor_id, e.vec_id,
-              |    round(${Similarity.cosineSql("v", "av")}, 4) AS cos_sim
+              |    round(${Similarity.cosineSql("v", "av")}, 4) + 0 AS cos_sim
               |  FROM e CROSS JOIN q
               |  WHERE e.vec_id <> q.anchor_id
               |    AND NOT EXISTS (SELECT 1 FROM p
@@ -274,7 +274,7 @@ object SimilarityQueries {
               |  FROM base, p GROUP BY base.vec_id),
               |e2 AS (SELECT b.vec_id, bucket, v FROM b JOIN base USING (vec_id)),
               |pr AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
-              |    round(${Similarity.cosineSql("a.v", "c.v")}, 4) AS cos_sim
+              |    round(${Similarity.cosineSql("a.v", "c.v")}, 4) + 0 AS cos_sim
               |  FROM e2 a JOIN e2 c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
               |SELECT d1, d2, cos_sim FROM pr WHERE cos_sim >= 0.99""".stripMargin),
       (s, dir) => {
@@ -330,7 +330,7 @@ object SimilarityQueries {
               |draws AS (SELECT a.vec_id AS anchor, a.v AS av, j, $h % N + minId AS neg_id
               |  FROM e a CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
               |SELECT anchor, CAST(j AS INT) AS j, neg_id,
-              |  round(${Similarity.cosineSql("av", "nv")}, 4) AS cos_sim
+              |  round(${Similarity.cosineSql("av", "nv")}, 4) + 0 AS cos_sim
               |FROM draws JOIN (SELECT vec_id AS neg_id, v AS nv FROM e) USING (neg_id)
               |WHERE neg_id <> anchor
               |  AND round(${Similarity.cosineSql("av", "nv")}, 4) < 0.95""".stripMargin)
@@ -350,7 +350,7 @@ object SimilarityQueries {
               |draws AS (SELECT a.vec_id AS anchor, a.v AS av, j, $h % N + minId AS neg_id
               |  FROM e a CROSS JOIN n CROSS JOIN (SELECT unnest(range(1, 12)) AS j)),
               |good AS (SELECT anchor, CAST(j AS INT) AS j, neg_id,
-              |    round(${Similarity.cosineSql("av", "nv")}, 4) AS cos_sim
+              |    round(${Similarity.cosineSql("av", "nv")}, 4) + 0 AS cos_sim
               |  FROM draws JOIN (SELECT vec_id AS neg_id, v AS nv FROM e) USING (neg_id)
               |  WHERE neg_id <> anchor
               |    AND round(${Similarity.cosineSql("av", "nv")}, 4) < 0.95)

@@ -48,7 +48,7 @@ object Similarity {
     val q = queryVecCol.cast("array<double>").as("qv")
     vectors.select(idCol.as("vec_id"), v.as("v"))
       .crossJoin(broadcast(query.select(q)))
-      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select("vec_id", "cos_sim")
       .limit(k)
@@ -82,7 +82,7 @@ object Similarity {
     v.crossJoin(broadcast(a))
       .filter(col("vec_id") =!= col("anchor_id"))
       .join(broadcast(p), Seq("anchor_id", "vec_id"), "left_anti")
-      .withColumn("cos_sim", round(cosine(col("v"), col("av")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("av")), 4) + lit(0.0))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("anchor_id"))
         .orderBy(col("cos_sim").desc, col("vec_id"))).cast("int"))
       .filter(col("rnk") <= k)
@@ -116,11 +116,11 @@ object Similarity {
     val coarse = vectors.select(idCol.as("vec_id"), v.as("v"))
       .crossJoin(broadcast(query.select(q)))
       .withColumn("coarse_sim",
-        round(cosine(slice(col("v"), 1, dPrefix), slice(col("qv"), 1, dPrefix)), 4))
+        round(cosine(slice(col("v"), 1, dPrefix), slice(col("qv"), 1, dPrefix)), 4) + lit(0.0))
       .orderBy(col("coarse_sim").desc, col("vec_id"))
       .limit(coarseK)
     coarse
-      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select(col("vec_id"), col("cos_sim"), col("coarse_sim"))
       .limit(k)
@@ -185,7 +185,7 @@ object Similarity {
       queryVecCol.cast("array<double>").as("qv"))
     val scored = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
     graft.operators.Relational.topKPerGroup(scored,
         Seq(col("query_id")), Seq(col("cos_sim").desc, col("vec_id")), k)
       .select("query_id", "vec_id", "cos_sim", "rnk")
@@ -197,7 +197,7 @@ object Similarity {
       .select(col("bucket").as("qbucket"), col("v").as("qv"))
     bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select("vec_id", "bucket", "cos_sim")
       .limit(k)
@@ -222,7 +222,7 @@ object Similarity {
     bucketed.join(broadcast(q),
         col("bucket").bitwiseXOR(col("qbucket")).isin(allowedXor: _*))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select("vec_id", "bucket", "cos_sim")
       .limit(k)
@@ -241,7 +241,7 @@ object Similarity {
     val a = b.select(col("vec_id").as("d1"), col("bucket"), col("v").as("v1"))
     val c = b.select(col("vec_id").as("d2"), col("bucket"), col("v").as("v2"))
     a.join(c, "bucket").filter(col("d1") < col("d2"))
-      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4))
+      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4) + lit(0.0))
       .filter(col("cos_sim") >= threshold)
       .select("d1", "d2", "cos_sim")
   }
@@ -357,7 +357,7 @@ object Similarity {
       .take(nProbe).map(_._2)
     val q = typedLit(queryVec.toSeq)
     cellAssigned.filter(col("cell").isin(probes: _*))
-      .withColumn("cos_sim", round(cosine(col("v"), q), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), q), 4) + lit(0.0))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .select("vec_id", "cell", "cos_sim")
       .limit(k)
@@ -394,7 +394,7 @@ object Similarity {
     }.toDF("query_id", "cell", "qv")
     val scored = cellAssigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("cos_sim", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
     graft.operators.Relational.topKPerGroup(scored,
         Seq(col("query_id")), Seq(col("cos_sim").desc, col("vec_id")), k)
       .select("query_id", "vec_id", "cell", "cos_sim", "rnk")
@@ -711,7 +711,12 @@ object Similarity {
           % col("N") + col("minId"))
       .filter(col("neg_id") =!= col("anchor"))
       .join(corpus, "neg_id")
-      .withColumn("cos_sim", round(cosine(col("av"), col("nv")), 4))
+      // `+ 0.0` after the round: IEEE −0.0 + 0.0 = +0.0, normalizing the
+      // SIGNED ZERO a cosine that rounds to zero can carry (the q127
+      // signed-zero rule; surfaced at sf0.1 — anchor 526's draw rounds
+      // to −0.0 on one engine and 0.0 on the other, hash-mismatching an
+      // otherwise identical row). Applied on both sides.
+      .withColumn("cos_sim", round(cosine(col("av"), col("nv")), 4) + lit(0.0))
       .filter(col("cos_sim") < maxCos)
       .select(col("anchor"), col("j"), col("neg_id"), col("cos_sim"))
   }
@@ -752,7 +757,7 @@ object Similarity {
     val a = v.select(col("vid").as("d1"), col("vv").as("v1"))
     val b = v.select(col("vid").as("d2"), col("vv").as("v2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))
-      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4))
+      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4) + lit(0.0))
       .filter(col("cos_sim") >= threshold)
       .select("d1", "d2", "cos_sim")
   }
