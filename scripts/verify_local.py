@@ -12,9 +12,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(rows, cols):
-    """Sort columns by name, then rows; stringify cells."""
+    """Sort columns by name, then rows; stringify cells. Returns the
+    column order, sorted rows, and a count of NEGATIVE-ZERO cells —
+    signed zeros hash differently across engines ('-0.0' vs '0.0' repr)
+    and any appearance is latent red even while the row sets match
+    (round-10 q108/q109: green at sf0.01, red at sf0.1)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
+    neg_zero = 0
     for r in rows:
         rr = []
         for i in order:
@@ -23,12 +28,14 @@ def canon(rows, cols):
                 if math.isnan(v):
                     rr.append("NaN")
                 else:
+                    if v == 0.0 and math.copysign(1.0, v) < 0:
+                        neg_zero += 1
                     rr.append(repr(round(v, 9)))
             else:
                 rr.append(repr(v))
         out.append(tuple(rr))
     out.sort()
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, neg_zero
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -68,13 +75,17 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols, g_rows = canon(got.fetchall(), [d[0] for d in got.description])
+            g_cols, g_rows, g_nz = canon(got.fetchall(), [d[0] for d in got.description])
             exp = con.execute(sql)
-            e_cols, e_rows = canon(exp.fetchall(), [d[0] for d in exp.description])
+            e_cols, e_rows, e_nz = canon(exp.fetchall(), [d[0] for d in exp.description])
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        if g_nz or e_nz:
+            print(f"WARN {name}: negative-zero cells (engine {g_nz}, oracle "
+                  f"{e_nz}) — latent signed-zero flake; normalize the emitted "
+                  f"column with '+ 0' on BOTH engines (the q127 rule)")
         if g_cols != e_cols:
             print(f"FAIL {name}: columns {g_cols} != {e_cols}")
             n_bad += 1
