@@ -51,8 +51,12 @@ BINARY_EXT = (".parquet", ".png", ".jar", ".class", ".zip", ".gz")
 
 
 def main(round_no):
-    files = subprocess.run(["git", "ls-files"], capture_output=True,
-                           text=True, check=True).stdout.split()
+    # NUL-delimited so paths containing whitespace survive the split —
+    # a whitespace split fragments them into nonexistent paths whose
+    # open() failure is silently swallowed below (a hole in the tripwire)
+    files = [f for f in subprocess.run(
+        ["git", "ls-files", "-z"], capture_output=True,
+        text=True, check=True).stdout.split("\0") if f]
     commit = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                             text=True, check=True).stdout.strip()
     hits = {k: [] for k in PATTERNS}

@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Calibration {
 
-  /** Fit score → P(label) on (score, binary-or-rate label) pairs. */
+  /** Fit score → P(label) on (score, binary-or-rate label) pairs.
+    * Null/NaN scores or labels carry no calibration evidence and are
+    * dropped from the fit (the assembler's `skip` mode) — the fit never
+    * throws on the stray null row the rest of the framework tolerates. */
   def fitIsotonic(df: DataFrame, scoreCol: Column, labelCol: Column):
       IsotonicRegressionModel = {
     val prepped = df.select(scoreCol.cast("double").as("raw_score"),
       labelCol.cast("double").as("label"))
+      .filter(col("label").isNotNull && !isnan(col("label")))
     val assembled = new VectorAssembler()
       .setInputCols(Array("raw_score")).setOutputCol("features")
+      .setHandleInvalid("skip")
       .transform(prepped)
     new IsotonicRegression()
       .setFeaturesCol("features").setLabelCol("label")
@@ -40,14 +45,23 @@ object Calibration {
 
   /** Apply a fitted calibrator: adds `calibrated` next to the raw score
     * column (linear interpolation between fitted boundaries — Spark
-    * ML's transform contract). */
+    * ML's transform contract). Operates on a COPY of the model (the
+    * caller's instance keeps its own column settings — a shared fitted
+    * model must not change behavior because someone calibrated with
+    * it). Null scores pass through with a null `calibrated` — the
+    * poison discipline, not a crash. */
   def calibrate(model: IsotonicRegressionModel, df: DataFrame,
                 scoreCol: Column): DataFrame = {
     val withFeatures = new VectorAssembler()
       .setInputCols(Array("__cal_in")).setOutputCol("__cal_features")
+      .setHandleInvalid("keep") // null score -> NaN feature, nullified below
       .transform(df.withColumn("__cal_in", scoreCol.cast("double")))
-    model.setFeaturesCol("__cal_features").setPredictionCol("calibrated")
+    model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setFeaturesCol("__cal_features").setPredictionCol("__cal_raw")
       .transform(withFeatures)
-      .drop("__cal_in", "__cal_features")
+      .withColumn("calibrated",
+        when(col("__cal_in").isNull || isnan(col("__cal_in")),
+          lit(null).cast("double")).otherwise(col("__cal_raw")))
+      .drop("__cal_in", "__cal_features", "__cal_raw")
   }
 }

@@ -37,11 +37,98 @@ object Frontier {
   def extractLinksSql(e: String): String =
     s"regexp_extract_all($e, '$HrefRe', 1)"
 
-  /** Absolute-http(s) links only: a crawler resolves relative links
-    * against the page URL — out of scope here (the reference pipelines
-    * carry absolute URLs) — and schemes like `mailto:`/`javascript:`
-    * are never fetchable. */
+  /** Absolute-http(s) links only — the fast path when the corpus
+    * carries absolute URLs (the reference pipelines do); schemes like
+    * `mailto:`/`javascript:` are never fetchable. For relative links
+    * use [[resolveUrl]] / [[discoveredResolved]]. */
   val AbsoluteHttpRe = "(?i)^https?://"
+
+  // --- relative-reference resolution (RFC 3986 §5, the subset a -------
+  // --- crawler needs, in Java ∩ RE2 regex so DuckDB twins match) ------
+
+  /** `scheme://authority` head of a CANONICAL base URL (no fragment;
+    * lowercased head — [[TextFunctions.canonicalizeUrl]]'s output). */
+  val OriginRe = "^https?://[^/?#]*"
+  /** Any-scheme prefix: a href that carries its own scheme is already
+    * absolute and resolves to itself. */
+  val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+  private val DotSegIters = 4
+
+  /** Bounded dot-segment removal over an absolute path (leading `/`):
+    * a trailing `/` sentinel makes every segment boundary a literal
+    * slash (RE2 has no lookahead), then `/./` collapses and
+    * `/seg/../` pairs cancel for up to [[DotSegIters]] nesting levels
+    * (deeper chains — hostile input — pass through partially
+    * normalized: a weird URL, never a wrong row), and leading `/../`
+    * runs clamp to root per the RFC. The sentinel slash is stripped at
+    * the end unless the path IS `/`. */
+  private def removeDotSegments(p: Column): Column = {
+    val norm = (1 to DotSegIters).foldLeft(concat(p, lit("/"))) { (c, _) =>
+      regexp_replace(regexp_replace(c, "/\\./", "/"), "/[^/]+/\\.\\./", "/")
+    }
+    val clamped = regexp_replace(norm, "^(/\\.\\.)+/", "/")
+    when(clamped === "/", clamped)
+      .otherwise(clamped.substr(lit(1), length(clamped) - 1))
+  }
+
+  private def removeDotSegmentsSql(p: String): String = {
+    val norm = (1 to DotSegIters).foldLeft(s"($p || '/')") { (c, _) =>
+      s"regexp_replace(regexp_replace($c, '/\\./', '/', 'g'), '/[^/]+/\\.\\./', '/', 'g')"
+    }
+    val clamped = s"regexp_replace($norm, '^(/\\.\\.)+/', '/', 'g')"
+    s"(CASE WHEN $clamped = '/' THEN '/' " +
+      s"ELSE substr($clamped, 1, length($clamped) - 1) END)"
+  }
+
+  /** Resolve a href against its page's CANONICAL base URL — the gap a
+    * real crawler hits first on real markup (`/root/reference` pipelines
+    * only ever carry absolute URLs, so the reference has no equivalent):
+    * own-scheme hrefs pass through; `//host/x` takes the base's scheme;
+    * `/x`, `?q`, `#frag`, and relative paths resolve against the base's
+    * origin/path with bounded dot-segment removal. Everything is
+    * codegen'd regex/branch work on the exploded link rows — per-row,
+    * no shuffle, and byte-identical to [[resolveUrlSql]]. */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val origin = regexp_extract(base, OriginRe, 0)
+    val scheme = regexp_extract(base, "^(https?):", 1)
+    val basePathQ = regexp_replace(base, OriginRe, "")
+    val basePath = regexp_replace(basePathQ, "[?#].*", "")
+    val hrefPath = regexp_replace(href, "[?#].*", "")
+    val hrefTail = regexp_extract(href, "[?#].*", 0)
+    val baseDir = regexp_replace(basePath, "/[^/]*$", "")
+    when(href.rlike(SchemeRe), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"),
+        concat(origin, removeDotSegments(hrefPath), hrefTail))
+      .when(href.startsWith("#") || href === "", base)
+      .when(href.startsWith("?"), concat(origin, basePath, href))
+      .otherwise(concat(origin,
+        removeDotSegments(concat(baseDir, lit("/"), hrefPath)), hrefTail))
+  }
+
+  /** DuckDB twin of [[resolveUrl]] — same branches, same regexes, same
+    * iteration bound. */
+  def resolveUrlSql(base: String, href: String): String = {
+    val origin = s"regexp_extract($base, '$OriginRe', 0)"
+    val scheme = s"regexp_extract($base, '^(https?):', 1)"
+    val basePathQ = s"regexp_replace($base, '$OriginRe', '', 'g')"
+    val basePath = s"regexp_replace($basePathQ, '[?#].*', '', 'g')"
+    val hrefPath = s"regexp_replace($href, '[?#].*', '', 'g')"
+    val hrefTail = s"coalesce(regexp_extract($href, '[?#].*', 0), '')"
+    val baseDir = s"regexp_replace($basePath, '/[^/]*$$', '', 'g')"
+    s"""(CASE
+       |  WHEN regexp_matches($href, '$SchemeRe') THEN $href
+       |  WHEN starts_with($href, '//') THEN $scheme || ':' || $href
+       |  WHEN starts_with($href, '/')
+       |    THEN $origin || ${removeDotSegmentsSql(hrefPath)} || $hrefTail
+       |  WHEN starts_with($href, '#') OR $href = '' THEN $base
+       |  WHEN starts_with($href, '?') THEN $origin || $basePath || $href
+       |  ELSE $origin ||
+       |    ${removeDotSegmentsSql(s"($baseDir || '/' || $hrefPath)")} ||
+       |    $hrefTail
+       |END)""".stripMargin
+  }
 
   /** Disallow prefixes of a robots.txt's `User-agent: *` group(s) — the
     * subset of the robots exclusion protocol a generic crawler honors.
@@ -70,20 +157,27 @@ object Frontier {
 
   /** Robots gate over an expanded frontier: each URL is `allowed` iff NO
     * `User-agent: *` Disallow prefix of its host's robots.txt
-    * prefix-matches its path. `robots` is host-cardinality — broadcast
-    * — so the gate is one map-side join + per-URL bool aggregate; the
-    * frontier never reshuffles. Keeps every URL with its verdict (a
-    * crawler records blocked URLs; silently dropping them loses the
-    * audit trail). */
+    * prefix-matches its path. The exploded rule frame is host-cardinality
+    * × rules-per-host: usually broadcastable, but at real crawl scale
+    * (10⁷–10⁸ hosts) it is tens of GB — so the broadcast hint is
+    * SIZE-GUARDED: one cheap count over the rules, broadcast only under
+    * `maxBroadcastRules`, else a plain equi-join on `host` (both sides
+    * hash on the same key the downstream per-URL aggregate reuses).
+    * A hint that OOMs the driver at 100× is worse than an exchange.
+    * Keeps every URL with its verdict (a crawler records blocked URLs;
+    * silently dropping them loses the audit trail). */
   def robotsGate(frontier: DataFrame,
-                 robots: DataFrame, hostCol: Column, txtCol: Column): DataFrame = {
+                 robots: DataFrame, hostCol: Column, txtCol: Column,
+                 maxBroadcastRules: Long = 4000000L): DataFrame = {
     val rules = robots.select(hostCol.as("host"),
       explode(robotsStarDisallows(txtCol)).as("dis"))
+    val ruled =
+      if (rules.count() <= maxBroadcastRules) broadcast(rules) else rules
     frontier
       .withColumn("host", TextFunctions.urlHost(col("url")))
       .withColumn("path",
         regexp_replace(col("url"), TextFunctions.UrlHeadRe, ""))
-      .join(broadcast(rules), Seq("host"), "left")
+      .join(ruled, Seq("host"), "left")
       .groupBy("url", "host", "n_refs", "n_pages")
       .agg((!max(col("dis").isNotNull &&
         col("path").startsWith(col("dis")))).as("allowed"))
@@ -138,46 +232,114 @@ object Frontier {
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"), countDistinct(col("src")).as("n_pages"))
 
+  /** [[discovered]] with RELATIVE-link resolution: every href — `/abs`,
+    * `../up`, `sub/page`, `?query`, `//proto-relative`, `#frag` — is
+    * resolved against its page's canonical URL ([[resolveUrl]]) before
+    * the unfetchable-scheme filter, so a corpus of real markup loses no
+    * in-site links. Same shape as [[discovered]]: one codegen'd
+    * map-side pass, then the single per-URL aggregation. */
+  def discoveredResolved(pages: DataFrame, srcUrlCol: Column, htmlCol: Column): DataFrame =
+    pages
+      .select(srcUrlCol.as("src"), explode(extractLinks(htmlCol)).as("link"))
+      .select(col("src"), resolveUrl(col("src"), col("link")).as("abs"))
+      .filter(col("abs").rlike(AbsoluteHttpRe))
+      .select(col("src"), TextFunctions.canonicalizeUrl(col("abs")).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"), countDistinct(col("src")).as("n_pages"))
+
   /** The crawl loop as a STREAM: fetched pages arrive continuously, each
-    * microbatch's discovered URLs are bloom-anti-joined against the
-    * ACCUMULATING crawled index (seeded from whatever `crawledDir`
-    * already holds, grown with every batch's emissions) and appended to
-    * `frontierDir` — every canonical URL emits exactly once, at first
-    * discovery, with that batch's evidence stats. This is
-    * [[graft.streaming.EventsStream.runToParquetDedup]]'s merge-on-write
-    * discipline applied to the frontier: the per-batch index read is
-    * key-only, the anti-join is bloom-bypassed, and a replayed batch
-    * re-emits nothing (idempotent at-least-once → effectively-once).
-    * Production streams pass a durable checkpoint via their own
-    * harness; this runner drives the stream to completion for
-    * tests/local use. */
+    * microbatch's discovered URLs are anti-joined against the crawled
+    * index — `crawledDir`'s SEED keys plus every previously COMMITTED
+    * batch's emissions — and staged into `frontierDir/commit=<run>-<batch>`
+    * with ONE overwrite write. That single staged write is the whole
+    * idempotency story (the r10 advisory's two-append window is gone by
+    * construction): a replayed batch reads an index that EXCLUDES its
+    * own commit dir, recomputes the identical frame, and overwrites the
+    * same dir — effectively-once with no ordering hazard and no
+    * crash window between writes. A missing `crawledDir` is detected by
+    * an explicit FS existence check (an unreadable/corrupt index now
+    * fails loudly instead of silently re-emitting history). The
+    * accumulated crawled index is the seed ∪ the emissions — read it
+    * with [[crawledIndex]].
+    *
+    * `checkpointDir`: pass a durable location in production so replays
+    * after a restart land on their original commit dirs (the run token
+    * is derived from the checkpoint path); the default is a temp
+    * checkpoint for tests/local use, deleted on exit. */
   def runFrontierStream(pages: DataFrame, srcUrlCol: Column, htmlCol: Column,
-                        crawledDir: String, frontierDir: String): Unit = {
+                        crawledDir: String, frontierDir: String,
+                        checkpointDir: Option[String] = None): Unit = {
     import graft.streaming.EventsStream
     val spark = pages.sparkSession
-    val ckpt = EventsStream.tempCkpt("graft-frontier-ckpt")
+    val ckpt = checkpointDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(EventsStream.tempCkpt("graft-frontier-ckpt"))
+    // stable across replays of the SAME checkpoint (a replayed batch
+    // must overwrite its own commit dir), distinct across independent
+    // runs (each fresh checkpoint restarts batch ids at 0)
+    val runTok = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(ckpt.toString))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).exists(p)
+    }
+    def priorCommitDirs(except: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(frontierDir)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("commit="))
+        .filterNot(_.getName == except).map(_.toString)
+    }
     try {
       val q = pages.writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val commitName = s"commit=$runTok-$batchId"
           val agg = discovered(batch, srcUrlCol, htmlCol)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val crawled =
-              try Some(spark.read.parquet(crawledDir).select("url"))
-              catch { case _: org.apache.spark.sql.AnalysisException => None }
-            val fresh = crawled.fold(agg: DataFrame)(c =>
-              Relational.bloomAntiJoin(agg, col("url"), c, col("url")))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              fresh.write.mode("append").parquet(frontierDir)
-              fresh.select("url").write.mode("append").parquet(crawledDir)
-            } finally fresh.unpersist(false)
+            val index =
+              (if (exists(crawledDir))
+                 Seq(spark.read.option("recursiveFileLookup", "true")
+                   .parquet(crawledDir).select("url"))
+               else Seq.empty) ++ {
+                val dirs = priorCommitDirs(except = commitName)
+                if (dirs.isEmpty) Seq.empty
+                else Seq(spark.read.parquet(dirs: _*).select("url"))
+              }
+            val fresh = index.reduceOption(_.unionByName(_)).fold(agg: DataFrame)(
+              idx => Relational.bloomAntiJoin(agg, col("url"), idx, col("url")))
+            fresh.write.mode("overwrite").parquet(s"$frontierDir/$commitName")
           } finally agg.unpersist(false)
         }
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally EventsStream.deleteRecursively(ckpt)
+    } finally if (checkpointDir.isEmpty) EventsStream.deleteRecursively(ckpt)
+  }
+
+  /** The accumulated crawled index of a [[runFrontierStream]] loop:
+    * the seed keys ∪ every committed emission — one key-only column,
+    * deduplicated. */
+  def crawledIndex(spark: org.apache.spark.sql.SparkSession,
+                   crawledDir: String, frontierDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).exists(p)
+    }
+    val parts =
+      (if (exists(crawledDir))
+         Seq(spark.read.option("recursiveFileLookup", "true")
+           .parquet(crawledDir).select("url"))
+       else Seq.empty) ++
+      (if (exists(frontierDir))
+         Seq(spark.read.option("recursiveFileLookup", "true")
+           .parquet(frontierDir).select("url"))
+       else Seq.empty)
+    parts.reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame.select(lit("").as("url")).limit(0))
+      .distinct()
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Generic relational combinators — the reference's recurring query shapes
   * (SURVEY.md §2.4-§2.6) factored into reusable, shuffle-aware operators.
   */
-object Relational {
+object Relational extends org.apache.spark.internal.Logging {
 
   /** Per-group top-k via `row_number` over a deterministic ordering
     * (reference: code/nlp/NFL_Processing.py:504-506 — rank game-thread
@@ -382,27 +382,57 @@ object Relational {
     * scan); for a columnar source a second pruned scan is far cheaper
     * than shuffling the bypassed rows — callers with an expensive big
     * plan persist it first. Semantics are EXACTLY `left_anti` on
-    * `bigKey = smallKey`: the result is the anti-join, just cheaper. */
+    * `bigKey = smallKey`: the result is the anti-join, just cheaper.
+    *
+    * Sizing: pass `estimatedItems` when the caller knows the small
+    * side's cardinality; the default (-1) derives it with a key-only
+    * `small.count()` — one cheap extra pass that keeps the fpp honest
+    * (a fixed 1M default against a 100M-key crawled index drives fpp
+    * toward 1 and silently degrades the bypass to a plain anti-join).
+    * `numBits` defaults to 8 bits/item (fpp ≈ 2%), floored at 8 Mi
+    * bits; Spark itself caps both against the runtime-bloom-filter
+    * session confs, and when the capped sketch falls under 2 bits/item
+    * (fpp ≳ 40% — the bypass has mostly evaporated) a warning is
+    * logged rather than failing: correctness never depends on the
+    * sketch. */
   def bloomAntiJoin(big: DataFrame, bigKey: Column,
                     small: DataFrame, smallKey: Column,
-                    estimatedItems: Long = 1000000L,
-                    numBits: Long = 8L * 1024 * 1024): DataFrame = {
+                    estimatedItems: Long = -1L,
+                    numBits: Long = -1L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.types.BinaryType
+    val items =
+      if (estimatedItems > 0L) estimatedItems
+      else math.max(1L, small.select(smallKey.as("k")).count())
+    val bits =
+      if (numBits > 0L) numBits
+      else math.max(8L * 1024 * 1024, 8L * items)
+    val maxBits = org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    if (math.min(bits, maxBits) < 2L * items)
+      log.warn(s"bloomAntiJoin: sketch capped at ${math.min(bits, maxBits)} " +
+        s"bits for ~$items keys (<2 bits/item) — fpp near 1, bypass " +
+        "mostly degrades to the plain anti-join; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits or prune the " +
+        "small side")
     val agg = new BloomFilterAggregate(Bridge.expression(xxhash64(smallKey)),
-      Literal(estimatedItems), Literal(numBits)).toAggregateExpression()
+      Literal(items), Literal(bits)).toAggregateExpression()
     val sketch = small.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
     if (sketch == null) return big // empty small side: everything is new
     val might = Bridge.column(BloomFilterMightContain(
       Literal(sketch, BinaryType), Bridge.expression(xxhash64(bigKey))))
+    // internal key name salted per-call so a big-side column of the same
+    // name can never capture the join condition
+    val k = s"__graft_bloom_k_${bloomJoinSeq.incrementAndGet()}"
     val provenNew = big.filter(!might)
     val candidates = big.filter(might)
-      .join(small.select(smallKey.as("__bloom_k")).distinct(),
-        bigKey === col("__bloom_k"), "left_anti")
+      .join(small.select(smallKey.as(k)).distinct(), bigKey === col(k), "left_anti")
     provenNew.unionByName(candidates)
   }
+
+  private val bloomJoinSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Distributed global prefix sum (running total in a TOTAL order) —
     * the scale-correct form of `sum() OVER (ORDER BY …)`: an

@@ -27,8 +27,12 @@ import graft.functions.expressions.DotProduct
   *  - both arrays must be `array<double>` ([[DotProduct]] poisons to
   *    NULL on a null element exactly like the HOF fold, so
   *    element-nullable schemas — the parquet default — rewrite soundly);
-  *  - the zero must be literal `0.0` (a different seed is a different
-  *    fold — left alone);
+  *  - the zero must be literal `+0.0` matched by RAW BITS (a different
+  *    seed is a different fold — left alone; that includes `-0.0`,
+  *    which boxed-Double pattern matching would conflate with `0.0`
+  *    even though an empty-array fold returns the seed verbatim and
+  *    the native expression returns `+0.0` — a signed-zero divergence
+  *    the q127 normalization rule exists to prevent);
   *  - lambda bodies must be exactly `x * y` / `s + v` over the lambda's
   *    OWN variables (matched by exprId, either argument order — both
   *    operators are commutative on doubles' sum/product values the fold
@@ -60,10 +64,12 @@ object HofDotProductToNative extends Rule[LogicalPlan] {
     case ArrayAggregate(
         ZipWith(a, b,
           LambdaFunction(Multiply(mx, my, _), zipArgs, _)),
-        Literal(0.0, DoubleType),
+        seed @ Literal(_: Double, DoubleType),
         LambdaFunction(Add(sx, sy, _), mergeArgs, _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
-      if doubles(a) && doubles(b) &&
+      if java.lang.Double.doubleToRawLongBits(
+          seed.value.asInstanceOf[Double]) == 0L &&
+        doubles(a) && doubles(b) &&
         sameVars(mx, my,
           zipArgs.collect { case v: NamedLambdaVariable => v }) &&
         zipArgs.size == 2 &&

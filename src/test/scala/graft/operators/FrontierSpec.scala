@@ -156,14 +156,21 @@ class FrontierSpec extends SparkSpec {
       page("https://p3.example", "https://t1.example/a", "https://t2.example/b"))
     run()
     val got = spark.read.parquet(frontierDir)
+      .select("url", "n_refs", "n_pages")
       .as[(String, Long, Long)].collect()
       .map { case (u, r, p) => u -> ((r, p)) }.toMap
     assert(got == Map(
       // batch-1 stats: 2 refs from 2 pages; t0 never emitted (seeded)
       "https://t1.example/a" -> ((2L, 2L)),
       "https://t2.example/b" -> ((1L, 1L))), got.toString)
-    // the index accumulated everything ever emitted plus the seed
-    val idx = spark.read.parquet(crawledDir).as[String].collect().toSet
+    // each batch staged exactly one commit dir (the single-write
+    // idempotency unit — no append, no two-write crash window)
+    val commits = new java.io.File(frontierDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("commit="))
+    assert(commits.length == 2, commits.mkString(","))
+    // the accumulated index is seed ∪ emissions
+    val idx = Frontier.crawledIndex(spark, crawledDir, frontierDir)
+      .as[String].collect().toSet
     assert(idx == Set("https://t0.example/seen",
       "https://t1.example/a", "https://t2.example/b"))
   }
