@@ -24,6 +24,15 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(",")
 
+  // Synthetic-corpus blocklist standing in for a deployment's real
+  // safety lexicon ("dup" docs are the planted hard-block population;
+  // slow/broken saturation is the ratio tier — 80 per-mille does real
+  // work at every SF: the three verdict classes are all populated).
+  // Declared BEFORE `queries`: the strict Seq evaluates at object init.
+  private val SafetyHard = Seq("dup")
+  private val SafetySoft = Seq("slow", "broken")
+  private val SafetyPermille = 80L
+
   // ---- BPE oracle SQL generation ----------------------------------------
   private val BpeK = 4
   private val BpeL = "chr(1)"
@@ -1344,6 +1353,40 @@ object TextQueries {
             d.withColumn("w",
               size(graft.text.Bpe.applyMerges(col("text"), merges)).cast("long")),
             col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L))
+      }),
+
+    // Safety/toxicity blocklist gate (TextAnalysis.withSafetyGate): the
+    // curation gate family next to C4/Gopher — a HARD lexicon (any hit
+    // blocks) plus a SOFT lexicon gated on an integer per-mille token
+    // ratio, so incidental mentions pass and saturated docs don't. Per
+    // (lang, verdict) audit: docs, tokens, hit mass. All-integer verdict
+    // arithmetic over canonicalized tokens — two codegen'd lexicon
+    // probes per row, no shuffle before the report aggregation.
+    Q("q175_safety_gate", {
+      val ctk = tokensSql(canonicalizeSql("text"))
+      Some(s"""WITH t AS (SELECT lang, $ctk AS tk FROM documents),
+              |s AS (SELECT lang, CAST(len(tk) AS BIGINT) AS n_tok,
+              |    ${lexiconHitsSql("tk", SafetyHard)} AS n_hard,
+              |    ${lexiconHitsSql("tk", SafetySoft)} AS n_soft FROM t),
+              |v AS (SELECT lang, n_tok, n_hard, n_soft,
+              |    CASE WHEN n_hard > 0 THEN 'blocked_hard'
+              |         WHEN n_soft * 1000 > $SafetyPermille * n_tok
+              |           THEN 'blocked_ratio'
+              |         ELSE 'pass' END AS safety FROM s)
+              |SELECT lang, safety, count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              |  CAST(sum(n_hard) AS BIGINT) AS hard_hits,
+              |  CAST(sum(n_soft) AS BIGINT) AS soft_hits
+              |FROM v GROUP BY lang, safety""".stripMargin)
+    },
+      (s, dir) => {
+        TextAnalysis.withSafetyGate(docs(s, dir), col("text"),
+            SafetyHard, SafetySoft, softPermille = SafetyPermille)
+          .groupBy("lang", "safety")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum("n_hard").as("hard_hits"),
+            sum("n_soft").as("soft_hits"))
       })
   )
 }

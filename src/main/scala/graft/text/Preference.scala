@@ -30,9 +30,9 @@ import graft.functions.TextFunctions
   *    contract: prompt keys in real SFT data are high-cardinality (the
   *    actual prompt text/hash), so groups are small and spread; the
   *    synthetic corpus's 5 event-type prompts are the test fixture, not
-  *    the shape — a deployment with a handful of mega-prompts would
-  *    range-partition the ranking like the seeded-shuffle family (q130)
-  *    instead.
+  *    the shape — a deployment with a handful of mega-prompts uses
+  *    [[pairsRangePartitioned]], the IMPLEMENTED q130-style
+  *    range-partitioned form of the same pairing (spec-pinned equal).
   *  - [[agreement]]: explode ×|annotators| (a constant) + two
   *    map-side-combinable aggregations. No joins, no windows.
   */
@@ -60,19 +60,66 @@ object Preference {
     * `(user_id, session_id)`, so the pairing is a pure function of the
     * events table. */
   def pairs(turns: DataFrame): DataFrame = {
-    // ONE pass over the turn frame: the audit columns the score needs
-    // (the [[Instruct.alternationAudit]] arithmetic) and the prompt key
-    // ride the SAME (user, session) aggregation — a separate
-    // audit-frame ⋈ prompt-frame formulation evaluates the events-scale
-    // turn derivation twice and pays a conversation-keyed join for a
-    // value one `max(when(turn_idx = 1, …))` recovers for free. The lag
-    // window and the aggregation both cluster by (user, session), which
-    // the turn frame's user_id partitioning already satisfies — so this
-    // whole stage adds ZERO exchanges beyond the turn frame's own.
+    val byRank = Window.partitionBy(col("prompt"))
+      .orderBy(col("score").desc, col("user_id"), col("session_id"))
+    scoredConversations(turns)
+      .withColumn("r_user", lead(col("user_id"), 1).over(byRank))
+      .withColumn("r_session", lead(col("session_id"), 1).over(byRank))
+      .withColumn("r_score", lead(col("score"), 1).over(byRank))
+      .filter(col("r_user").isNotNull && col("score") > col("r_score"))
+      .select(col("prompt"),
+        col("user_id").as("c_user"), col("session_id").as("c_session"),
+        col("r_user"), col("r_session"),
+        (col("score") - col("r_score")).as("margin"))
+  }
+
+  /** [[pairs]] with the prompt-keyed window replaced by the q130
+    * seeded-shuffle family's RANGE-PARTITIONED formulation — the
+    * mega-prompt fallback the `pairs` contract names: when prompt
+    * cardinality is LOW (a handful of task categories over billions of
+    * conversations), `Window.partitionBy(prompt)` funnels each prompt's
+    * whole group through one task; this variant computes the global row
+    * number of the exact same total order `(prompt, score desc, user,
+    * session)` via [[graft.operators.Relational.prefixSum]] (range
+    * exchange — balanced regardless of prompt skew) and recovers
+    * adjacent-rank pairing as an EQUI-JOIN on the row number (unique
+    * 8-byte key, perfectly spread; a global successor within the same
+    * prompt IS the adjacent-rank successor). Identical output to
+    * [[pairs]] — spec-pinned — at the cost of prefixSum's extra
+    * materialization; prefer [[pairs]] when prompts are
+    * high-cardinality. */
+  def pairsRangePartitioned(turns: DataFrame, partitions: Int = 0): DataFrame = {
+    val ord = struct(col("prompt"), (-col("score")).as("nscore"),
+      col("user_id"), col("session_id"))
+    val ranked = graft.operators.Relational.prefixSum(
+      scoredConversations(turns), ord, lit(1L), partitions)
+    val right = ranked.select(col("prompt").as("r_prompt"),
+      col("user_id").as("r_user"), col("session_id").as("r_session"),
+      col("score").as("r_score"), (col("running") - 1L).as("running"))
+    ranked.join(right, Seq("running"))
+      .filter(col("prompt") === col("r_prompt") && col("score") > col("r_score"))
+      .select(col("prompt"),
+        col("user_id").as("c_user"), col("session_id").as("c_session"),
+        col("r_user"), col("r_session"),
+        (col("score") - col("r_score")).as("margin"))
+  }
+
+  /** Shared conversation-scoring stage of [[pairs]] /
+    * [[pairsRangePartitioned]]: ONE pass over the turn frame — the
+    * audit columns the score needs (the [[Instruct.alternationAudit]]
+    * arithmetic) and the prompt key ride the SAME (user, session)
+    * aggregation — a separate audit-frame ⋈ prompt-frame formulation
+    * evaluates the events-scale turn derivation twice and pays a
+    * conversation-keyed join for a value one
+    * `max(when(turn_idx = 1, …))` recovers for free. The lag window and
+    * the aggregation both cluster by (user, session), which the turn
+    * frame's user_id partitioning already satisfies — so this whole
+    * stage adds ZERO exchanges beyond the turn frame's own. */
+  private def scoredConversations(turns: DataFrame): DataFrame = {
     val conv = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("turn_idx"))
     val nTok = size(TextFunctions.tokens(col("content"))).cast("long")
-    val scored = turns
+    turns
       .withColumn("repeat",
         when(lag(col("role"), 1).over(conv) === col("role"), 1L).otherwise(0L))
       .withColumn("n_tok", nTok)
@@ -87,17 +134,6 @@ object Preference {
           .as("n_loss_tokens"))
       .select(col("prompt"), col("user_id"), col("session_id"),
         qualityScore(col("valid"), col("n_loss_tokens")).as("score"))
-    val byRank = Window.partitionBy(col("prompt"))
-      .orderBy(col("score").desc, col("user_id"), col("session_id"))
-    scored
-      .withColumn("r_user", lead(col("user_id"), 1).over(byRank))
-      .withColumn("r_session", lead(col("session_id"), 1).over(byRank))
-      .withColumn("r_score", lead(col("score"), 1).over(byRank))
-      .filter(col("r_user").isNotNull && col("score") > col("r_score"))
-      .select(col("prompt"),
-        col("user_id").as("c_user"), col("session_id").as("c_session"),
-        col("r_user"), col("r_session"),
-        (col("score") - col("r_score")).as("margin"))
   }
 
   /** DPO/reward-model training pack: each preference pair joined with

@@ -230,4 +230,34 @@ object TextAnalysis {
   def withSentiment(df: DataFrame, textCol: Column,
                     scorer: SentimentScorer = LexiconSentiment): DataFrame =
     scorer.score(df, textCol)
+
+  /** Safety/toxicity blocklist gate — the rule-based content gate a
+    * curation pipeline runs next to the C4/Gopher quality gates
+    * ([[withRuleFlags]]): a HARD lexicon (ANY hit blocks — the
+    * "never train on this" tier) and a SOFT lexicon with an integer
+    * per-mille token-ratio threshold, so scattered incidental mentions
+    * pass while a document saturated with blocked vocabulary does not
+    * (the standard blocklist-gate shape — e.g. C4's "bad words" filter
+    * — with the ratio form that avoids its known over-blocking of
+    * incidental mentions). Tokens are canonicalized (ASCII case-fold +
+    * whitespace collapse) before probing so casing cannot dodge the
+    * gate. Each probe is ONE codegen'd [[graft.functions.expressions
+    * .LexiconHitCount]] pass; the verdict is pure integer arithmetic
+    * (`hits·1000 > permille·n_tok`) — per-row, no shuffle,
+    * DuckDB-replayable. Adds `n_tok`, `n_hard`, `n_soft`, and
+    * `safety` ∈ {'blocked_hard','blocked_ratio','pass'}. */
+  def withSafetyGate(df: DataFrame, textCol: Column,
+                     hardWords: Seq[String], softWords: Seq[String],
+                     softPermille: Long = 50L): DataFrame = {
+    require(softPermille >= 0, s"softPermille must be >= 0, got $softPermille")
+    val toks = tokens(canonicalize(textCol))
+    df.withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_hard", lexiconHits(toks, hardWords))
+      .withColumn("n_soft", lexiconHits(toks, softWords))
+      .withColumn("safety",
+        when(col("n_hard") > 0, lit("blocked_hard"))
+          .when(col("n_soft") * 1000L > lit(softPermille) * col("n_tok"),
+            lit("blocked_ratio"))
+          .otherwise(lit("pass")))
+  }
 }

@@ -78,6 +78,14 @@ object StressPreference {
       val np = Preference.pairs(turns).count()
       println(f"[pref]   pairs = $np%,d")
     }
+    // the SAME fixture is the mega-prompt degenerate shape (n/5
+    // conversations per prompt): the range-partitioned fallback must
+    // beat-or-match the windowed form here, since this is exactly the
+    // skew it exists for
+    timed("pairs_range_part") {
+      val np = Preference.pairsRangePartitioned(turns, partitions = 32).count()
+      println(f"[pref]   pairs = $np%,d (range-partitioned)")
+    }
     timed("dpo_pack") {
       val pk = Preference.dpoPack(turns)
       val r = pk.agg(count(lit(1)), sum("chosen_len")).head
@@ -131,6 +139,28 @@ object StressPreference {
       val fr = Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
       val b = Frontier.hostBudget(fr, 16).count()
       println(f"[pref]   budgeted urls = $b%,d (≤ 16 × 1000 hosts)")
+    }
+
+    // ---- Relative-href resolution at n pages (r11) ---------------------
+    // same link volume, but every href exercises the resolver: root-
+    // relative, ../ parent hop, bare relative — the regex-heavy path
+    val relPages = spark.range(n)
+      .select(concat(lit("https://h"), col("id") % 1000, lit(".example/dir/p"),
+          col("id")).as("src"),
+        concat(lit("<html><body>"),
+          lit("<a href=\"/p"),
+          pmod(xxhash64(concat(lit("r1:"), col("id"))), lit(n * 5)),
+          lit("\">a</a>"),
+          lit("<a href=\"../up/p"),
+          pmod(xxhash64(concat(lit("r2:"), col("id"))), lit(n * 5)),
+          lit("#f\">b</a>"),
+          lit("<a href=\"sub/p"),
+          pmod(xxhash64(concat(lit("r3:"), col("id"))), lit(n * 5)),
+          lit("\">c</a></body></html>")).as("html"))
+    timed("discovered_resolved") {
+      val r = Frontier.discoveredResolved(relPages, col("src"), col("html"))
+        .agg(count(lit(1)), sum("n_refs")).head
+      println(f"[pref]   resolved urls = ${r.getLong(0)}%,d  refs = ${r.getLong(1)}%,d")
     }
     spark.stop()
   }

@@ -50,4 +50,28 @@ class CalibrationSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.columns.toSet == Set("id", "s", "tag", "calibrated"))
   }
+
+  test("null discipline: null scores poison to null calibrated; fit drops null rows") {
+    // a null score/label row must neither crash the fit nor the apply
+    val train = Seq((Some(0.0), Some(0.0)), (Some(1.0), Some(1.0)),
+      (None, Some(1.0)), (Some(0.5), None)).toDF("s", "y")
+    val m = Calibration.fitIsotonic(train, col("s"), col("y"))
+    val out = Calibration.calibrate(m,
+      Seq((1L, Some(0.0)), (2L, Some(1.0)), (3L, None)).toDF("id", "s"),
+      col("s"))
+      .select(col("id"), col("calibrated")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(0.0) && out(2L).contains(1.0))
+    assert(out(3L).isEmpty, s"null score must calibrate to null: $out")
+  }
+
+  test("calibrate leaves the caller's model instance untouched") {
+    val m = Calibration.fitIsotonic(
+      Seq((0.0, 0.0), (1.0, 1.0)).toDF("s", "y"), col("s"), col("y"))
+    val featBefore = m.getFeaturesCol
+    val predBefore = m.getPredictionCol
+    Calibration.calibrate(m, Seq(0.4).toDF("s"), col("s")).collect()
+    assert(m.getFeaturesCol == featBefore && m.getPredictionCol == predBefore,
+      "calibrate must operate on a copy, not mutate the shared model")
+  }
 }

@@ -104,6 +104,76 @@ class FrontierSpec extends SparkSpec {
       "https://b.example/private/x" -> true), got.toString)
   }
 
+  test("robotsGate above the broadcast threshold: same verdicts through the host equi-join") {
+    val frontier = Seq(
+      ("https://a.example/private/x", 1L, 1L),
+      ("https://a.example/pub/1", 3L, 2L),
+      ("https://b.example/private/x", 1L, 1L))
+      .toDF("url", "n_refs", "n_pages")
+    val robots = Seq(("a.example",
+      "User-agent: *\nDisallow: /private")).toDF("h", "t")
+    val gated = Frontier.robotsGate(frontier, robots, col("h"), col("t"),
+      maxBroadcastRules = 0L) // force the non-broadcast path
+    val got = gated.select("url", "allowed")
+      .as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "https://a.example/private/x" -> false,
+      "https://a.example/pub/1" -> true,
+      "https://b.example/private/x" -> true), got.toString)
+    // NOTE: Spark's own autoBroadcastJoinThreshold may still pick a
+    // broadcast for this tiny fixture — the guard's contract is only
+    // that the FORCED hint is gone, so a tens-of-GB rules frame at real
+    // crawl scale degrades to a shuffle join instead of an OOM; that is
+    // Spark's size estimation doing its job, not ours to re-pin here.
+  }
+
+  test("resolveUrl: RFC 3986 resolution cases against a canonical base") {
+    val base = "https://h.example/a/b/page.html?q=1"
+    val cases = Seq(
+      "https://other.example/x" -> "https://other.example/x", // own scheme
+      "mailto:ops@example.com" -> "mailto:ops@example.com",   // unfetchable, dropped later
+      "//cdn.example/img.png" -> "https://cdn.example/img.png",
+      "/rooted/doc" -> "https://h.example/rooted/doc",
+      "/a/../c" -> "https://h.example/c",
+      "#sec" -> base,
+      "" -> base,
+      "?p=2" -> "https://h.example/a/b/page.html?p=2",
+      "sub/next.html" -> "https://h.example/a/b/sub/next.html",
+      "./same.html" -> "https://h.example/a/b/same.html",
+      "../up.html" -> "https://h.example/a/up.html",
+      "../../../../deep" -> "https://h.example/deep", // clamped at root
+      "n.html?x=2#f" -> "https://h.example/a/b/n.html?x=2#f")
+    val got = cases.map(_._1).toDF("href")
+      .select(col("href"), Frontier.resolveUrl(lit(base), col("href")).as("abs"))
+      .as[(String, String)].collect().toMap
+    for ((href, want) <- cases)
+      assert(got(href) == want, s"href '$href': got ${got(href)}, want $want")
+    // pathless base: relative links resolve against the origin
+    val rootGot = Seq("x").toDF("href")
+      .select(Frontier.resolveUrl(lit("https://h.example"), col("href")))
+      .as[String].head()
+    assert(rootGot == "https://h.example/x")
+  }
+
+  test("discoveredResolved: relative links counted, unfetchable schemes dropped") {
+    val pages = Seq(
+      ("https://h.example/a/index.html",
+        """<a href="./one.html">1</a><a href="../two.html">2</a>""" +
+        """<a href="mailto:x@y">m</a><a href="https://z.example/abs">3</a>"""),
+      ("https://h.example/b/index.html",
+        """<a href="/a/one.html">1</a><a href="#top">t</a>"""))
+      .toDF("src", "html")
+    val got = Frontier.discoveredResolved(pages, col("src"), col("html"))
+      .as[(String, Long, Long)].collect()
+      .map { case (u, r, p) => u -> ((r, p)) }.toMap
+    assert(got == Map(
+      "https://h.example/a/one.html" -> ((2L, 2L)), // ./one.html + /a/one.html
+      "https://h.example/two.html" -> ((1L, 1L)),
+      "https://z.example/abs" -> ((1L, 1L)),
+      // #top resolves to the page itself — a self-reference, still a URL
+      "https://h.example/b/index.html" -> ((1L, 1L))), got.toString)
+  }
+
   test("hostBudget: top-k per host by evidence, deterministic ties, rank carried") {
     val frontier = Seq(
       ("https://a.example/1", 9L, 1L), // a: most refs but fewest pages

@@ -47,6 +47,29 @@ class PreferenceSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("margin") == 1L))
   }
 
+  test("pairsRangePartitioned: identical pairs to the windowed form, no prompt window") {
+    // the mega-prompt fixture IS this degenerate shape: 2 prompts over
+    // many conversations — exactly what the range-partitioned form is for
+    val many = turnFrame((1L to 9L).flatMap { u =>
+      val prompt = if (u % 2 == 0) "go now" else "ask it"
+      val reply = (1L to u).map(i => s"w$i").mkString(" ")
+      Seq((u, 1L, 1L, "user", prompt), (u, 1L, 2L, "assistant", reply))
+    }) // plus the tie/invalid fixture from `turns`
+    for (frame <- Seq(turns, many); parts <- Seq(2, 7)) {
+      val windowed = Preference.pairs(frame)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val ranged = Preference.pairsRangePartitioned(frame, partitions = parts)
+        .select("prompt", "c_user", "c_session", "r_user", "r_session", "margin")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(ranged == windowed, s"parts=$parts: $ranged vs $windowed")
+    }
+    // the scale contract itself: no window partitioned by prompt anywhere
+    val plan = Preference.pairsRangePartitioned(turns, partitions = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(prompt"),
+      s"prompt-keyed window must not appear:\n$plan")
+  }
+
   test("agreement: vote counts, unanimity/majority bookkeeping, exact micro ratio") {
     val pairs = Preference.pairs(turns)
     val got = Preference.agreement(pairs).collect()

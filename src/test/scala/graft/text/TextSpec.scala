@@ -287,6 +287,27 @@ class TextSpec extends SparkSpec {
     assert(got == Seq("cdn3.example.org", "h.io", ""))
   }
 
+  test("withSafetyGate: hard blocks on any hit, soft blocks on ratio, casing can't dodge") {
+    val df = Seq(
+      (1L, "a perfectly ordinary clean sentence here"),      // pass
+      (2L, "one BADWORD buried in plenty of fine prose"),    // hard (case-folded)
+      (3L, "spam spam spam spam"),                           // soft: 4/4 tokens
+      (4L, "spam is mentioned once in twenty tokens of normal prose " +
+           "that keeps going and going and going on")        // incidental: pass
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withSafetyGate(df, $"text",
+        hardWords = Seq("badword"), softWords = Seq("spam"),
+        softPermille = 100L)
+      .select($"doc_id", $"safety", $"n_hard", $"n_soft")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, s, h, so) => id -> ((s, h, so)) }.toMap
+    assert(got(1L) == (("pass", 0L, 0L)))
+    assert(got(2L) == (("blocked_hard", 1L, 0L)))
+    assert(got(3L) == (("blocked_ratio", 0L, 4L)))
+    assert(got(4L)._1 == "pass" && got(4L)._3 == 1L,
+      s"incidental mention must pass: ${got(4L)}")
+  }
+
   test("withRuleFlags: each rule trips on its designed failure mode") {
     val df = Seq(
       // 30 varied 3-5 char words, stopwords present: passes everything
