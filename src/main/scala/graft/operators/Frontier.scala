@@ -218,15 +218,23 @@ object Frontier {
     * referring pages (the in-degree prior a frontier scheduler ranks
     * by). `crawled` must already hold CANONICAL urls (it is the output
     * of previous rounds of this very loop). */
+  /** `estimatedCrawled` sizes the bloom sketch when the caller knows the
+    * crawled index's cardinality (a crawler always does — it is the
+    * previous rounds' output size); the default (-1) lets
+    * [[Relational.bloomAntiJoin]] derive it with a key-only count, an
+    * extra evaluation of the crawled plan worth skipping when the index
+    * is a distinct/aggregate. */
   def expand(pages: DataFrame, srcUrlCol: Column, htmlCol: Column,
              crawled: DataFrame, crawledUrlCol: Column,
-             scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+             scope: CacheScope = CacheScope.unmanaged,
+             estimatedCrawled: Long = -1L): DataFrame = {
     // persisted: the bloom anti-join reads the aggregated frontier twice
     // (proven-new bypass + candidate branch) — persist the SMALL
     // aggregated frame, never the raw link explosion
     val agg = scope.persist(discovered(pages, srcUrlCol, htmlCol))
     Relational.bloomAntiJoin(agg, col("url"),
-      crawled.select(crawledUrlCol.as("url")), col("url"))
+      crawled.select(crawledUrlCol.as("url")), col("url"),
+      estimatedItems = estimatedCrawled)
   }
 
   /** [[expand]] over [[discoveredResolved]]: the full frontier loop —
@@ -234,10 +242,12 @@ object Frontier {
     * crawled-index check. Same persist/scan shape as [[expand]]. */
   def expandResolved(pages: DataFrame, srcUrlCol: Column, htmlCol: Column,
                      crawled: DataFrame, crawledUrlCol: Column,
-                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                     scope: CacheScope = CacheScope.unmanaged,
+                     estimatedCrawled: Long = -1L): DataFrame = {
     val agg = scope.persist(discoveredResolved(pages, srcUrlCol, htmlCol))
     Relational.bloomAntiJoin(agg, col("url"),
-      crawled.select(crawledUrlCol.as("url")), col("url"))
+      crawled.select(crawledUrlCol.as("url")), col("url"),
+      estimatedItems = estimatedCrawled)
   }
 
   /** Link-discovery half of [[expand]]: extraction, absolute-http

@@ -389,12 +389,14 @@ object Relational extends org.apache.spark.internal.Logging {
     * `small.count()` — one cheap extra pass that keeps the fpp honest
     * (a fixed 1M default against a 100M-key crawled index drives fpp
     * toward 1 and silently degrades the bypass to a plain anti-join).
-    * `numBits` defaults to 8 bits/item (fpp ≈ 2%), floored at 8 Mi
-    * bits; Spark itself caps both against the runtime-bloom-filter
-    * session confs, and when the capped sketch falls under 2 bits/item
-    * (fpp ≳ 40% — the bypass has mostly evaporated) a warning is
-    * logged rather than failing: correctness never depends on the
-    * sketch. */
+    * `numBits` defaults to 8 bits/item (fpp ≈ 2%) with NO large floor:
+    * Spark derives the hash-function count as k ≈ (bits/items)·ln 2,
+    * so a big fixed floor against a small item count explodes k into
+    * the thousands and every probe pays it. Spark itself caps both
+    * against the runtime-bloom-filter session confs, and when the
+    * capped sketch falls under 2 bits/item (fpp ≳ 40% — the bypass has
+    * mostly evaporated) a warning is logged rather than failing:
+    * correctness never depends on the sketch. */
   def bloomAntiJoin(big: DataFrame, bigKey: Column,
                     small: DataFrame, smallKey: Column,
                     estimatedItems: Long = -1L,
@@ -408,7 +410,7 @@ object Relational extends org.apache.spark.internal.Logging {
       else math.max(1L, small.select(smallKey.as("k")).count())
     val bits =
       if (numBits > 0L) numBits
-      else math.max(8L * 1024 * 1024, 8L * items)
+      else math.max(64L, 8L * items)
     val maxBits = org.apache.spark.sql.internal.SQLConf.get.getConf(
       org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
     if (math.min(bits, maxBits) < 2L * items)

@@ -268,6 +268,14 @@ object CorpusQueries {
        |  WHERE url NOT IN (SELECT DISTINCT $canonSrc FROM documents))""".stripMargin
   }
 
+  /** Upper bound on the planted crawled index's cardinality — the
+    * advisory-recommended caller-side bloom sizing ([[Frontier.expand]]
+    * `estimatedCrawled`): canonical doc URLs are (host, doc_id % 50)
+    * combos over 4 hosts, so ≤ 200 distinct keys; 256 over-sizes
+    * safely (over-estimation only adds bits) and skips the key-only
+    * count's extra evaluation of the distinct plan. */
+  private val CrawledBound = 256L
+
   /** The planted frontier pages as a DataFrame — the engine twin of
     * [[frontierCtes]]'s `pg`/crawled inputs, shared by q167/q169. */
   private def frontierInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -705,7 +713,8 @@ object CorpusQueries {
               |SELECT url, n_refs, n_pages FROM fr""".stripMargin),
       (s, dir) => {
         val (pages, crawled) = frontierInputs(s, dir)
-        Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
+        Frontier.expand(pages, col("src"), col("html"), crawled, col("url"),
+            estimatedCrawled = CrawledBound)
       }),
 
     // Per-host fetch budget over the expanded frontier
@@ -726,7 +735,8 @@ object CorpusQueries {
       (s, dir) => {
         val (pages, crawled) = frontierInputs(s, dir)
         Frontier.hostBudget(
-          Frontier.expand(pages, col("src"), col("html"), crawled, col("url")),
+          Frontier.expand(pages, col("src"), col("html"), crawled, col("url"),
+            estimatedCrawled = CrawledBound),
           k = 2)
       }),
 
@@ -766,7 +776,8 @@ object CorpusQueries {
             s"Disallow: /page/${i + 1}\nDisallow: /admin")
         }.toDF("host", "txt")
         Frontier.robotsGate(
-          Frontier.expand(pages, col("src"), col("html"), crawled, col("url")),
+          Frontier.expand(pages, col("src"), col("html"), crawled, col("url"),
+            estimatedCrawled = CrawledBound),
           robots, col("host"), col("txt"))
       }),
 

@@ -245,6 +245,39 @@ class FrontierSpec extends SparkSpec {
       "https://t1.example/a", "https://t2.example/b"))
   }
 
+  test("streaming frontier: durable checkpoint — replayed batch overwrites its own commit dir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fr_ckpt").toString
+    val crawledDir = s"$base/crawled" // never written: no seed
+    val frontierDir = s"$base/fr"
+    val ckptDir = s"$base/ckpt"
+    def page(src: String, targets: String*) =
+      (src, targets.map(t => s"""<a href="$t">l</a>""").mkString)
+    val mem = MemoryStream[(String, String)]
+    mem.addData(page("https://p1.example", "https://t1.example/a"))
+    Frontier.runFrontierStream(mem.toDF.toDF("src", "html"),
+      col("src"), col("html"), crawledDir, frontierDir, Some(ckptDir))
+    val afterFirst = spark.read.parquet(frontierDir)
+      .select("url").as[String].collect().toSeq
+    assert(afterFirst == Seq("https://t1.example/a"))
+    // simulate a replay of the SAME batch: wipe the checkpoint's commit
+    // log so the restarted query reprocesses batch 0 from the source —
+    // the stable run token must route it onto the SAME commit dir
+    // (overwrite, not duplicate)
+    val commitsDir = new java.io.File(s"$ckptDir/commits")
+    commitsDir.listFiles().foreach(_.delete())
+    Frontier.runFrontierStream(mem.toDF.toDF("src", "html"),
+      col("src"), col("html"), crawledDir, frontierDir, Some(ckptDir))
+    val afterReplay = spark.read.parquet(frontierDir)
+      .select("url").as[String].collect().toSeq
+    assert(afterReplay == Seq("https://t1.example/a"),
+      s"replay must overwrite its own commit dir, not duplicate: $afterReplay")
+    val commits = new java.io.File(frontierDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("commit="))
+    assert(commits.length == 1, commits.mkString(","))
+  }
+
   test("plan: bloom probe present, proven-new branch join-free, no cartesian anywhere") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
