@@ -155,6 +155,38 @@ object Frontier {
 
   val RobotsDisallowRe = "(?i)Disallow:[ \\t]*([^\\s]+)"
 
+  /** `Crawl-delay` (seconds) of the `User-agent: *` group(s) — the
+    * politeness interval a scheduler honors between fetches to a host.
+    * Same section rule as [[robotsStarDisallows]]; when several star
+    * sections declare delays the MAX applies (the conservative read).
+    * Null when no star section declares one. The `nullif` guard keeps
+    * the cast ANSI-safe (no-match extraction yields `''`). */
+  val RobotsCrawlDelayRe = "(?i)Crawl-delay:[ \\t]*([0-9]+)"
+
+  def robotsStarCrawlDelay(robotsTxt: Column): Column =
+    array_max(transform(
+      filter(split(robotsTxt, "User-agent:"),
+        s => ltrim(s).startsWith("*")),
+      s => nullif(regexp_extract(s, RobotsCrawlDelayRe, 1), lit(""))
+        .cast("long")))
+
+  def robotsStarCrawlDelaySql(e: String): String =
+    "list_max(list_transform(" +
+      s"list_filter(string_split($e, 'User-agent:'), " +
+      "s -> starts_with(ltrim(s), '*')), " +
+      s"s -> TRY_CAST(regexp_extract(s, '$RobotsCrawlDelayRe', 1) AS BIGINT)))"
+
+  /** All `Sitemap:` URLs of a robots.txt — a GLOBAL directive per the
+    * protocol (not scoped to any User-agent section), so it is one
+    * extraction over the whole file. */
+  val RobotsSitemapRe = "(?i)Sitemap:[ \\t]*([^\\s]+)"
+
+  def robotsSitemaps(robotsTxt: Column): Column =
+    regexp_extract_all(robotsTxt, lit(RobotsSitemapRe), lit(1))
+
+  def robotsSitemapsSql(e: String): String =
+    s"regexp_extract_all($e, '$RobotsSitemapRe', 1)"
+
   /** DuckDB twin of [[robotsStarDisallows]] (same split, same section
     * rule, same extraction regex). */
   def robotsStarDisallowsSql(e: String): String =
@@ -218,6 +250,42 @@ object Frontier {
     * referring pages (the in-degree prior a frontier scheduler ranks
     * by). `crawled` must already hold CANONICAL urls (it is the output
     * of previous rounds of this very loop). */
+  /** Delay-derived per-host budget — [[hostBudget]] with the quota
+    * taken from each host's OWN robots `Crawl-delay` instead of one
+    * global k: a crawl round of `roundSeconds` admits
+    * `roundSeconds / max(delay, 1)` fetches to a host (hosts with no
+    * declared delay get the full default `k`). Ordering/tie-breaks are
+    * [[hostBudget]]'s. The dynamic (column-valued) limit cannot plan as
+    * WindowGroupLimit, so each host's group does flow through its
+    * window task — the same per-host cardinality the static-k window
+    * already bounds; delays only ever SHRINK the admitted set.
+    * Output adds `crawl_delay` (null when undeclared) and `cap`. */
+  def politenessBudget(frontier: DataFrame,
+                       robots: DataFrame, hostCol: Column, txtCol: Column,
+                       roundSeconds: Long, k: Int): DataFrame = {
+    require(roundSeconds >= 1, s"roundSeconds must be >= 1, got $roundSeconds")
+    require(k >= 1, s"default budget k must be >= 1, got $k")
+    val delays = robots.select(hostCol.as("host"),
+      robotsStarCrawlDelay(txtCol).as("crawl_delay"))
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_pages").desc, col("n_refs").desc, col("url"))
+    frontier
+      .withColumn("host", TextFunctions.urlHost(col("url")))
+      .join(delays, Seq("host"), "left")
+      .withColumn("cap",
+        when(col("crawl_delay").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong),
+            // floor of a positive double quotient at seconds magnitude
+            // == exact integer division (both operands << 2^53)
+            floor(lit(roundSeconds) /
+              greatest(col("crawl_delay"), lit(1L))).cast("long"))))
+      .withColumn("rk", row_number().over(byHost))
+      .filter(col("rk") <= col("cap"))
+      .select(col("host"), col("url"), col("n_refs"), col("n_pages"),
+        col("rk").cast("long").as("rk"), col("crawl_delay"), col("cap"))
+  }
+
   /** `estimatedCrawled` sizes the bloom sketch when the caller knows the
     * crawled index's cardinality (a crawler always does — it is the
     * previous rounds' output size); the default (-1) lets

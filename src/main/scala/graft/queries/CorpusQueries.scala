@@ -798,7 +798,96 @@ object CorpusQueries {
       (s, dir) => {
         Frontier.discoveredResolved(resolvedFrontierPages(s, dir),
           col("src"), col("html"))
+      }),
+
+    // Robots parse audit (Frontier.robotsStarCrawlDelay/robotsSitemaps):
+    // per-host Crawl-delay of the `User-agent: *` group (named-agent
+    // decoy delay must NOT apply; max across star sections; null when
+    // undeclared) and the file-global Sitemap directives — the two
+    // robots fields a scheduler reads beyond Disallow.
+    Q("q178_robots_audit", {
+      Some(s"""WITH rb AS (SELECT * FROM (VALUES
+              |    $politenessRobotsSqlRows) AS t(host, txt))
+              |SELECT host,
+              |  ${Frontier.robotsStarCrawlDelaySql("txt")} AS crawl_delay,
+              |  CAST(len(${Frontier.robotsSitemapsSql("txt")}) AS BIGINT)
+              |    AS n_sitemaps
+              |FROM rb""".stripMargin)
+    },
+      (s, dir) => {
+        politenessRobots(s)
+          .select(col("host"),
+            Frontier.robotsStarCrawlDelay(col("txt")).as("crawl_delay"),
+            size(Frontier.robotsSitemaps(col("txt"))).cast("long")
+              .as("n_sitemaps"))
+      }),
+
+    // Delay-derived politeness budget (Frontier.politenessBudget): the
+    // q169 quota with each host's cap taken from its OWN Crawl-delay —
+    // a 60 s round admits floor(60/delay) fetches, bounded by the
+    // default k=4; undeclared hosts get k, a zero delay clamps to 1 s.
+    // The dynamic cap is the politeness semantics a real scheduler
+    // enforces; decoy named-agent delays must not shrink anything.
+    Q("q177_politeness_budget", {
+      Some(s"""$frontierCtes,
+              |rb AS (SELECT * FROM (VALUES
+              |    $politenessRobotsSqlRows) AS t(host, txt)),
+              |dl AS (SELECT host,
+              |    ${Frontier.robotsStarCrawlDelaySql("txt")} AS crawl_delay
+              |  FROM rb),
+              |fh AS (SELECT url, n_refs, n_pages,
+              |    ${TextFunctions.urlHostSql("url")} AS host FROM fr),
+              |jj AS (SELECT f.url, f.n_refs, f.n_pages, f.host, d.crawl_delay,
+              |    CASE WHEN d.crawl_delay IS NULL THEN 4
+              |         ELSE least(4, CAST(floor(60 / greatest(d.crawl_delay, 1))
+              |           AS BIGINT)) END AS cap
+              |  FROM fh f LEFT JOIN dl d ON d.host = f.host),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY host
+              |    ORDER BY n_pages DESC, n_refs DESC, url) AS rk FROM jj)
+              |SELECT host, url, n_refs, n_pages, CAST(rk AS BIGINT) AS rk,
+              |  crawl_delay, cap
+              |FROM rk WHERE rk <= cap""".stripMargin)
+    },
+      (s, dir) => {
+        val (pages, crawled) = frontierInputs(s, dir)
+        Frontier.politenessBudget(
+          Frontier.expand(pages, col("src"), col("html"), crawled, col("url"),
+            estimatedCrawled = CrawledBound),
+          politenessRobots(s), col("host"), col("txt"),
+          roundSeconds = 60L, k = 4)
       }))
+
+  /** Per-host Crawl-delay fixture: host0 declares none (default k),
+    * host1 7 s (floor(60/7)=8 → capped at k), host2 31 s (cap 1),
+    * host3 an explicit 0 (clamps to 1 s → cap k). Every file carries a
+    * named-agent decoy delay that must not apply, and i+1 Sitemap
+    * lines. */
+  // def, not val: referenced during the strict `queries` Seq's object
+  // init, which runs before any val declared below it (the q175 lesson)
+  private def PolitenessDelays: Seq[Option[Int]] =
+    Seq(None, Some(7), Some(31), Some(0))
+
+  private def politenessRobotsTxt(i: Int): String = {
+    val delay = PolitenessDelays(i).map(d => s"Crawl-delay: $d\n").getOrElse("")
+    val maps = (1 to i + 1).map(j =>
+      s"Sitemap: https://${CrawlHosts(i)}/sitemap$j.xml\n").mkString
+    "User-agent: fetchbot\nCrawl-delay: 999\n\n" +
+      s"User-agent: *\nDisallow: /admin\n$delay$maps"
+  }
+
+  private def politenessRobots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    CrawlHosts.zipWithIndex.map { case (h, i) =>
+      (h, politenessRobotsTxt(i))
+    }.toDF("host", "txt")
+  }
+
+  private def politenessRobotsSqlRows: String =
+    CrawlHosts.zipWithIndex.map { case (h, i) =>
+      val lit = politenessRobotsTxt(i)
+        .replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"('$h', '$lit')"
+    }.mkString(",\n|    ")
 
   /** Planted relative-link pages: the engine twin of
     * [[resolvedFrontierCtes]]'s `pg` frame. */

@@ -174,6 +174,45 @@ class FrontierSpec extends SparkSpec {
       "https://h.example/b/index.html" -> ((1L, 1L))), got.toString)
   }
 
+  test("robots crawl-delay: star sections only, max wins, null when undeclared, sitemaps global") {
+    val robots = Seq(
+      // decoy named-agent delay must not apply; two star sections -> max
+      ("a.example", "User-agent: bot\nCrawl-delay: 999\n\n" +
+        "User-agent: *\nCrawl-delay: 5\n\nUser-agent: *\nCrawl-delay: 9\n" +
+        "Sitemap: https://a.example/s1.xml\nSitemap: https://a.example/s2.xml"),
+      ("b.example", "User-agent: *\nDisallow: /x"), // no delay declared
+      ("c.example", "User-agent: *\nCrawl-delay: 0")) // explicit zero
+      .toDF("h", "t")
+    val got = robots.select(col("h"),
+        Frontier.robotsStarCrawlDelay(col("t")).as("d"),
+        size(Frontier.robotsSitemaps(col("t"))).as("n"))
+      .as[(String, Option[Long], Int)].collect()
+      .map { case (h, d, n) => h -> ((d, n)) }.toMap
+    assert(got("a.example") == ((Some(9L), 2)), got.toString)
+    assert(got("b.example") == ((None, 0)), got.toString)
+    assert(got("c.example") == ((Some(0L), 0)), got.toString)
+  }
+
+  test("politenessBudget: per-host caps from each host's own delay") {
+    val frontier = (1 to 6).flatMap(i => Seq(
+      (s"https://slow.example/p$i", 1L, 1L),
+      (s"https://free.example/p$i", 1L, 1L),
+      (s"https://zero.example/p$i", 1L, 1L)))
+      .toDF("url", "n_refs", "n_pages")
+    val robots = Seq(
+      ("slow.example", "User-agent: *\nCrawl-delay: 31"), // 60/31 -> cap 1
+      ("zero.example", "User-agent: *\nCrawl-delay: 0"))  // clamps to 1s -> cap k
+      .toDF("h", "t") // free.example: no robots row -> default k
+    val got = Frontier.politenessBudget(frontier, robots, col("h"), col("t"),
+        roundSeconds = 60L, k = 4)
+      .groupBy("host").agg(count(lit(1)).as("n"), max("cap").as("cap"))
+      .as[(String, Long, Long)].collect()
+      .map { case (h, n, c) => h -> ((n, c)) }.toMap
+    assert(got("slow.example") == ((1L, 1L)), got.toString)
+    assert(got("free.example") == ((4L, 4L)), got.toString)
+    assert(got("zero.example") == ((4L, 4L)), got.toString)
+  }
+
   test("hostBudget: top-k per host by evidence, deterministic ties, rank carried") {
     val frontier = Seq(
       ("https://a.example/1", 9L, 1L), // a: most refs but fewest pages
