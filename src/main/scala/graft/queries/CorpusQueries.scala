@@ -681,24 +681,35 @@ object CorpusQueries {
     // sources/models. Nudged micro-quantization (the q124 family rule).
     Q("q166_bradley_terry",
       Some(btSql(3)),
+      (s, dir) => btStrengths(s, dir)),
+
+    // Preference-informed mixture (q179 binding): the Bradley–Terry
+    // source strengths (q166's exact fit, integer-micro-quantized)
+    // allocated over a token budget — alloc_i = budget·bt_i div Σbt —
+    // the quality-weighted mixture a post-training pipeline derives
+    // from pairwise preference outcomes instead of hand-set weights.
+    // Everything after the fit is |sources|-row arithmetic (1-row total
+    // broadcast); the doc-scale work is the fit's own, already audited.
+    Q("q179_bt_mixture",
+      Some(s"""WITH bt AS (
+              |${btSql(3)}
+              |),
+              |tt AS (SELECT CAST(sum(bt_micro) AS BIGINT) AS st FROM bt),
+              |pe AS (SELECT source, count(*) AS n_docs,
+              |    CAST(sum(n_chars) AS BIGINT) AS chars_total
+              |  FROM documents GROUP BY source)
+              |SELECT b.source, b.bt_micro, p.n_docs, p.chars_total,
+              |  1000000 * b.bt_micro // st AS alloc
+              |FROM bt b JOIN pe p USING (source) CROSS JOIN tt""".stripMargin),
       (s, dir) => {
-        val d = docs(s, dir).select("doc_id", "source", "n_chars")
-        val nb = d.agg(count(lit(1)).as("Nb"))
-        val paired = d.crossJoin(broadcast(nb))
-          .withColumn("j", TextFunctions.portableHash(
-            concat(lit("bt:"), col("doc_id").cast("string"))) % col("Nb"))
-          .filter(col("j") =!= col("doc_id"))
-        val opp = d.select(col("doc_id").as("j"),
-          col("source").as("src_j"), col("n_chars").as("nc_j"))
-        val pWins = col("n_chars") > col("nc_j") ||
-          (col("n_chars") === col("nc_j") && col("doc_id") > col("j"))
-        val cmp = paired.join(opp, "j")
-          .filter(col("source") =!= col("src_j"))
-          .select(when(pWins, col("source")).otherwise(col("src_j")).as("w"),
-            when(pWins, col("src_j")).otherwise(col("source")).as("l"))
-        BradleyTerry.fit(cmp, col("w"), col("l"), iterations = 3)
-          .select(col("item").as("source"),
-            floor(col("strength") * 1000000 + lit(0.001)).as("bt_micro"))
+        val bt = btStrengths(s, dir)
+        val tot = bt.agg(sum("bt_micro").as("st"))
+        val per = docs(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+        bt.join(per, "source").crossJoin(broadcast(tot))
+          .select(col("source"), col("bt_micro"), col("n_docs"),
+            col("chars_total"),
+            expr("1000000 * bt_micro div st").as("alloc"))
       }),
 
     // Crawl-frontier expansion (Frontier.expand): pages carry planted
@@ -856,6 +867,31 @@ object CorpusQueries {
           politenessRobots(s), col("host"), col("txt"),
           roundSeconds = 60L, k = 4)
       }))
+
+  /** The q166 Bradley–Terry fit over hash-paired document duels, shared
+    * by q166 and the q179 mixture composite: each doc meets a
+    * hash-drawn partner, the higher-(n_chars, doc_id) doc's SOURCE
+    * takes the win, same-source duels drop, 3 Hunter-MM rounds; output
+    * (source, bt_micro) with the q124-family floor nudge. */
+  private def btStrengths(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source", "n_chars")
+    val nb = d.agg(count(lit(1)).as("Nb"))
+    val paired = d.crossJoin(broadcast(nb))
+      .withColumn("j", TextFunctions.portableHash(
+        concat(lit("bt:"), col("doc_id").cast("string"))) % col("Nb"))
+      .filter(col("j") =!= col("doc_id"))
+    val opp = d.select(col("doc_id").as("j"),
+      col("source").as("src_j"), col("n_chars").as("nc_j"))
+    val pWins = col("n_chars") > col("nc_j") ||
+      (col("n_chars") === col("nc_j") && col("doc_id") > col("j"))
+    val cmp = paired.join(opp, "j")
+      .filter(col("source") =!= col("src_j"))
+      .select(when(pWins, col("source")).otherwise(col("src_j")).as("w"),
+        when(pWins, col("src_j")).otherwise(col("source")).as("l"))
+    BradleyTerry.fit(cmp, col("w"), col("l"), iterations = 3)
+      .select(col("item").as("source"),
+        floor(col("strength") * 1000000 + lit(0.001)).as("bt_micro"))
+  }
 
   /** Per-host Crawl-delay fixture: host0 declares none (default k),
     * host1 7 s (floor(60/7)=8 → capped at k), host2 31 s (cap 1),
