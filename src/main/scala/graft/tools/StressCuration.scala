@@ -84,6 +84,15 @@ object StressCuration {
         .select("doc_id", "lang", "text"))
     stage("1 canonicalize+gates")(gated.count())
 
+    // Stage 1b — safety blocklist gate (q175: two codegen'd lexicon
+    // probes per row, integer ratio verdict). Measured STANDALONE so
+    // stages 2-5 keep their round-over-round comparability — it does
+    // not feed the survivor chain.
+    stage("1b safety gate (standalone)")(
+      TextAnalysis.withSafetyGate(canonical, col("text"),
+        Seq("dup"), Seq("slow", "broken"), softPermille = 80L)
+        .filter(col("safety") === "pass").count())
+
     // Stage 2 — exact dedup keepers (ONE shuffle on the content hash)
     val keepers = CacheScope.unmanaged.persist(
       Dedup.exactGroups(gated, col("doc_id"), col("text"), md5)

@@ -34,6 +34,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(joined.filter($"ns" =!= $"nb").count() == 0)
   }
 
+  test("safety gate on a stream: stateless projection, verdicts == batch per doc") {
+    // the curation gates (q175 family) are per-row projections, so they
+    // apply to a document stream UNCHANGED — this pins that contract:
+    // two micro-batches through the same withSafetyGate must produce
+    // the batch verdict for every doc_id
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val src = Files.createTempDirectory("graft_safety_stream")
+    d.filter($"doc_id" % 2 === 0).write.parquet(s"$src/a.parquet.dir")
+    d.filter($"doc_id" % 2 === 1).write.parquet(s"$src/b.parquet.dir")
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextAnalysis.withSafetyGate(df, col("text"),
+        Seq("dup"), Seq("slow", "broken"), softPermille = 80L)
+        .select("doc_id", "safety")
+    val streamed = EventsStream.runToMemory(
+      gate(stream), "safety_stream_test", OutputMode.Append())
+      .as[(Long, String)].collect().toMap
+    val batch = gate(d).as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"stream/batch verdict drift: ${streamed.size} vs ${batch.size}")
+    assert(batch.values.toSet == Set("pass", "blocked_hard", "blocked_ratio"),
+      "fixture must populate all three verdicts: " + batch.values.toSet)
+  }
+
   test("sliding-window averages produce overlapping windows") {
     val out = EventsStream.runToMemory(
       EventsStream.slidingAvg(EventsStream.read(spark, streamDir)),
