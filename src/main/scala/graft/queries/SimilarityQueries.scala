@@ -398,6 +398,48 @@ object SimilarityQueries {
           }
         }
         s.createDataFrame(rows.toSeq).toDF("cell", "dim", "c_r")
+      }),
+
+    // Margin-based bitext mining (Similarity.bitextMine): even-id
+    // vectors are the source corpus, 40 odd-id vectors the target
+    // mining batch; each candidate's cosine is normalized by both
+    // sides' top-4-neighbor mass (the Artetxe–Schwenk ratio margin —
+    // hubs discount themselves) with integer-exact arithmetic: micro
+    // cosines, integer neighbor SUMS (k cancels into the numerator),
+    // one int64 division. Top-50 by (margin, ids).
+    Q("q180_bitext_margin",
+      Some(s"""WITH $eCte,
+              |s AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+              |t AS (SELECT vec_id AS tgt_id, v AS tv FROM e
+              |  WHERE vec_id % 2 = 1 AND vec_id <= 80),
+              |m AS (SELECT src_id, tgt_id,
+              |    CAST(floor(round(${Similarity.cosineSql("v", "tv")}, 4)
+              |      * 10000 + 0.001) AS BIGINT) AS cos_micro
+              |  FROM s CROSS JOIN t),
+              |ax AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS ax_sum
+              |  FROM (SELECT src_id, tgt_id, cos_micro FROM m
+              |    QUALIFY row_number() OVER (PARTITION BY src_id
+              |      ORDER BY cos_micro DESC, tgt_id) <= 4)
+              |  GROUP BY src_id),
+              |ay AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS ay_sum
+              |  FROM (SELECT src_id, tgt_id, cos_micro FROM m
+              |    QUALIFY row_number() OVER (PARTITION BY tgt_id
+              |      ORDER BY cos_micro DESC, src_id) <= 4)
+              |  GROUP BY tgt_id)
+              |SELECT m.src_id, m.tgt_id, m.cos_micro,
+              |  (2 * 4 * m.cos_micro * 1000000) // (ax_sum + ay_sum)
+              |    AS margin_micro
+              |FROM m JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+              |WHERE m.cos_micro > 0 AND ax_sum + ay_sum > 0
+              |ORDER BY margin_micro DESC, m.src_id, m.tgt_id
+              |LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.bitextMine(
+          e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") % 2 === 1 && col("vec_id") <= 80),
+          col("vec_id"), col("embedding"),
+          nnK = 4, topN = 50)
       })
   )
 }

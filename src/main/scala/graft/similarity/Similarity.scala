@@ -89,6 +89,68 @@ object Similarity {
       .select("anchor_id", "vec_id", "cos_sim", "rnk")
   }
 
+  /** Margin-based bitext mining — the parallel-corpus extraction scorer
+    * (Artetxe & Schwenk's ratio margin, the LASER/CCMatrix criterion):
+    * a (src, tgt) candidate is scored by its cosine RELATIVE to what
+    * each side scores against its own k nearest candidates,
+    *
+    *   margin(x,y) = 2·cos(x,y) / (avg top-k cos(x,·) + avg top-k cos(·,y)),
+    *
+    * so "hub" vectors moderately close to EVERYTHING are discounted and
+    * genuinely-parallel pairs surface — raw cosine alone over-mines
+    * hubs. Integer-exact end to end: cosines are micro-quantized with
+    * the q124 floor nudge, the top-k neighbor means stay as integer
+    * SUMS (k cancels into the margin's numerator), and the margin is
+    * one int64 division — no float summation order anywhere, so the
+    * DuckDB twin is bit-identical. Pairs with a non-positive
+    * denominator are dropped (a margin over anti-correlated
+    * neighborhoods ranks nothing meaningful).
+    *
+    * Scale shape: `tgt` is the MINING BATCH — broadcast by contract
+    * (production mines target shards batch-by-batch, the [[knnBatch]]
+    * economics), so the corpus-sized side is scanned once into a
+    * |src|×|tgt| scored frame (persisted: three readers). Both top-k
+    * ranks are WindowGroupLimit shapes; `ay` is |tgt| rows and
+    * broadcasts back; the final cut is TakeOrderedAndProject. */
+  def bitextMine(src: DataFrame, srcIdCol: Column, srcVecCol: Column,
+                 tgt: DataFrame, tgtIdCol: Column, tgtVecCol: Column,
+                 nnK: Int, topN: Int,
+                 scope: graft.operators.CacheScope =
+                   graft.operators.CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nnK > 0, s"nnK must be > 0, got $nnK")
+    require(topN > 0, s"topN must be > 0, got $topN")
+    val s = src.select(srcIdCol.as("src_id"), srcVecCol.cast("array<double>").as("v"))
+    val t = tgt.select(tgtIdCol.as("tgt_id"), tgtVecCol.cast("array<double>").as("tv"))
+    val scored = scope.persist(s.crossJoin(broadcast(t))
+      .withColumn("cos_micro",
+        floor(round(cosine(col("v"), col("tv")), 4) * 10000 + lit(0.001))
+          .cast("long"))
+      .select("src_id", "tgt_id", "cos_micro"))
+    val wx = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_micro").desc, col("tgt_id"))
+    val ax = scored.withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= nnK)
+      .groupBy("src_id").agg(sum("cos_micro").as("ax_sum"))
+    val wy = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_micro").desc, col("src_id"))
+    val ay = scored.withColumn("rk", row_number().over(wy))
+      .filter(col("rk") <= nnK)
+      .groupBy("tgt_id").agg(sum("cos_micro").as("ay_sum"))
+    // cos_micro > 0: a non-positive cosine is never a translation pair,
+    // and keeping the numerator positive makes the integer division
+    // direction-identical across engines (Spark `div` truncates toward
+    // zero, DuckDB `//` floors — they only agree on non-negatives)
+    scored.join(ax, "src_id").join(broadcast(ay), "tgt_id")
+      .filter(col("cos_micro") > 0 && col("ax_sum") + col("ay_sum") > 0)
+      // 2·k·cos_micro·10^6 ≤ 2·k·10^10 — int64-safe for any sane k
+      .withColumn("margin_micro",
+        expr(s"(2 * $nnK * cos_micro * 1000000) div (ax_sum + ay_sum)"))
+      .orderBy(col("margin_micro").desc, col("src_id"), col("tgt_id"))
+      .limit(topN)
+      .select("src_id", "tgt_id", "cos_micro", "margin_micro")
+  }
+
   /** Two-stage retrieval: coarse top-`coarseK` by cosine over the first
     * `dPrefix` dimensions, exact full-dimension rerank of those
     * candidates to top-`k` — the truncate-then-rerank pattern of

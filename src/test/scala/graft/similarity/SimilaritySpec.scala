@@ -528,4 +528,35 @@ class SimilaritySpec extends SparkSpec {
       "empty positive set must reproduce knnBatch")
     hn.unpersist()
   }
+
+  test("bitextMine: the ratio margin surfaces true pairs and discounts hubs") {
+    // src 1 and tgt 101 are a planted parallel pair on a unique axis;
+    // tgt 102 is a HUB: decently close to EVERY src (a high raw cosine
+    // everywhere), which the margin must discount below the true pair.
+    def v(x: Double, y: Double, z: Double) = Array(x, y, z)
+    val src = Seq(
+      (1L, v(1, 0, 0)),
+      (2L, v(0.6, 0.8, 0)), (3L, v(0.6, 0, 0.8)), (4L, v(0.6, 0.57, 0.57)))
+      .toDF("id", "vec")
+    val hub = v(0.75, 0.47, 0.47) // ~0.75 cosine against every src
+    val tgt = Seq(
+      (101L, v(1, 0, 0)),   // exact match for src 1 only
+      (102L, hub),
+      (103L, v(0, 1, 0)))
+      .toDF("id", "vec")
+    val got = Similarity.bitextMine(src, col("id"), col("vec"),
+        tgt, col("id"), col("vec"), nnK = 2, topN = 12)
+      .select("src_id", "tgt_id", "margin_micro")
+      .as[(Long, Long, Long)].collect()
+    val top = got.maxBy(_._3)
+    assert((top._1, top._2) == ((1L, 101L)),
+      s"the planted parallel pair must rank first: ${got.toSeq}")
+    // every hub pair's margin is below the true pair's
+    val hubBest = got.filter(_._2 == 102L).map(_._3).max
+    assert(hubBest < top._3,
+      s"hub margins must be discounted: hub=$hubBest true=${top._3}")
+    // non-positive cosines never mine: src 1 vs tgt 103 is orthogonal
+    assert(!got.exists(p => p._1 == 1L && p._2 == 103L),
+      "orthogonal pair must be filtered")
+  }
 }
