@@ -304,6 +304,29 @@ object ChatQueries {
               |    ORDER BY turn_idx) AS rendered,
               |  CAST(sum(turn_len) AS BIGINT) AS rendered_len
               |FROM turns GROUP BY user_id, session_id""".stripMargin),
-      (s, dir) => Instruct.render(Instruct.turns(ev(s, dir))))
+      (s, dir) => Instruct.render(Instruct.turns(ev(s, dir)))),
+
+    // Best-of-n rejection-sampling selection (Preference.bestOf): per
+    // prompt the single highest-scoring conversation, with its rendered
+    // training string — the SFT pack distilled from an implicit reward
+    // over each prompt's candidates. The winner is ONE
+    // map-side-combinable struct-max aggregation (no prompt window);
+    // the render stream joins the broadcast winner frame. Full rendered
+    // texts are in the hash, so selection + rendering certify together.
+    Q("q181_best_of_n",
+      Some(s"""$prefPairCtes,
+              |best AS (SELECT prompt, user_id, session_id,
+              |    CAST(score AS BIGINT) AS score
+              |  FROM sc
+              |  QUALIFY row_number() OVER (PARTITION BY prompt
+              |    ORDER BY score DESC, user_id, session_id) = 1),
+              |rd AS (SELECT user_id, session_id,
+              |    string_agg('<|' || role || '|>' || content || '<|end|>', ''
+              |      ORDER BY turn_idx) AS rendered
+              |  FROM turns GROUP BY user_id, session_id)
+              |SELECT b.prompt, b.user_id, b.session_id, b.score,
+              |  rd.rendered AS best_response
+              |FROM best b JOIN rd USING (user_id, session_id)""".stripMargin),
+      (s, dir) => Preference.bestOf(Instruct.turns(ev(s, dir))))
   )
 }

@@ -104,6 +104,30 @@ object Preference {
         (col("score") - col("r_score")).as("margin"))
   }
 
+  /** Rejection-sampling selection (best-of-n distillation): per prompt,
+    * keep the single highest-scoring conversation and emit its rendered
+    * training string — the SFT pack distilled from an implicit reward
+    * over the prompt's n candidates (the standard best-of-n op between
+    * a reward signal and SFT). Selection is ONE map-side-combinable
+    * aggregation — `max` of an ordering struct, no prompt-keyed window,
+    * so [[pairs]]' mega-prompt hazard cannot arise — and the
+    * conversation-scale render stream joins against the BROADCAST
+    * |prompts|-row winner frame, never the reverse. Ordering matches
+    * [[pairs]]: score desc, ties to the smallest (user_id, session_id). */
+  def bestOf(turns: DataFrame): DataFrame = {
+    val winner = scoredConversations(turns)
+      .groupBy("prompt")
+      .agg(max(struct(col("score"),
+        (-col("user_id")).as("nu"), (-col("session_id")).as("ns"))).as("w"))
+      .select(col("prompt"), col("w.score").as("score"),
+        (-col("w.nu")).as("user_id"), (-col("w.ns")).as("session_id"))
+    Instruct.render(turns)
+      .select(col("user_id"), col("session_id"), col("rendered"))
+      .join(broadcast(winner), Seq("user_id", "session_id"))
+      .select(col("prompt"), col("user_id"), col("session_id"),
+        col("score"), col("rendered").as("best_response"))
+  }
+
   /** Shared conversation-scoring stage of [[pairs]] /
     * [[pairsRangePartitioned]]: ONE pass over the turn frame — the
     * audit columns the score needs (the [[Instruct.alternationAudit]]

@@ -70,6 +70,21 @@ class PreferenceSpec extends SparkSpec {
       s"prompt-keyed window must not appear:\n$plan")
   }
 
+  test("bestOf: per-prompt argmax with pairs' tie order, rendered string attached, no prompt window") {
+    val got = Preference.bestOf(turns)
+      .select("prompt", "user_id", "score", "best_response")
+      .as[(String, Long, Long, String)].collect()
+      .map { case (p, u, s, r) => p -> ((u, s, r)) }.toMap
+    // "ask": u2 wins (100004); "task": exact tie 100002 -> smallest user (u4)
+    assert(got("ask")._1 == 2L && got("ask")._2 == 100004L, got.toString)
+    assert(got("task")._1 == 4L, s"tie must break to the smallest user: $got")
+    assert(got("ask")._3.startsWith("<|user|>ask two<|end|>"),
+      s"winner's own render must be attached: ${got("ask")._3}")
+    val plan = Preference.bestOf(turns).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(prompt"),
+      s"selection must be an aggregation, not a prompt window:\n$plan")
+  }
+
   test("agreement: vote counts, unanimity/majority bookkeeping, exact micro ratio") {
     val pairs = Preference.pairs(turns)
     val got = Preference.agreement(pairs).collect()
