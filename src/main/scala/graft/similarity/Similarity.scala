@@ -109,9 +109,12 @@ object Similarity {
     * Scale shape: `tgt` is the MINING BATCH — broadcast by contract
     * (production mines target shards batch-by-batch, the [[knnBatch]]
     * economics), so the corpus-sized side is scanned once into a
-    * |src|×|tgt| scored frame (persisted: three readers). Both top-k
-    * ranks are WindowGroupLimit shapes; `ay` is |tgt| rows and
-    * broadcasts back; the final cut is TakeOrderedAndProject. */
+    * |src|×|tgt| scored frame (persisted: three readers). The src-side
+    * top-k is a WindowGroupLimit shape over plentiful src keys; the
+    * tgt-side top-k is a salted two-level reduction (a tgt-keyed window
+    * would funnel |src| rows per target through one task — the
+    * mega-key hazard); `ay` is |tgt| rows and broadcasts back; the
+    * final cut is TakeOrderedAndProject. */
   def bitextMine(src: DataFrame, srcIdCol: Column, srcVecCol: Column,
                  tgt: DataFrame, tgtIdCol: Column, tgtVecCol: Column,
                  nnK: Int, topN: Int,
@@ -132,11 +135,22 @@ object Similarity {
     val ax = scored.withColumn("rk", row_number().over(wx))
       .filter(col("rk") <= nnK)
       .groupBy("src_id").agg(sum("cos_micro").as("ax_sum"))
-    val wy = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("cos_micro").desc, col("src_id"))
-    val ay = scored.withColumn("rk", row_number().over(wy))
-      .filter(col("rk") <= nnK)
-      .groupBy("tgt_id").agg(sum("cos_micro").as("ay_sum"))
+    // ay = per-TARGET top-k sum. A tgt-keyed window would funnel all
+    // |src| rows of a target through ONE task (|tgt| is the mining
+    // batch — a handful of keys), so this is the classic two-level
+    // top-k instead: salted partial top-k per (tgt, src mod 64), then
+    // the 64·k survivors per target reduce to the final top-k sum.
+    // Tie-safe by construction: the sum only ever adds VALUES, and
+    // values tied at the k boundary are equal whichever row is kept.
+    val ay = scored
+      .groupBy(col("tgt_id"), pmod(col("src_id"), lit(64L)).as("_s"))
+      .agg(slice(sort_array(collect_list(col("cos_micro")), asc = false),
+        1, nnK).as("cand"))
+      .groupBy("tgt_id")
+      .agg(aggregate(
+        slice(sort_array(flatten(collect_list(col("cand"))), asc = false),
+          1, nnK),
+        lit(0L), (acc, x) => acc + x).as("ay_sum"))
     // cos_micro > 0: a non-positive cosine is never a translation pair,
     // and keeping the numerator positive makes the integer division
     // direction-identical across engines (Spark `div` truncates toward

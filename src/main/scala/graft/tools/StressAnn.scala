@@ -81,6 +81,16 @@ object StressAnn {
     var bHits = 0L
     batchSets.foreach { case (qid, s) => bHits += (s & bruteSets(qid)).size }
     println(f"[ann] batched recall@$k vs brute: ${bHits.toDouble / (nQ * k)}%.3f")
+
+    // Bitext margin mining (r11): the full 1M-corpus src side against a
+    // 64-vector target batch — one corpus scan into the scored frame,
+    // both neighbor ranks, the margin division, the global top cut
+    val tgtBatch = corpus.filter(pmod(col("vec_id"), lit(15625L)) === 7L)
+    time(s"bitext margin mine (64-target batch)") {
+      val mined = Similarity.bitextMine(corpus, col("vec_id"), col("embedding"),
+        tgtBatch, col("vec_id"), col("embedding"), nnK = 4, topN = 100)
+      println(s"[ann]   mined pairs = ${mined.count()} (top-100 cut)")
+    }
     spark.stop()
   }
 }
