@@ -449,4 +449,26 @@ object TextFunctions {
   def lexiconHitsSql(toksE: String, words: Seq[String]): String =
     if (words.isEmpty) "CAST(0 AS BIGINT)" // `t IN ()` would not parse
     else s"len(list_filter($toksE, t -> t IN (${words.distinct.map(w => s"'$w'").mkString(",")})))"
+
+  /** Total SUBSTRING occurrences of a fixed pattern set — the substring
+    * tier of the blocklist gates (embedded matches the token-level
+    * [[lexiconHits]] cannot see), as ONE Aho–Corasick DFA pass
+    * ([[expressions.SubstringHitCount]]: one transition per input byte,
+    * blocklist compiled into a reference object). Patterns must be
+    * border-free — enforced loudly — so the count equals the
+    * per-pattern non-overlapping `replace`-count the SQL twin computes. */
+  def substringHits(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      expressions.SubstringHitCount(
+        org.apache.spark.sql.graft.Bridge.expression(text), patterns))
+
+  /** DuckDB twin of [[substringHits]]: Σ_p (length − length(replace)) /
+    * charlen(p) — k passes are fine on the ORACLE side; the engine does
+    * one. */
+  def substringHitsSql(e: String, patterns: Seq[String]): String =
+    patterns.map { p =>
+      val q = p.replace("'", "''")
+      val cl = p.codePointCount(0, p.length)
+      s"((length($e) - length(replace($e, '$q', ''))) // $cl)"
+    }.mkString("(CAST(", " + ", " AS BIGINT))")
 }

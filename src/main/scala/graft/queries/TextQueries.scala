@@ -32,6 +32,9 @@ object TextQueries {
   private val SafetyHard = Seq("dup")
   private val SafetySoft = Seq("slow", "broken")
   private val SafetyPermille = 80L
+  // border-free substring patterns with real embedded hits in the
+  // synthetic vocabulary ("art" in part/start, "rea" in stream)
+  private val SubstringPatterns = Seq("art", "rea", "dup")
 
   // ---- BPE oracle SQL generation ----------------------------------------
   private val BpeK = 4
@@ -1387,6 +1390,31 @@ object TextQueries {
             sum("n_tok").as("n_tokens"),
             sum("n_hard").as("hard_hits"),
             sum("n_soft").as("soft_hits"))
+      }),
+
+    // Substring blocklist scan (SubstringHitCount — Aho–Corasick DFA):
+    // the substring tier the token gate can't see; "art"/"rea" hit
+    // EMBEDDED in part/start/stream etc., so the count does real work
+    // the q175 lexicon probe cannot. One DFA transition per input byte
+    // on the engine; the oracle replays each pattern with the
+    // non-overlapping replace-count (equal by the border-free
+    // contract). Per-lang audit: docs, hits, flagged docs.
+    Q("q182_substring_scan", {
+      val hitsSql = substringHitsSql("text", SubstringPatterns)
+      Some(s"""WITH h AS (SELECT lang, $hitsSql AS n_hits FROM documents)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n_hits) AS BIGINT) AS n_hits,
+              |  CAST(count_if(n_hits > 0) AS BIGINT) AS n_flagged
+              |FROM h GROUP BY lang""".stripMargin)
+    },
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("lang"),
+            substringHits(col("text"), SubstringPatterns).as("n_hits"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_hits").as("n_hits"),
+            count_if(col("n_hits") > 0).as("n_flagged"))
       })
   )
 }

@@ -308,6 +308,27 @@ class TextSpec extends SparkSpec {
       s"incidental mention must pass: ${got(4L)}")
   }
 
+  test("substringHits: embedded/overlapping-across-pattern counts, border guard throws") {
+    val df = Seq(
+      (1L, "the start of a part"),        // "art" embedded twice
+      (2L, "stream reader"),              // "rea" twice (stream, reader)
+      (3L, "xbadwordx and badword"),      // embedded + standalone
+      (4L, "naïve café — no hits"),       // multi-byte text, zero hits
+      (5L, "overlap: cart and cream"))    // "art" + "rea" cross-pattern
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        substringHits($"text", Seq("art", "rea", "badword")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 2L),
+      got.toString)
+    // a bordered pattern ("aba": prefix 'a' == suffix 'a') must fail
+    // loudly — its self-overlap diverges from the replace-count oracle
+    val e = intercept[IllegalArgumentException] {
+      substringHits($"text", Seq("aba"))
+    }
+    assert(e.getMessage.contains("border"), e.getMessage)
+  }
+
   test("withRuleFlags: each rule trips on its designed failure mode") {
     val df = Seq(
       // 30 varied 3-5 char words, stopwords present: passes everything
