@@ -93,6 +93,29 @@ object StressCuration {
         Seq("dup"), Seq("slow", "broken"), softPermille = 80L)
         .filter(col("safety") === "pass").count())
 
+    // Stage 1c — substring blocklist (q182): the Aho–Corasick DFA vs
+    // the per-pattern length-replace fold it replaces, on a 20-term
+    // blocklist. Standalone like 1b.
+    val blocklist = Seq("art", "rea", "dup", "merg", "spark", "windo",
+      "batc", "strea", "filt", "cust", "vecto", "colum", "valu", "quer",
+      "tabl", "scan", "sort", "group", "lin", "bigx")
+    stage("1c substring DFA (20 terms)")(
+      canonical.select(
+        graft.functions.TextFunctions.substringHits(col("text"), blocklist)
+          .as("h")).filter(col("h") > 0).count())
+    stage("1c substring fold/regexp (20 terms)")(
+      canonical.select(
+        blocklist.map(p =>
+          (length(col("text")) - length(regexp_replace(col("text"),
+            java.util.regex.Pattern.quote(p), ""))) / p.length)
+          .reduce(_ + _).as("h")).filter(col("h") > 0).count())
+    stage("1c substring fold/replace (20 terms)")(
+      canonical.select(
+        blocklist.map(p =>
+          (length(col("text")) - length(replace(col("text"), lit(p),
+            lit("")))) / p.length)
+          .reduce(_ + _).as("h")).filter(col("h") > 0).count())
+
     // Stage 2 — exact dedup keepers (ONE shuffle on the content hash)
     val keepers = CacheScope.unmanaged.persist(
       Dedup.exactGroups(gated, col("doc_id"), col("text"), md5)
