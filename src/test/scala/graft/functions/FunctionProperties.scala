@@ -82,4 +82,43 @@ object FunctionProperties extends Properties("graft.functions") {
       }
     }
   }
+
+  // --- AhoCorasickCounter vs the brute-force all-occurrence count -------
+  // Small alphabet ("ab") maximizes collisions/overlaps; border-free
+  // filter mirrors the expression's construction contract, under which
+  // all-occurrence counting == non-overlapping replace-count.
+  private val abText = Gen.listOf(Gen.oneOf('a', 'b')).map(_.mkString)
+  private def borderFree(p: String): Boolean = {
+    val b = p.getBytes("UTF-8")
+    !(1 until b.length).exists(k =>
+      java.util.Arrays.equals(b, 0, k, b, b.length - k, b.length))
+  }
+  private val abPatterns = Gen.nonEmptyListOf(
+      Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+    .map(_.distinct.filter(borderFree)).suchThat(_.nonEmpty)
+
+  private def bruteCount(text: String, ps: Seq[String]): Long =
+    ps.map { p =>
+      var i = 0; var n = 0L
+      while ({ i = text.indexOf(p, i); i >= 0 }) { n += 1; i += 1 }
+      n
+    }.sum
+
+  property("AhoCorasickCounter.countAll equals the brute all-occurrence sum") =
+    Prop.forAll(abText, abPatterns) { (text, ps) =>
+      val ac = new graft.functions.expressions.AhoCorasickCounter(
+        ps.map(_.getBytes("UTF-8")))
+      ac.countAll(UTF8String.fromString(text)) == bruteCount(text, ps)
+    }
+
+  property("border-free contract: all-occurrence == non-overlapping replace count") =
+    Prop.forAll(abText, abPatterns) { (text, ps) =>
+      val nonOverlap = ps.map { p =>
+        (text.length - text.replace(p, "").length).toLong / p.length
+      }.sum
+      val ac = new graft.functions.expressions.AhoCorasickCounter(
+        ps.map(_.getBytes("UTF-8")))
+      ac.countAll(UTF8String.fromString(text)) == nonOverlap
+    }
 }
