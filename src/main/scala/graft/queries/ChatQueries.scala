@@ -327,6 +327,43 @@ object ChatQueries {
               |SELECT b.prompt, b.user_id, b.session_id, b.score,
               |  rd.rendered AS best_response
               |FROM best b JOIN rd USING (user_id, session_id)""".stripMargin),
-      (s, dir) => Preference.bestOf(Instruct.turns(ev(s, dir))))
+      (s, dir) => Preference.bestOf(Instruct.turns(ev(s, dir)))),
+
+    // PII scrub inside the SFT render path (scrubPii ∘ render): turns
+    // carry PLANTED emails/phones (by turn_idx mod 3 — both PII kinds
+    // exercised in every conversation shape), content is scrubbed to
+    // typed placeholders BEFORE rendering — the order a training
+    // pipeline requires (scrub before anything persists) — and each
+    // conversation reports its pre-scrub PII count. Full scrubbed
+    // renders are in the hash, so the scrub, the planting, and the
+    // render ordering all certify together.
+    Q("q183_chat_scrub", {
+      val scrub = TextFunctions.scrubPiiSql("planted")
+      Some(s"""$turnsCtes,
+              |pl AS (SELECT user_id, session_id, turn_idx, role,
+              |    content || CASE CAST(turn_idx % 3 AS INT)
+              |      WHEN 0 THEN ' contact a.b@test.org'
+              |      WHEN 1 THEN ' call 555-010-1234' ELSE '' END AS planted
+              |  FROM turns)
+              |SELECT user_id, session_id,
+              |  string_agg('<|' || role || '|>' || $scrub || '<|end|>', ''
+              |    ORDER BY turn_idx) AS rendered,
+              |  CAST(sum(${TextFunctions.piiCountSql("planted")}) AS BIGINT)
+              |    AS n_pii
+              |FROM pl GROUP BY user_id, session_id""".stripMargin)
+    },
+      (s, dir) => {
+        val planted = Instruct.turns(ev(s, dir))
+          .withColumn("planted", concat(col("content"),
+            when(col("turn_idx") % 3 === 0, lit(" contact a.b@test.org"))
+              .when(col("turn_idx") % 3 === 1, lit(" call 555-010-1234"))
+              .otherwise(lit(""))))
+        val counts = planted.groupBy("user_id", "session_id")
+          .agg(sum(TextFunctions.piiCount(col("planted"))).as("n_pii"))
+        Instruct.render(
+            planted.withColumn("content", TextFunctions.scrubPii(col("planted"))))
+          .drop("rendered_len")
+          .join(counts, Seq("user_id", "session_id"))
+      })
   )
 }
