@@ -174,6 +174,25 @@ class FrontierSpec extends SparkSpec {
       "https://h.example/b/index.html" -> ((1L, 1L))), got.toString)
   }
 
+  test("expandResolved == expand on absolute-only links; adds the relative ones") {
+    val pages = Seq(
+      ("https://p1.example/a/", """<a href="https://t1.example/x">1</a>""" +
+        """<a href="rel/2">r</a>"""),
+      ("https://p2.example/", """<a href="https://t1.example/x">1</a>"""))
+      .toDF("src", "html")
+    val crawled = Seq("https://t9.example/seen").toDF("url")
+    val abs = Frontier.expand(pages, col("src"), col("html"),
+        crawled, col("url"))
+      .as[(String, Long, Long)].collect().toSet
+    val res = Frontier.expandResolved(pages, col("src"), col("html"),
+        crawled, col("url"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(abs == Set(("https://t1.example/x", 2L, 2L)), abs.toString)
+    // resolved = the absolute set PLUS the page-relative link
+    assert(res == abs + (("https://p1.example/a/rel/2", 1L, 1L)),
+      res.toString)
+  }
+
   test("robots crawl-delay: star sections only, max wins, null when undeclared, sitemaps global") {
     val robots = Seq(
       // decoy named-agent delay must not apply; two star sections -> max
