@@ -462,6 +462,16 @@ object TextFunctions {
       expressions.SubstringHitCount(
         org.apache.spark.sql.graft.Bridge.expression(text), patterns))
 
+  /** Compression-ratio quality signal ([[expressions.DeflateRatio]]):
+    * micro-int `deflate(text)/|text|` — the entropy proxy that flags
+    * templated/repetitive text token-level stats miss. Spec-tier (no
+    * DuckDB deflate — no SQL twin by design); deterministic at a fixed
+    * level, thread-local deflater, null on null/empty input. */
+  def deflateRatioMicro(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      expressions.DeflateRatio(
+        org.apache.spark.sql.graft.Bridge.expression(text), level))
+
   /** DuckDB twin of [[substringHits]]: Σ_p (length − length(replace)) /
     * charlen(p) — k passes are fine on the ORACLE side; the engine does
     * one. */

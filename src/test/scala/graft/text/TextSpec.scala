@@ -329,6 +329,25 @@ class TextSpec extends SparkSpec {
     assert(e.getMessage.contains("border"), e.getMessage)
   }
 
+  test("deflateRatioMicro: repetitive text compresses far below organic prose; deterministic") {
+    val boiler = ("subscribe to our newsletter now " * 40).trim
+    val prose = "the quick brown fox inspects a surprisingly intricate " +
+      "arrangement of vexed zebras while gusty winds whisk pale jugs of " +
+      "mixed juice across the dock and every clause introduces new words"
+    val df = Seq((1L, boiler), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", deflateRatioMicro($"text").as("r"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(3L).isEmpty, "empty doc has no ratio")
+    val (b, p) = (got(1L).get, got(2L).get)
+    assert(b < p / 3,
+      s"boilerplate must compress far below prose: boiler=$b prose=$p")
+    assert(p > 300000L && p < 1100000L, s"prose ratio sanity: $p")
+    // determinism across evaluations (fresh plan, same values)
+    val again = df.select($"doc_id", deflateRatioMicro($"text").as("r"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(again == got)
+  }
+
   test("withRuleFlags: each rule trips on its designed failure mode") {
     val df = Seq(
       // 30 varied 3-5 char words, stopwords present: passes everything
