@@ -13,12 +13,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * downstream thresholds are exact integer comparisons like every
   * other gate.
   *
-  * Deterministic by construction: the pure-Java `Deflater` at a FIXED
-  * level with default strategy is a deterministic function of the input
-  * bytes (no timestamps/headers — raw deflate stream), so the signal is
-  * stable across runs and partitionings. Spec-tier (DuckDB has no
-  * deflate — there is no SQL twin by design; the spec pins
-  * monotonicity and determinism instead).
+  * Determinism contract: `java.util.zip.Deflater` at a FIXED level with
+  * default strategy emits no timestamps/headers (raw deflate stream), so
+  * the signal is stable across runs and partitionings ON A GIVEN JVM.
+  * It is NOT pure Java — Deflater delegates to the JVM's bundled native
+  * zlib, and a heterogeneous cluster mixing JDK builds (or zlib-ng-backed
+  * runtimes) can emit different compressed lengths for the same input at
+  * the same level. Deploy on homogeneous executor images (the standard
+  * cluster posture) or treat thresholds on this signal as fuzzy.
+  * Spec-tier (DuckDB has no deflate — there is no SQL twin by design;
+  * the spec pins monotonicity and same-JVM determinism instead).
   *
   * Per-row cost is the deflate itself; the `Deflater` instance is
   * thread-local and RESET per row, never reallocated — allocation-free

@@ -113,7 +113,6 @@ final class AhoCorasickCounter(patterns: Seq[Array[Byte]]) extends Serializable 
         else { fail(t) = g(fail(s))(ch); queue.add(t) }
         ch += 1
       }
-      c += 1
     }
     (g, counts)
   }

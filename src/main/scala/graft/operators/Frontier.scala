@@ -255,11 +255,14 @@ object Frontier {
     * global k: a crawl round of `roundSeconds` admits
     * `roundSeconds / max(delay, 1)` fetches to a host (hosts with no
     * declared delay get the full default `k`). Ordering/tie-breaks are
-    * [[hostBudget]]'s. The dynamic (column-valued) limit cannot plan as
-    * WindowGroupLimit, so each host's group does flow through its
-    * window task — the same per-host cardinality the static-k window
-    * already bounds; delays only ever SHRINK the admitted set.
-    * Output adds `crawl_delay` (null when undeclared) and `cap`. */
+    * [[hostBudget]]'s. The dynamic (column-valued) cut alone cannot
+    * plan as WindowGroupLimit — but `cap <= k` ALWAYS (undeclared
+    * hosts get exactly k; declared ones `least(k, …)`), so a literal
+    * `rk <= k` pre-filter is semantics-identical and restores the
+    * map-side top-k heap: a mega-host's frontier is pruned to k rows
+    * per partition BEFORE the window exchange, and only then does the
+    * per-host delay shrink the admitted set further. Output adds
+    * `crawl_delay` (null when undeclared) and `cap`. */
   def politenessBudget(frontier: DataFrame,
                        robots: DataFrame, hostCol: Column, txtCol: Column,
                        roundSeconds: Long, k: Int): DataFrame = {
@@ -281,6 +284,10 @@ object Frontier {
             floor(lit(roundSeconds) /
               greatest(col("crawl_delay"), lit(1L))).cast("long"))))
       .withColumn("rk", row_number().over(byHost))
+      // literal bound first: Catalyst plans it as WindowGroupLimit
+      // (per-partition top-k heap); the column-valued cut then only
+      // ever sees <= k rows per host
+      .filter(col("rk") <= lit(k.toLong))
       .filter(col("rk") <= col("cap"))
       .select(col("host"), col("url"), col("n_refs"), col("n_pages"),
         col("rk").cast("long").as("rk"), col("crawl_delay"), col("cap"))

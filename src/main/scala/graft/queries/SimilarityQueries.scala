@@ -405,8 +405,9 @@ object SimilarityQueries {
     // mining batch; each candidate's cosine is normalized by both
     // sides' top-4-neighbor mass (the Artetxe–Schwenk ratio margin —
     // hubs discount themselves) with integer-exact arithmetic: micro
-    // cosines, integer neighbor SUMS (k cancels into the numerator),
-    // one int64 division. Top-50 by (margin, ids).
+    // cosines, integer neighbor SUMS with their actual counts (exact
+    // when a side has < k candidates), one int64 division. Top-50 by
+    // (margin, ids).
     Q("q180_bitext_margin",
       Some(s"""WITH $eCte,
               |s AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
@@ -416,21 +417,23 @@ object SimilarityQueries {
               |    CAST(floor(round(${Similarity.cosineSql("v", "tv")}, 4)
               |      * 10000 + 0.001) AS BIGINT) AS cos_micro
               |  FROM s CROSS JOIN t),
-              |ax AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS ax_sum
+              |ax AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS ax_sum,
+              |    CAST(count(*) AS BIGINT) AS nx
               |  FROM (SELECT src_id, tgt_id, cos_micro FROM m
               |    QUALIFY row_number() OVER (PARTITION BY src_id
               |      ORDER BY cos_micro DESC, tgt_id) <= 4)
               |  GROUP BY src_id),
-              |ay AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS ay_sum
+              |ay AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS ay_sum,
+              |    CAST(count(*) AS BIGINT) AS ny
               |  FROM (SELECT src_id, tgt_id, cos_micro FROM m
               |    QUALIFY row_number() OVER (PARTITION BY tgt_id
               |      ORDER BY cos_micro DESC, src_id) <= 4)
               |  GROUP BY tgt_id)
               |SELECT m.src_id, m.tgt_id, m.cos_micro,
-              |  (2 * 4 * m.cos_micro * 1000000) // (ax_sum + ay_sum)
-              |    AS margin_micro
+              |  (2 * nx * ny * m.cos_micro * 1000000)
+              |    // (ax_sum * ny + ay_sum * nx) AS margin_micro
               |FROM m JOIN ax USING (src_id) JOIN ay USING (tgt_id)
-              |WHERE m.cos_micro > 0 AND ax_sum + ay_sum > 0
+              |WHERE m.cos_micro > 0 AND ax_sum * ny + ay_sum * nx > 0
               |ORDER BY margin_micro DESC, m.src_id, m.tgt_id
               |LIMIT 50""".stripMargin),
       (s, dir) => {

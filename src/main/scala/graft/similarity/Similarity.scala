@@ -100,9 +100,13 @@ object Similarity {
     * genuinely-parallel pairs surface — raw cosine alone over-mines
     * hubs. Integer-exact end to end: cosines are micro-quantized with
     * the q124 floor nudge, the top-k neighbor means stay as integer
-    * SUMS (k cancels into the margin's numerator), and the margin is
-    * one int64 division — no float summation order anywhere, so the
-    * DuckDB twin is bit-identical. Pairs with a non-positive
+    * SUMS with their ACTUAL neighbor counts carried alongside (a side
+    * with fewer than `nnK` candidates sums fewer terms — dividing by a
+    * hardcoded k would inflate its margin vs the Artetxe–Schwenk
+    * average-of-k definition), and the margin
+    * `2·cos / (ax_sum/nx + ay_sum/ny)` is cleared of both divisions
+    * into ONE int64 division — no float summation order anywhere, so
+    * the DuckDB twin is bit-identical. Pairs with a non-positive
     * denominator are dropped (a margin over anti-correlated
     * neighborhoods ranks nothing meaningful).
     *
@@ -122,6 +126,9 @@ object Similarity {
                    graft.operators.CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nnK > 0, s"nnK must be > 0, got $nnK")
+    // numerator bound: 2·nx·ny·cos_micro·10^6 <= 2·k²·10^10 — int64-safe
+    // through k = 10^4 (2·10^18 < 2^63), absurdly past any mining config
+    require(nnK <= 10000, s"nnK must be <= 10000, got $nnK")
     require(topN > 0, s"topN must be > 0, got $topN")
     val s = src.select(srcIdCol.as("src_id"), srcVecCol.cast("array<double>").as("v"))
     val t = tgt.select(tgtIdCol.as("tgt_id"), tgtVecCol.cast("array<double>").as("tv"))
@@ -134,32 +141,40 @@ object Similarity {
       .orderBy(col("cos_micro").desc, col("tgt_id"))
     val ax = scored.withColumn("rk", row_number().over(wx))
       .filter(col("rk") <= nnK)
-      .groupBy("src_id").agg(sum("cos_micro").as("ax_sum"))
+      .groupBy("src_id")
+      .agg(sum("cos_micro").as("ax_sum"), count(lit(1)).as("nx"))
     // ay = per-TARGET top-k sum. A tgt-keyed window would funnel all
     // |src| rows of a target through ONE task (|tgt| is the mining
     // batch — a handful of keys), so this is the classic two-level
-    // top-k instead: salted partial top-k per (tgt, src mod 64), then
-    // the 64·k survivors per target reduce to the final top-k sum.
+    // top-k instead: salted partial top-k per (tgt, hash(src) mod 64)
+    // — salting on xxhash64 so ANY src id type spreads (a raw
+    // `src_id mod 64` casts non-numeric ids to null, collapsing every
+    // target back into the one-salt-group funnel) — then the 64·k
+    // survivors per target reduce to the final top-k sum + count.
     // Tie-safe by construction: the sum only ever adds VALUES, and
     // values tied at the k boundary are equal whichever row is kept.
     val ay = scored
-      .groupBy(col("tgt_id"), pmod(col("src_id"), lit(64L)).as("_s"))
+      .groupBy(col("tgt_id"), pmod(xxhash64(col("src_id")), lit(64L)).as("_s"))
       .agg(slice(sort_array(collect_list(col("cos_micro")), asc = false),
         1, nnK).as("cand"))
       .groupBy("tgt_id")
-      .agg(aggregate(
-        slice(sort_array(flatten(collect_list(col("cand"))), asc = false),
-          1, nnK),
-        lit(0L), (acc, x) => acc + x).as("ay_sum"))
+      .agg(slice(sort_array(flatten(collect_list(col("cand"))), asc = false),
+        1, nnK).as("cand"))
+      .select(col("tgt_id"),
+        aggregate(col("cand"), lit(0L), (acc, x) => acc + x).as("ay_sum"),
+        size(col("cand")).cast("long").as("ny"))
     // cos_micro > 0: a non-positive cosine is never a translation pair,
     // and keeping the numerator positive makes the integer division
     // direction-identical across engines (Spark `div` truncates toward
-    // zero, DuckDB `//` floors — they only agree on non-negatives)
+    // zero, DuckDB `//` floors — they only agree on non-negatives).
+    // Margin 2·cos / (ax_sum/nx + ay_sum/ny) cleared of inner divisions:
+    // 2·nx·ny·cos / (ax_sum·ny + ay_sum·nx) — exact when a side has
+    // fewer than nnK candidates (nx/ny are the ACTUAL counts).
     scored.join(ax, "src_id").join(broadcast(ay), "tgt_id")
-      .filter(col("cos_micro") > 0 && col("ax_sum") + col("ay_sum") > 0)
-      // 2·k·cos_micro·10^6 ≤ 2·k·10^10 — int64-safe for any sane k
+      .filter(col("cos_micro") > 0 &&
+        col("ax_sum") * col("ny") + col("ay_sum") * col("nx") > 0)
       .withColumn("margin_micro",
-        expr(s"(2 * $nnK * cos_micro * 1000000) div (ax_sum + ay_sum)"))
+        expr("(2 * nx * ny * cos_micro * 1000000) div (ax_sum * ny + ay_sum * nx)"))
       .orderBy(col("margin_micro").desc, col("src_id"), col("tgt_id"))
       .limit(topN)
       .select("src_id", "tgt_id", "cos_micro", "margin_micro")

@@ -110,20 +110,31 @@ object Preference {
     * over the prompt's n candidates (the standard best-of-n op between
     * a reward signal and SFT). Selection is ONE map-side-combinable
     * aggregation — `max` of an ordering struct, no prompt-keyed window,
-    * so [[pairs]]' mega-prompt hazard cannot arise — and the
-    * conversation-scale render stream joins against the BROADCAST
-    * |prompts|-row winner frame, never the reverse. Ordering matches
-    * [[pairs]]: score desc, ties to the smallest (user_id, session_id). */
-  def bestOf(turns: DataFrame): DataFrame = {
-    val winner = scoredConversations(turns)
+    * so [[pairs]]' mega-prompt hazard cannot arise. The winner frame is
+    * |prompts| rows — and prompts are normally HIGH-cardinality (real
+    * prompt text/hash), so the frame is corpus-scale (|conversations|/n)
+    * and an unconditional broadcast hint would OOM the driver at 100×
+    * (the robotsGate lesson). The hint is therefore SIZE-GUARDED: the
+    * winner frame is persisted (two readers: the guard count and the
+    * join), broadcast only under `maxBroadcastWinners`, else a plain
+    * equi-join on (user_id, session_id) — a unique 2-int key, perfectly
+    * spread. Ordering matches [[pairs]]: score desc, ties to the
+    * smallest (user_id, session_id). */
+  def bestOf(turns: DataFrame,
+             maxBroadcastWinners: Long = 4000000L,
+             scope: graft.operators.CacheScope =
+               graft.operators.CacheScope.unmanaged): DataFrame = {
+    val winner = scope.persist(scoredConversations(turns)
       .groupBy("prompt")
       .agg(max(struct(col("score"),
         (-col("user_id")).as("nu"), (-col("session_id")).as("ns"))).as("w"))
       .select(col("prompt"), col("w.score").as("score"),
-        (-col("w.nu")).as("user_id"), (-col("w.ns")).as("session_id"))
+        (-col("w.nu")).as("user_id"), (-col("w.ns")).as("session_id")))
+    val hinted =
+      if (winner.count() <= maxBroadcastWinners) broadcast(winner) else winner
     Instruct.render(turns)
       .select(col("user_id"), col("session_id"), col("rendered"))
-      .join(broadcast(winner), Seq("user_id", "session_id"))
+      .join(hinted, Seq("user_id", "session_id"))
       .select(col("prompt"), col("user_id"), col("session_id"),
         col("score"), col("rendered").as("best_response"))
   }

@@ -232,6 +232,45 @@ class FrontierSpec extends SparkSpec {
     assert(got("zero.example") == ((4L, 4L)), got.toString)
   }
 
+  test("politenessBudget plans WindowGroupLimit; the literal pre-filter changes nothing") {
+    // cap <= k always, so rk <= k (literal, map-side top-k heap) before
+    // rk <= cap (column-valued) is semantics-identical to the dynamic
+    // cut alone — a mega-host's frontier must NOT reach the window task
+    val frontier = spark.range(0, 600).select(
+      concat(lit("https://h"), col("id") % 5, lit(".example/p"), col("id")).as("url"),
+      (col("id") % 5 + 1).as("n_refs"), (col("id") % 3 + 1).as("n_pages"))
+    val robots = Seq(
+      ("h0.example", "User-agent: *\nCrawl-delay: 17"), // 60/17 -> cap 3
+      ("h1.example", "User-agent: *\nCrawl-delay: 2"),  // 60/2 -> 30, least(k)=8
+      ("h3.example", "User-agent: *\nCrawl-delay: 0"))  // clamp -> cap 8
+      .toDF("h", "t")
+    val budgeted = Frontier.politenessBudget(frontier, robots,
+      col("h"), col("t"), roundSeconds = 60L, k = 8)
+    val plan = budgeted.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the literal rk<=k bound must plan as WindowGroupLimit:\n$plan")
+    // output equality with the un-prefiltered dynamic cut
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_pages").desc, col("n_refs").desc, col("url"))
+    val reference = frontier
+      .withColumn("host", graft.functions.TextFunctions.urlHost(col("url")))
+      .join(robots.select(col("h").as("host"),
+        Frontier.robotsStarCrawlDelay(col("t")).as("crawl_delay")),
+        Seq("host"), "left")
+      .withColumn("cap",
+        when(col("crawl_delay").isNull, lit(8L))
+          .otherwise(least(lit(8L),
+            floor(lit(60L) / greatest(col("crawl_delay"), lit(1L))).cast("long"))))
+      .withColumn("rk", row_number().over(byHost))
+      .filter(col("rk") <= col("cap"))
+      .select(col("host"), col("url"), col("rk").cast("long").as("rk"))
+    val gotSet = budgeted.select("host", "url", "rk")
+      .as[(String, String, Long)].collect().toSet
+    val refSet = reference.as[(String, String, Long)].collect().toSet
+    assert(gotSet == refSet, s"pre-filter must be invisible in the output")
+  }
+
   test("hostBudget: top-k per host by evidence, deterministic ties, rank carried") {
     val frontier = Seq(
       ("https://a.example/1", 9L, 1L), // a: most refs but fewest pages

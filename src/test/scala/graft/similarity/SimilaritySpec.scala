@@ -559,4 +559,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == 103L),
       "orthogonal pair must be filtered")
   }
+
+  test("bitextMine: margins stay exact below nnK candidates, string ids salt-spread") {
+    // |tgt| = 1 < nnK = 5: each src side sums ONE neighbor (nx = 1) and
+    // the tgt side two (ny = 2) — a hardcoded-k denominator would deflate
+    // every margin ~2.5×. String src ids also exercise the xxhash64 salt
+    // (a raw `src_id mod 64` casts strings to null — one salt group).
+    val src = Seq(
+      ("s1", Array(1.0, 0.0)), ("s2", Array(0.6, 0.8))).toDF("id", "vec")
+    val tgt = Seq(("t1", Array(1.0, 0.0))).toDF("id", "vec")
+    val got = Similarity.bitextMine(src, col("id"), col("vec"),
+        tgt, col("id"), col("vec"), nnK = 5, topN = 10)
+      .select("src_id", "tgt_id", "cos_micro", "margin_micro")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // cos(s1,t1)=1.0 -> 10000; cos(s2,t1)=0.6 -> 6000
+    // ax: s1 {10000} nx=1; s2 {6000} nx=1. ay: t1 {10000,6000} sum 16000 ny=2
+    // margin(s1) = 2*1*2*10000*1e6 div (10000*2 + 16000*1) = 1111111
+    // margin(s2) = 2*1*2*6000*1e6  div (6000*2  + 16000*1) = 857142
+    assert(got(("s1", "t1")) == ((10000L, 1111111L)), got.toString)
+    assert(got(("s2", "t1")) == ((6000L, 857142L)), got.toString)
+  }
 }

@@ -85,6 +85,28 @@ class PreferenceSpec extends SparkSpec {
       s"selection must be an aggregation, not a prompt window:\n$plan")
   }
 
+  test("bestOf: the broadcast hint is size-guarded like robotsGate") {
+    // under the threshold the winner frame carries the hint; over it
+    // (threshold 0 here) the join must fall back to a plain equi-join —
+    // prompts are normally high-cardinality, so an unconditional hint
+    // on a corpus-scale winner frame would OOM the driver at 100×
+    val small = Preference.bestOf(turns).queryExecution
+      .executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"),
+      s"under-threshold winner frame must broadcast:\n$small")
+    val big = Preference.bestOf(turns, maxBroadcastWinners = 0L)
+    val bigPlan = big.queryExecution.optimizedPlan.toString
+    assert(!bigPlan.toLowerCase.contains("broadcast"),
+      s"over-threshold winner frame must not be hinted:\n$bigPlan")
+    // and the guard is invisible in the output
+    val a = Preference.bestOf(turns)
+      .select("prompt", "user_id", "session_id", "score")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val b = big.select("prompt", "user_id", "session_id", "score")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(a == b, s"$a vs $b")
+  }
+
   test("agreement: vote counts, unanimity/majority bookkeeping, exact micro ratio") {
     val pairs = Preference.pairs(turns)
     val got = Preference.agreement(pairs).collect()
