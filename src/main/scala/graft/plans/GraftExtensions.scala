@@ -93,7 +93,47 @@ object GraftExtensions {
       args => graft.functions.expressions.NfcNormalize(args.head)),
     ("strip_accents",
       "strip_accents(text) - NFD-decompose, drop combining marks, recompose",
-      args => graft.functions.expressions.StripAccents(args.head)))
+      args => graft.functions.expressions.StripAccents(args.head)),
+    // the frontier/masking functions below are string-pure column
+    // functions (when/regexp/HOF chains); their trees come through the
+    // EAGER Column→Expression bridge — the analyzer's own fixed-point
+    // resolves the nested UnresolvedFunction/lambda nodes, exactly as it
+    // would for SQL-authored text (the LAZY bridge would hand the
+    // registry an unplannable ColumnNodeExpression placeholder)
+    ("resolve_url",
+      "resolve_url(base, href) - href resolved against its page's canonical base URL (RFC 3986 subset)",
+      args => Bridge.eagerExpression(graft.operators.Frontier.resolveUrl(
+        Bridge.column(args(0)), Bridge.column(args(1))))),
+    ("robots_star_disallows",
+      "robots_star_disallows(robots_txt) - Disallow path prefixes of the User-agent: * group(s)",
+      args => Bridge.eagerExpression(
+        graft.operators.Frontier.robotsStarDisallows(Bridge.column(args.head)))),
+    ("span_corrupt_input",
+      "span_corrupt_input(doc, text[, block_tokens, mask_every]) - T5 span-corruption input: masked blocks collapsed to <extra_id_K> sentinels",
+      args => Bridge.eagerExpression(graft.text.Masking.spanCorruptInput(
+        Bridge.column(args(0)), Bridge.column(args(1)),
+        litInt(args, 2, 3), litInt(args, 3, 5)))),
+    ("span_corrupt_target",
+      "span_corrupt_target(doc, text[, block_tokens, mask_every]) - T5 span-corruption target: sentinel-delimited masked content",
+      args => Bridge.eagerExpression(graft.text.Masking.spanCorruptTarget(
+        Bridge.column(args(0)), Bridge.column(args(1)),
+        litInt(args, 2, 3), litInt(args, 3, 5)))),
+    ("fim_text",
+      "fim_text(doc, text) - fill-in-the-middle reorder <PRE>...<SUF>...<MID>... with hash-drawn splits",
+      args => Bridge.eagerExpression(graft.text.Masking.fimText(
+        Bridge.column(args(0)), Bridge.column(args(1))))))
+
+  /** Foldable-int argument at `i`, or `default` when absent — the
+    * span-corruption knobs must be literals (they size the block
+    * arithmetic baked into the expression tree). */
+  private def litInt(args: Seq[Expression], i: Int, default: Int): Int =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
 
   /** Runtime registration of the same SQL functions on an existing
     * session (extensions configs only apply at session construction). */

@@ -103,16 +103,76 @@ object Masking {
     * from the middle). Empty documents pass through with empty parts.
     * Pure per-row projection: substrings + concat, zero shuffles. */
   def fim(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val (p1, p2) = fimSplits(idCol, textCol)
+    df.select(idCol.as("doc"), fimText(idCol, textCol).as("fim_text"),
+      p1.as("p1"), p2.as("p2"))
+  }
+
+  private def fimSplits(idCol: Column, textCol: Column): (Column, Column) = {
     val len = length(textCol).cast("long")
     def draw(tag: String) =
       when(len > 0, TextFunctions.portableHash(
         concat(idCol.cast("string"), lit(s":$tag"))) % len).otherwise(0L)
     val a = draw("fim1"); val b = draw("fim2")
-    val p1 = least(a, b); val p2 = greatest(a, b)
-    df.select(idCol.as("doc"),
-      concat(lit("<PRE>"), textCol.substr(lit(1L), p1),
-        lit("<SUF>"), textCol.substr(p2 + 1, len - p2),
-        lit("<MID>"), textCol.substr(p1 + 1, p2 - p1)).as("fim_text"),
-      p1.as("p1"), p2.as("p2"))
+    (least(a, b), greatest(a, b))
+  }
+
+  /** Scalar form of [[fim]]'s rendered example — the `fim_text` column
+    * as a pure (doc, text) function, exported to SQL as `fim_text`. */
+  def fimText(idCol: Column, textCol: Column): Column = {
+    val len = length(textCol).cast("long")
+    val (p1, p2) = fimSplits(idCol, textCol)
+    concat(lit("<PRE>"), textCol.substr(lit(1L), p1),
+      lit("<SUF>"), textCol.substr(p2 + 1, len - p2),
+      lit("<MID>"), textCol.substr(p1 + 1, p2 - p1))
+  }
+
+  /** Scalar twins of [[spanCorrupt]]'s `input_text` / `target_text` —
+    * the same blocks, mask rule, sentinels, and spacing as the
+    * DataFrame operator (parity is spec-pinned), but computed per-row
+    * with HOF lambdas so they can register as SQL functions. The block
+    * ordinal scan is O(blocks²) per document and the masked-block frame
+    * re-evaluates at every lambda site — fine for the SQL convenience
+    * tier on document-sized rows; corpus-scale span corruption goes
+    * through [[spanCorrupt]] (one exchange, linear work). One edge
+    * differs by construction: a document with NO tokens yields '' here
+    * but no row at all from the explode-based operator. */
+  def spanCorruptInput(idCol: Column, textCol: Column,
+                       blockTokens: Int = 3, maskEvery: Int = 5): Column =
+    spanCorruptScalar(idCol, textCol, blockTokens, maskEvery, target = false)
+
+  /** See [[spanCorruptInput]]. */
+  def spanCorruptTarget(idCol: Column, textCol: Column,
+                        blockTokens: Int = 3, maskEvery: Int = 5): Column =
+    spanCorruptScalar(idCol, textCol, blockTokens, maskEvery, target = true)
+
+  private def spanCorruptScalar(idCol: Column, textCol: Column,
+                                blockTokens: Int, maskEvery: Int,
+                                target: Boolean): Column = {
+    require(blockTokens >= 1 && maskEvery >= 2,
+      s"need blockTokens >= 1 and maskEvery >= 2, got $blockTokens/$maskEvery")
+    val toks = TextFunctions.tokens(textCol)
+    // block index domain [0, nBlocks): guarded so empty docs never build
+    // a descending sequence(0, -1)
+    val blocks = sequence(lit(0L),
+      ((size(toks).cast("long") - 1L) / blockTokens).cast("long"))
+    def isMasked(b: Column) = TextFunctions.portableHash(
+      concat(idCol.cast("string"), lit(":"), b)) % maskEvery === 0
+    val maskedBlocks = filter(blocks, isMasked(_))
+    // sentinel ordinal = the block's position among masked blocks —
+    // identical to the operator's running-count-minus-one
+    def sentinel(b: Column) = concat(lit("<extra_id_"),
+      size(filter(maskedBlocks, x => x < b)), lit(">"))
+    def blockToks(b: Column) =
+      slice(toks, (b * blockTokens + 1L).cast("int"), lit(blockTokens))
+    val pieces =
+      if (target)
+        flatten(transform(maskedBlocks,
+          b => concat(array(sentinel(b)), blockToks(b))))
+      else
+        flatten(transform(blocks,
+          b => when(isMasked(b), array(sentinel(b)))
+            .otherwise(blockToks(b))))
+    when(size(toks) === 0, lit("")).otherwise(array_join(pieces, " "))
   }
 }

@@ -319,6 +319,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(col.getString(0) == out.getString(0) && col.getString(1) == out.getString(1))
   }
 
+  test("frontier/masking functions are SQL-callable and match the Column forms") {
+    GraftExtensions.registerFunctions(spark)
+    val robotsTxt = "User-agent: *\nDisallow: /p\n\n" +
+      "User-agent: bot\nDisallow: /decoy\n\nUser-agent: *\nDisallow: /q"
+    val doc = "one two three four five six seven eight nine ten eleven twelve"
+    val out = spark.sql(
+      "SELECT resolve_url('https://a.example/x/y?q=1', '../z#f') AS u, " +
+        s"robots_star_disallows('${robotsTxt.replace("\n", "\\n")}') AS d, " +
+        s"span_corrupt_input(7, '$doc') AS i, " +
+        s"span_corrupt_target(7, '$doc') AS t, " +
+        s"span_corrupt_input(7, '$doc', 2, 2) AS i2, " +
+        "fim_text(11, 'abcdefghijklmnop') AS f").head
+    import graft.operators.Frontier
+    import graft.text.Masking
+    val col = spark.range(1).select(
+      Frontier.resolveUrl(lit("https://a.example/x/y?q=1"), lit("../z#f")),
+      Frontier.robotsStarDisallows(lit(robotsTxt)),
+      Masking.spanCorruptInput(lit(7), lit(doc)),
+      Masking.spanCorruptTarget(lit(7), lit(doc)),
+      Masking.spanCorruptInput(lit(7), lit(doc), 2, 2),
+      Masking.fimText(lit(11), lit("abcdefghijklmnop"))).head
+    assert(out.getString(0) == col.getString(0), s"resolve_url: $out vs $col")
+    assert(out.getSeq[String](1) == Seq("/p", "/q") &&
+      out.getSeq[String](1) == col.getSeq[String](1), s"robots: $out vs $col")
+    assert(out.getString(2) == col.getString(2), s"sc input: $out vs $col")
+    assert(out.getString(3) == col.getString(3), s"sc target: $out vs $col")
+    assert(out.getString(4) == col.getString(4), s"sc knobs: $out vs $col")
+    assert(out.getString(4) != out.getString(2),
+      "non-default knobs must actually change the corruption")
+    assert(out.getString(5) == col.getString(5) &&
+      out.getString(5).startsWith("<PRE>"), s"fim_text: $out vs $col")
+  }
+
   test("q153: per-language cutoffs broadcast back — the corpus never shuffles for the gate") {
     val p = plan("q153_adaptive_gate")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -61,6 +61,48 @@ class EventsStreamSpec extends SparkSpec {
       "fixture must populate all three verdicts: " + batch.values.toSet)
   }
 
+  test("substring DFA gate in a foreachBatch sink: micro-batch hit counts == batch") {
+    // q182's Aho–Corasick substring tier, run the way a production
+    // curation stream would host it — inside a foreachBatch sink — must
+    // produce the batch hit count for every document across multiple
+    // micro-batches (the per-row DFA holds no state between rows, so
+    // batch boundaries must be invisible)
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val patterns = Seq("art", "rea", "dup") // q182's fixture patterns
+    val src = Files.createTempDirectory("graft_substr_stream")
+    val out = Files.createTempDirectory("graft_substr_out")
+    val ckpt = Files.createTempDirectory("graft_substr_ckpt")
+    d.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$src/a.parquet.dir")
+    d.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$src/b.parquet.dir")
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        batch.select(col("doc_id"),
+          graft.functions.TextFunctions.substringHits(col("text"), patterns)
+            .as("n_hits"))
+          .write.mode("append").parquet(out.toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .as[(Long, Long)].collect().toMap
+    val batchMap = d.select(col("doc_id"),
+        graft.functions.TextFunctions.substringHits(col("text"), patterns)
+          .as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    assert(nBatches.get() >= 2, s"fixture must split into micro-batches: ${nBatches.get()}")
+    assert(streamed == batchMap,
+      s"stream/batch hit-count drift: ${streamed.size} vs ${batchMap.size}")
+    assert(batchMap.values.exists(_ > 0), "fixture must produce substring hits")
+  }
+
   test("sliding-window averages produce overlapping windows") {
     val out = EventsStream.runToMemory(
       EventsStream.slidingAvg(EventsStream.read(spark, streamDir)),

@@ -38,6 +38,36 @@ class MaskingSpec extends SparkSpec {
     }
   }
 
+  test("scalar twins: span_corrupt_input/target and fim_text match the DataFrame operators corpus-wide") {
+    // the SQL-registered scalars must be the SAME function as the
+    // explode-based operator — every (input, target) pair and every
+    // fim rendering identical over the whole documents table
+    val d = Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0) // the operator drops token-less docs
+    val viaOp = Masking.spanCorrupt(d, col("doc_id"), col("text"))
+      .select(col("doc"), col("input_text"), col("target_text"))
+    val viaScalar = d.select(col("doc_id").as("doc"),
+      Masking.spanCorruptInput(col("doc_id"), col("text")).as("input_text"),
+      Masking.spanCorruptTarget(col("doc_id"), col("text")).as("target_text"))
+    assert(viaOp.exceptAll(viaScalar).isEmpty && viaScalar.exceptAll(viaOp).isEmpty,
+      "scalar span-corruption twins must equal the operator")
+    val fimOp = Masking.fim(d, col("doc_id"), col("text"))
+      .select(col("doc"), col("fim_text"))
+    val fimScalar = d.select(col("doc_id").as("doc"),
+      Masking.fimText(col("doc_id"), col("text")).as("fim_text"))
+    assert(fimOp.exceptAll(fimScalar).isEmpty && fimScalar.exceptAll(fimOp).isEmpty,
+      "fim_text scalar must equal the operator")
+    // non-default knobs stay in lockstep too
+    val opK = Masking.spanCorrupt(d, col("doc_id"), col("text"),
+        blockTokens = 2, maskEvery = 3)
+      .select(col("doc"), col("input_text"), col("target_text"))
+    val scK = d.select(col("doc_id").as("doc"),
+      Masking.spanCorruptInput(col("doc_id"), col("text"), 2, 3).as("input_text"),
+      Masking.spanCorruptTarget(col("doc_id"), col("text"), 2, 3).as("target_text"))
+    assert(opK.exceptAll(scK).isEmpty && scK.exceptAll(opK).isEmpty,
+      "non-default block/mask knobs must agree")
+  }
+
   test("spanCorrupt: a mask rate of ~never leaves every document untouched") {
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three")).toDF("doc_id", "text")
