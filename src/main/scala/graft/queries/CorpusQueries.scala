@@ -866,6 +866,86 @@ object CorpusQueries {
             estimatedCrawled = CrawledBound),
           politenessRobots(s), col("host"), col("txt"),
           roundSeconds = 60L, k = 4)
+      }),
+
+    // Cross-modal pair curation (CrossModal.curatePairs): the LAION-style
+    // composite over planted (caption, image) pairs — alignment gate
+    // through the embedding seam, then both-modality dedup with the
+    // caption/image reuse audit. Pairs are synthesized deterministically
+    // from doc_id (the PlantedHosts discipline): every doc is a base
+    // pair (caption = text, cap vec = doc_id, image chosen by the
+    // canonical caption's hash); docs ≡0 (mod 7) add a WHITESPACE
+    // variant caption (canonical-identical — no unicode-case hazards)
+    // sharing the image → dup groups; docs ≡0 (mod 11) add the same
+    // caption against the NEXT image slot → caption reuse. Image reuse
+    // falls out of hash collisions into the 500 slots. Gate at 500
+    // micro keeps ~1/3 at every sf; all four audit signals fire
+    // tri-scale (probed: 8–94 dups, 4–67 caption-reuse keys).
+    Q("q184_crossmodal_curation", {
+      val capKey = TextFunctions.portableHashSql(
+        TextFunctions.canonicalizeSql("caption"))
+      Some(s"""WITH $eCte,
+              |p AS (
+              |  SELECT doc_id AS pair_id, text AS caption,
+              |    doc_id % 500 AS cv FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, ' ' || text || '  ',
+              |    (doc_id + 3) % 500 FROM documents WHERE doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 2000000, text || CHR(9) || ' ',
+              |    (doc_id + 5) % 500 FROM documents WHERE doc_id % 11 = 0),
+              |k AS (SELECT pair_id, cv, $capKey AS cap_key FROM p),
+              |ki AS (SELECT pair_id, cv, cap_key,
+              |    CASE WHEN pair_id >= 2000000 THEN (cap_key + 1) % 500
+              |         ELSE cap_key % 500 END AS img_key FROM k),
+              |j AS (SELECT pair_id, cap_key, img_key,
+              |    CAST(floor(round(${Similarity.cosineSql("a.v", "b.v")}, 4)
+              |      * 10000 + 0.001) AS BIGINT) AS align_micro
+              |  FROM ki JOIN e a ON a.vec_id = ki.cv
+              |    JOIN e b ON b.vec_id = ki.img_key),
+              |al AS (SELECT * FROM j WHERE align_micro >= 500),
+              |g AS (SELECT cap_key, img_key,
+              |    CAST(min(pair_id) AS BIGINT) AS keeper
+              |  FROM al GROUP BY 1, 2),
+              |cr AS (SELECT cap_key, count(DISTINCT img_key) AS n_images
+              |  FROM al GROUP BY 1),
+              |ir AS (SELECT img_key, count(DISTINCT cap_key) AS n_captions
+              |  FROM al GROUP BY 1)
+              |SELECT al.pair_id, al.cap_key, al.img_key, al.align_micro,
+              |  al.pair_id <> g.keeper AS is_dup, g.keeper,
+              |  cr.n_images > 1 AS caption_reuse,
+              |  ir.n_captions > 1 AS image_reuse
+              |FROM al JOIN g USING (cap_key, img_key)
+              |  JOIN cr USING (cap_key) JOIN ir USING (img_key)""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir)
+        val base = d.select(col("doc_id").as("pair_id"),
+          col("text").as("caption"), (col("doc_id") % 500).as("cv"))
+        val varA = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("pair_id"),
+            concat(lit(" "), col("text"), lit("  ")).as("caption"),
+            ((col("doc_id") + 3) % 500).as("cv"))
+        val varB = d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("pair_id"),
+            concat(col("text"), lit("\t ")).as("caption"),
+            ((col("doc_id") + 5) % 500).as("cv"))
+        val p = base.unionByName(varA).unionByName(varB)
+        val capKey = TextFunctions.portableHash(
+          TextFunctions.canonicalize(col("caption")))
+        val withImg = p.withColumn("iv",
+          when(col("pair_id") >= 2000000L, (capKey + 1) % 500)
+            .otherwise(capKey % 500))
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val pairs = withImg
+          .join(broadcast(e.select(col("vec_id").as("cv"),
+            col("v").as("cap_vec"))), Seq("cv"))
+          .join(broadcast(e.select(col("vec_id").as("iv"),
+            col("v").as("img_vec"))), Seq("iv"))
+        graft.multimodal.CrossModal.curatePairs(pairs, col("pair_id"),
+          col("caption"), col("cap_vec"), col("img_vec"), col("iv"),
+          minMicro = 500L)
       }))
 
   /** The q166 Bradley–Terry fit over hash-paired document duels, shared
