@@ -1,19 +1,28 @@
 package graft.tools
 
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BradleyTerry, Frontier}
+import graft.similarity.Similarity
 import graft.text.Preference
 
-/** Scale probe for the round-10 preference/frontier family (driver-side
-  * tooling): Bradley–Terry at 1M comparisons over 10k items, preference
-  * pairing + DPO pack over a 1M-conversation turn frame, and
-  * crawl-frontier expansion at 1M pages (3M links) against a 1M-URL
-  * crawled index. Records wall time per operator plus result-side
-  * sanity numbers proving real work. Committed numbers in EXPLAIN.md.
+/** Scale probe for the round-10/11 preference/frontier/bitext family
+  * (driver-side tooling): Bradley–Terry at n comparisons over 10k items,
+  * preference pairing (both forms) + DPO pack over an n-conversation
+  * turn frame, pretraining objectives at n docs, crawl-frontier
+  * expansion at n pages (3n links) against an n-URL crawled index, the
+  * full expand→robots→politeness composite, and bitext margin mining at
+  * n source vectors × 64 targets. Each stage reports wall time AND its
+  * shuffle record deltas off a SparkListener (the StressCuration
+  * discipline) — the evidence that no stage goes super-linear in
+  * conversations/hosts/targets. Committed numbers in EXPLAIN.md.
   *
-  * Scale knob: SPARK_GRAFT_PREF_SCALE (default 1,000,000). */
+  * Scale knob: SPARK_GRAFT_PREF_SCALE (default 1,000,000; the r12
+  * record runs 10,000,000 with SPARK_DRIVER_MEM=48g). */
 object StressPreference {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_PREF_SCALE", "1000000").toLong
@@ -22,10 +31,24 @@ object StressPreference {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val shufW = new LongAdder; val shufR = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shufW.add(m.shuffleWriteMetrics.recordsWritten)
+        shufR.add(m.shuffleReadMetrics.recordsRead)
+      }
+    })
     def timed[A](name: String)(f: => A): A = {
+      // listener events are async; settle before snapping deltas
+      Thread.sleep(800)
+      val w0 = shufW.sum; val r0 = shufR.sum
       val t0 = System.nanoTime()
       val r = f
-      println(f"[pref] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
+      println(f"[pref] $name%-24s $secs%6.1f s  " +
+        f"shufW=${shufW.sum - w0}%,d shufR=${shufR.sum - r0}%,d")
       r
     }
 
@@ -139,6 +162,46 @@ object StressPreference {
       val fr = Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
       val b = Frontier.hostBudget(fr, 16).count()
       println(f"[pref]   budgeted urls = $b%,d (≤ 16 × 1000 hosts)")
+    }
+
+    // ---- The FULL crawl-round composite: expand → robots gate →
+    // politeness budget (r12). 1000 hosts, every host a 2-prefix
+    // Disallow list (paths /p1*/p2* — real block mass), every third
+    // host a Crawl-delay so the budget path exercises both the default
+    // k and the delay-derived cap, WindowGroupLimit prune included.
+    val robots = spark.range(1000)
+      .select(concat(lit("h"), col("id"), lit(".example")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /p1\nDisallow: /p2\n"),
+          when(col("id") % 3 === 0,
+            concat(lit("Crawl-delay: "), col("id") % 40 + 1, lit("\n")))
+            .otherwise(lit("")),
+          lit("Sitemap: https://example/s.xml")).as("txt"))
+    timed("frontier_composite") {
+      val fr = Frontier.expand(pages, col("src"), col("html"), crawled, col("url"))
+      val gated = Frontier.robotsGate(fr, robots, col("host"), col("txt"))
+      val admitted = Frontier.politenessBudget(
+        gated.filter(col("allowed")).drop("host", "allowed"),
+        robots, col("host"), col("txt"), roundSeconds = 60L, k = 16)
+      val r = admitted.agg(count(lit(1)), count_distinct(col("host")),
+        max("rk")).head
+      println(f"[pref]   admitted = ${r.getLong(0)}%,d over ${r.getLong(1)}%,d hosts, max rk = ${r.getLong(2)}%,d (≤ 16)")
+    }
+
+    // ---- Bitext margin mining at n src × 64 targets (r12): the salted
+    // two-level tgt-side top-k is exactly the stage that must stay
+    // funnel-free when |src| grows 10× — per-target candidate mass is
+    // bounded by 64 salts × nnK regardless of n.
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        (pmod(xxhash64(lit("c"), pmod(xxhash64(col("id")), lit(1000L)), d),
+          lit(2000001L)).cast("double") / 1e6 - 1.0) +
+          (pmod(xxhash64(col("id"), d), lit(2001L)).cast("double") / 1e3 - 1.0) * 0.05)
+        .as("embedding"))
+    val tgtBatch = vecs.filter(pmod(col("vec_id"), lit(n / 64)) === 7L)
+    timed("bitext_two_level") {
+      val mined = Similarity.bitextMine(vecs, col("vec_id"), col("embedding"),
+        tgtBatch, col("vec_id"), col("embedding"), nnK = 4, topN = 100)
+      println(f"[pref]   mined pairs = ${mined.count()}%,d (top-100 cut)")
     }
 
     // ---- Relative-href resolution at n pages (r11) ---------------------
