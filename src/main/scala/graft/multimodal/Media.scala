@@ -212,6 +212,58 @@ object Media {
       .select("m1", "m2", "hamming")
   }
 
+  /** `(media_id, frame_idx, fhash)` for every video row: `nFrames`
+    * evenly time-sampled frames, each decoded to its raster and
+    * perceptually hashed (the same 64-bit dHash as images). One
+    * map-side codec pass like [[withPerceptualHash]] — the per-video
+    * frame-hash vector is what a video-dedup pipeline persists; later
+    * passes join on it and never re-decode. Frames that fail to decode
+    * are absent (the caller sees fewer positions, not fake hashes). */
+  def withFrameHashes(media: Dataset[MediaRow], nFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    media.filter(col("kind") === "video")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val decoded = MediaCodec.decode(r.payload) // once per row
+          (0 until nFrames).flatMap { i =>
+            val off = if (nFrames == 1) 0L else r.duration_ms * i / (nFrames - 1)
+            MediaCodec.frameRaster(MediaCodec.frameOf(decoded, r.payload, off))
+              .flatMap(MediaCodec.dHash64)
+              .map(h => (r.media_id, i, h))
+          }
+        }
+      }.toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Video near-dup pairs: two videos are near-dups when at least
+    * `minShared` of their `nFrames` time-aligned sample positions carry
+    * the IDENTICAL perceptual frame hash — re-encodes, container
+    * rewrites, and resolution changes agree frame-for-frame (dHash is
+    * perceptual), while different content disagrees everywhere.
+    * Pigeonhole on positions: a qualifying pair must collide on at
+    * least one `(frame_idx, fhash)` key, so ONE equi-join on that key
+    * replaces the all-pairs comparison — the [[phashNearDupPairs]]
+    * banding argument with positions as the bands; the agreement count
+    * then verifies candidates exactly. Corpus-wide identical frames
+    * (black intros, title cards) would fatten one join bucket — at real
+    * scale, cap or drop hashes whose posting list exceeds a frequency
+    * bound, the same discipline as the text shingle posting lists. */
+  def videoNearDupPairs(media: Dataset[MediaRow], nFrames: Int = 4,
+                        minShared: Int = 3): DataFrame = {
+    require(minShared >= 1 && minShared <= nFrames,
+      s"need 1 <= minShared <= nFrames, got $minShared/$nFrames")
+    val f = withFrameHashes(media, nFrames)
+    val a = f.select(col("media_id").as("m1"), col("frame_idx"), col("fhash"))
+    val b = f.select(col("media_id").as("m2"), col("frame_idx"), col("fhash"))
+    a.join(b, Seq("frame_idx", "fhash"))
+      .filter(col("m1") < col("m2"))
+      .groupBy("m1", "m2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
     * frames are REAL PCM seeks (the samples at `offset_ms`); video
     * frames are the REAL MJPEG frame at `offset_ms` (raw JPEG bytes,

@@ -121,7 +121,18 @@ object GraftExtensions {
     ("fim_text",
       "fim_text(doc, text) - fill-in-the-middle reorder <PRE>...<SUF>...<MID>... with hash-drawn splits",
       args => Bridge.eagerExpression(graft.text.Masking.fimText(
-        Bridge.column(args(0)), Bridge.column(args(1))))))
+        Bridge.column(args(0)), Bridge.column(args(1))))),
+    // gate-family scalars: the blocklist must be a LITERAL array (it is
+    // compiled into the Aho-Corasick DFA at plan time, exactly like the
+    // Column API's Seq[String] parameter)
+    ("substring_hits",
+      "substring_hits(text, array('p1', ...)) - total non-overlapping occurrences of every literal pattern, one Aho-Corasick DFA pass",
+      args => graft.functions.expressions.SubstringHitCount(
+        args(0), litStrings(args, 1))),
+    ("deflate_ratio",
+      "deflate_ratio(text[, level]) - micro-int deflate(text)/|text| entropy proxy (deterministic per JVM; see DeflateRatio)",
+      args => graft.functions.expressions.DeflateRatio(
+        args(0), litInt(args, 1, 6))))
 
   /** Foldable-int argument at `i`, or `default` when absent — the
     * span-corruption knobs must be literals (they size the block
@@ -134,6 +145,25 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }
+
+  /** Literal string-array argument at `i` — accepts both the pre-folding
+    * `array('a','b')` tree and a constant-folded array literal. */
+  private def litStrings(args: Seq[Expression], i: Int): Seq[String] = {
+    def bad(e: Any) = throw new IllegalArgumentException(
+      s"argument ${i + 1} must be a literal string array, got $e")
+    args(i) match {
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+        children.map {
+          case Literal(s, _) if s != null => s.toString
+          case other => bad(other)
+        }
+      case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData, t)
+          if t.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        data.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(v => if (v == null) bad(v) else v.toString).toSeq
+      case other => bad(other)
+    }
+  }
 
   /** Runtime registration of the same SQL functions on an existing
     * session (extensions configs only apply at session construction). */

@@ -336,4 +336,38 @@ class MediaSpec extends SparkSpec {
     // only image rows enter the phash path
     assert(Media.withPerceptualHash(corpus).count() == imgs.count() + 3)
   }
+
+  test("videoNearDupPairs: container rewrite dups, partial frame overlap, disjoint content") {
+    // A: an 8-frame synthetic video. A2: the SAME frames in a rebuilt
+    // container (byte-different payload, perceptually identical). B:
+    // A's frames with the tail replaced by other content (partial
+    // overlap). C: fully different content.
+    val framesA = MediaCodec.decode(MediaCodec.synthAvi(3L, 64, 48, 320L))
+      .asInstanceOf[MediaCodec.VideoMjpeg].frames.toSeq
+    val framesC = MediaCodec.decode(MediaCodec.synthAvi(9L, 64, 48, 320L))
+      .asInstanceOf[MediaCodec.VideoMjpeg].frames.toSeq
+    val pA = MediaCodec.aviBytes(framesA, 64, 48)
+    val pA2 = MediaCodec.aviBytes(framesA, 64, 48) // rebuild = rewrite
+    val pB = MediaCodec.aviBytes(framesA.take(6) ++ framesC.take(2), 64, 48)
+    val pC = MediaCodec.aviBytes(framesC, 64, 48)
+    val vids = Seq(
+      Media.MediaRow(1L, "video", pA, 64, 48, 320L),
+      Media.MediaRow(2L, "video", pA2, 64, 48, 320L),
+      Media.MediaRow(3L, "video", pB, 64, 48, 320L),
+      Media.MediaRow(4L, "video", pC, 64, 48, 320L)).toDS()
+    // sample positions 0, 1/3, 2/3, 1 of 320ms -> frames 0, 2, 5, 7
+    val got = Media.videoNearDupPairs(vids, nFrames = 4, minShared = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 4L, s"container rewrite must share all positions: $got")
+    // B shares frames 0, 2, 5 (positions over the first 6 frames) but
+    // not 7 -> exactly 3 shared, admitted at minShared = 3
+    assert(got((1L, 3L)) == 3L && got((2L, 3L)) == 3L, got.toString)
+    assert(!got.contains((1L, 4L)) && !got.contains((2L, 4L)) && !got.contains((3L, 4L)),
+      s"disjoint content must not pair: $got")
+    // and the threshold is a real cut: minShared = 4 drops the partials
+    val strict = Media.videoNearDupPairs(vids, nFrames = 4, minShared = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(strict == Set((1L, 2L)), strict.toString)
+  }
 }

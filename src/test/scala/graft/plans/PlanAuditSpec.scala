@@ -352,6 +352,25 @@ class PlanAuditSpec extends SparkSpec {
       out.getString(5).startsWith("<PRE>"), s"fim_text: $out vs $col")
   }
 
+  test("gate-family scalars are SQL-callable: substring_hits DFA and deflate_ratio") {
+    GraftExtensions.registerFunctions(spark)
+    val out = spark.sql(
+      "SELECT substring_hits('restart the art department', array('art', 'dep')) AS h, " +
+        "deflate_ratio(repeat('ab', 500)) AS r_boiler, " +
+        "deflate_ratio(repeat('ab', 500), 9) AS r_boiler9").head
+    val colForm = spark.range(1).select(
+      graft.functions.TextFunctions.substringHits(
+        lit("restart the art department"), Seq("art", "dep")),
+      graft.functions.TextFunctions.deflateRatioMicro(
+        org.apache.spark.sql.functions.concat(
+          (1 to 500).map(_ => lit("ab")): _*))).head
+    assert(out.getLong(0) == 4L, s"restart/art/department+dep: $out") // 3x art + 1x dep
+    assert(out.getLong(0) == colForm.getLong(0))
+    assert(out.getLong(1) == colForm.getLong(1), s"deflate: $out vs $colForm")
+    // level is a real knob: max compression on boilerplate is <= default
+    assert(out.getLong(2) <= out.getLong(1), s"level 9 must not inflate: $out")
+  }
+
   test("q153: per-language cutoffs broadcast back — the corpus never shuffles for the gate") {
     val p = plan("q153_adaptive_gate")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -103,6 +103,51 @@ class EventsStreamSpec extends SparkSpec {
     assert(batchMap.values.exists(_ > 0), "fixture must produce substring hits")
   }
 
+  test("cross-modal alignment gate in a foreachBatch sink: verdicts == batch") {
+    // the q184 family's gate is a stateless projection like the safety
+    // gates, so it must be batch-boundary-invisible when a pair stream
+    // is curated incrementally (the production shape: new caption-image
+    // pairs arrive, the gate scores them, the manifest sink appends)
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def seamed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("text"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(xxhash64(lit("cv"), col("doc_id"), i), lit(2001L)).cast("double") / 1e3 - 1.0)
+        .as("cap_vec"),
+      transform(sequence(lit(0), lit(7)), i =>
+        pmod(xxhash64(lit("iv"), col("doc_id"), i), lit(2001L)).cast("double") / 1e3 - 1.0)
+        .as("img_vec"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.multimodal.CrossModal.alignmentGate(seamed(df),
+        col("cap_vec"), col("img_vec"), minMicro = 0L)
+        .select("doc_id", "align_micro", "aligned")
+    val src = Files.createTempDirectory("graft_xmodal_stream")
+    val out = Files.createTempDirectory("graft_xmodal_out")
+    val ckpt = Files.createTempDirectory("graft_xmodal_ckpt")
+    d.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$src/a.parquet.dir")
+    d.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$src/b.parquet.dir")
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        gate(batch).write.mode("append").parquet(out.toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batchMap = gate(d)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batchMap,
+      s"stream/batch alignment drift: ${streamed.size} vs ${batchMap.size}")
+    assert(batchMap.values.exists(_._2) && batchMap.values.exists(!_._2),
+      "fixture must produce both verdicts")
+  }
+
   test("sliding-window averages produce overlapping windows") {
     val out = EventsStream.runToMemory(
       EventsStream.slidingAvg(EventsStream.read(spark, streamDir)),
