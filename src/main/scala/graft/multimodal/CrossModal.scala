@@ -92,6 +92,64 @@ object CrossModal {
         (col("n_captions") > 1).as("image_reuse"))
   }
 
+  /** Persistable manifest index of a curated pair set: the distinct
+    * `(cap_key, img_key)` identities — 8-byte keys only, pair bodies
+    * never persist — that [[curateDelta]] classifies arriving batches
+    * against (the [[graft.dedup.Dedup.buildIndex]] economics: the
+    * curated corpus is keyed once; every later batch joins the stored
+    * keys). Accepts any frame carrying `cap_key`/`img_key` columns —
+    * canonically [[curatePairs]] output filtered to the kept set (the
+    * key set of the kept rows equals the key set of ALL aligned rows,
+    * since every group elects exactly one keeper). */
+  def manifestIndex(curated: DataFrame): DataFrame =
+    curated.select("cap_key", "img_key").distinct()
+
+  /** Incremental pair curation — the multi-batch shape: a new batch of
+    * (caption, image) pairs classifies against a PRECOMPUTED
+    * [[manifestIndex]]. Per delta pair, priority-ordered:
+    *
+    *  - `blocked`: failed the alignment gate (misaligned pairs never
+    *    consult the index — and never elect within-batch keepers, the
+    *    [[curatePairs]] ordering rule);
+    *  - `dup_index`: aligned, but its identity is already curated;
+    *  - `dup_batch`: aligned, identity new to the index, but another
+    *    batch pair with the same identity has the smaller id;
+    *  - `kept`: the batch's contribution to the manifest — append these
+    *    keys to the index for the next round.
+    *
+    * Scale shape: the index side is keys-only (16 bytes/row); the
+    * membership check is ONE left-semi equi-join on the composite key
+    * and the within-batch election ONE map-side-combinable min — both
+    * hash-spread, no window, batch text hashed to 8-byte keys before
+    * any exchange. */
+  def curateDelta(index: DataFrame, delta: DataFrame, idCol: Column,
+                  captionCol: Column, capVecCol: Column, imgVecCol: Column,
+                  imgKeyCol: Column, minMicro: Long,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val gated = scope.persist(
+      alignmentGate(delta, capVecCol, imgVecCol, minMicro)
+        .select(idCol.as("pair_id"),
+          TextFunctions.portableHash(TextFunctions.canonicalize(captionCol))
+            .as("cap_key"),
+          imgKeyCol.as("img_key"), col("align_micro"), col("aligned")))
+    val aligned = gated.filter(col("aligned"))
+    val inIndex = aligned
+      .join(index.select(col("cap_key"), col("img_key")).distinct(),
+        Seq("cap_key", "img_key"), "left_semi")
+      .select(col("pair_id")).withColumn("_idx", lit(1))
+    val batchKeeper = aligned.groupBy("cap_key", "img_key")
+      .agg(min("pair_id").as("_keeper"))
+    gated
+      .join(inIndex, Seq("pair_id"), "left")
+      .join(batchKeeper, Seq("cap_key", "img_key"), "left")
+      .select(col("pair_id"), col("cap_key"), col("img_key"),
+        col("align_micro"),
+        when(!col("aligned"), "blocked")
+          .when(col("_idx") === 1, "dup_index")
+          .when(col("pair_id") =!= col("_keeper"), "dup_batch")
+          .otherwise("kept").as("status"))
+  }
+
   /** The composed curation pipeline — alignment gate, then cross-modal
     * dedup over the survivors: the curated pair set plus its audit
     * columns, ready to feed a training-manifest sink. Output one row

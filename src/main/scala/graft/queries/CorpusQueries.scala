@@ -946,6 +946,89 @@ object CorpusQueries {
         graft.multimodal.CrossModal.curatePairs(pairs, col("pair_id"),
           col("caption"), col("cap_vec"), col("img_vec"), col("iv"),
           minMicro = 500L)
+      }),
+
+    // Incremental cross-modal curation (CrossModal.curateDelta): the
+    // base batch (the q184 planted pairs' doc rows) curates into a
+    // manifest index of (cap_key, img_key) identities; the variant rows
+    // arrive as the DELTA batch and classify blocked / dup_index /
+    // dup_batch / kept. A fourth whitespace variant (docs ≡0 mod 21,
+    // its own cap vec) plants within-batch duplicate groups whose base
+    // key may be absent from the index (base misaligned) — the
+    // dup_batch case. All four statuses fire tri-scale (probed:
+    // 2–22 dup_batch, 12–117 dup_index, 34–354 kept).
+    Q("q185_crossmodal_incremental", {
+      val capKey = TextFunctions.portableHashSql(
+        TextFunctions.canonicalizeSql("caption"))
+      Some(s"""WITH $eCte,
+              |p AS (
+              |  SELECT doc_id AS pair_id, text AS caption,
+              |    doc_id % 500 AS cv, 0 AS shift FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, ' ' || text || '  ',
+              |    (doc_id + 3) % 500, 0 FROM documents WHERE doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 2000000, text || CHR(9) || ' ',
+              |    (doc_id + 5) % 500, 1 FROM documents WHERE doc_id % 11 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 3000000, '  ' || text,
+              |    (doc_id + 6) % 500, 0 FROM documents WHERE doc_id % 21 = 0),
+              |k AS (SELECT pair_id, cv, shift, $capKey AS cap_key FROM p),
+              |ki AS (SELECT pair_id, cv, cap_key,
+              |    (cap_key + shift) % 500 AS img_key FROM k),
+              |j AS (SELECT pair_id, cap_key, img_key,
+              |    CAST(floor(round(${Similarity.cosineSql("a.v", "b.v")}, 4)
+              |      * 10000 + 0.001) AS BIGINT) AS align_micro
+              |  FROM ki JOIN e a ON a.vec_id = ki.cv
+              |    JOIN e b ON b.vec_id = ki.img_key),
+              |idx AS (SELECT DISTINCT cap_key, img_key FROM j
+              |  WHERE pair_id < 1000000 AND align_micro >= 500),
+              |delta AS (SELECT * FROM j WHERE pair_id >= 1000000),
+              |kp AS (SELECT cap_key, img_key, CAST(min(pair_id) AS BIGINT)
+              |    AS keeper FROM delta WHERE align_micro >= 500 GROUP BY 1, 2)
+              |SELECT d.pair_id, d.cap_key, d.img_key, d.align_micro,
+              |  CASE WHEN d.align_micro < 500 THEN 'blocked'
+              |       WHEN EXISTS (SELECT 1 FROM idx
+              |         WHERE idx.cap_key = d.cap_key
+              |           AND idx.img_key = d.img_key) THEN 'dup_index'
+              |       WHEN d.pair_id <> kp.keeper THEN 'dup_batch'
+              |       ELSE 'kept' END AS status
+              |FROM delta d LEFT JOIN kp
+              |  ON kp.cap_key = d.cap_key AND kp.img_key = d.img_key""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir)
+        def part(idFilter: org.apache.spark.sql.Column, idOff: Long,
+                 cap: org.apache.spark.sql.Column, cvOff: Int,
+                 shift: Long)(src: DataFrame) =
+          src.filter(idFilter).select((col("doc_id") + idOff).as("pair_id"),
+            cap.as("caption"), ((col("doc_id") + cvOff) % 500).as("cv"),
+            lit(shift).as("shift"))
+        val p = part(lit(true), 0L, col("text"), 0, 0L)(d)
+          .unionByName(part(col("doc_id") % 7 === 0, 1000000L,
+            concat(lit(" "), col("text"), lit("  ")), 3, 0L)(d))
+          .unionByName(part(col("doc_id") % 11 === 0, 2000000L,
+            concat(col("text"), lit("\t ")), 5, 1L)(d))
+          .unionByName(part(col("doc_id") % 21 === 0, 3000000L,
+            concat(lit("  "), col("text")), 6, 0L)(d))
+        val capKey = TextFunctions.portableHash(
+          TextFunctions.canonicalize(col("caption")))
+        val withImg = p.withColumn("iv", (capKey + col("shift")) % 500)
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val pairs = withImg
+          .join(broadcast(e.select(col("vec_id").as("cv"),
+            col("v").as("cap_vec"))), Seq("cv"))
+          .join(broadcast(e.select(col("vec_id").as("iv"),
+            col("v").as("img_vec"))), Seq("iv"))
+        val xm = graft.multimodal.CrossModal
+        val index = xm.manifestIndex(
+          xm.curatePairs(pairs.filter(col("pair_id") < 1000000L),
+            col("pair_id"), col("caption"), col("cap_vec"), col("img_vec"),
+            col("iv"), minMicro = 500L).filter(!col("is_dup")))
+        xm.curateDelta(index, pairs.filter(col("pair_id") >= 1000000L),
+          col("pair_id"), col("caption"), col("cap_vec"), col("img_vec"),
+          col("iv"), minMicro = 500L)
       }))
 
   /** The q166 Bradley–Terry fit over hash-paired document duels, shared

@@ -68,6 +68,38 @@ class CrossModalSpec extends SparkSpec {
     assert(got(14L) == ((false, 14L, false, false)), got.toString)
   }
 
+  test("curateDelta: statuses priority-ordered, manifest round-trips across batches") {
+    import org.apache.spark.sql.DataFrame
+    def pairsOf(rows: Seq[(Long, String, Long, Seq[Double], Seq[Double])]): DataFrame =
+      rows.toDF("pair_id", "caption", "img_key", "cap_vec", "img_vec")
+    def curate(delta: DataFrame, index: DataFrame) =
+      CrossModal.curateDelta(index, delta, col("pair_id"), col("caption"),
+        col("cap_vec"), col("img_vec"), col("img_key"), minMicro = 5000L)
+    // batch 1: two aligned pairs (one identity), one blocked
+    val b1 = pairsOf(Seq(
+      (1L, "a cat", 100L, ex, ex),       // kept (keeper of its identity)
+      (2L, "A  CAT", 100L, ex, ex),      // dup_batch (same identity, larger id)
+      (3L, "a cat", 100L, ex, ey)))      // blocked (misaligned) - same identity!
+    val empty = pairsOf(Seq()).select("caption", "img_key")
+      .select(graft.functions.TextFunctions.portableHash(col("caption")).as("cap_key"),
+        col("img_key"))
+    val r1 = curate(b1, empty).select("pair_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(r1 == Map(1L -> "kept", 2L -> "dup_batch", 3L -> "blocked"), r1.toString)
+    // the blocked pair shares the kept identity — it must NOT have been
+    // elected keeper (gate-first rule), which r1(1)=kept already proves
+    // batch 2 classifies against batch 1's kept keys: the same identity
+    // is now dup_index; a new identity is kept
+    val keptKeys = CrossModal.manifestIndex(
+      curate(b1, empty).filter(col("status") === "kept"))
+    val b2 = pairsOf(Seq(
+      (10L, "a CAT", 100L, ex, ex),      // dup_index (canonical caption + image match)
+      (11L, "a dog", 200L, ex, ex)))     // kept (new identity)
+    val r2 = curate(b2, keptKeys).select("pair_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(r2 == Map(10L -> "dup_index", 11L -> "kept"), r2.toString)
+  }
+
   test("curatePairs end-to-end: gate drops before dedup; blocked pairs never elect keepers") {
     // p2 is a MISALIGNED copy of p1's (caption, image): if the gate ran
     // after the dedup, p2 (smaller id? no - p0) ... plant the blocked
