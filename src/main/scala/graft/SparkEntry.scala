@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ChatQueries, CorpusQueries, DedupQueries, PipelineQueries, Q, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.queries.{ChatQueries, CorpusQueries, DedupQueries, PipelineQueries, PrivacyQueries, Q, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       StreamingQueries.queries ++ PipelineQueries.queries ++
-      CorpusQueries.queries ++ ChatQueries.queries
+      CorpusQueries.queries ++ ChatQueries.queries ++ PrivacyQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join through three broadcast dims + grouped revenue — the engine's

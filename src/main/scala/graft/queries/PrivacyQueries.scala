@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Privacy
+import graft.sources.Tables
+
+/** Round-12 privacy/anonymization suite — the metadata-release step of
+  * a training-data pipeline (in-content PII is q161/q183's scrub; these
+  * gate the QUASI-IDENTIFIER surface): k-anonymity suppression (q186),
+  * l-diversity homogeneity audit (q187), and the bounded generalization
+  * ladder (q188). Quasi-identifiers are the documents table's natural
+  * release metadata (lang, source, length buckets); q188's k is
+  * corpus-proportional (N/10, the fixture shape) so the ladder
+  * exercises multiple levels at every scale factor. */
+object PrivacyQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  val queries: Seq[Q] = Seq(
+
+    // k-anonymity by suppression (Privacy.kAnonymize): quasi =
+    // (lang, source, length-bucket-500); rows in groups under k=5 are
+    // flagged. Both verdicts fire tri-scale (87/43 .. 62/134 groups).
+    Q("q186_k_anonymity",
+      Some("""WITH g AS (SELECT lang, source, n_chars // 500 AS b,
+             |    count(*) AS group_size
+             |  FROM documents GROUP BY 1, 2, 3)
+             |SELECT d.doc_id, g.group_size, g.group_size < 5 AS suppressed
+             |FROM documents d JOIN g ON g.lang = d.lang
+             |  AND g.source = d.source AND g.b = d.n_chars // 500""".stripMargin),
+      (s, dir) =>
+        Privacy.kAnonymize(docs(s, dir),
+            Seq(col("lang"), col("source"), (col("n_chars") / 500).cast("long")),
+            k = 5L)
+          .select(col("doc_id"), col("group_size"), col("suppressed"))),
+
+    // l-diversity audit (Privacy.lDiversity): per (lang, source) group,
+    // distinct length-bucket-50 sensitive values; diverse iff >= 5.
+    // Group-level output (the audit artifact a release pipeline files).
+    Q("q187_l_diversity",
+      Some("""SELECT lang AS q0, source AS q1,
+             |  count(*) AS group_size,
+             |  CAST(count(DISTINCT n_chars // 50) AS BIGINT) AS n_sensitive,
+             |  count(DISTINCT n_chars // 50) >= 5 AS diverse
+             |FROM documents GROUP BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Privacy.lDiversity(docs(s, dir), Seq(col("lang"), col("source")),
+          (col("n_chars") / 50).cast("long"), l = 5L)),
+
+    // Bounded generalization ladder (Privacy.generalizeUntilK): coarsen
+    // n_chars to the smallest 25*2^level bucket holding >= N/10 rows
+    // (4 levels); the released value is the bucket floor. The ladder
+    // lands on levels 1-3 at every sf (no level-0 bucket is ever a
+    // tenth of the corpus at width 25).
+    Q("q188_generalize_ladder",
+      Some("""WITH n AS (SELECT count(*) // 10 AS k FROM documents),
+             |lv AS (SELECT doc_id, n_chars,
+             |    unnest(range(0, 4)) AS level FROM documents),
+             |b AS (SELECT doc_id, level,
+             |    (n_chars // (25 * (1 << level))) * (25 * (1 << level))
+             |      AS bucket FROM lv),
+             |s AS (SELECT level, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+             |ch AS (SELECT doc_id, min(b.level) AS lev
+             |  FROM b JOIN s USING (level, bucket), n
+             |  WHERE s.n >= n.k GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(ch.lev, -1) AS BIGINT) AS level,
+             |  b.bucket, s.n AS group_size
+             |FROM documents d
+             |LEFT JOIN ch ON ch.doc_id = d.doc_id
+             |LEFT JOIN b ON b.doc_id = d.doc_id AND b.level = ch.lev
+             |LEFT JOIN s ON s.level = b.level AND s.bucket = b.bucket""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        // fixture k is corpus-proportional; the one count action is the
+        // fixture's, not the operator's (k is a policy literal there)
+        val k = math.max(1L, d.count() / 10L)
+        Privacy.generalizeUntilK(d, col("doc_id"), col("n_chars"),
+            baseWidth = 25L, maxLevels = 4, k = k)
+          .select(col("doc_id"), col("level"), col("bucket"), col("group_size"))
+      }))
+}
