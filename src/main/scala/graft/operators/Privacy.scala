@@ -111,4 +111,150 @@ object Privacy {
         coalesce(col("level"), lit(-1L)).cast("long").as("level"),
         col("bucket"), col("group_size")): _*)
   }
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian): per quasi-identifier
+    * group, the total-variation distance between the group's sensitive-
+    * value distribution and the corpus-wide one — the skewness attack a
+    * k-anonymous, l-diverse release still leaks to (a group can be
+    * diverse yet concentrated on values rare globally). Group-level
+    * output `(q0.., group_size, tvd_num, close)` where the distance is
+    * carried as the INTEGER numerator `tvd_num = Σ_v |cgv·N − cv·ng|`
+    * (+ the absent-value mass `(N − Σ_present cv)·ng`), so
+    * `TVD = tvd_num / (2·ng·N)` and the verdict `TVD ≤ tNum/tDen` is an
+    * exact integer comparison — no float summation order to drift
+    * between engines or partitionings.
+    *
+    * Shape: global value histogram (|values| rows — broadcast) + the
+    * (quasi, value) histogram + per-group sizes; two map-side-combinable
+    * aggregations and one broadcast join, no window. Long-arithmetic
+    * bound: `cv·ng ≤ N²` must fit a signed 64-bit, i.e. N < ~3·10⁹ rows
+    * per audited release — shard the audit by corpus partition beyond
+    * that (each shard's release is audited against its own global). */
+  def tCloseness(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 tNum: Long, tDen: Long,
+                 maxBroadcastValues: Long = 1L << 20): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(tDen >= 1 && tNum >= 0 && tNum <= tDen,
+      s"t must be a fraction in [0,1], got $tNum/$tDen")
+    val keys = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+    val keyNames = quasi.indices.map(i => s"q$i")
+    val keyed = df.select(keys :+ sensitive.as("_s"): _*)
+    val total = keyed.agg(count(lit(1)).as("_n")) // 1 row
+    // |values| rows — small for any sensible (categorical/bucketed)
+    // sensitive attribute, but a continuous column would make this
+    // corpus-scale, so the hint is size-guarded like robotsGate: count
+    // first, broadcast only under the threshold, else let the join
+    // shuffle on _s (AQE may still elect broadcast from stats).
+    val globalRaw = keyed.groupBy("_s").agg(count(lit(1)).as("_cv"))
+    val global =
+      if (globalRaw.count() <= maxBroadcastValues) broadcast(globalRaw)
+      else globalRaw
+    val gv = keyed.groupBy(keyNames.map(col) :+ col("_s"): _*)
+      .agg(count(lit(1)).as("_cgv"))
+    val sizes = gv.groupBy(keyNames.map(col): _*)
+      .agg(sum("_cgv").cast("long").as("_ng"))
+    gv.join(global, "_s")
+      .join(sizes, keyNames)
+      .crossJoin(broadcast(total))
+      .groupBy(keyNames.map(col): _*)
+      .agg(
+        max("_ng").as("group_size"),
+        (sum(abs(col("_cgv") * col("_n") - col("_cv") * col("_ng"))) +
+          (max("_n") - sum("_cv")) * max("_ng")).cast("long").as("tvd_num"),
+        max("_n").as("_N"))
+      .withColumn("close",
+        lit(tDen) * col("tvd_num") <= lit(2L * tNum) * col("group_size") * col("_N"))
+      .drop("_N")
+  }
+
+  /** Inverse-CDF thresholds for the two-sided geometric ("discrete
+    * Laplace") mechanism at 24-bit hash resolution: entry i is
+    * `floor(CDF(i − maxShift) · 2²⁴)` for noise values
+    * `−maxShift .. maxShift−1`; a 24-bit uniform `u` maps to the first
+    * i with `u < thresholds(i)` (else `maxShift`). P(K=k) =
+    * ((1−p)/(1+p))·p^|k| with p = e^(−eps) — the standard ε-DP count
+    * mechanism over integers. Computed ONCE on the driver and embedded
+    * as literals in BOTH the Spark plan and the generated DuckDB twin,
+    * so no runtime float crosses an engine boundary. */
+  def geometricThresholds(eps: Double, maxShift: Int): Seq[Long] = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    require(maxShift >= 1 && maxShift <= 64,
+      s"maxShift must be in [1, 64], got $maxShift")
+    val p = math.exp(-eps)
+    val p0 = (1 - p) / (1 + p)
+    var cdf = 0.0
+    (-maxShift until maxShift).map { k =>
+      cdf += p0 * math.pow(p, math.abs(k))
+      math.min(math.floor(cdf * (1L << 24)).toLong, (1L << 24) - 1)
+    }
+  }
+
+  /** ε-DP noisy count release: per quasi-identifier group, the true
+    * count perturbed by two-sided-geometric noise — the discrete
+    * Laplace mechanism (sensitivity-1 count queries, ε-differential
+    * privacy), made DETERMINISTIC and engine-portable by deriving the
+    * noise from the first 24 bits of `md5(seed|q0|q1|…)` through the
+    * precomputed inverse-CDF table ([[geometricThresholds]]): same
+    * seed + keys → same noise on any engine, any partitioning — the
+    * reproducibility a release audit requires (true randomness would
+    * make the release unverifiable; rotate `seed` per release to
+    * re-randomize). `released = max(0, count + noise)` (clamping is
+    * post-processing — DP survives it). Output keeps the true
+    * `group_size` alongside: this operator's product is the release
+    * AUDIT artifact; the public release projects `(q.., released)`.
+    *
+    * Shape: one map-side-combinable count aggregation, then a pure
+    * per-row projection (hash → table lookup via a literal when-chain —
+    * codegen'd, zero shuffle beyond the count's). */
+  def dpNoisyCounts(df: DataFrame, quasi: Seq[Column], eps: Double,
+                    seed: String, maxShift: Int = 40): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    val keys = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+    val keyNames = quasi.indices.map(i => s"q$i")
+    val counts = df.select(keys: _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+    val u = conv(substring(md5(
+        concat_ws("|", lit(seed) +: keyNames.map(col): _*)), 1, 6), 16, 10)
+      .cast("long")
+    val thresholds = geometricThresholds(eps, maxShift)
+    val noise = thresholds.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (t, i)) =>
+        val k = lit((i - maxShift).toLong)
+        Some(acc.fold(when(u < lit(t), k))(_.when(u < lit(t), k)))
+    }.get.otherwise(lit(maxShift.toLong))
+    counts
+      .withColumn("noise", noise)
+      .withColumn("released", greatest(lit(0L), col("group_size") + col("noise")))
+  }
+
+  /** Keyed pseudonymization of identifier columns: each named column is
+    * replaced IN PLACE by `sha2-256(secret | column-name | value)` —
+    * deterministic under one secret (referential integrity survives:
+    * equal ids pseudonymize equally, so joins/groupBys on the
+    * pseudonym behave exactly as on the raw id), unlinkable across
+    * secrets (rotate per release), and domain-separated by column name
+    * (the same raw value in two different columns yields different
+    * pseudonyms — no accidental cross-column linkage). The release
+    * step between content scrubbing ([[graft.functions.TextFunctions]]
+    * scrubPii) and the metadata audits above.
+    *
+    * Zero shuffle — a pure per-row projection, whole-stage codegen'd.
+    * Security note: this is PSEUDONYMIZATION (reversible by whoever
+    * holds the secret via re-computation, brute-forceable for
+    * low-entropy id spaces) — not anonymization; pair with the k/l/t
+    * audits before treating a release as de-identified. The keyed-hash
+    * form is `H(secret|…)` rather than HMAC because both engines must
+    * compute it portably; length-extension is immaterial here (no
+    * authentication claim) and HMAC would not slow id-space
+    * enumeration either. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], secret: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        sha2(concat_ws("|", lit(secret), lit(c), col(c).cast("string")), 256))
+    }
+  }
 }

@@ -19,6 +19,20 @@ object PrivacyQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** q190 mechanism constants — the SQL twin's CASE chain is GENERATED
+    * from the same thresholds the engine embeds (anti-drift: one
+    * constant source for both plans). */
+  private val DpEps = 0.5
+  private val DpSeed = "graft-r12-release"
+  private val DpMaxShift = 40
+  private val dpNoiseCaseSql: String = {
+    val ts = Privacy.geometricThresholds(DpEps, DpMaxShift)
+    val whens = ts.zipWithIndex.map { case (t, i) =>
+      s"WHEN u < $t THEN ${i - DpMaxShift}"
+    }.mkString(" ")
+    s"CASE $whens ELSE $DpMaxShift END"
+  }
+
   val queries: Seq[Q] = Seq(
 
     // k-anonymity by suppression (Privacy.kAnonymize): quasi =
@@ -80,5 +94,68 @@ object PrivacyQueries {
         Privacy.generalizeUntilK(d, col("doc_id"), col("n_chars"),
             baseWidth = 25L, maxLevels = 4, k = k)
           .select(col("doc_id"), col("level"), col("bucket"), col("group_size"))
-      }))
+      }),
+
+    // t-closeness audit (Privacy.tCloseness): per (lang, source) group,
+    // integer-exact total-variation distance of the length-bucket-50
+    // distribution vs the corpus-wide one; close iff TVD <= 1/3 (the
+    // threshold inside every sf's TVD range, so both verdicts fire
+    // tri-scale: 9/99, 3/97, 98/100 close).
+    Q("q189_t_closeness",
+      Some("""WITH tot AS (SELECT count(*) AS n FROM documents),
+             |gl AS (SELECT n_chars // 50 AS v, count(*) AS cv
+             |  FROM documents GROUP BY 1),
+             |gv AS (SELECT lang AS q0, source AS q1, n_chars // 50 AS v,
+             |    count(*) AS cgv FROM documents GROUP BY 1, 2, 3),
+             |sz AS (SELECT q0, q1, CAST(sum(cgv) AS BIGINT) AS ng
+             |  FROM gv GROUP BY 1, 2)
+             |SELECT gv.q0, gv.q1, max(sz.ng) AS group_size,
+             |  CAST(sum(abs(gv.cgv * tot.n - gl.cv * sz.ng))
+             |    + (max(tot.n) - sum(gl.cv)) * max(sz.ng) AS BIGINT) AS tvd_num,
+             |  3 * (CAST(sum(abs(gv.cgv * tot.n - gl.cv * sz.ng))
+             |    + (max(tot.n) - sum(gl.cv)) * max(sz.ng) AS BIGINT))
+             |    <= 2 * max(sz.ng) * max(tot.n) AS close
+             |FROM gv JOIN gl USING (v) JOIN sz USING (q0, q1), tot
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Privacy.tCloseness(docs(s, dir), Seq(col("lang"), col("source")),
+          (col("n_chars") / 50).cast("long"), tNum = 1L, tDen = 3L)),
+
+    // Deterministic eps-DP noisy count release (Privacy.dpNoisyCounts):
+    // per (lang, source) group, count + two-sided-geometric noise
+    // derived from md5(seed|keys) through the inverse-CDF table — the
+    // SQL twin's CASE chain is generated from the SAME thresholds.
+    Q("q190_dp_noisy_release",
+      Some(s"""WITH c AS (SELECT lang AS q0, source AS q1,
+              |    count(*) AS group_size FROM documents GROUP BY 1, 2),
+              |h AS (SELECT q0, q1, group_size,
+              |  ('0x' || substr(md5('$DpSeed' || '|' || q0 || '|' || q1), 1, 6))::BIGINT
+              |    AS u FROM c),
+              |n AS (SELECT q0, q1, group_size,
+              |  CAST($dpNoiseCaseSql AS BIGINT) AS noise FROM h)
+              |SELECT q0, q1, group_size, noise,
+              |  greatest(0, group_size + noise) AS released FROM n""".stripMargin),
+      (s, dir) =>
+        Privacy.dpNoisyCounts(docs(s, dir), Seq(col("lang"), col("source")),
+          eps = DpEps, seed = DpSeed, maxShift = DpMaxShift)),
+
+    // Keyed pseudonymization (Privacy.pseudonymize): doc_id and source
+    // replaced by sha2-256(secret|col|value); the released frame still
+    // groups correctly on the pseudonym (per-source doc counts over
+    // pseudonyms == over raw ids — referential integrity preserved).
+    Q("q191_pseudonymize",
+      Some("""SELECT sha256('rel-2026|source|' || source) AS source,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(sha256('rel-2026|doc_id|' || CAST(doc_id AS VARCHAR)))
+             |    AS min_doc_pseud
+             |FROM documents GROUP BY 1""".stripMargin),
+      (s, dir) =>
+        Privacy.pseudonymize(docs(s, dir)
+            .select("doc_id", "source", "n_chars"),
+            Seq("doc_id", "source"), secret = "rel-2026")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            min("doc_id").as("min_doc_pseud"))))
 }

@@ -69,4 +69,91 @@ class PrivacySpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(fine(3L) == ((0L, Some(0L))) && fine(7L) == ((0L, Some(5L))), fine.toString)
   }
+
+  test("tCloseness: integer-exact TVD — skewed group caught, matching group passes") {
+    // global sensitive histogram: a=4, b=4 (N=8); group de matches it
+    // exactly (TVD 0); en and fr are each ALL one value (TVD 1/2)
+    val rows = Seq(
+      (1L, "en", "a"), (2L, "en", "a"),
+      (3L, "de", "a"), (4L, "de", "a"), (5L, "de", "b"), (6L, "de", "b"),
+      (7L, "fr", "b"), (8L, "fr", "b")).toDF("id", "lang", "s")
+    val got = Privacy.tCloseness(rows, Seq(col("lang")), col("s"),
+        tNum = 1L, tDen = 4L)
+      .select("q0", "group_size", "tvd_num", "close")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // en: present |2*8-4*2|=8, absent-mass (8-4)*2=8 -> 16; TVD=16/32=1/2
+    assert(got("en") == ((2L, 16L, false)), got.toString)
+    assert(got("fr") == ((2L, 16L, false)), got.toString)
+    // de: both values match global proportions exactly -> 0
+    assert(got("de") == ((4L, 0L, true)), got.toString)
+    // threshold boundary is inclusive: at t=1/2 the skewed groups are
+    // (exactly) close — the integer comparison has no float slack
+    val loose = Privacy.tCloseness(rows, Seq(col("lang")), col("s"), 1L, 2L)
+      .select("q0", "close").as[(String, Boolean)].collect().toMap
+    assert(loose("en") && loose("fr"), loose.toString)
+  }
+
+  test("dpNoisyCounts: deterministic, table-exact noise; clamped release") {
+    val rows = (1L to 100L).map { i =>
+      (i, if (i <= 60) "en" else if (i <= 90) "de" else "fr",
+        if (i % 2 == 0) "web" else "book")
+    }.toDF("id", "lang", "src")
+    val eps = 0.5; val seed = "spec-seed"; val b = 40
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpNoisyCounts(df, Seq(col("lang"), col("src")), eps, seed, b)
+        .select("q0", "q1", "group_size", "noise", "released")
+        .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val got = release(rows)
+    assert(got.length == 6)
+    // engine-side noise equals a from-scratch JVM replay of the mechanism
+    val thresholds = Privacy.geometricThresholds(eps, b)
+    got.foreach { case (q0, q1, n, noise, rel) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$q0|$q1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(h.take(6), 16)
+      val idx = thresholds.indexWhere(u < _)
+      val expect = (if (idx < 0) b else idx - b).toLong
+      assert(noise == expect, s"($q0,$q1): noise $noise != replayed $expect")
+      assert(rel == math.max(0L, n + noise))
+      assert(math.abs(noise) <= b)
+    }
+    // partitioning-invariant (the determinism a release audit needs)
+    assert(release(rows.repartition(7, col("id"))).toSeq == got.toSeq)
+    // threshold table is a valid monotone CDF image ending at full mass
+    assert(thresholds.zip(thresholds.tail).forall { case (a2, b2) => a2 <= b2 })
+    assert(thresholds.last >= (1L << 24) - 2, thresholds.last.toString)
+  }
+
+  test("pseudonymize: referential integrity, domain separation, secret rotation") {
+    val users = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
+    val events = Seq((1L, "click"), (1L, "view"), (2L, "click"), (3L, "view"))
+      .toDF("uid", "kind")
+    def p(df: org.apache.spark.sql.DataFrame, secret: String) =
+      Privacy.pseudonymize(df, Seq("uid"), secret)
+    // joins over the pseudonym reproduce the raw join exactly
+    val raw = users.join(events, "uid").select("name", "kind")
+      .as[(String, String)].collect().sorted
+    val pseud = p(users, "s1").join(p(events, "s1"), "uid")
+      .select("name", "kind").as[(String, String)].collect().sorted
+    assert(pseud.toSeq == raw.toSeq, "pseudonym join must equal raw join")
+    // the pseudonym is a 64-hex sha2 string, not the raw id
+    val ids = p(events, "s1").select("uid").as[String].collect()
+    assert(ids.forall(s => s.length == 64 && s.matches("[0-9a-f]+")))
+    // rotating the secret unlinks releases
+    val s1 = p(events, "s1").select("uid").as[String].collect().toSet
+    val s2 = p(events, "s2").select("uid").as[String].collect().toSet
+    assert(s1.intersect(s2).isEmpty, "different secrets must not collide")
+    // domain separation: the same raw VALUE in different columns
+    // pseudonymizes differently (no cross-column linkage)
+    val two = Seq((7L, 7L)).toDF("a", "b")
+    val sep = Privacy.pseudonymize(two, Seq("a", "b"), "s1")
+      .as[(String, String)].head()
+    assert(sep._1 != sep._2, "column-name domain separation")
+    // unknown columns fail loudly, not silently no-op
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(events, Seq("nope"), "s1")
+    }
+  }
 }

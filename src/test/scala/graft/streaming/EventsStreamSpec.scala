@@ -148,6 +148,52 @@ class EventsStreamSpec extends SparkSpec {
       "fixture must produce both verdicts")
   }
 
+  test("k-anonymity release gate in a foreachBatch sink: index verdicts == batch") {
+    // k-anonymity is CORPUS-stateful (a group's size is a property of
+    // the whole release, not of an arriving micro-batch), so the
+    // streaming shape is the manifestIndex discipline: group sizes are
+    // audited over the release corpus ONCE, and arriving rows join the
+    // index for their verdict. A naive per-batch kAnonymize would
+    // over-suppress (every group looks smaller inside one batch); this
+    // pins that the index-joined gate reproduces the batch audit
+    // exactly across micro-batch boundaries.
+    val d = Tables.documents(spark, sfDir).select("doc_id", "lang", "source")
+    val quasi = Seq(col("lang"), col("source"))
+    val index = d.groupBy("lang", "source")
+      .agg(count(lit(1)).as("group_size"))
+    def gate(batch: org.apache.spark.sql.DataFrame) =
+      batch.join(broadcast(index), Seq("lang", "source"), "left")
+        .withColumn("suppressed",
+          coalesce(col("group_size"), lit(0L)) < 5L)
+        .select("doc_id", "group_size", "suppressed")
+    val src = Files.createTempDirectory("graft_kanon_stream")
+    val out = Files.createTempDirectory("graft_kanon_out")
+    val ckpt = Files.createTempDirectory("graft_kanon_ckpt")
+    d.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$src/a.parquet.dir")
+    d.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$src/b.parquet.dir")
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        gate(batch).write.mode("append").parquet(out.toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batchMap = graft.operators.Privacy.kAnonymize(d, quasi, k = 5L)
+      .select("doc_id", "group_size", "suppressed")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batchMap,
+      s"stream/batch k-anonymity drift: ${streamed.size} vs ${batchMap.size}")
+    assert(batchMap.values.exists(_._2) && batchMap.values.exists(!_._2),
+      "fixture must exercise both verdicts")
+  }
+
   test("sliding-window averages produce overlapping windows") {
     val out = EventsStream.runToMemory(
       EventsStream.slidingAvg(EventsStream.read(spark, streamDir)),
