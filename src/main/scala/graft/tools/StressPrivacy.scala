@@ -75,8 +75,10 @@ object StressPrivacy {
       println(s"[privacy]   groups=${r.getLong(0)} homogeneous=${r.getLong(1)}")
     }
     timed("generalize_ladder") {
+      // num spreads ~n/100k rows per value -> width-25 buckets hold
+      // ~n/4000; k = n/1000 forces the ladder to level 2 (width 100)
       val r = Privacy.generalizeUntilK(rows, col("id"), col("num"),
-          baseWidth = 25L, maxLevels = 4, k = n / 100L)
+          baseWidth = 25L, maxLevels = 4, k = n / 1000L)
         .agg(count(lit(1)), count_if(col("level") >= 0), max(col("level"))).head
       println(s"[privacy]   rows=${r.getLong(0)} generalized=${r.getLong(1)} maxLevel=${r.getLong(2)}")
     }
