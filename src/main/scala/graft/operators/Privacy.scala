@@ -205,7 +205,11 @@ object Privacy {
     *
     * Shape: one map-side-combinable count aggregation, then a pure
     * per-row projection (hash → table lookup via a literal when-chain —
-    * codegen'd, zero shuffle beyond the count's). */
+    * codegen'd, zero shuffle beyond the count's). Quasi values enter
+    * the hash through a string render (`concat_ws`) — use string or
+    * integer keys; float keys render differently across engines
+    * ("1.0" vs "1") and would silently de-synchronize an external
+    * replay of the release. */
   def dpNoisyCounts(df: DataFrame, quasi: Seq[Column], eps: Double,
                     seed: String, maxShift: Int = 40): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier column")
@@ -214,9 +218,11 @@ object Privacy {
     val counts = df.select(keys: _*)
       .groupBy(keyNames.map(col): _*)
       .agg(count(lit(1)).as("group_size"))
-    val u = conv(substring(md5(
-        concat_ws("|", lit(seed) +: keyNames.map(col): _*)), 1, 6), 16, 10)
-      .cast("long")
+    // materialize the 24-bit uniform ONCE before the when-chain — a
+    // val-bound Column would splice the md5→conv subtree into every
+    // one of the 2·maxShift branch conditions (the q124-family
+    // expression-splicing hazard), bloating the plan ~80×
+    val u = col("_u")
     val thresholds = geometricThresholds(eps, maxShift)
     val noise = thresholds.zipWithIndex.foldLeft(Option.empty[Column]) {
       case (acc, (t, i)) =>
@@ -224,8 +230,12 @@ object Privacy {
         Some(acc.fold(when(u < lit(t), k))(_.when(u < lit(t), k)))
     }.get.otherwise(lit(maxShift.toLong))
     counts
+      .withColumn("_u", conv(substring(md5(
+          concat_ws("|", lit(seed) +: keyNames.map(col): _*)), 1, 6), 16, 10)
+        .cast("long"))
       .withColumn("noise", noise)
       .withColumn("released", greatest(lit(0L), col("group_size") + col("noise")))
+      .drop("_u")
   }
 
   /** Keyed pseudonymization of identifier columns: each named column is
@@ -256,5 +266,46 @@ object Privacy {
       d.withColumn(c,
         sha2(concat_ws("|", lit(secret), lit(c), col(c).cast("string")), 256))
     }
+  }
+
+  /** Erasure (right-to-be-forgotten): drop every row whose `key` appears
+    * in `requests` (single-column frame of keys to erase; deduplicated
+    * here, so replayed/duplicate requests are idempotent). A left-anti
+    * equi-join — shuffles on the key, and AQE broadcasts the request
+    * side when it's small (the common case: requests ≪ corpus). Erasure
+    * COMMUTES with any per-key derivation (filter-then-derive ==
+    * derive-then-filter for user-keyed aggregates — spec-pinned), which
+    * is what makes cascading through materialized derived tables sound. */
+  def eraseByKey(df: DataFrame, key: Column, requests: DataFrame): DataFrame = {
+    require(requests.columns.length == 1,
+      s"requests must be a single-column key frame, got ${requests.columns.mkString(", ")}")
+    val r = requests.toDF("_erase_key").distinct()
+    df.join(r, key === col("_erase_key"), "left_anti")
+  }
+
+  /** Erasure-cascade audit: for each named table (and its user key),
+    * one row `(table, rows_before, rows_erased, rows_after)` — the
+    * compliance artifact a deletion request requires (the regulator
+    * asks "what was deleted WHERE", across the base table AND every
+    * derived materialization that inherited the key). One left join +
+    * one ungrouped aggregate per table (both map-side-combinable; the
+    * request side deduplicated then typically broadcast), unioned —
+    * tables are audited independently, so the union is driver-cheap. */
+  def erasureAudit(tables: Seq[(String, DataFrame, Column)],
+                   requests: DataFrame): DataFrame = {
+    require(tables.nonEmpty, "need at least one table to audit")
+    require(requests.columns.length == 1,
+      s"requests must be a single-column key frame, got ${requests.columns.mkString(", ")}")
+    val r = requests.toDF("_erase_key").distinct()
+    tables.map { case (name, df, key) =>
+      df.select(key.as("_k"))
+        .join(r, col("_k") === col("_erase_key"), "left")
+        .agg(
+          count(lit(1)).as("rows_before"),
+          count(col("_erase_key")).as("rows_erased"))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_erased"),
+          (col("rows_before") - col("rows_erased")).as("rows_after"))
+    }.reduce(_.unionAll(_))
   }
 }

@@ -157,5 +157,40 @@ object PrivacyQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").cast("long").as("sum_chars"),
-            min("doc_id").as("min_doc_pseud"))))
+            min("doc_id").as("min_doc_pseud"))),
+
+    // Erasure cascade audit (Privacy.erasureAudit): deletion requests
+    // (every 20th user — a portable fixture predicate; production
+    // feeds an external request frame) audited through the base events
+    // table AND a derived per-(user, event_type) materialization — the
+    // regulator's "what was deleted where" artifact.
+    Q("q192_erasure_cascade",
+      Some("""WITH req AS (SELECT DISTINCT user_id FROM events
+             |  WHERE user_id % 20 = 0),
+             |d AS (SELECT user_id, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT 'events' AS table_name,
+             |  count(*) AS rows_before,
+             |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM req)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+             |  count(*) - CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM req)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_after
+             |FROM events
+             |UNION ALL
+             |SELECT 'user_type_counts', count(*),
+             |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM req)
+             |    THEN 1 ELSE 0 END) AS BIGINT),
+             |  count(*) - CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM req)
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM d""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val requests = ev.filter(col("user_id") % 20 === 0)
+          .select("user_id")
+        val derived = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        Privacy.erasureAudit(Seq(
+          ("events", ev, col("user_id")),
+          ("user_type_counts", derived, col("user_id"))), requests)
+      }))
 }

@@ -156,4 +156,37 @@ class PrivacySpec extends SparkSpec {
       Privacy.pseudonymize(events, Seq("nope"), "s1")
     }
   }
+
+  test("eraseByKey/erasureAudit: cascade commutes, duplicate requests idempotent") {
+    val events = Seq(
+      (1L, "click"), (1L, "view"), (2L, "click"),
+      (3L, "view"), (3L, "view"), (4L, "click"))
+      .toDF("uid", "kind")
+    // duplicate + never-present requests: erasure must be idempotent
+    // and not over-count
+    val requests = Seq(1L, 1L, 3L, 99L).toDF("uid")
+    val erased = Privacy.eraseByKey(events, col("uid"), requests)
+    assert(erased.select("uid").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // cascade soundness: erase-then-derive == derive-then-erase for a
+    // user-keyed derivation (what justifies cascading through
+    // materialized tables instead of recomputing them)
+    def derive(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("uid").agg(count(lit(1)).as("n"))
+    val a = derive(erased).as[(Long, Long)].collect().sorted
+    val b = Privacy.eraseByKey(derive(events), col("uid"), requests)
+      .as[(Long, Long)].collect().sorted
+    assert(a.toSeq == b.toSeq, "erasure must commute with per-key derivation")
+    // the audit artifact: per-table before/erased/after arithmetic
+    val audit = Privacy.erasureAudit(Seq(
+        ("events", events, col("uid")),
+        ("user_counts", derive(events), col("uid"))), requests)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(audit("events") == ((6L, 4L, 2L)), audit.toString)
+    assert(audit("user_counts") == ((4L, 2L, 2L)), audit.toString)
+    // malformed request frames fail loudly
+    intercept[IllegalArgumentException] {
+      Privacy.eraseByKey(events, col("uid"), events)
+    }
+  }
 }
