@@ -92,6 +92,20 @@ object StressPrivacy {
         .agg(count(lit(1)), sum(abs(col("noise"))), count_if(col("released") === 0)).head
       println(s"[privacy]   groups=${r.getLong(0)} sum|noise|=${r.getLong(1)} zeroed=${r.getLong(2)}")
     }
+    // erasure: ~6% of ids request deletion (mod 17 hits both parities,
+    // so the derived frame's owner ids — first id per odd-id group —
+    // are reachable too); audited through the base frame AND a derived
+    // per-(lang, src) materialization
+    timed("erasure_cascade") {
+      val requests = rows.filter(col("id") % 17 === 0).select("id")
+      val derived = rows.groupBy("lang", "src")
+        .agg(count(lit(1)).as("n"), first(col("id")).as("owner_id"))
+      val audit = Privacy.erasureAudit(Seq(
+          ("rows", rows, col("id")),
+          ("group_counts", derived, col("owner_id"))), requests)
+        .collect()
+      audit.foreach(r => println(s"[privacy]   ${r.getString(0)}: before=${r.getLong(1)} erased=${r.getLong(2)} after=${r.getLong(3)}"))
+    }
     spark.stop()
   }
 }
