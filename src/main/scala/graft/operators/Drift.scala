@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling.microRatioSql
+
+/** Distribution-drift telemetry for a continuously-ingesting corpus —
+  * the data-quality monitor a 100 TB pipeline runs per ingestion window:
+  * did today's bucket mix (event types, languages, sources, length
+  * bands) shift against yesterday's, or against a pinned reference
+  * release? Extension tier (the reference pipelines are one-shot batch;
+  * `/root/reference` has no ingestion-monitoring surface); the statistic
+  * is two-sample total-variation distance, the same integer-exact
+  * formulation [[Privacy.tCloseness]] uses for its per-group audit —
+  * TVD(P,Q) = ½·Σ_b |c_b/N − d_b/M| carried as the integer numerator
+  * Σ_b |c_b·M − d_b·N| over the denominator 2·N·M, so any engine
+  * computes bit-identical verdicts (no float summation order anywhere).
+  *
+  * Scale discipline: the corpus is touched exactly once per frame — ONE
+  * map-side-combinable (window, bucket) count — and everything after
+  * runs on the |windows × buckets| histogram (tiny for any sensible
+  * bucketing; a high-cardinality bucket column is the caller's bug, not
+  * a funnel: it still never windows over corpus rows). Long-arithmetic
+  * bound shared with tCloseness: c·M ≤ N·M needs per-window row counts
+  * under ~3·10⁹; beyond that, shard windows before auditing. */
+object Drift {
+
+  /** Consecutive-period drift series: for every period p with a
+    * predecessor p−1 in the data, the exact-integer TVD between the two
+    * periods' bucket histograms, in parts-per-million, plus a
+    * SELF-NORMALIZING alert verdict: `drifted` iff
+    * `tvd_ppm > (alertNum/alertDen) · mean(tvd_ppm over the series)` —
+    * compared as `alertDen·k·tvd_ppm > alertNum·Σtvd_ppm` (k = series
+    * length), fully integer. A fixed absolute threshold cannot work
+    * across corpus sizes (per-window sampling noise scales the whole
+    * series ~1/√N), so the alert is relative to the series' own noise
+    * floor — the rule an ingestion monitor actually pages on.
+    *
+    * `periodCol` must be integer-valued with consecutive periods
+    * differing by exactly 1 (days since epoch via `unix_date`, hour
+    * index, release sequence number). Buckets absent on one side
+    * contribute their full mass (coalesced to count 0 — a vanished or
+    * brand-new bucket IS drift). Edge periods (no predecessor present)
+    * are dropped, not reported as trivially drifted.
+    *
+    * Output: (period, n_prev, n_cur, tvd_num, tvd_ppm, drifted).
+    * Plan shape: corpus-scale groupBy once; then a shifted self-join,
+    * two totals joins, and a 1-row broadcast-cross for the series mean —
+    * all on the histogram frame. */
+  def tvdSeries(df: DataFrame, periodCol: Column, bucketCol: Column,
+                alertNum: Long = 3L, alertDen: Long = 2L): DataFrame = {
+    require(alertNum >= 1 && alertDen >= 1,
+      s"alert multiple must be a positive fraction, got $alertNum/$alertDen")
+    val hist = df
+      .select(periodCol.cast("long").as("period"), bucketCol.as("_b"))
+      .groupBy("period", "_b").agg(count(lit(1)).as("_c"))
+    // |periods × buckets| rows from here down
+    val tot = hist.groupBy("period").agg(sum("_c").cast("long").as("n_cur"))
+    val prevHist = hist.select((col("period") + 1).as("period"),
+      col("_b"), col("_c").as("_cp"))
+    val prevTot = tot.select((col("period") + 1).as("period"),
+      col("n_cur").as("n_prev"))
+    val perPeriod = hist.join(prevHist, Seq("period", "_b"), "full")
+      .select(col("period"),
+        coalesce(col("_c"), lit(0L)).as("_c"),
+        coalesce(col("_cp"), lit(0L)).as("_cp"))
+      .join(tot, "period").join(prevTot, "period") // inner: edges drop
+      .groupBy("period")
+      .agg(max("n_prev").as("n_prev"), max("n_cur").as("n_cur"),
+        sum(abs(col("_c") * col("n_prev") - col("_cp") * col("n_cur")))
+          .cast("long").as("tvd_num"))
+      .withColumn("_den", lit(2L) * col("n_cur") * col("n_prev"))
+      .withColumn("tvd_ppm", expr(microRatioSql("tvd_num", "_den", "div")))
+      .drop("_den")
+    val series = perPeriod.agg(count(lit(1)).as("_k"),
+      sum("tvd_ppm").cast("long").as("_s")) // 1 row
+    perPeriod.crossJoin(broadcast(series))
+      .withColumn("drifted",
+        lit(alertDen) * col("_k") * col("tvd_ppm") > lit(alertNum) * col("_s"))
+      .drop("_k", "_s")
+  }
+
+  /** Reference-vs-current drift gate: ONE row with the exact-integer TVD
+    * between the two frames' bucket histograms and a fixed-threshold
+    * verdict `drifted` iff `tvd_ppm·tDen > tNum·10⁶` — the promote/hold
+    * decision when a candidate ingestion window is compared against a
+    * pinned reference release (fixed threshold is right here: the
+    * reference is a contract, not a noise floor). Absent buckets count
+    * their full mass on either side. Output:
+    * (n_ref, n_cur, tvd_num, tvd_ppm, drifted). */
+  def tvdBetween(ref: DataFrame, refBucket: Column,
+                 cur: DataFrame, curBucket: Column,
+                 tNum: Long, tDen: Long): DataFrame = {
+    require(tDen >= 1 && tNum >= 0 && tNum <= tDen,
+      s"t must be a fraction in [0,1], got $tNum/$tDen")
+    val h1 = ref.select(refBucket.as("_b")).groupBy("_b")
+      .agg(count(lit(1)).as("_cr"))
+    val h2 = cur.select(curBucket.as("_b")).groupBy("_b")
+      .agg(count(lit(1)).as("_cc"))
+    val joined = h1.join(h2, Seq("_b"), "full")
+      .select(coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val totals = joined.agg(sum("_cr").cast("long").as("n_ref"),
+      sum("_cc").cast("long").as("n_cur")) // 1 row
+    joined.crossJoin(broadcast(totals))
+      .groupBy()
+      // coalesce: both frames empty → empty histogram → the global agg's
+      // one row must read (0, 0, 0), not nulls
+      .agg(coalesce(max("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(max("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(sum(abs(col("_cr") * col("n_cur") - col("_cc") * col("n_ref")))
+          .cast("long"), lit(0L)).as("tvd_num"))
+      .withColumn("_den", lit(2L) * col("n_ref") * col("n_cur"))
+      // an empty side is full drift (all mass moved), both empty is none
+      .withColumn("tvd_ppm",
+        when(col("_den") === 0,
+          when(col("n_ref") === col("n_cur"), 0L).otherwise(1000000L))
+          .otherwise(expr(microRatioSql("tvd_num", "_den", "div"))))
+      .drop("_den")
+      .withColumn("drifted",
+        col("tvd_ppm") * lit(tDen) > lit(tNum) * lit(1000000L))
+  }
+}

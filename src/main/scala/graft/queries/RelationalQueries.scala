@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Buckets
-import graft.operators.{Layout, Relational}
+import graft.operators.{Drift, Layout, Relational, Sampling}
 import graft.sources.Tables
 
 /** The relational operator surface of SURVEY.md §2.1–§2.8, expressed as
@@ -1042,6 +1042,80 @@ object RelationalQueries {
           .withColumn("session_id", sum(col("new_session")).over(cum).cast("long"))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"))
+      }),
+
+    // Day-over-day distribution-drift series (ingestion telemetry):
+    // exact-integer TVD between each day's event-type histogram and the
+    // previous day's, with the self-normalizing 1.5×-of-mean alert
+    // (Drift.tvdSeries; a fixed absolute threshold can't survive corpus
+    // growth — per-window noise scales ~1/√N). Twin's micro-ratio is
+    // generated from the same helper as the engine's (anti-drift).
+    Q("q193_drift_series",
+      Some(s"""WITH h AS (
+             |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         event_type AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+             |hp AS (SELECT period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.period, hp.period) AS period,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+             |s AS (
+             |  SELECT j.period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+             |         CAST(sum(abs(c * n_prev - cp * n_cur)) AS BIGINT) AS tvd_num
+             |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT period, n_prev, n_cur, tvd_num,
+             |         ${Sampling.microRatioSql("tvd_num", "2 * n_cur * n_prev", "//")} AS tvd_ppm
+             |  FROM s)
+             |SELECT period, n_prev, n_cur, tvd_num, tvd_ppm,
+             |       2 * (SELECT count(*) FROM p) * tvd_ppm
+             |         > 3 * (SELECT CAST(sum(tvd_ppm) AS BIGINT) FROM p) AS drifted
+             |FROM p""".stripMargin),
+      (s, dir) =>
+        Drift.tvdSeries(t(s, dir, "events"),
+          unix_date(to_date(col("ts"))), col("event_type"))),
+
+    // Reference-vs-candidate drift gate: the promote/hold decision for an
+    // ingestion window against a pinned reference (fixed threshold — the
+    // reference is a contract). Two gates: the true second half passes
+    // (mix is stationary), a biased candidate missing one event type is
+    // held at every scale (TVD ≥ the dropped type's 20% share).
+    Q("q194_drift_gate",
+      Some(s"""WITH ref AS (SELECT event_type FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'),
+             |cur AS (SELECT event_type FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'),
+             |gates AS (
+             |  SELECT 'second_half' AS gate, event_type, 1 AS is_cur FROM cur
+             |  UNION ALL SELECT 'second_half', event_type, 0 FROM ref
+             |  UNION ALL SELECT 'biased_no_error', event_type, 1 FROM cur WHERE event_type <> 'error'
+             |  UNION ALL SELECT 'biased_no_error', event_type, 0 FROM ref),
+             |h AS (
+             |  SELECT gate, event_type,
+             |         CAST(sum(1 - is_cur) AS BIGINT) AS cr, CAST(sum(is_cur) AS BIGINT) AS cc
+             |  FROM gates GROUP BY 1, 2),
+             |t AS (SELECT gate, CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur
+             |      FROM h GROUP BY 1),
+             |a AS (
+             |  SELECT h.gate, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+             |         CAST(sum(abs(cr * n_cur - cc * n_ref)) AS BIGINT) AS tvd_num
+             |  FROM h JOIN t ON h.gate = t.gate GROUP BY 1)
+             |SELECT gate, n_ref, n_cur, tvd_num,
+             |       ${Sampling.microRatioSql("tvd_num", "2 * n_ref * n_cur", "//")} AS tvd_ppm,
+             |       ${Sampling.microRatioSql("tvd_num", "2 * n_ref * n_cur", "//")} * 16 > 1000000 AS drifted
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val ref = ev.filter(to_date(col("ts")) < lit("2024-01-16").cast("date"))
+        val cur = ev.filter(to_date(col("ts")) >= lit("2024-01-16").cast("date"))
+        val biased = cur.filter(col("event_type") =!= "error")
+        Drift.tvdBetween(ref, col("event_type"), cur, col("event_type"), 1L, 16L)
+          .withColumn("gate", lit("second_half"))
+          .unionByName(
+            Drift.tvdBetween(ref, col("event_type"), biased, col("event_type"), 1L, 16L)
+              .withColumn("gate", lit("biased_no_error")))
       })
   )
 }

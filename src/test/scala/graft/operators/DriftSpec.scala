@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Three periods over two buckets: 1→2 identical mix (TVD 0),
+  // 2→3 total flip a↔b (TVD 1). Period 1 has no predecessor → dropped.
+  private def seriesFixture = Seq(
+    (1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"),
+    (2L, "a"), (2L, "a"), (2L, "a"), (2L, "b"),
+    (3L, "b"), (3L, "b"), (3L, "b"), (3L, "a")).toDF("day", "bucket")
+
+  test("tvdSeries: exact numerators, ppm staging, edge period dropped") {
+    val got = Drift.tvdSeries(seriesFixture, col("day"), col("bucket"))
+      .select("period", "n_prev", "n_cur", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2, s"period 1 has no predecessor: $got")
+    // identical mix: num = Σ|c·4 − cp·4| = 0
+    assert(got(2L) == ((2L, 4L, 4L, 0L, 0L, false)), got.toString)
+    // flip: |3·4−1·4| + |1·4−3·4| = 16; ppm = 16·10⁶/(2·16) = 500000
+    assert(got(3L)._4 == 16L && got(3L)._5 == 500000L, got.toString)
+    // alert: mean ppm = 250000; 2·2·500000 > 3·500000 → drifted
+    assert(got(3L)._6 && !got(2L)._6, got.toString)
+  }
+
+  test("tvdSeries: vanished bucket carries its full mass") {
+    // p1: 2a+2b; p2: 4a (b vanished). TVD = |2·4−4·4|+|2·4−0| = 16
+    // over 2·4·4 = 0.5
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"), (2L, "a")).toDF("day", "bucket")
+    val r = Drift.tvdSeries(df, col("day"), col("bucket"))
+      .select("tvd_num", "tvd_ppm").as[(Long, Long)].head()
+    assert(r == ((16L, 500000L)), r.toString)
+  }
+
+  test("tvdBetween: verdict thresholds, symmetry of the statistic") {
+    val ref = Seq("a", "a", "a", "b").toDF("bucket")
+    val cur = Seq("a", "b", "b", "b").toDF("bucket")
+    // TVD = (|3·4−1·4| + |1·4−3·4|)/(2·16) = 1/2
+    val r = Drift.tvdBetween(ref, col("bucket"), cur, col("bucket"), 1L, 4L)
+      .select("n_ref", "n_cur", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(r == ((4L, 4L, 16L, 500000L, true)), r.toString)
+    val sym = Drift.tvdBetween(cur, col("bucket"), ref, col("bucket"), 1L, 4L)
+      .select("tvd_ppm").as[Long].head()
+    assert(sym == 500000L, "TVD is symmetric")
+    val lax = Drift.tvdBetween(ref, col("bucket"), cur, col("bucket"), 3L, 4L)
+      .select("drifted").as[Boolean].head()
+    assert(!lax, "threshold is a real threshold")
+  }
+
+  test("tvdBetween: empty sides — one empty is full drift, both empty none") {
+    val some = Seq("a", "b").toDF("bucket")
+    val none = some.filter(lit(false))
+    val oneEmpty = Drift.tvdBetween(some, col("bucket"), none, col("bucket"), 1L, 2L)
+      .select("tvd_ppm", "drifted").as[(Long, Boolean)].head()
+    assert(oneEmpty == ((1000000L, true)), oneEmpty.toString)
+    val bothEmpty = Drift.tvdBetween(none, col("bucket"), none, col("bucket"), 1L, 2L)
+      .select("tvd_ppm", "drifted").as[(Long, Boolean)].head()
+    assert(bothEmpty == ((0L, false)), bothEmpty.toString)
+  }
+
+  test("tvdSeries: non-consecutive periods pair only across gaps of exactly 1") {
+    // days 1, 2, 5: day 5 has no day-4 predecessor → only day 2 reports
+    val df = Seq((1L, "a"), (2L, "a"), (5L, "a")).toDF("day", "bucket")
+    val periods = Drift.tvdSeries(df, col("day"), col("bucket"))
+      .select("period").as[Long].collect().toSet
+    assert(periods == Set(2L), periods.toString)
+  }
+}
