@@ -51,6 +51,59 @@ object Release {
         sum("n_chars").as("n_chars"),
         sum("h").as("checksum"))
 
+  /** Per-source data card: the human-facing release summary a dataset
+    * publication ships next to the shard manifest — for every source,
+    * volume (`n_docs`, `n_chars`, corpus `share_ppm`), language profile
+    * (`n_langs`, the majority `major_lang` + its `major_lang_ppm`),
+    * length shape (exact interpolated `median_chars`), and the
+    * exact-duplicate rate (`exact_dup_ppm` via distinct
+    * portableHash(text) — the 8-byte cardinality discipline; a 60-bit
+    * hash undercounts dups with probability ~2⁻⁶⁰ per pair, irrelevant
+    * for a release statistic and identical in both engines).
+    *
+    * Majority-language election is max-struct over (count, lang) — the
+    * deterministic tie-break every election in this codebase uses; its
+    * DuckDB twin is `arg_max(lang, lpad(count) || lang)` (fixed-width
+    * lexicographic = the same order).
+    *
+    * Scale shape: two corpus passes, each a map-side-combinable
+    * aggregation to |sources| (resp. |sources × langs|) rows, with
+    * column pruning keeping each pass to the columns it needs; the
+    * ppm arithmetic is the exact staged integer ratio
+    * ([[Sampling.microRatioSql]]) against a 1-row broadcast total.
+    * `median_chars` is DOUBLE by contract (interpolated midpoint on
+    * even counts) — consumers bucketing on it should round first. */
+  def dataCard(df: DataFrame, sourceCol: Column, textCol: Column,
+               langCol: Column): DataFrame = {
+    val base = df.select(sourceCol.as("source"), langCol.as("_lang"),
+      length(textCol).cast("long").as("_nc"),
+      TextFunctions.portableHash(textCol).as("_h"))
+    val perSrc = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("_nc").as("n_chars"),
+      count_distinct(col("_lang")).as("n_langs"),
+      count_distinct(col("_h")).as("n_unique"),
+      round(percentile(col("_nc"), lit(0.5)), 1).as("median_chars"))
+    val major = base.groupBy("source", "_lang")
+      .agg(count(lit(1)).as("_cl"))
+      .groupBy("source")
+      .agg(max(struct(col("_cl"), col("_lang"))).as("_m"))
+      .select(col("source"), col("_m._lang").as("major_lang"),
+        col("_m._cl").as("_mc"))
+    val total = perSrc.agg(sum("n_docs").cast("long").as("_t")) // 1 row
+    perSrc.join(major, "source") // co-partitioned on source
+      .crossJoin(broadcast(total))
+      .withColumn("major_lang_ppm",
+        expr(Sampling.microRatioSql("_mc", "n_docs", "div")))
+      .withColumn("_dups", col("n_docs") - col("n_unique"))
+      .withColumn("exact_dup_ppm",
+        expr(Sampling.microRatioSql("_dups", "n_docs", "div")))
+      .withColumn("share_ppm",
+        expr(Sampling.microRatioSql("n_docs", "_t", "div")))
+      .select("source", "n_docs", "n_chars", "share_ppm", "n_langs",
+        "major_lang", "major_lang_ppm", "median_chars", "exact_dup_ppm")
+  }
+
   /** Write the sharded release and return its manifest: parquet
     * partitioned by `shard` under `dir`, one fetchable directory per
     * shard. The manifest is computed from the SAME frame that fed the

@@ -574,6 +574,43 @@ object TextQueries {
         graft.operators.Release.manifest(docs(s, dir), col("doc_id"),
           col("text"), shards = 8)),
 
+    // Per-source data card (operators.Release): the release summary
+    // shipped next to the shard manifest — volume/share, language
+    // profile with a deterministic majority election, exact median
+    // length, exact-duplicate rate via distinct portable hashes. Two
+    // map-side-combinable corpus passes; ppm ratios are the shared
+    // staged-integer helper on both engines.
+    Q("q195_datacard", {
+      val ht = portableHashSql("text")
+      import graft.operators.Sampling.microRatioSql
+      Some(s"""WITH base AS (
+              |  SELECT source, lang, CAST(len(text) AS BIGINT) AS nc, $ht AS h
+              |  FROM documents),
+              |s AS (
+              |  SELECT source, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars,
+              |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |         CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+              |         round(quantile_cont(nc, 0.5), 1) AS median_chars
+              |  FROM base GROUP BY 1),
+              |m AS (
+              |  SELECT source,
+              |         arg_max(lang, lpad(CAST(cl AS VARCHAR), 20, '0') || lang) AS major_lang,
+              |         CAST(max(cl) AS BIGINT) AS mc
+              |  FROM (SELECT source, lang, count(*) AS cl FROM base GROUP BY 1, 2)
+              |  GROUP BY 1),
+              |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tt FROM s)
+              |SELECT s.source, n_docs, n_chars,
+              |       ${microRatioSql("n_docs", "tt", "//")} AS share_ppm,
+              |       n_langs, major_lang,
+              |       ${microRatioSql("mc", "n_docs", "//")} AS major_lang_ppm,
+              |       median_chars,
+              |       ${microRatioSql("(n_docs - n_unique)", "n_docs", "//")} AS exact_dup_ppm
+              |FROM s JOIN m ON s.source = m.source, t""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Release.dataCard(docs(s, dir), col("source"),
+          col("text"), col("lang"))),
+
     // Per-doc OOV rate vs the corpus top-20 vocabulary (the synthetic
     // corpus has ~31 distinct tokens, so 20 leaves a real OOV tail),
     // decile-bucketed.

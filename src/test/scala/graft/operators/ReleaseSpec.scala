@@ -51,4 +51,37 @@ class ReleaseSpec extends SparkSpec {
     // and only the corrupted doc's shard moved
     assert(m.count { case (k, v) => mc(k) != v } === 1)
   }
+
+  test("dataCard: volume, election tie-break, median, dup rate — hand-computed") {
+    import spark.implicits._
+    val rows = Seq(
+      // src a: 4 docs, langs en(2)/de(2) — COUNT TIE, election must pick
+      // the lexicographically larger lang at equal counts (struct order);
+      // one exact dup pair; lengths 2,2,3,7 → median (2+3)/2 = 2.5
+      ("a", "en", "xx"), ("a", "en", "xx"), ("a", "de", "yyy"), ("a", "de", "zzzzzzz"),
+      // src b: 2 docs, single lang, no dups; lengths 1,5 → median 3.0
+      ("b", "fr", "q"), ("b", "fr", "wwwww"))
+      .toDF("source", "lang", "text")
+    val got = Release.dataCard(rows, col("source"), col("text"), col("lang"))
+      .as[(String, Long, Long, Long, Long, String, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // (source, n_docs, n_chars, share_ppm, n_langs, major_lang,
+    //  major_lang_ppm, median_chars, exact_dup_ppm)
+    assert(got("a") == (("a", 4L, 14L, 666666L, 2L, "en", 500000L, 2.5, 250000L)),
+      got.toString)
+    assert(got("b") == (("b", 2L, 6L, 333333L, 1L, "fr", 1000000L, 3.0, 0L)),
+      got.toString)
+  }
+
+  test("dataCard: ppm columns are partitioning-invariant exact integers") {
+    val base = Tables.documents(spark, sfDir)
+      .select("source", "lang", "text")
+    val one = Release.dataCard(base.coalesce(1), col("source"),
+      col("text"), col("lang")).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val many = Release.dataCard(base.repartition(13), col("source"),
+      col("text"), col("lang")).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(one == many, "data card must not depend on partitioning")
+    assert(one.values.map(_(3).asInstanceOf[Long]).sum <= 1000000L,
+      "shares are floor ppm — they sum to at most 10⁶")
+  }
 }

@@ -194,6 +194,56 @@ class EventsStreamSpec extends SparkSpec {
       "fixture must exercise both verdicts")
   }
 
+  test("drift gate in a foreachBatch sink: per-window verdicts == batch") {
+    // The streaming shape of Drift.tvdBetween: each arriving ingestion
+    // window is gated against a PINNED reference histogram (per-window
+    // verdicts ARE the product here — unlike k-anonymity there is no
+    // corpus-stateful index; the reference frame is the only state, and
+    // it is static). Two micro-batches, one stationary (must pass) and
+    // one with a vanished event type (must be held); each batch's gate
+    // row must equal batch-mode tvdBetween on the same slice.
+    val ev = Tables.events(spark, sfDir)
+    val ref = ev.filter(to_date($"ts") < lit("2024-01-16").cast("date"))
+      .select("event_type")
+    val second = ev.filter(to_date($"ts") >= lit("2024-01-16").cast("date"))
+    val stationary = second.select($"event_type", lit("stationary").as("slice"))
+    val biased = second.filter($"event_type" =!= "error")
+      .select($"event_type", lit("biased").as("slice"))
+    val src = Files.createTempDirectory("graft_drift_stream")
+    val out = Files.createTempDirectory("graft_drift_out")
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt")
+    stationary.coalesce(1).write.parquet(s"$src/a.parquet.dir")
+    biased.coalesce(1).write.parquet(s"$src/b.parquet.dir")
+    val stream = spark.readStream.schema(stationary.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val tag = batch.agg(max("slice")).head().getString(0)
+        graft.operators.Drift
+          .tvdBetween(ref, col("event_type"), batch, col("event_type"), 1L, 16L)
+          .withColumn("slice", lit(tag))
+          .write.mode("append").parquet(out.toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .select("slice", "tvd_ppm", "drifted")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def batchGate(cur: org.apache.spark.sql.DataFrame) =
+      graft.operators.Drift
+        .tvdBetween(ref, col("event_type"), cur, col("event_type"), 1L, 16L)
+        .select("tvd_ppm", "drifted").as[(Long, Boolean)].head()
+    assert(streamed.size == 2, streamed.toString)
+    assert(streamed("stationary") == batchGate(stationary), streamed.toString)
+    assert(streamed("biased") == batchGate(biased), streamed.toString)
+    assert(!streamed("stationary")._2 && streamed("biased")._2,
+      s"fixture must exercise both verdicts: $streamed")
+  }
+
   test("sliding-window averages produce overlapping windows") {
     val out = EventsStream.runToMemory(
       EventsStream.slidingAvg(EventsStream.read(spark, streamDir)),
