@@ -96,13 +96,30 @@ object Drift {
     * (n_ref, n_cur, tvd_num, tvd_ppm, drifted). */
   def tvdBetween(ref: DataFrame, refBucket: Column,
                  cur: DataFrame, curBucket: Column,
-                 tNum: Long, tDen: Long): DataFrame = {
+                 tNum: Long, tDen: Long): DataFrame =
+    tvdFromHistograms(
+      ref.select(refBucket.as("_b")).groupBy("_b").agg(count(lit(1)).as("_n")),
+      col("_b"), col("_n"),
+      cur.select(curBucket.as("_b")).groupBy("_b").agg(count(lit(1)).as("_n")),
+      col("_b"), col("_n"), tNum, tDen)
+
+  /** [[tvdBetween]] over PRE-COUNTED histograms `(bucket, count)` — the
+    * state shape a streaming drift monitor holds between ingestion
+    * windows (the previous window's histogram is tiny by the bucketing
+    * contract, so it lives as driver/operator state while the corpus
+    * rows flow through once per micro-batch; EventsStreamSpec pins that
+    * the per-batch emissions equal the batch [[tvdSeries]] numbers).
+    * Duplicate bucket rows are summed, so any partially-combined
+    * histogram is accepted. */
+  def tvdFromHistograms(ref: DataFrame, refBucket: Column, refCount: Column,
+                        cur: DataFrame, curBucket: Column, curCount: Column,
+                        tNum: Long, tDen: Long): DataFrame = {
     require(tDen >= 1 && tNum >= 0 && tNum <= tDen,
       s"t must be a fraction in [0,1], got $tNum/$tDen")
-    val h1 = ref.select(refBucket.as("_b")).groupBy("_b")
-      .agg(count(lit(1)).as("_cr"))
-    val h2 = cur.select(curBucket.as("_b")).groupBy("_b")
-      .agg(count(lit(1)).as("_cc"))
+    val h1 = ref.select(refBucket.as("_b"), refCount.cast("long").as("_c"))
+      .groupBy("_b").agg(sum("_c").cast("long").as("_cr"))
+    val h2 = cur.select(curBucket.as("_b"), curCount.cast("long").as("_c"))
+      .groupBy("_b").agg(sum("_c").cast("long").as("_cc"))
     val joined = h1.join(h2, Seq("_b"), "full")
       .select(coalesce(col("_cr"), lit(0L)).as("_cr"),
         coalesce(col("_cc"), lit(0L)).as("_cc"))

@@ -1116,6 +1116,43 @@ object RelationalQueries {
           .unionByName(
             Drift.tvdBetween(ref, col("event_type"), biased, col("event_type"), 1L, 16L)
               .withColumn("gate", lit("biased_no_error")))
-      })
+      }),
+
+    // Numeric-column drift: the same TVD series over a BINNED continuous
+    // column (fixed width-50 bins over events.value) — the value-
+    // distribution monitor; binning is a plain projection, so numeric
+    // drift costs exactly what categorical drift costs. Bin width is the
+    // caller's statistical choice: too-fine bins drown the signal in
+    // per-bin sparsity noise (floor(value) → ~490 buckets pushes every
+    // day-pair TVD to 0.7+ at sf0.001).
+    Q("q196_drift_numeric",
+      Some(s"""WITH h AS (
+             |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         CAST(floor(value / 50) AS BIGINT) AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+             |hp AS (SELECT period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.period, hp.period) AS period,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+             |s AS (
+             |  SELECT j.period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+             |         CAST(sum(abs(c * n_prev - cp * n_cur)) AS BIGINT) AS tvd_num
+             |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT period, n_prev, n_cur, tvd_num,
+             |         ${graft.operators.Sampling.microRatioSql("tvd_num", "2 * n_cur * n_prev", "//")} AS tvd_ppm
+             |  FROM s)
+             |SELECT period, n_prev, n_cur, tvd_num, tvd_ppm,
+             |       2 * (SELECT count(*) FROM p) * tvd_ppm
+             |         > 3 * (SELECT CAST(sum(tvd_ppm) AS BIGINT) FROM p) AS drifted
+             |FROM p""".stripMargin),
+      (s, dir) =>
+        Drift.tvdSeries(t(s, dir, "events"),
+          unix_date(to_date(col("ts"))),
+          floor(col("value") / 50).cast("long")))
   )
 }

@@ -244,6 +244,63 @@ class EventsStreamSpec extends SparkSpec {
       s"fixture must exercise both verdicts: $streamed")
   }
 
+  test("drift series over a stream: histogram state across micro-batches == batch series") {
+    // The streaming twin of Drift.tvdSeries: each micro-batch is one
+    // ingestion window; the only state carried between windows is the
+    // PREVIOUS window's histogram (tiny by the bucketing contract —
+    // collected to the driver, exactly what a production monitor
+    // checkpoints). Three period-aligned batches; every consecutive
+    // pair's (tvd_num, tvd_ppm) must equal the batch tvdSeries row for
+    // that period. Verdicts are NOT compared: the batch series alert is
+    // relative to the whole series' mean, which a forward-only stream
+    // cannot know — the streaming form uses the gate threshold instead.
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("period", ((dayofmonth($"ts") - 1) / lit(10)).cast("long"))
+    val src = Files.createTempDirectory("graft_driftser_stream")
+    val out = Files.createTempDirectory("graft_driftser_out")
+    val ckpt = Files.createTempDirectory("graft_driftser_ckpt")
+    (0 to 2).foreach { p =>
+      ev.filter($"period" === p).select("event_type", "period")
+        .coalesce(1).write.parquet(s"$src/$p.parquet.dir")
+    }
+    val schema = ev.select("event_type", "period").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    // previous window's histogram — the monitor's whole state
+    var prevHist: Option[(Long, Seq[(String, Long)])] = None
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val period = batch.agg(max("period")).head().getLong(0)
+        val hist = batch.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toSeq
+        prevHist.foreach { case (_, ph) =>
+          graft.operators.Drift.tvdFromHistograms(
+              ph.toDF("bucket", "n"), col("bucket"), col("n"),
+              hist.toDF("bucket", "n"), col("bucket"), col("n"), 1L, 16L)
+            .withColumn("period", lit(period))
+            .select("period", "tvd_num", "tvd_ppm")
+            .write.mode("append").parquet(out.toString)
+        }
+        prevHist = Some((period, hist))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batchSeries = graft.operators.Drift
+      .tvdSeries(ev, $"period", $"event_type")
+      .select("period", "tvd_num", "tvd_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batchSeries,
+      s"stream/batch drift-series divergence: $streamed vs $batchSeries")
+    assert(streamed.size == 2 && streamed.values.forall(_._1 > 0),
+      s"three windows must yield two real drift pairs: $streamed")
+  }
+
   test("sliding-window averages produce overlapping windows") {
     val out = EventsStream.runToMemory(
       EventsStream.slidingAvg(EventsStream.read(spark, streamDir)),
