@@ -68,22 +68,28 @@ object Release {
     *
     * Scale shape: two corpus passes, each a map-side-combinable
     * aggregation to |sources| (resp. |sources × langs|) rows, with
-    * column pruning keeping each pass to the columns it needs; the
-    * ppm arithmetic is the exact staged integer ratio
-    * ([[Sampling.microRatioSql]]) against a 1-row broadcast total.
+    * column pruning keeping each pass to the columns it needs (the
+    * distinct-hash shuffle carries (source, hash) longs, never text);
+    * the ppm arithmetic is the exact staged integer ratio
+    * ([[Sampling.microRatioSql]]) against a 1-row broadcast total. The
+    * |sources|-row stats frame is persisted via `scope` — two plan
+    * branches read it (the total and the final join), and without the
+    * persist the total branch re-scans the corpus a third time
+    * (Catalyst does not reuse the exchange across the agg shapes).
     * `median_chars` is DOUBLE by contract (interpolated midpoint on
     * even counts) — consumers bucketing on it should round first. */
   def dataCard(df: DataFrame, sourceCol: Column, textCol: Column,
-               langCol: Column): DataFrame = {
+               langCol: Column,
+               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val base = df.select(sourceCol.as("source"), langCol.as("_lang"),
       length(textCol).cast("long").as("_nc"),
       TextFunctions.portableHash(textCol).as("_h"))
-    val perSrc = base.groupBy("source").agg(
+    val perSrc = scope.persist(base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("_nc").as("n_chars"),
       count_distinct(col("_lang")).as("n_langs"),
       count_distinct(col("_h")).as("n_unique"),
-      round(percentile(col("_nc"), lit(0.5)), 1).as("median_chars"))
+      round(percentile(col("_nc"), lit(0.5)), 1).as("median_chars")))
     val major = base.groupBy("source", "_lang")
       .agg(count(lit(1)).as("_cl"))
       .groupBy("source")
