@@ -54,33 +54,63 @@ object Drift {
     * of 1 (measured 7.8 s → 1.9 s at 1M rows). */
   def tvdSeries(df: DataFrame, periodCol: Column, bucketCol: Column,
                 alertNum: Long = 3L, alertDen: Long = 2L,
-                scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    tvdSeriesBy(df, Nil, periodCol, bucketCol, alertNum, alertDen, scope)
+
+  /** [[tvdSeries]] PER GROUP — the fleet form an ingestion monitor
+    * actually runs (one drift series per source/pipeline/event type,
+    * not one pooled series that a big stable group would drown). Group
+    * columns come back as `g0..gN` (the [[Privacy.lDiversity]] `q0`
+    * naming precedent); the alert mean is computed WITHIN each group's
+    * own series, so a noisy little source cannot page a quiet big one.
+    * Periods missing inside a group (no rows that day) break the chain
+    * there — both bordering pairs drop, same as the global edge rule.
+    * Same plan shape as the global form with the group keys prepended
+    * to every aggregation/join key; the per-group series stats join is
+    * a co-partitioned equi-join on the group keys instead of the 1-row
+    * broadcast-cross. */
+  def tvdSeriesBy(df: DataFrame, by: Seq[Column],
+                  periodCol: Column, bucketCol: Column,
+                  alertNum: Long = 3L, alertDen: Long = 2L,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(alertNum >= 1 && alertDen >= 1,
       s"alert multiple must be a positive fraction, got $alertNum/$alertDen")
+    val gNames = by.indices.map(i => s"g$i")
+    val gCols = gNames.map(col)
+    val keyed = by.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
     val hist = scope.persist(df
-      .select(periodCol.cast("long").as("period"), bucketCol.as("_b"))
-      .groupBy("period", "_b").agg(count(lit(1)).as("_c")))
-    // |periods × buckets| rows from here down
-    val tot = hist.groupBy("period").agg(sum("_c").cast("long").as("n_cur"))
-    val prevHist = hist.select((col("period") + 1).as("period"),
-      col("_b"), col("_c").as("_cp"))
-    val prevTot = tot.select((col("period") + 1).as("period"),
-      col("n_cur").as("n_prev"))
-    val perPeriod = hist.join(prevHist, Seq("period", "_b"), "full")
-      .select(col("period"),
-        coalesce(col("_c"), lit(0L)).as("_c"),
-        coalesce(col("_cp"), lit(0L)).as("_cp"))
-      .join(tot, "period").join(prevTot, "period") // inner: edges drop
-      .groupBy("period")
+      .select(keyed ++ Seq(periodCol.cast("long").as("period"),
+        bucketCol.as("_b")): _*)
+      .groupBy((gCols :+ col("period")) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c")))
+    // |groups × periods × buckets| rows from here down
+    val keys = gNames :+ "period"
+    val tot = hist.groupBy(keys.map(col): _*)
+      .agg(sum("_c").cast("long").as("n_cur"))
+    val prevHist = hist.select(
+      gCols ++ Seq((col("period") + 1).as("period"), col("_b"),
+        col("_c").as("_cp")): _*)
+    val prevTot = tot.select(
+      gCols ++ Seq((col("period") + 1).as("period"),
+        col("n_cur").as("n_prev")): _*)
+    val perPeriod = hist.join(prevHist, keys :+ "_b", "full")
+      .select((keys.map(col) :+
+        coalesce(col("_c"), lit(0L)).as("_c")) :+
+        coalesce(col("_cp"), lit(0L)).as("_cp"): _*)
+      .join(tot, keys).join(prevTot, keys) // inner: edges drop
+      .groupBy(keys.map(col): _*)
       .agg(max("n_prev").as("n_prev"), max("n_cur").as("n_cur"),
         sum(abs(col("_c") * col("n_prev") - col("_cp") * col("n_cur")))
           .cast("long").as("tvd_num"))
       .withColumn("_den", lit(2L) * col("n_cur") * col("n_prev"))
       .withColumn("tvd_ppm", expr(microRatioSql("tvd_num", "_den", "div")))
       .drop("_den")
-    val series = perPeriod.agg(count(lit(1)).as("_k"),
-      sum("tvd_ppm").cast("long").as("_s")) // 1 row
-    perPeriod.crossJoin(broadcast(series))
+    val series = perPeriod.groupBy(gCols: _*).agg(
+      count(lit(1)).as("_k"), sum("tvd_ppm").cast("long").as("_s"))
+    val withStats =
+      if (by.isEmpty) perPeriod.crossJoin(broadcast(series)) // 1 row
+      else perPeriod.join(series, gNames) // co-partitioned on the keys
+    withStats
       .withColumn("drifted",
         lit(alertDen) * col("_k") * col("tvd_ppm") > lit(alertNum) * col("_s"))
       .drop("_k", "_s")

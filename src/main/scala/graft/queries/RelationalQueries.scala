@@ -1153,6 +1153,43 @@ object RelationalQueries {
       (s, dir) =>
         Drift.tvdSeries(t(s, dir, "events"),
           unix_date(to_date(col("ts"))),
+          floor(col("value") / 50).cast("long"))),
+
+    // Per-group drift (the fleet form): one value-distribution series
+    // PER EVENT TYPE, alert mean computed within each type's own series
+    // — a noisy little source cannot page a quiet big one, and a big
+    // stable one cannot drown a drifting niche. Group key comes back as
+    // g0 (the lDiversity q0 naming precedent).
+    Q("q197_drift_by_group",
+      Some(s"""WITH h AS (
+             |  SELECT event_type AS g0,
+             |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         CAST(floor(value / 50) AS BIGINT) AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2, 3),
+             |tot AS (SELECT g0, period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1, 2),
+             |hp AS (SELECT g0, period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT g0, period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.g0, hp.g0) AS g0, coalesce(h.period, hp.period) AS period,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.g0 = hp.g0 AND h.period = hp.period AND h.b = hp.b),
+             |s AS (
+             |  SELECT j.g0, j.period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+             |         CAST(sum(abs(c * n_prev - cp * n_cur)) AS BIGINT) AS tvd_num
+             |  FROM j JOIN tot ON j.g0 = tot.g0 AND j.period = tot.period
+             |         JOIN tp ON j.g0 = tp.g0 AND j.period = tp.period
+             |  GROUP BY 1, 2),
+             |p AS (
+             |  SELECT g0, period, n_prev, n_cur, tvd_num,
+             |         ${graft.operators.Sampling.microRatioSql("tvd_num", "2 * n_cur * n_prev", "//")} AS tvd_ppm
+             |  FROM s),
+             |st AS (SELECT g0, count(*) AS k, CAST(sum(tvd_ppm) AS BIGINT) AS sv FROM p GROUP BY 1)
+             |SELECT p.g0, period, n_prev, n_cur, tvd_num, tvd_ppm,
+             |       2 * k * tvd_ppm > 3 * sv AS drifted
+             |FROM p JOIN st ON p.g0 = st.g0""".stripMargin),
+      (s, dir) =>
+        Drift.tvdSeriesBy(t(s, dir, "events"), Seq(col("event_type")),
+          unix_date(to_date(col("ts"))),
           floor(col("value") / 50).cast("long")))
   )
 }

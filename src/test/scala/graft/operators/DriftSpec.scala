@@ -65,6 +65,38 @@ class DriftSpec extends SparkSpec {
     assert(bothEmpty == ((0L, false)), bothEmpty.toString)
   }
 
+  test("tvdSeriesBy: groups are isolated — alert mean is per-group, gaps local") {
+    // group X: flat then flip (one loud pair); group Y: two flat pairs
+    // (all-zero series — nothing may page even though X's pair is huge);
+    // group Z: missing middle period — NO pair at all (chain broken).
+    val df = Seq(
+      ("x", 1L, "a"), ("x", 1L, "b"), ("x", 2L, "a"), ("x", 2L, "b"),
+      ("x", 3L, "a"), ("x", 3L, "a"),
+      ("y", 1L, "a"), ("y", 2L, "a"), ("y", 3L, "a"),
+      ("z", 1L, "a"), ("z", 3L, "a")).toDF("src", "day", "bucket")
+    val got = Drift.tvdSeriesBy(df, Seq(col("src")), col("day"), col("bucket"))
+      .select("g0", "period", "tvd_ppm", "drifted")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == Set(("x", 2L), ("x", 3L), ("y", 2L), ("y", 3L)),
+      s"z's broken chain must yield no pair: $got")
+    // x: day2 identical (0 ppm), day3 flips b->a: |2·2−1·2|+|0·2−1·2| = 4
+    // over 2·2·2 = 8 → 500000; per-group mean 250000 → only day3 pages
+    assert(got(("x", 2L)) == ((0L, false)) && got(("x", 3L)) == ((500000L, true)), got.toString)
+    // y: all-zero series — 2·2·0 > 3·0 is false, nothing pages
+    assert(got(("y", 2L)) == ((0L, false)) && got(("y", 3L)) == ((0L, false)), got.toString)
+  }
+
+  test("tvdSeriesBy(Nil) == tvdSeries (the global form is the empty grouping)") {
+    val a = Drift.tvdSeries(seriesFixture, col("day"), col("bucket"))
+      .select("period", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val b = Drift.tvdSeriesBy(seriesFixture, Nil, col("day"), col("bucket"))
+      .select("period", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("tvdSeries: non-consecutive periods pair only across gaps of exactly 1") {
     // days 1, 2, 5: day 5 has no day-4 predecessor → only day 2 reports
     val df = Seq((1L, "a"), (2L, "a"), (5L, "a")).toDF("day", "bucket")
