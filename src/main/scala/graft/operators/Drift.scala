@@ -77,27 +77,8 @@ object Drift {
       s"alert multiple must be a positive fraction, got $alertNum/$alertDen")
     val gNames = by.indices.map(i => s"g$i")
     val gCols = gNames.map(col)
-    val keyed = by.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
-    val hist = scope.persist(df
-      .select(keyed ++ Seq(periodCol.cast("long").as("period"),
-        bucketCol.as("_b")): _*)
-      .groupBy((gCols :+ col("period")) :+ col("_b"): _*)
-      .agg(count(lit(1)).as("_c")))
-    // |groups × periods × buckets| rows from here down
     val keys = gNames :+ "period"
-    val tot = hist.groupBy(keys.map(col): _*)
-      .agg(sum("_c").cast("long").as("n_cur"))
-    val prevHist = hist.select(
-      gCols ++ Seq((col("period") + 1).as("period"), col("_b"),
-        col("_c").as("_cp")): _*)
-    val prevTot = tot.select(
-      gCols ++ Seq((col("period") + 1).as("period"),
-        col("n_cur").as("n_prev")): _*)
-    val perPeriod = hist.join(prevHist, keys :+ "_b", "full")
-      .select((keys.map(col) :+
-        coalesce(col("_c"), lit(0L)).as("_c")) :+
-        coalesce(col("_cp"), lit(0L)).as("_cp"): _*)
-      .join(tot, keys).join(prevTot, keys) // inner: edges drop
+    val perPeriod = paired(df, by, periodCol, bucketCol, scope)
       .groupBy(keys.map(col): _*)
       .agg(max("n_prev").as("n_prev"), max("n_cur").as("n_cur"),
         sum(abs(col("_c") * col("n_prev") - col("_cp") * col("n_cur")))
@@ -114,6 +95,72 @@ object Drift {
       .withColumn("drifted",
         lit(alertDen) * col("_k") * col("tvd_ppm") > lit(alertNum) * col("_s"))
       .drop("_k", "_s")
+  }
+
+  /** The shared consecutive-pair frame: per (group.., period, bucket),
+    * both sides' counts (absent side coalesced to 0) and both period
+    * totals, edges/broken chains already dropped. One corpus-scale
+    * map-side-combinable count (persisted — four plan branches read
+    * it); everything else runs on the |groups × periods × buckets|
+    * histogram. [[tvdSeriesBy]] aggregates this to per-period TVD;
+    * [[tvdAttribution]] ranks inside it. */
+  private def paired(df: DataFrame, by: Seq[Column],
+                     periodCol: Column, bucketCol: Column,
+                     scope: CacheScope): DataFrame = {
+    val gNames = by.indices.map(i => s"g$i")
+    val gCols = gNames.map(col)
+    val keyed = by.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val hist = scope.persist(df
+      .select(keyed ++ Seq(periodCol.cast("long").as("period"),
+        bucketCol.as("_b")): _*)
+      .groupBy((gCols :+ col("period")) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c")))
+    val keys = gNames :+ "period"
+    val tot = hist.groupBy(keys.map(col): _*)
+      .agg(sum("_c").cast("long").as("n_cur"))
+    val prevHist = hist.select(
+      gCols ++ Seq((col("period") + 1).as("period"), col("_b"),
+        col("_c").as("_cp")): _*)
+    val prevTot = tot.select(
+      gCols ++ Seq((col("period") + 1).as("period"),
+        col("n_cur").as("n_prev")): _*)
+    hist.join(prevHist, keys :+ "_b", "full")
+      .select((keys.map(col) :+ col("_b") :+
+        coalesce(col("_c"), lit(0L)).as("_c")) :+
+        coalesce(col("_cp"), lit(0L)).as("_cp"): _*)
+      .join(tot, keys).join(prevTot, keys) // inner: edges drop
+  }
+
+  /** Root-cause drill-down for a drift alert: per consecutive-period
+    * pair, the top-k BUCKETS by their contribution |c·M − cp·N| to the
+    * pair's TVD numerator (`Σ contrib_num == tvd_num` of the matching
+    * [[tvdSeriesBy]] row — the spec pins the decomposition), with the
+    * contribution in ppm of the pair denominator. The answer to the
+    * page that q193/q197 raise: WHICH buckets moved. Rank ties break
+    * on the bucket value; the rank runs over the histogram frame —
+    * corpus rows never enter a window. Output:
+    * (group.., period, bucket, c_prev, c_cur, contrib_num, contrib_ppm, rk). */
+  def tvdAttribution(df: DataFrame, by: Seq[Column],
+                     periodCol: Column, bucketCol: Column, k: Int,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    val gNames = by.indices.map(i => s"g$i")
+    val keys = gNames :+ "period"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("contrib_num").desc, col("bucket"))
+    paired(df, by, periodCol, bucketCol, scope)
+      .withColumn("contrib_num",
+        abs(col("_c") * col("n_prev") - col("_cp") * col("n_cur")))
+      .withColumn("_den", lit(2L) * col("n_cur") * col("n_prev"))
+      .withColumn("contrib_ppm",
+        expr(microRatioSql("contrib_num", "_den", "div")))
+      .withColumnRenamed("_b", "bucket")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select((keys.map(col) :+ col("bucket") :+
+        col("_cp").as("c_prev") :+ col("_c").as("c_cur") :+
+        col("contrib_num") :+ col("contrib_ppm") :+ col("rk")): _*)
   }
 
   /** Reference-vs-current drift gate: ONE row with the exact-integer TVD

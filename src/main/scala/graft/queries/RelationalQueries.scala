@@ -1190,6 +1190,40 @@ object RelationalQueries {
       (s, dir) =>
         Drift.tvdSeriesBy(t(s, dir, "events"), Seq(col("event_type")),
           unix_date(to_date(col("ts"))),
-          floor(col("value") / 50).cast("long")))
+          floor(col("value") / 50).cast("long"))),
+
+    // Drift attribution: the drill-down behind a q193 page — per
+    // day-pair, the top-2 event types by contribution |c·M − cp·N| to
+    // the pair's TVD numerator (Σ over all buckets == the series row's
+    // tvd_num; the spec pins the decomposition). Rank runs over the
+    // histogram frame; ties break on the bucket value.
+    Q("q198_drift_attribution",
+      Some(s"""WITH h AS (
+             |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         event_type AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+             |hp AS (SELECT period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.period, hp.period) AS period, coalesce(h.b, hp.b) AS b,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+             |a AS (
+             |  SELECT j.period, b, cp AS c_prev, c AS c_cur,
+             |         CAST(abs(c * n_prev - cp * n_cur) AS BIGINT) AS contrib_num,
+             |         CAST(2 * n_cur * n_prev AS BIGINT) AS den
+             |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period),
+             |r AS (
+             |  SELECT period, b AS bucket, c_prev, c_cur, contrib_num,
+             |         ${graft.operators.Sampling.microRatioSql("contrib_num", "den", "//")} AS contrib_ppm,
+             |         CAST(row_number() OVER (PARTITION BY period
+             |           ORDER BY contrib_num DESC, b) AS BIGINT) AS rk
+             |  FROM a)
+             |SELECT period, bucket, c_prev, c_cur, contrib_num, contrib_ppm, rk
+             |FROM r WHERE rk <= 2""".stripMargin),
+      (s, dir) =>
+        Drift.tvdAttribution(t(s, dir, "events"), Nil,
+          unix_date(to_date(col("ts"))), col("event_type"), k = 2))
   )
 }

@@ -97,6 +97,34 @@ class DriftSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("tvdAttribution: per-bucket contributions decompose the pair's numerator; top-k ranked") {
+    val att = Drift.tvdAttribution(seriesFixture, Nil, col("day"), col("bucket"), k = 2)
+      .select("period", "bucket", "c_prev", "c_cur", "contrib_num", "contrib_ppm", "rk")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    // day 3 (the flip): a contributes |1·4−3·4| = 8, b |3·4−1·4| = 8 —
+    // tie broken by bucket: a=rank1, b=rank2; each 8/(2·16) = 250000 ppm
+    val d3 = att.filter(_._1 == 3L).sortBy(_._7)
+    assert(d3.map(r => (r._2, r._5, r._6, r._7)).toSeq ==
+      Seq(("a", 8L, 250000L, 1L), ("b", 8L, 250000L, 2L)), att.mkString(", "))
+    // decomposition: Σ contrib_num over ALL buckets == the series row's
+    // tvd_num for every period (k >= bucket count here, nothing cut)
+    val sums = att.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val series = Drift.tvdSeries(seriesFixture, col("day"), col("bucket"))
+      .select("period", "tvd_num").as[(Long, Long)].collect().toMap
+    assert(sums == series, s"$sums vs $series")
+  }
+
+  test("tvdAttribution: k cuts and a vanished bucket attributes its full mass") {
+    // p1: 2a+2b; p2: 4a — b's vanish contributes 8, a's growth 8; k=1
+    // keeps only the tie-break winner (a)
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"), (2L, "a")).toDF("day", "bucket")
+    val got = Drift.tvdAttribution(df, Nil, col("day"), col("bucket"), k = 1)
+      .select("bucket", "c_prev", "c_cur", "contrib_num", "rk")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 2L, 4L, 8L, 1L)), got.mkString(", "))
+  }
+
   test("tvdSeries: non-consecutive periods pair only across gaps of exactly 1") {
     // days 1, 2, 5: day 5 has no day-4 predecessor → only day 2 reports
     val df = Seq((1L, "a"), (2L, "a"), (5L, "a")).toDF("day", "bucket")
