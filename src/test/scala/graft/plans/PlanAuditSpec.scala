@@ -72,6 +72,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q198: attribution's top-k rank is WindowGroupLimit-pruned") {
+    // the literal rk <= 2 over the histogram frame must plan as a
+    // bounded per-partition heap — the same property hostBudget pins
+    val p = plan("q198_drift_attribution")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q193: the drift series plans zero Window nodes (corpus rows never window)") {
+    // the family's whole discipline: one map-side-combinable corpus
+    // count, everything else joins/aggregates on the histogram frame
+    val p = plan("q193_drift_series")
+    assert(!p.contains(" Window "), p)
+  }
+
   test("q40: LSH bucket assignment is one shuffle-free projection") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val b = graft.similarity.Similarity.withLshBucket(
