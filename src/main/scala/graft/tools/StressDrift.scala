@@ -76,6 +76,23 @@ object StressDrift {
         .select("tvd_ppm", "drifted").head
       println(s"[drift]   gate ppm=${g.getLong(0)} drifted=${g.getBoolean(1)}")
     }
+    // fleet form: 64 stable hash-assigned sources, one series each —
+    // every source carries the same day/bucket structure (mega bucket,
+    // day-29 flip) at 1/64 the mass
+    for (rep <- Seq("cold", "warm")) timed(s"tvd_series_by_$rep") {
+      val grouped = spark.range(n).select(
+        day.as("day"),
+        when(col("id") % 2 === 0 && day =!= 29, lit("b0"))
+          .otherwise(concat(lit("b"),
+            pmod(xxhash64(lit("bkt"), col("id")), lit(19L)) + 1)).as("bucket"),
+        pmod(xxhash64(lit("grp"), col("id")), lit(64L)).as("grp"))
+      val s = scala.util.Using.resource(new graft.operators.CacheScope) { sc =>
+        Drift.tvdSeriesBy(grouped, Seq(col("grp")), col("day"), col("bucket"),
+            scope = sc)
+          .agg(count(lit(1)), count_if(col("drifted"))).head
+      }
+      println(s"[drift]   group-pairs=${s.getLong(0)} drifted=${s.getLong(1)}")
+    }
     spark.stop()
   }
 }
