@@ -23,7 +23,14 @@ import graft.operators.Sampling.microRatioSql
   * bucketing; a high-cardinality bucket column is the caller's bug, not
   * a funnel: it still never windows over corpus rows). Long-arithmetic
   * bound shared with tCloseness: c·M ≤ N·M needs per-window row counts
-  * under ~3·10⁹; beyond that, shard windows before auditing. */
+  * under ~3·10⁹; beyond that, shard windows before auditing.
+  *
+  * NULL bucket (or group) values follow SQL join semantics on BOTH
+  * engines — null never equals null, so a null bucket present on both
+  * sides of a pair lands as two non-matching rows and its mass counts
+  * as a vanish PLUS an appearance (over-counted, but identically in
+  * Spark and DuckDB). If nulls are a real bucket, coalesce them to a
+  * sentinel before auditing. */
 object Drift {
 
   /** Consecutive-period drift series: for every period p with a
