@@ -686,14 +686,21 @@ object Dedup {
     * Scale shape: everything past the near-dup pipeline moves only
     * 8-byte ids — the CC label frame joins the corpus id projection
     * (left join, id-keyed), and the split column is arithmetic on the
-    * cluster id. No text, no windows, no driver state. */
+    * cluster id. No text, no windows, no driver state. The pair graph
+    * comes from [[nearDuplicatesCollapsed]]: the split consumes ONLY
+    * component labels, and the collapsed graph is connectivity-
+    * equivalent to the plain one (same components, same min-id canon —
+    * `NearDupCollapseSpec`/`LeakageSplitSpec` pin it) while running the
+    * LSH stages on distinct texts only — 10.5× faster at 1M on
+    * exact-dup-heavy corpora (the q155 probe). */
   def leakageSafeSplit(df: DataFrame, idCol: Column, textCol: Column,
                        threshold: Double,
                        cfg: MinHashConfig = MinHashConfig.OraclePinned,
-                       nBuckets: Int = 10, evalBuckets: Int = 1): DataFrame = {
+                       nBuckets: Int = 10, evalBuckets: Int = 1,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(nBuckets > 0 && evalBuckets >= 0 && evalBuckets <= nBuckets,
       s"need 0 <= evalBuckets <= nBuckets, got $evalBuckets/$nBuckets")
-    val pairs = nearDuplicates(df, idCol, textCol, threshold, cfg)
+    val pairs = nearDuplicatesCollapsed(df, idCol, textCol, threshold, cfg, scope)
     val cc = connectedComponents(pairs, col("d1"), col("d2"))
     df.select(idCol.as("doc_id"))
       .join(cc, col("doc_id") === col("node"), "left")
@@ -938,6 +945,53 @@ object Dedup {
             array().cast("array<int>")), i))), " ").as("clean_text"))
   }
 
+  // ------------------------------------------------- posting-list capping
+
+  /** Keep only the band buckets whose posting list has between 2 and
+    * `maxPostings` members — the shared frequency-cap discipline of every
+    * banded near-dup self-join ([[sharedSpanPairs]] pioneered it for text
+    * spans; [[simhashNearDupFromSigs]] and the
+    * [[graft.multimodal.Media]] phash/audio/video pipelines reuse it).
+    *
+    * Why it exists: a banded self-join is quadratic IN EACH BUCKET. A
+    * corpus-common band value — the black intro frame, the solid-color
+    * thumbnail, the silent clip, the empty document — collects millions
+    * of postings at web scale, and that single bucket then emits 10¹²+
+    * candidate pairs. Such a value is boilerplate, not a duplicate
+    * signal (the same argument as the span cap): dropping its bucket
+    * bounds every posting list by construction, so the join's candidate
+    * mass is ≤ maxPostings · |buckets| instead of Σ|bucket|².
+    *
+    * Semantics: pairs whose EVERY shared band is over the cap are
+    * dropped — intended, but never silent: the paired
+    * [[bandPostingAudit]] reports exactly which buckets were capped (an
+    * operator run ships pairs + audit together). Singleton buckets are
+    * dropped too (they can emit no pair — pure join-input savings). */
+  private[graft] def capBands(bands: DataFrame, keys: Seq[String],
+                              maxPostings: Long): DataFrame = {
+    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
+    val ok = bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_postings"))
+      .filter(col("n_postings") >= 2 && col("n_postings") <= maxPostings)
+      .select(keys.map(col): _*)
+    bands.join(ok, keys)
+  }
+
+  /** The audit artifact of [[capBands]]: one row per band bucket with
+    * ≥2 postings — `(keys.., n_postings, capped)` — where `capped` marks
+    * the buckets the frequency cap excluded from pairing. A release
+    * pipeline files this next to the pair output so capped mass is
+    * REPORTED, not silently vanished; a spike in capped buckets is
+    * itself a data-quality signal (boilerplate flooding the corpus). */
+  private[graft] def bandPostingAudit(bands: DataFrame, keys: Seq[String],
+                                      maxPostings: Long): DataFrame = {
+    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
+    bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_postings"))
+      .filter(col("n_postings") >= 2)
+      .withColumn("capped", col("n_postings") > maxPostings)
+  }
+
   /** N-bit SimHash (generalizes [[simhash16]]): same distributed
     * bit-weight aggregate, `bits` wide. 16 bits is the compact
     * oracle-demo width; the near-dup path uses the full 60-bit portable
@@ -970,19 +1024,30 @@ object Dedup {
     * Defaults to the full 60-bit hash: 15-bit bands give 32768 values
     * per band, so random collisions — and with them the join fan-out —
     * stay negligible as the corpus grows. (4-bit bands over a 16-bit
-    * hash would go quadratic: only 16 values per band.) */
+    * hash would go quadratic: only 16 values per band.)
+    *
+    * `maxPostings` frequency-caps each band bucket ([[capBands]] — a
+    * corpus-common signature value, e.g. the near-empty-document
+    * simhash, would otherwise make one bucket quadratic in its
+    * membership); [[simhashBandAudit]] reports the capped buckets. The
+    * signature frame is persisted through `scope` — three plan branches
+    * read it (the posting count plus both join sides). */
   def simhashNearDup(df: DataFrame, idCol: Column, textCol: Column,
                      maxHamming: Int = 3, bits: Int = 60,
-                     hash: Column => Column = portableHash): DataFrame = {
-    require(bits % (maxHamming + 1) == 0, "bands must divide the hash width")
-    val nBands = maxHamming + 1
-    val width = bits / nBands
-    val mask = (1L << width) - 1
-    val sigs = simhashN(df, idCol, textCol, bits, hash)
-    val bandVals = (0 until nBands).map(b =>
-      shiftright(col("simhash"), b * width).bitwiseAND(mask))
-    val bands = sigs.select(col("doc"), col("simhash"),
-      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+                     hash: Column => Column = portableHash,
+                     maxPostings: Long = 1000L,
+                     scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    simhashNearDupFromSigs(scope.persist(simhashN(df, idCol, textCol, bits, hash)),
+      maxHamming, bits, maxPostings)
+
+  /** [[simhashNearDup]] over an ALREADY-COMPUTED `(doc, simhash)` frame
+    * — the production shape when signatures are persisted next to the
+    * corpus and re-banded per radius without re-scanning text. */
+  def simhashNearDupFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                             bits: Int = 60,
+                             maxPostings: Long = 1000L): DataFrame = {
+    val bands = capBands(simhashBands(sigs, maxHamming, bits),
+      Seq("band_idx", "band_val"), maxPostings)
     bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"),
@@ -991,6 +1056,30 @@ object Dedup {
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
+  }
+
+  /** Capped-bucket audit for [[simhashNearDup]] ([[bandPostingAudit]]
+    * over the same banding): `(band_idx, band_val, n_postings, capped)`
+    * for every bucket with ≥2 postings. */
+  def simhashBandAudit(df: DataFrame, idCol: Column, textCol: Column,
+                       maxHamming: Int = 3, bits: Int = 60,
+                       hash: Column => Column = portableHash,
+                       maxPostings: Long = 1000L): DataFrame =
+    bandPostingAudit(
+      simhashBands(simhashN(df, idCol, textCol, bits, hash), maxHamming, bits),
+      Seq("band_idx", "band_val"), maxPostings)
+
+  /** Pigeonhole banding of a simhash signature frame: one
+    * (doc, simhash, band_idx, band_val) row per band. */
+  private def simhashBands(sigs: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
+    require(bits % (maxHamming + 1) == 0, "bands must divide the hash width")
+    val nBands = maxHamming + 1
+    val width = bits / nBands
+    val mask = (1L << width) - 1
+    val bandVals = (0 until nBands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(mask))
+    sigs.select(col("doc"), col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
   }
 
   /** 16-bit SimHash per doc via explode + grouped bit-weight sums — the

@@ -141,22 +141,65 @@ object Media {
     * text pipeline ([[graft.dedup.Dedup.simhashNearDup]]): split the 64
     * bits into radius+1 bands, a within-radius pair must collide on at
     * least one band, so one equi-join on (band, value) replaces the
-    * all-pairs comparison; popcount verifies candidates exactly. */
-  def phashNearDupPairs(media: Dataset[MediaRow], radius: Int = 3): DataFrame = {
-    require(radius >= 0 && 64 % (radius + 1) == 0,
-      s"radius+1 must divide 64, got $radius")
+    * all-pairs comparison; popcount verifies candidates exactly.
+    * `maxPostings` frequency-caps each band bucket
+    * ([[graft.dedup.Dedup.capBands]] — a corpus-common value like the
+    * solid-color thumbnail's dHash would otherwise make one bucket
+    * quadratic in its membership); [[phashBandAudit]] reports the
+    * capped buckets. The hash frame (the expensive codec pass) is
+    * persisted through `scope` — the cap count and both join sides
+    * read it. */
+  def phashNearDupPairs(media: Dataset[MediaRow], radius: Int = 3,
+                        maxPostings: Long = 1000L,
+                        scope: graft.operators.CacheScope =
+                          graft.operators.CacheScope.unmanaged): DataFrame =
+    phashNearDupPairsFromHashes(scope.persist(withPerceptualHash(media)),
+      radius, maxPostings)
+
+  /** [[phashNearDupPairs]] over an ALREADY-COMPUTED `(media_id, phash)`
+    * frame — the production shape: the perceptual hashes are persisted
+    * next to the media index and re-banded per radius without
+    * re-decoding the corpus. */
+  def phashNearDupPairsFromHashes(p: DataFrame, radius: Int = 3,
+                                  maxPostings: Long = 1000L): DataFrame =
+    bandedHammingPairs(p, "phash", 64, radius, maxPostings)
+
+  /** Capped-bucket audit for [[phashNearDupPairs]]: one row per band
+    * bucket with ≥2 postings, `capped` marking the buckets the
+    * frequency cap excluded — ships next to the pair output so capped
+    * mass is reported, not silently vanished. */
+  def phashBandAudit(media: Dataset[MediaRow], radius: Int = 3,
+                     maxPostings: Long = 1000L): DataFrame =
+    graft.dedup.Dedup.bandPostingAudit(
+      hashBands(withPerceptualHash(media), "phash", 64, radius),
+      Seq("band_idx", "band_val"), maxPostings)
+
+  /** Shared banding of a 64/60-bit perceptual-hash frame. */
+  private def hashBands(p: DataFrame, hashCol: String, bits: Int,
+                        radius: Int): DataFrame = {
+    require(radius >= 0 && bits % (radius + 1) == 0,
+      s"radius+1 must divide $bits, got $radius")
     val nBands = radius + 1
-    val width = 64 / nBands
+    val width = bits / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val p = withPerceptualHash(media)
     val bandVals = (0 until nBands).map(b =>
-      shiftright(col("phash"), b * width).bitwiseAND(lit(mask)))
-    val bands = p.select(col("media_id"), col("phash"),
+      shiftright(col(hashCol), b * width).bitwiseAND(lit(mask)))
+    p.select(col("media_id"), col(hashCol),
       posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Shared banded-join core of [[phashNearDupPairsFromHashes]] /
+    * [[audioNearDupPairsFromHashes]]: frequency-capped band equi-join,
+    * then exact popcount verification on the candidates. */
+  private def bandedHammingPairs(p: DataFrame, hashCol: String, bits: Int,
+                                 radius: Int, maxPostings: Long): DataFrame = {
+    val bands = graft.dedup.Dedup.capBands(
+      hashBands(p, hashCol, bits, radius),
+      Seq("band_idx", "band_val"), maxPostings)
     bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
       .filter(col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
-        col("a.phash").as("h1"), col("b.phash").as("h2"))
+        col(s"a.$hashCol").as("h1"), col(s"b.$hashCol").as("h2"))
       .distinct()
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= radius)
@@ -190,27 +233,33 @@ object Media {
     * the code-multiset proportions and can drift past the radius — trim
     * detection joins on the `fp_codes` posting lists instead (a prefix
     * trim's window codes are literally a subset of the original's;
-    * `AudioFingerprintSpec` pins that containment). */
-  def audioNearDupPairs(media: Dataset[MediaRow], radius: Int = 5): DataFrame = {
-    require(radius >= 0 && 60 % (radius + 1) == 0,
-      s"radius+1 must divide 60, got $radius")
-    val nBands = radius + 1
-    val width = 60 / nBands
-    val mask = (1L << width) - 1
-    val p = withAudioFingerprint(media).select("media_id", "ahash")
-    val bandVals = (0 until nBands).map(b =>
-      shiftright(col("ahash"), b * width).bitwiseAND(lit(mask)))
-    val bands = p.select(col("media_id"), col("ahash"),
-      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
-    bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
-      .filter(col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
-        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
-      .filter(col("hamming") <= radius)
-      .select("m1", "m2", "hamming")
-  }
+    * `AudioFingerprintSpec` pins that containment). `maxPostings`
+    * frequency-caps each band bucket (a corpus-common signature — the
+    * silent clip — would otherwise make one bucket quadratic);
+    * [[audioBandAudit]] reports capped buckets. The fingerprint frame
+    * is persisted through `scope` (cap count + both join sides). */
+  def audioNearDupPairs(media: Dataset[MediaRow], radius: Int = 5,
+                        maxPostings: Long = 1000L,
+                        scope: graft.operators.CacheScope =
+                          graft.operators.CacheScope.unmanaged): DataFrame =
+    audioNearDupPairsFromHashes(
+      scope.persist(withAudioFingerprint(media).select("media_id", "ahash")),
+      radius, maxPostings)
+
+  /** [[audioNearDupPairs]] over an ALREADY-COMPUTED `(media_id, ahash)`
+    * frame — fingerprints persisted once, re-banded per radius. */
+  def audioNearDupPairsFromHashes(p: DataFrame, radius: Int = 5,
+                                  maxPostings: Long = 1000L): DataFrame =
+    bandedHammingPairs(p, "ahash", 60, radius, maxPostings)
+
+  /** Capped-bucket audit for [[audioNearDupPairs]] (see
+    * [[phashBandAudit]]). */
+  def audioBandAudit(media: Dataset[MediaRow], radius: Int = 5,
+                     maxPostings: Long = 1000L): DataFrame =
+    graft.dedup.Dedup.bandPostingAudit(
+      hashBands(withAudioFingerprint(media).select("media_id", "ahash"),
+        "ahash", 60, radius),
+      Seq("band_idx", "band_val"), maxPostings)
 
   /** `(media_id, frame_idx, fhash)` for every video row: `nFrames`
     * evenly time-sampled frames, each decoded to its raster and
@@ -247,22 +296,51 @@ object Media {
     * replaces the all-pairs comparison — the [[phashNearDupPairs]]
     * banding argument with positions as the bands; the agreement count
     * then verifies candidates exactly. Corpus-wide identical frames
-    * (black intros, title cards) would fatten one join bucket — at real
-    * scale, cap or drop hashes whose posting list exceeds a frequency
-    * bound, the same discipline as the text shingle posting lists. */
+    * (black intros, title cards) would fatten one join bucket into a
+    * quadratic blowup, so each `(frame_idx, fhash)` posting list is
+    * frequency-capped at `maxPostings`
+    * ([[graft.dedup.Dedup.capBands]] — the same discipline as the text
+    * shingle posting lists; a corpus-wide frame is boilerplate, not a
+    * duplicate signal). Pairs agreeing ONLY on capped positions still
+    * need `minShared` uncapped agreements to qualify — by design.
+    * [[videoFrameBandAudit]] reports the capped buckets. The frame-hash
+    * frame (the codec pass) is persisted through `scope`. */
   def videoNearDupPairs(media: Dataset[MediaRow], nFrames: Int = 4,
-                        minShared: Int = 3): DataFrame = {
+                        minShared: Int = 3,
+                        maxPostings: Long = 1000L,
+                        scope: graft.operators.CacheScope =
+                          graft.operators.CacheScope.unmanaged): DataFrame = {
     require(minShared >= 1 && minShared <= nFrames,
       s"need 1 <= minShared <= nFrames, got $minShared/$nFrames")
-    val f = withFrameHashes(media, nFrames)
-    val a = f.select(col("media_id").as("m1"), col("frame_idx"), col("fhash"))
-    val b = f.select(col("media_id").as("m2"), col("frame_idx"), col("fhash"))
+    videoNearDupPairsFromHashes(scope.persist(withFrameHashes(media, nFrames)),
+      minShared, maxPostings)
+  }
+
+  /** [[videoNearDupPairs]] over an ALREADY-COMPUTED
+    * `(media_id, frame_idx, fhash)` frame ([[withFrameHashes]] output,
+    * persisted by a real pipeline) — re-thresholded without
+    * re-decoding. */
+  def videoNearDupPairsFromHashes(f: DataFrame, minShared: Int = 3,
+                                  maxPostings: Long = 1000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val pruned = graft.dedup.Dedup.capBands(f, Seq("frame_idx", "fhash"),
+      maxPostings)
+    val a = pruned.select(col("media_id").as("m1"), col("frame_idx"), col("fhash"))
+    val b = pruned.select(col("media_id").as("m2"), col("frame_idx"), col("fhash"))
     a.join(b, Seq("frame_idx", "fhash"))
       .filter(col("m1") < col("m2"))
       .groupBy("m1", "m2")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Capped-bucket audit for [[videoNearDupPairs]]: one row per
+    * `(frame_idx, fhash)` bucket with ≥2 postings, `capped` marking
+    * the buckets the frequency cap excluded. */
+  def videoFrameBandAudit(media: Dataset[MediaRow], nFrames: Int = 4,
+                          maxPostings: Long = 1000L): DataFrame =
+    graft.dedup.Dedup.bandPostingAudit(withFrameHashes(media, nFrames),
+      Seq("frame_idx", "fhash"), maxPostings)
 
   /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
     * frames are REAL PCM seeks (the samples at `offset_ms`); video

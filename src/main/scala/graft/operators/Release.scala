@@ -66,16 +66,29 @@ object Release {
     * DuckDB twin is `arg_max(lang, lpad(count) || lang)` (fixed-width
     * lexicographic = the same order).
     *
-    * Scale shape: two corpus passes, each a map-side-combinable
-    * aggregation to |sources| (resp. |sources × langs|) rows, with
-    * column pruning keeping each pass to the columns it needs (the
-    * distinct-hash shuffle carries (source, hash) longs, never text);
-    * the ppm arithmetic is the exact staged integer ratio
+    * Scale shape: three corpus passes, each a map-side-combinable
+    * aggregation — to |sources|, |sources × langs|, and (for the
+    * median) |sources × distinct lengths| rows — with column pruning
+    * keeping each pass to the columns it needs (the distinct-hash
+    * shuffle carries (source, hash) longs, never text); the ppm
+    * arithmetic is the exact staged integer ratio
     * ([[Sampling.microRatioSql]]) against a 1-row broadcast total. The
     * |sources|-row stats frame is persisted via `scope` — two plan
     * branches read it (the total and the final join), and without the
-    * persist the total branch re-scans the corpus a third time
-    * (Catalyst does not reuse the exchange across the agg shapes).
+    * persist the total branch re-scans the corpus again (Catalyst does
+    * not reuse the exchange across the agg shapes).
+    *
+    * `median_chars` goes through [[Relational.groupedQuantilesExact]]
+    * (same interpolated `quantile_cont` lerp), NOT Spark's
+    * `percentile()` aggregate: a data card is by construction grouped
+    * by SOURCE — a handful of giant groups — and the buffering
+    * percentile holds every length of a group in one final task's
+    * memory (billions of values for a dominant source at 100 TB; see
+    * Relational.scala's OOM note). The exact formulation collapses to
+    * per-distinct-length counts first, so per-group state is bounded by
+    * |distinct lengths| (≤ a few million for any real length column)
+    * regardless of group row count — the mega-source spec in
+    * `ReleaseSpec` pins equality on a 1-source-dominates corpus.
     * `median_chars` is DOUBLE by contract (interpolated midpoint on
     * even counts) — consumers bucketing on it should round first. */
   def dataCard(df: DataFrame, sourceCol: Column, textCol: Column,
@@ -84,12 +97,14 @@ object Release {
     val base = df.select(sourceCol.as("source"), langCol.as("_lang"),
       length(textCol).cast("long").as("_nc"),
       TextFunctions.portableHash(textCol).as("_h"))
+    val med = Relational.groupedQuantilesExact(
+      base.select("source", "_nc"), "source",
+      Seq(("_nc", 0.5, "median_chars")), scale = 1)
     val perSrc = scope.persist(base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("_nc").as("n_chars"),
       count_distinct(col("_lang")).as("n_langs"),
-      count_distinct(col("_h")).as("n_unique"),
-      round(percentile(col("_nc"), lit(0.5)), 1).as("median_chars")))
+      count_distinct(col("_h")).as("n_unique")))
     val major = base.groupBy("source", "_lang")
       .agg(count(lit(1)).as("_cl"))
       .groupBy("source")
@@ -98,6 +113,7 @@ object Release {
         col("_m._cl").as("_mc"))
     val total = perSrc.agg(sum("n_docs").cast("long").as("_t")) // 1 row
     perSrc.join(major, "source") // co-partitioned on source
+      .join(med, "source")
       .crossJoin(broadcast(total))
       .withColumn("major_lang_ppm",
         expr(Sampling.microRatioSql("_mc", "n_docs", "div")))

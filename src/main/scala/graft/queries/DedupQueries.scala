@@ -761,7 +761,10 @@ object DedupQueries {
     // SimHash hamming-radius pairs, exact via pigeonhole banding on the
     // full 60-bit hash (4 bands × 15 bits for radius 3): a within-radius
     // pair must collide on one band, and 32768 values per band keep the
-    // candidate join linear in the corpus.
+    // candidate join linear in the corpus. Band buckets are frequency-
+    // capped at 1000 postings (the boilerplate discipline — a corpus-
+    // common signature value can't go quadratic); the oracle replays the
+    // cap, so the semantics are pinned even where the cap binds.
     Q("q52_simhash_neardup", {
       val bitTerms = (0 until 60).map { b =>
         s"CASE WHEN sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"
@@ -771,9 +774,12 @@ object DedupQueries {
               |sig AS (SELECT doc, CAST($bitTerms AS BIGINT) AS simhash FROM hh GROUP BY doc),
               |bands AS (SELECT doc, simhash, band, (simhash >> (band * 15)) & 32767 AS bv
               |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+              |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+              |  HAVING count(*) >= 2 AND count(*) <= 1000),
+              |bp AS (SELECT bands.* FROM bands JOIN ok USING (band, bv)),
               |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2,
               |    a.simhash AS s1, b.simhash AS s2
-              |  FROM bands a JOIN bands b
+              |  FROM bp a JOIN bp b
               |    ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc)
               |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
               |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin)
