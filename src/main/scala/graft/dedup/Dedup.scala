@@ -438,26 +438,46 @@ object Dedup {
     * maps equal on mixed corpora. Exact pairs carry J=1.0 without
     * verification: md5 is 128-bit, a collision is ~2^-64 at any corpus
     * size, the same trust the exact-dedup family (q31/q94) already
-    * places in content hashes. */
+    * places in content hashes.
+    *
+    * DUP-FREE corpora short-circuit: the collapse machinery (rep
+    * election + star join + rep semi-join) is pure overhead when every
+    * text is distinct — measured ~25% on the 500-doc q140 corpus
+    * (r13 bench: 3.19 s plain → 4.02 s collapsed) — so the operator
+    * probes exact-dup presence first with ONE ungrouped aggregate over
+    * the already-persisted keyed frame (`count == count_distinct(h)`,
+    * map-side-combinable, a 1-row driver read) and runs the plain
+    * pipeline on the persisted frame when no text repeats. The probe's
+    * cost on dup-heavy corpora is a rounding error next to the LSH
+    * stages it then shrinks; on dup-free corpora it buys back the
+    * collapse overhead (EXPLAIN.md round 14 has the break-even
+    * numbers). */
   def nearDuplicatesCollapsed(df: DataFrame, idCol: Column, textCol: Column,
                               threshold: Double,
                               cfg: MinHashConfig = MinHashConfig.OraclePinned,
                               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // (h, doc, text) is read by the rep election, the star join, and the
-    // rep-corpus semi-join — persist so the (possibly expensive) source
-    // pipeline and the md5 run once
+    // (h, doc, text) is read by the presence probe, the rep election,
+    // the star join, and the rep-corpus semi-join — persist so the
+    // (possibly expensive) source pipeline and the md5 run once
     val keyed = scope.persist(
       df.select(idCol.as("doc"), textCol.as("text"))
         .withColumn("h", md5(col("text"))))
-    val reps = keyed.groupBy("h").agg(min("doc").as("rep"))
-    val exact = keyed.join(reps, "h")
-      .filter(col("doc") =!= col("rep"))
-      .select(col("rep").as("d1"), col("doc").as("d2"), lit(1.0).as("jaccard"))
-    val repCorpus = keyed.join(
-      reps.select(col("h"), col("rep").as("doc")), Seq("h", "doc"), "left_semi")
-    val near = nearDuplicates(repCorpus, col("doc"), col("text"),
-      threshold, cfg, scope)
-    exact.union(near)
+    val Seq(nRows, nTexts) = keyed
+      .agg(count(lit(1)), count_distinct(col("h")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    if (nRows == nTexts)
+      nearDuplicates(keyed, col("doc"), col("text"), threshold, cfg, scope)
+    else {
+      val reps = keyed.groupBy("h").agg(min("doc").as("rep"))
+      val exact = keyed.join(reps, "h")
+        .filter(col("doc") =!= col("rep"))
+        .select(col("rep").as("d1"), col("doc").as("d2"), lit(1.0).as("jaccard"))
+      val repCorpus = keyed.join(
+        reps.select(col("h"), col("rep").as("doc")), Seq("h", "doc"), "left_semi")
+      val near = nearDuplicates(repCorpus, col("doc"), col("text"),
+        threshold, cfg, scope)
+      exact.union(near)
+    }
   }
 
   /** Connected components over a near-dup pair graph: every node gets the
@@ -1060,13 +1080,26 @@ object Dedup {
 
   /** Capped-bucket audit for [[simhashNearDup]] ([[bandPostingAudit]]
     * over the same banding): `(band_idx, band_val, n_postings, capped)`
-    * for every bucket with ≥2 postings. */
+    * for every bucket with ≥2 postings. Pairs + audit of one operator
+    * run should share one signature pass: compute [[simhashN]] once
+    * (scope-persisted) and feed [[simhashNearDupFromSigs]] +
+    * [[simhashBandAuditFromSigs]] — this convenience form re-runs the
+    * signature aggregation from raw text. */
   def simhashBandAudit(df: DataFrame, idCol: Column, textCol: Column,
                        maxHamming: Int = 3, bits: Int = 60,
                        hash: Column => Column = portableHash,
                        maxPostings: Long = 1000L): DataFrame =
-    bandPostingAudit(
-      simhashBands(simhashN(df, idCol, textCol, bits, hash), maxHamming, bits),
+    simhashBandAuditFromSigs(simhashN(df, idCol, textCol, bits, hash),
+      maxHamming, bits, maxPostings)
+
+  /** [[simhashBandAudit]] over an ALREADY-COMPUTED `(doc, simhash)`
+    * frame — the production shape: one persisted signature frame feeds
+    * both [[simhashNearDupFromSigs]] and its audit, so the corpus is
+    * hashed once per run, not once per artifact. */
+  def simhashBandAuditFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                               bits: Int = 60,
+                               maxPostings: Long = 1000L): DataFrame =
+    bandPostingAudit(simhashBands(sigs, maxHamming, bits),
       Seq("band_idx", "band_val"), maxPostings)
 
   /** Pigeonhole banding of a simhash signature frame: one

@@ -167,11 +167,23 @@ object Media {
   /** Capped-bucket audit for [[phashNearDupPairs]]: one row per band
     * bucket with ≥2 postings, `capped` marking the buckets the
     * frequency cap excluded — ships next to the pair output so capped
-    * mass is reported, not silently vanished. */
+    * mass is reported, not silently vanished. Pairs + audit of one
+    * operator run should share one codec pass: persist
+    * [[withPerceptualHash]] once and feed
+    * [[phashNearDupPairsFromHashes]] + [[phashBandAuditFromHashes]] —
+    * this convenience form re-decodes the corpus. */
   def phashBandAudit(media: Dataset[MediaRow], radius: Int = 3,
                      maxPostings: Long = 1000L): DataFrame =
+    phashBandAuditFromHashes(withPerceptualHash(media), radius, maxPostings)
+
+  /** [[phashBandAudit]] over an ALREADY-COMPUTED `(media_id, phash)`
+    * frame — one persisted hash frame feeds both the pair join and the
+    * audit, so the corpus decodes once per run, not once per
+    * artifact. */
+  def phashBandAuditFromHashes(p: DataFrame, radius: Int = 3,
+                               maxPostings: Long = 1000L): DataFrame =
     graft.dedup.Dedup.bandPostingAudit(
-      hashBands(withPerceptualHash(media), "phash", 64, radius),
+      hashBands(p, "phash", 64, radius),
       Seq("band_idx", "band_val"), maxPostings)
 
   /** Shared banding of a 64/60-bit perceptual-hash frame. */
@@ -256,9 +268,17 @@ object Media {
     * [[phashBandAudit]]). */
   def audioBandAudit(media: Dataset[MediaRow], radius: Int = 5,
                      maxPostings: Long = 1000L): DataFrame =
+    audioBandAuditFromHashes(
+      withAudioFingerprint(media).select("media_id", "ahash"),
+      radius, maxPostings)
+
+  /** [[audioBandAudit]] over an ALREADY-COMPUTED `(media_id, ahash)`
+    * frame (see [[phashBandAuditFromHashes]] — one fingerprint pass per
+    * run). */
+  def audioBandAuditFromHashes(p: DataFrame, radius: Int = 5,
+                               maxPostings: Long = 1000L): DataFrame =
     graft.dedup.Dedup.bandPostingAudit(
-      hashBands(withAudioFingerprint(media).select("media_id", "ahash"),
-        "ahash", 60, radius),
+      hashBands(p, "ahash", 60, radius),
       Seq("band_idx", "band_val"), maxPostings)
 
   /** `(media_id, frame_idx, fhash)` for every video row: `nFrames`
@@ -339,7 +359,14 @@ object Media {
     * the buckets the frequency cap excluded. */
   def videoFrameBandAudit(media: Dataset[MediaRow], nFrames: Int = 4,
                           maxPostings: Long = 1000L): DataFrame =
-    graft.dedup.Dedup.bandPostingAudit(withFrameHashes(media, nFrames),
+    videoFrameBandAuditFromHashes(withFrameHashes(media, nFrames), maxPostings)
+
+  /** [[videoFrameBandAudit]] over an ALREADY-COMPUTED
+    * `(media_id, frame_idx, fhash)` frame (see
+    * [[phashBandAuditFromHashes]] — one codec pass per run). */
+  def videoFrameBandAuditFromHashes(f: DataFrame,
+                                    maxPostings: Long = 1000L): DataFrame =
+    graft.dedup.Dedup.bandPostingAudit(f,
       Seq("frame_idx", "fhash"), maxPostings)
 
   /** Evenly spaced frame-sample offsets for video/audio payloads. Audio
