@@ -132,25 +132,35 @@ object Privacy {
     * that (each shard's release is audited against its own global). */
   def tCloseness(df: DataFrame, quasi: Seq[Column], sensitive: Column,
                  tNum: Long, tDen: Long,
-                 maxBroadcastValues: Long = 1L << 20): DataFrame = {
+                 maxBroadcastValues: Long = 1L << 20,
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier column")
     require(tDen >= 1 && tNum >= 0 && tNum <= tDen,
       s"t must be a fraction in [0,1], got $tNum/$tDen")
     val keys = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
     val keyNames = quasi.indices.map(i => s"q$i")
     val keyed = df.select(keys :+ sensitive.as("_s"): _*)
-    val total = keyed.agg(count(lit(1)).as("_n")) // 1 row
+    // ONE corpus scan total: everything — the global value histogram,
+    // the per-group sizes, the corpus total, the join — derives from
+    // the persisted (quasi, value) histogram, whose build is the single
+    // map-side-combinable pass over the corpus. (The previous shape
+    // paid an extra scan: the size-guard count materialized a global
+    // histogram the join branch then re-derived from scratch — the
+    // third instance of the no-exchange-reuse-across-agg-shapes trap.)
+    val gv = scope.persist(keyed
+      .groupBy(keyNames.map(col) :+ col("_s"): _*)
+      .agg(count(lit(1)).as("_cgv")))
     // |values| rows — small for any sensible (categorical/bucketed)
     // sensitive attribute, but a continuous column would make this
     // corpus-scale, so the hint is size-guarded like robotsGate: count
-    // first, broadcast only under the threshold, else let the join
+    // first (materializes the gv cache, so this is the one corpus
+    // scan), broadcast only under the threshold, else let the join
     // shuffle on _s (AQE may still elect broadcast from stats).
-    val globalRaw = keyed.groupBy("_s").agg(count(lit(1)).as("_cv"))
+    val globalRaw = gv.groupBy("_s").agg(sum("_cgv").cast("long").as("_cv"))
     val global =
       if (globalRaw.count() <= maxBroadcastValues) broadcast(globalRaw)
       else globalRaw
-    val gv = keyed.groupBy(keyNames.map(col) :+ col("_s"): _*)
-      .agg(count(lit(1)).as("_cgv"))
+    val total = globalRaw.agg(sum("_cv").cast("long").as("_n")) // 1 row
     val sizes = gv.groupBy(keyNames.map(col): _*)
       .agg(sum("_cgv").cast("long").as("_ng"))
     gv.join(global, "_s")

@@ -113,7 +113,11 @@ object Release {
         col("_m._cl").as("_mc"))
     val total = perSrc.agg(sum("n_docs").cast("long").as("_t")) // 1 row
     perSrc.join(major, "source") // co-partitioned on source
-      .join(med, "source")
+      // LEFT: groupedQuantilesExact filters nulls, so a degenerate
+      // source whose text is all NULL has no quantile row — it must
+      // keep its card row with a null median_chars (what percentile()
+      // did, and what the DuckDB twin's quantile_cont does), not vanish
+      .join(med, Seq("source"), "left")
       .crossJoin(broadcast(total))
       .withColumn("major_lang_ppm",
         expr(Sampling.microRatioSql("_mc", "n_docs", "div")))

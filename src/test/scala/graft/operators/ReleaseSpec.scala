@@ -73,6 +73,54 @@ class ReleaseSpec extends SparkSpec {
       got.toString)
   }
 
+  test("dataCard mega-source: grouped-quantile median == percentile() on a 1-source-dominates corpus") {
+    import spark.implicits._
+    // the shape the groupedQuantilesExact reroute exists for: one source
+    // holding ~all rows (the per-group state of a buffering percentile
+    // would scale with that group's row count). 403 rows in "mega" with
+    // repeated lengths, 3 in "tiny". Odd count -> exact middle element;
+    // the driver-computed value and Spark's own percentile() must both
+    // agree with the card.
+    val lengths = (1 to 403).map(i => (i * 37 % 97) + 1) // many repeats, 1..97
+    val rows = lengths.zipWithIndex.map { case (n, i) =>
+      ("mega", "en", "x" * n, i) } ++
+      Seq(("tiny", "en", "ab", 9001), ("tiny", "en", "abcd", 9002),
+        ("tiny", "en", "abcdef", 9003))
+    val df = rows.toDF("source", "lang", "text", "i")
+    val got = Release.dataCard(df, col("source"), col("text"), col("lang"))
+      .select("source", "median_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver-computed interpolated medians
+    def medianOf(xs: Seq[Int]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2).toDouble
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    assert(got("mega") === medianOf(lengths))
+    assert(got("tiny") === 4.0)
+    // and equality with the buffering percentile() the reroute replaced
+    val viaPercentile = df
+      .groupBy("source")
+      .agg(round(expr("percentile(length(text), 0.5)"), 1).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === viaPercentile)
+  }
+
+  test("dataCard keeps a degenerate all-NULL-text source, median null") {
+    import spark.implicits._
+    val df = Seq(("a", "en", Some("xyz")), ("a", "en", Some("pqrst")),
+      ("ghost", "en", None), ("ghost", "en", None))
+      .toDF("source", "lang", "text")
+    val got = Release.dataCard(df, col("source"), col("text"), col("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the ghost source must not vanish (the pre-r14 inner join dropped
+    // it); its median is null, its n_docs real
+    assert(got.keySet === Set("a", "ghost"))
+    assert(got("ghost").getLong(1) === 2L)
+    assert(got("ghost").isNullAt(got("ghost").fieldIndex("median_chars")))
+    assert(got("a").getDouble(got("a").fieldIndex("median_chars")) === 4.0)
+  }
+
   test("dataCard: ppm columns are partitioning-invariant exact integers") {
     val base = Tables.documents(spark, sfDir)
       .select("source", "lang", "text")
