@@ -170,6 +170,32 @@ object Drift {
         col("contrib_num") :+ col("contrib_ppm") :+ col("rk")): _*)
   }
 
+  /** The monitor's actual PAGE PAYLOAD: every alerted period of the
+    * [[tvdSeriesBy]] series joined to its top-`k` [[tvdAttribution]]
+    * buckets — one artifact answering both "did it drift" and "which
+    * buckets moved", which is what the on-call reads (shipping the
+    * series and the drill-down separately makes the responder re-run
+    * the join by hand at 3am). One row per (alerted period × top-k
+    * bucket): the series stats plus that bucket's contribution.
+    *
+    * Plan shape: the corpus is still touched exactly once — BOTH
+    * composed operators read the shared `paired` histogram, whose
+    * scope-persist deduplicates in the cache manager (same analyzed
+    * plan → one cached build; pass a real scope or the unmanaged
+    * default, but pass the SAME one). Everything else — the series
+    * aggregate, the attribution rank, the alert filter, the final
+    * equi-join on (group.., period) — runs on histogram-sized frames. */
+  def driftReport(df: DataFrame, by: Seq[Column],
+                  periodCol: Column, bucketCol: Column, k: Int,
+                  alertNum: Long = 3L, alertDen: Long = 2L,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val keys = by.indices.map(i => s"g$i") :+ "period"
+    tvdSeriesBy(df, by, periodCol, bucketCol, alertNum, alertDen, scope)
+      .filter(col("drifted"))
+      .drop("drifted")
+      .join(tvdAttribution(df, by, periodCol, bucketCol, k, scope), keys)
+  }
+
   /** Reference-vs-current drift gate: ONE row with the exact-integer TVD
     * between the two frames' bucket histograms and a fixed-threshold
     * verdict `drifted` iff `tvd_ppm·tDen > tNum·10⁶` — the promote/hold

@@ -1224,6 +1224,56 @@ object RelationalQueries {
              |FROM r WHERE rk <= 2""".stripMargin),
       (s, dir) =>
         Drift.tvdAttribution(t(s, dir, "events"), Nil,
+          unix_date(to_date(col("ts"))), col("event_type"), k = 2)),
+
+    // The composed page payload (Drift.driftReport): every ALERTED
+    // period of the q193 series joined to its top-2 q198 attribution
+    // buckets — the monitor's actual product as one artifact (did it
+    // drift × which buckets moved). Corpus touched once: both composed
+    // operators read the shared persisted histogram; everything else is
+    // histogram-sized.
+    Q("q199_drift_report",
+      Some(s"""WITH h AS (
+             |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         event_type AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+             |hp AS (SELECT period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.period, hp.period) AS period, coalesce(h.b, hp.b) AS b,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+             |s AS (
+             |  SELECT j.period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+             |         CAST(sum(abs(c * n_prev - cp * n_cur)) AS BIGINT) AS tvd_num
+             |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT period, n_prev, n_cur, tvd_num,
+             |         ${Sampling.microRatioSql("tvd_num", "2 * n_cur * n_prev", "//")} AS tvd_ppm
+             |  FROM s),
+             |alerts AS (
+             |  SELECT period, n_prev, n_cur, tvd_num, tvd_ppm FROM p
+             |  WHERE 2 * (SELECT count(*) FROM p) * tvd_ppm
+             |          > 3 * (SELECT CAST(sum(tvd_ppm) AS BIGINT) FROM p)),
+             |a AS (
+             |  SELECT j.period, b, cp AS c_prev, c AS c_cur,
+             |         CAST(abs(c * n_prev - cp * n_cur) AS BIGINT) AS contrib_num,
+             |         CAST(2 * n_cur * n_prev AS BIGINT) AS den
+             |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period),
+             |r AS (
+             |  SELECT period, b AS bucket, c_prev, c_cur, contrib_num,
+             |         ${Sampling.microRatioSql("contrib_num", "den", "//")} AS contrib_ppm,
+             |         CAST(row_number() OVER (PARTITION BY period
+             |           ORDER BY contrib_num DESC, b) AS BIGINT) AS rk
+             |  FROM a)
+             |SELECT alerts.period, n_prev, n_cur, tvd_num, tvd_ppm,
+             |       bucket, c_prev, c_cur, contrib_num, contrib_ppm, rk
+             |FROM alerts JOIN r ON alerts.period = r.period
+             |WHERE rk <= 2""".stripMargin),
+      (s, dir) =>
+        Drift.driftReport(t(s, dir, "events"), Nil,
           unix_date(to_date(col("ts"))), col("event_type"), k = 2))
   )
 }

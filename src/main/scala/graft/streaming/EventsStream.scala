@@ -398,6 +398,44 @@ object EventsStream {
     }
   }
 
+  /** Erasure-cascade enforcement at the INGESTION boundary — the
+    * streaming side of [[graft.operators.Privacy.eraseByKey]]: every
+    * arriving micro-batch is left-anti-joined against the deduplicated
+    * erasure-request index before it is appended, so a key erased from
+    * the store can never be RE-ADMITTED by late or replayed upstream
+    * data (batch erasure alone is a one-shot scrub; without the inlet
+    * filter the next ingestion window silently re-creates the rows the
+    * regulator was told are gone). Requests are deduplicated once and
+    * localCheckpoint'd up front — replayed/duplicate requests are
+    * idempotent, and the (possibly expensive) request-side pipeline is
+    * not re-run per micro-batch. At scale the request index is tiny
+    * relative to the corpus, so AQE broadcasts the anti-join's right
+    * side; the sink stays a plain distributed append (no target
+    * re-read — erasure filters the inlet, it does not merge).
+    * `EventsStreamSpec` pins 2-micro-batch parity with batch
+    * [[graft.operators.Privacy.eraseByKey]] and idempotence under a
+    * duplicated request frame. */
+  def runToParquetErased(df: DataFrame, outDir: String,
+                         requests: DataFrame, keyCol: String): Unit = {
+    require(requests.columns.length == 1,
+      s"requests must be a single-column key frame, got ${requests.columns.mkString(", ")}")
+    val index = requests.toDF("_erase_key").distinct().localCheckpoint()
+    val ckpt = tempCkpt("graft-erase-ckpt")
+    try {
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.join(index, batch(keyCol) === index("_erase_key"), "left_anti")
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      deleteRecursively(ckpt)
+    }
+  }
+
   /** Drive a stream to completion into the noop sink in Append mode — the
     * BENCH harness. Append + a distributed sink is the shape that scales:
     * the watermark actually evicts window state (it is inert in Complete

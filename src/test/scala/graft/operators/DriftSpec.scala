@@ -132,4 +132,36 @@ class DriftSpec extends SparkSpec {
       .select("period").as[Long].collect().toSet
     assert(periods == Set(2L), periods.toString)
   }
+
+  test("driftReport: alerted periods only, joined to their top-k attribution") {
+    // seriesFixture: period 2 quiet (TVD 0), period 3 drifted (the flip)
+    val got = Drift.driftReport(seriesFixture, Nil, col("day"), col("bucket"), k = 2)
+      .select("period", "n_prev", "n_cur", "tvd_num", "tvd_ppm",
+        "bucket", "c_prev", "c_cur", "contrib_num", "contrib_ppm", "rk")
+      .as[(Long, Long, Long, Long, Long, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._11)
+    // only the alerted period appears, once per top-k bucket
+    assert(got.map(_._1).toSet === Set(3L), got.mkString(", "))
+    assert(got.map(r => (r._6, r._9, r._10, r._11)).toSeq ===
+      Seq(("a", 8L, 250000L, 1L), ("b", 8L, 250000L, 2L)), got.mkString(", "))
+    // the series stats ride along on every payload row, and the
+    // attribution decomposes them: Σ contrib_num == tvd_num
+    assert(got.forall(r => r._4 === 16L && r._5 === 500000L))
+    assert(got.map(_._9).sum === got.head._4)
+  }
+
+  test("driftReport: per-group form pages only the drifting group") {
+    // group x: flip between its two periods... but a 1-pair series is
+    // always its own mean, so plant 3 periods: quiet, quiet, flip —
+    // only the flip alerts; group y stays stationary and silent
+    val df = Seq(
+      ("x", 1L, "a"), ("x", 1L, "b"), ("x", 2L, "a"), ("x", 2L, "b"),
+      ("x", 3L, "a"), ("x", 3L, "b"), ("x", 4L, "b"), ("x", 4L, "b"),
+      ("y", 1L, "a"), ("y", 2L, "a"), ("y", 3L, "a"), ("y", 4L, "a")
+    ).toDF("grp", "day", "bucket")
+    val got = Drift.driftReport(df, Seq(col("grp")), col("day"), col("bucket"), k = 1)
+      .select("g0", "period", "bucket", "rk")
+      .as[(String, Long, String, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set("x" -> 4L), got.mkString(", "))
+  }
 }

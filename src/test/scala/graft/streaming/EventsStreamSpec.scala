@@ -335,6 +335,40 @@ class EventsStreamSpec extends SparkSpec {
     assert(written.select("event_id").distinct().count() == written.count())
   }
 
+  test("erasure cascade at the inlet: 2 micro-batches == batch eraseByKey, replayed requests idempotent") {
+    import graft.operators.Privacy
+    val batch = Tables.events(spark, sfDir)
+    // erase 3 users; requests arrive DUPLICATED (a replayed request
+    // stream) — the index dedups, so the result must be identical to a
+    // clean request frame
+    val users = batch.select("user_id").distinct()
+      .orderBy("user_id").limit(3).as[Long].collect().toSeq
+    val requests = (users ++ users).toDF("user_id")
+    // stage the corpus as two disjoint halves; one file per trigger ->
+    // two micro-batches through the inlet filter
+    val src = Files.createTempDirectory("graft_erase_src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val half1 = batch.filter(col("event_id") % 2 === 0)
+    val half2 = batch.filter(col("event_id") % 2 =!= 0)
+    half1.coalesce(1).write.parquet(src.resolve("p1").toString)
+    half2.coalesce(1).write.parquet(src.resolve("p2").toString)
+    val out = Files.createTempDirectory("graft_erase_out").toString + "/events"
+    val stream = spark.readStream
+      .schema(half1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    EventsStream.runToParquetErased(stream, out, requests, "user_id")
+    val written = spark.read.parquet(out)
+    val want = Privacy.eraseByKey(batch, col("user_id"), users.toDF("user_id"))
+    // row-for-row: same event_id multiset, none of the erased users
+    assert(written.count() === want.count())
+    assert(written.select("event_id").exceptAll(want.select("event_id")).isEmpty)
+    assert(written.filter(col("user_id").isin(users: _*)).isEmpty,
+      "no erased key may be re-admitted by a later micro-batch")
+    assert(want.count() < batch.count(), "the erasure must actually bite")
+  }
+
   test("streaming incremental dedup classifies micro-batches against the base index") {
     import graft.dedup.Dedup
     val d = Tables.documents(spark, sfDir).select("doc_id", "text")
