@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions._
 import graft.operators.Relational
 import graft.sources.Tables
-import graft.text.{TextAnalysis, TfIdf, WeightedSentiment}
+import graft.text.{Retrieval, TextAnalysis, TfIdf, WeightedSentiment}
 
 /** Text-analysis operator suite over the `documents` table: token stats,
   * language-ID, quality scoring, fingerprinting, TF-IDF, sentiment, and
@@ -35,6 +35,40 @@ object TextQueries {
   // border-free substring patterns with real embedded hits in the
   // synthetic vocabulary ("art" in part/start, "rea" in stream)
   private val SubstringPatterns = Seq("art", "rea", "dup")
+
+  // ---- BM25 / hybrid-retrieval oracle SQL --------------------------------
+  // Constants interpolated into BOTH engines (k1+1, 1-b fold in Scala once,
+  // so the oracle parses the exact double the engine multiplies by).
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val RrfK0 = 60
+
+  /** WITH-chain replaying `Retrieval.bm25TopKFromIndex` over queries =
+    * first-10-distinct-token sets of every doc_id%100==0 doc: corpus
+    * stats, (doc, dl, token, tf) postings, query terms, query-term-pruned
+    * postings, per-term df, micro-int term weights, and the summed
+    * `sc(qid, doc, bm25_micro)` scores (exact BIGINTs). */
+  private val bm25Ctes: String =
+    s"""base AS (SELECT doc_id AS doc, $toksSql AS tk FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(coalesce(sum(len(tk)), 0) AS DOUBLE) / count(*) AS avgdl
+       |  FROM base),
+       |p AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |  FROM base),
+       |tfr AS (SELECT doc, dl, token, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |q AS (SELECT doc AS qid, unnest(list_distinct(tk[1:10])) AS token
+       |  FROM base WHERE doc % 100 = 0),
+       |pr AS (SELECT tfr.* FROM tfr
+       |  JOIN (SELECT DISTINCT token FROM q) qd USING (token)),
+       |dfq AS (SELECT token, count(*) AS df FROM pr GROUP BY 1),
+       |w AS (SELECT doc, token,
+       |    CAST(round((ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+       |      * ((tf * ${Bm25K1 + 1}) / (tf + $Bm25K1 *
+       |          (${1 - Bm25B} + ($Bm25B * dl) / avgdl))))
+       |      * 1000000.0) AS BIGINT) AS w_micro
+       |  FROM pr JOIN dfq USING (token) CROSS JOIN stats),
+       |sc AS (SELECT qid, doc, CAST(sum(w_micro) AS BIGINT) AS bm25_micro
+       |  FROM w JOIN q USING (token) GROUP BY 1, 2)""".stripMargin
 
   // ---- BPE oracle SQL generation ----------------------------------------
   private val BpeK = 4
@@ -1452,6 +1486,85 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum("n_hits").as("n_hits"),
             count_if(col("n_hits") > 0).as("n_flagged"))
+      }),
+
+    // BM25 top-k (text/Retrieval): the sparse lexical tier next to q160's
+    // dense RAG path. Queries = the first-10-distinct-token set of every
+    // doc_id%100==0 doc (each doc should retrieve itself near rank 1 —
+    // the built-in sanity signal). Per-term weights micro-quantize to
+    // integer millionths BEFORE the per-(qid,doc) sum, so scores are
+    // exact longs and the rank tiebreak never sees float summation order.
+    // The oracle replays index → prune → df → weight → sum; both engines
+    // evaluate the identical weight expression tree from the SAME k1/b
+    // constants interpolated below.
+    Q("q200_bm25_topk",
+      Some(s"""WITH $bm25Ctes
+              |SELECT qid, doc, bm25_micro, CAST(rank AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |    ORDER BY bm25_micro DESC, doc) AS rank FROM sc)
+              |WHERE rank <= 5""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        Retrieval.bm25TopK(d, col("doc_id"), tokens(col("text")),
+          d.filter(col("doc_id") % 100 === 0), col("doc_id"),
+          array_distinct(slice(tokens(col("text")), 1, 10)), k = 5,
+          k1 = Bm25K1, b = Bm25B)
+      }),
+
+    // Hybrid retrieval via reciprocal-rank fusion: BM25 top-10 (the q200
+    // pipeline) fused with a dense top-10 (doc-level hash-embedding dot
+    // products — the q160 encoder seam; dots are exact small integers in
+    // double, so the dense ranks carry no float hazard at all). RRF
+    // contributions are integer 10⁹ div (60+rank) — the fusion is exact
+    // arithmetic end to end, and a doc on both lists must outrank docs
+    // of equal rank on one (pinned in RetrievalSpec).
+    Q("q201_hybrid_rrf", {
+      val hj = portableHashSql("(text || ':' || CAST(j AS VARCHAR))")
+      Some(s"""WITH $bm25Ctes,
+              |sp AS (SELECT qid, doc, rank FROM (
+              |    SELECT qid, doc, row_number() OVER (PARTITION BY qid
+              |      ORDER BY bm25_micro DESC, doc) AS rank FROM sc)
+              |  WHERE rank <= 10),
+              |e AS (SELECT doc_id AS doc, list_transform(generate_series(0, 15),
+              |    j -> CAST($hj % 1000 AS DOUBLE)) AS v FROM documents),
+              |qe AS (SELECT doc AS qid, v AS qv FROM e WHERE doc % 100 = 0),
+              |dn AS (SELECT qid, doc, rank FROM (
+              |    SELECT qe.qid, e.doc,
+              |      row_number() OVER (PARTITION BY qe.qid
+              |        ORDER BY ${graft.similarity.Similarity.dotSql("qv", "v")} DESC,
+              |          e.doc) AS rank
+              |    FROM qe CROSS JOIN e)
+              |  WHERE rank <= 10),
+              |fused AS (SELECT qid, doc,
+              |    CAST(sum(1000000000 // ($RrfK0 + rank)) AS BIGINT) AS rrf_nano
+              |  FROM (SELECT * FROM sp UNION ALL SELECT * FROM dn)
+              |  GROUP BY 1, 2)
+              |SELECT qid, doc, rrf_nano, CAST(rank AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |    ORDER BY rrf_nano DESC, doc) AS rank FROM fused)
+              |WHERE rank <= 5""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sparse = Retrieval.bm25TopK(d, col("doc_id"), tokens(col("text")),
+            d.filter(col("doc_id") % 100 === 0), col("doc_id"),
+            array_distinct(slice(tokens(col("text")), 1, 10)), k = 10,
+            k1 = Bm25K1, b = Bm25B)
+          .select("qid", "doc", "rank")
+        val vec = transform(sequence(lit(0), lit(15)),
+          j => (portableHash(concat(col("text"), lit(":"), j.cast("string")))
+            % 1000).cast("double"))
+        val e = d.select(col("doc_id").as("doc"), vec.as("v"))
+        val qe = e.filter(col("doc") % 100 === 0)
+          .select(col("doc").as("qid"), col("v").as("qv"))
+        val dense = Relational.topKPerGroup(
+            e.crossJoin(broadcast(qe))
+              .select(col("qid"), col("doc"),
+                graft.similarity.Similarity.dot(col("qv"), col("v")).as("dot")),
+            Seq(col("qid")), Seq(desc("dot"), col("doc")), 10,
+            rankCol = "rank")
+          .select("qid", "doc", "rank")
+        Retrieval.rrfFuse(Seq(sparse, dense), k = 5, k0 = RrfK0)
       })
   )
 }
