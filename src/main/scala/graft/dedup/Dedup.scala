@@ -409,6 +409,57 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** MinHash-LSH near-dup with ESTIMATED similarity: banded candidates
+    * scored by their signature agreement count instead of exact-Jaccard
+    * verification — the variance-for-cost trade at 100 TB, where exact
+    * verification's candidate re-shingling is the ONLY stage of
+    * [[nearDuplicates]] that re-reads document text. From persisted
+    * signatures this operator never touches text at all: every frame is
+    * |perms| longs per doc, and the verify step is a wide integer
+    * projection over the candidate rows.
+    *
+    * `n_agree`/|perms| is the standard unbiased MinHash estimate of J
+    * (std ≈ √(J(1−J)/n), ~0.05 at n=64 near J=0.8), so the caller
+    * expresses the threshold as an integer `minAgree` (e.g. 52 ≈ 0.8·64)
+    * — the output is all-integer `(d1, d2, n_agree)`, engine-portable
+    * with no float anywhere. Survivors can feed [[nearDuplicates]]-style
+    * exact verification as a final filter (estimate-then-verify) when
+    * the decision boundary must be exact.
+    *
+    * `sigs` is read four times (band self-join ×2, agreement join ×2) —
+    * pass the frame [[minhashSignatures]] produced under a persist (the
+    * one-shot [[nearDuplicatesEstimated]] does) or a parquet-loaded
+    * signature table. */
+  def nearDuplicatesEstimatedFromSigs(sigs: DataFrame, minAgree: Int,
+                                      cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val n = cfg.perms.size
+    require(minAgree >= 1 && minAgree <= n,
+      s"minAgree must be in [1, $n], got $minAgree")
+    val cand = scope.persist(lshCandidates(sigs, cfg))
+    val a = sigs.select(col("doc").as("d1") +:
+      (0 until n).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc").as("d2") +:
+      (0 until n).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val agree = (0 until n)
+      .map(i => when(col(s"a$i") === col(s"b$i"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("n_agree", agree)
+      .filter(col("n_agree") >= minAgree)
+      .select("d1", "d2", "n_agree")
+  }
+
+  /** One-shot [[nearDuplicatesEstimatedFromSigs]]: signatures built (and
+    * scope-persisted) from raw text — one corpus scan total. */
+  def nearDuplicatesEstimated(df: DataFrame, idCol: Column, textCol: Column,
+                              minAgree: Int,
+                              cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                              scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    nearDuplicatesEstimatedFromSigs(
+      scope.persist(minhashSignatures(df, idCol, textCol, cfg)),
+      minAgree, cfg, scope)
+
   /** [[nearDuplicates]] with an exact-duplicate collapse fast path — the
     * production shape for crawl-scale corpora, where 30%+ of documents
     * are byte-identical copies (Lee et al. 2021): group by content hash

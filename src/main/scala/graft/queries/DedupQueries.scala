@@ -239,6 +239,35 @@ object DedupQueries {
           .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard_r"))
       }),
 
+    // Estimated near-dup (Dedup.nearDuplicatesEstimatedFromSigs): banded
+    // candidates scored by SIGNATURE AGREEMENT (52/64 ≈ J 0.8) instead of
+    // exact-Jaccard verification — the scale variant whose verify step
+    // never re-reads text. All-integer output; both engines replay the
+    // identical 64-perm family, so n_agree matches exactly despite being
+    // a statistical estimate of J.
+    Q("q202_lsh_estimate", {
+      val agreeSum = (0 until 64)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |sig AS (
+              |  SELECT doc_id,
+              |$wideMinhashExprs
+              |  FROM (SELECT doc_id, $shSql AS hs FROM t)),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |   AND ($wideBandCond))
+              |SELECT d1, d2, n_agree FROM (
+              |  SELECT c.d1, c.d2, CAST(($agreeSum) AS BIGINT) AS n_agree
+              |  FROM cand c
+              |  JOIN sig a ON a.doc_id = c.d1
+              |  JOIN sig b ON b.doc_id = c.d2)
+              |WHERE n_agree >= 52""".stripMargin)
+    },
+      (s, dir) =>
+        Dedup.nearDuplicatesEstimated(docs(s, dir), col("doc_id"), col("text"),
+          minAgree = 52, graft.dedup.MinHashConfig.generated(64, 16))),
+
     // Exact all-pairs n-gram Jaccard (no LSH prefilter) at a 0.5 floor —
     // the ground truth the LSH pipeline approximates.
     // minIntersection=2 is a safe prune for the 0.5 floor: j >= 0.5 needs

@@ -46,8 +46,9 @@ object Retrieval {
   /** Persistable BM25 index: `postings` = (doc, dl, token, tf) — one row
     * per distinct (doc, token), dl riding along (functionally dependent
     * on doc, so grouping by it adds no cardinality); `stats` = one row
-    * (n_docs, avgdl). Both frames parquet-able for index-once/query-many
-    * sessions. */
+    * (n_docs, sum_dl, avgdl) — sum_dl is the exact long the merge
+    * algebra needs; avgdl derives from it. Both frames parquet-able for
+    * index-once/query-many sessions. */
   final case class Bm25Index(postings: DataFrame, stats: DataFrame)
 
   /** Build the BM25 index in one exploding pass + one slim stats pass.
@@ -63,10 +64,28 @@ object Retrieval {
           explode(col("tk")).as("token"))
         .groupBy("doc", "dl", "token").agg(count(lit(1)).as("tf")))
     val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      (coalesce(sum(size(col("tk")).cast("long")), lit(0L)).cast("double") /
-        count(lit(1))).as("avgdl"))
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
     Bm25Index(postings, stats)
+  }
+
+  /** Fold a delta index into a base index — the incremental-ingestion
+    * shape: index each arriving batch alone (one pass over the batch),
+    * merge in O(1). Postings union row-for-row (doc sets must be
+    * disjoint — re-ingesting an existing doc id is the caller's CDC
+    * problem, see `Relational.applyCdc`); stats recombine EXACTLY from
+    * the long-typed (n_docs, sum_dl), so a merged index scores
+    * bit-identically to one built over the union corpus (pinned in
+    * RetrievalSpec). No df bookkeeping exists to merge: df derives from
+    * postings at query time. */
+  def bm25IndexMerge(a: Bm25Index, b: Bm25Index): Bm25Index = {
+    val stats = a.stats.select(col("n_docs").as("n1"), col("sum_dl").as("s1"))
+      .crossJoin(b.stats.select(col("n_docs").as("n2"), col("sum_dl").as("s2")))
+      .select((col("n1") + col("n2")).as("n_docs"),
+        (col("s1") + col("s2")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    Bm25Index(a.postings.unionByName(b.postings), stats)
   }
 
   /** BM25 top-k per query over a prebuilt index. `queries` carries

@@ -98,6 +98,26 @@ class RetrievalSpec extends SparkSpec {
     assert(oneShot == viaIndex)
   }
 
+  test("bm25: merged delta index scores bit-identically to a full rebuild") {
+    // length-unbalanced halves so avgdl genuinely differs per half —
+    // the merge algebra (exact long n/sum recombination) must reproduce
+    // the union corpus's avgdl, or length normalization drifts
+    val all = corpus(Seq(
+      (1L, "apple banana"), (2L, "banana cherry date egg fig grape"),
+      (3L, "cherry date"), (4L, "apple egg fig grape hazel iris june kiwi"),
+      (5L, "banana egg"), (6L, "date fig")))
+    val q = queriesOf(Seq((10L, "banana date"), (20L, "apple fig")))
+    def ixOf(c: DataFrame) =
+      Retrieval.bm25Index(c, col("doc_id"), split(col("text"), " "))
+    val full = Retrieval.bm25TopKFromIndex(ixOf(all), q,
+      col("qid"), split(col("qtext"), " "), 4).collect().map(_.toSeq).toSet
+    val merged = Retrieval.bm25IndexMerge(
+      ixOf(all.filter(col("doc_id") <= 2)), ixOf(all.filter(col("doc_id") > 2)))
+    val got = Retrieval.bm25TopKFromIndex(merged, q,
+      col("qid"), split(col("qtext"), " "), 4).collect().map(_.toSeq).toSet
+    assert(got == full)
+  }
+
   test("bm25: partitioning invariance — exact integer scores under any layout") {
     val c = corpus((1L to 60L).map(i =>
       (i, s"w${i % 7} w${i % 5} w${i % 3} shared")))
