@@ -88,6 +88,39 @@ object Retrieval {
     Bm25Index(a.postings.unionByName(b.postings), stats)
   }
 
+  /** Write `batch`'s standalone index under `dir` as ONE batch
+    * partition: postings → `dir/postings/batch_id=N`, the 1-row stats →
+    * `dir/stats/batch_id=N`, both with overwrite — a replayed batch id
+    * REPLACES its partitions instead of appending duplicates
+    * (effectively-once per batch id, the DocDedupStream sink
+    * discipline). The on-disk artifact the streaming binding
+    * (`streaming/RetrievalStream.indexToParquet`) accumulates. `batch`
+    * must not itself read from `dir` — overwrite deletes the files a
+    * still-lazy plan would scan. */
+  def bm25IndexAppend(batch: DataFrame, idCol: Column, toksCol: Column,
+                      dir: String, batchId: Long): Unit =
+    scala.util.Using.resource(new CacheScope) { sc =>
+      val ix = bm25Index(batch, idCol, toksCol, sc)
+      ix.postings.write.mode("overwrite")
+        .parquet(s"$dir/postings/batch_id=$batchId")
+      ix.stats.write.mode("overwrite")
+        .parquet(s"$dir/stats/batch_id=$batchId")
+    }
+
+  /** Load the accumulated on-disk index: postings by partition
+    * discovery; stats recombined EXACTLY from the per-batch long rows
+    * (the [[bm25IndexMerge]] algebra), so the loaded index scores
+    * bit-identically to one built over all ingested docs at once. */
+  def bm25IndexLoad(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Bm25Index = {
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select("doc", "dl", "token", "tf")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    Bm25Index(postings, stats)
+  }
+
   /** BM25 top-k per query over a prebuilt index. `queries` carries
     * (qidCol, qtoksCol); query tokens deduplicate to a term SET (BM25
     * treats the query as a set — repeating a query term must not double

@@ -398,6 +398,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(gotMap == want)
   }
 
+  test("streaming BM25 index ingestion equals the batch-built index, query for query") {
+    import graft.functions.TextFunctions
+    import graft.text.Retrieval
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val src = Files.createTempDirectory("graft_bm25_src")
+    d.filter(col("doc_id") < 250).coalesce(1).write.parquet(src.resolve("p1").toString)
+    d.filter(col("doc_id") >= 250).coalesce(1).write.parquet(src.resolve("p2").toString)
+    val dir = Files.createTempDirectory("graft_bm25_ix").toString + "/ix"
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    RetrievalStream.indexToParquet(stream, dir)
+    assert(spark.read.parquet(s"$dir/stats").count() >= 2, "expected >= 2 micro-batches")
+    val q = d.filter(col("doc_id") % 100 === 0)
+    def qtoks = array_distinct(slice(TextFunctions.tokens(col("text")), 1, 10))
+    val want = Retrieval.bm25TopK(d, col("doc_id"), TextFunctions.tokens(col("text")),
+      q, col("doc_id"), qtoks, 5).collect().map(_.toSeq).toSet
+    val got = Retrieval.bm25TopKFromIndex(Retrieval.bm25IndexLoad(spark, dir),
+      q, col("doc_id"), qtoks, 5).collect().map(_.toSeq).toSet
+    assert(got == want)
+    // replaying a batch id REPLACES its partitions: re-append batch 0's
+    // own doc set (recovered from its postings) and re-query
+    // (ids collected first: a frame still READING batch 0's files would
+    // race its own overwrite)
+    val b0ids = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch_id") === 0)
+      .select("doc").distinct().as[Long].collect().toSeq
+    val b0 = d.filter(col("doc_id").isin(b0ids: _*))
+    Retrieval.bm25IndexAppend(b0, col("doc_id"),
+      TextFunctions.tokens(col("text")), dir, 0L)
+    val replayed = Retrieval.bm25TopKFromIndex(Retrieval.bm25IndexLoad(spark, dir),
+      q, col("doc_id"), qtoks, 5).collect().map(_.toSeq).toSet
+    assert(replayed == want, "a replayed batch id must replace, not duplicate")
+  }
+
   test("streaming dedupe drops replayed events within the watermark") {
     // stage the same parquet twice: every event arrives as a duplicate
     val d = Files.createTempDirectory("graft_dup_stream")
