@@ -248,6 +248,66 @@ object Privacy {
       .drop("_u")
   }
 
+  /** ε-DP noisy SUM release: per quasi-identifier group, the sum of a
+    * per-row value CLIPPED to [clipLo, clipHi], perturbed by
+    * discrete-Laplace noise of parameter ε/Δ where Δ = max(|clipLo|,
+    * |clipHi|) — the bounded-contribution sum mechanism. Clipping is
+    * what makes Δ the sensitivity: no single row can move the sum by
+    * more than Δ. The one-row-per-individual contract is the caller's
+    * (pre-aggregate per individual first when it doesn't hold — the
+    * same caveat every production DP-sum carries).
+    *
+    * Deterministic and engine-portable like [[dpNoisyCounts]] (same
+    * md5(seed|keys) 24-bit uniform), but the noise comes from the
+    * CLOSED-FORM two-sided-geometric inverse CDF instead of the
+    * precomputed table — a table for sums would need ~Δ/ε·branches
+    * (thousands at realistic Δ), far past what a when-chain or codegen
+    * method tolerates. With p = e^(−ε/Δ), u ∈ (0,1):
+    *
+    *   u < p/(1+p):   noise = 1 − ⌈ln(u·(1+p)) / ln p⌉   (negative tail)
+    *   otherwise:     noise = ⌊ln((1−u)·(1+p)) / ln p⌋   (zero/positive)
+    *
+    * p, 1+p, p/(1+p), ln p all fold DRIVER-side and print into the SQL
+    * twin, so runtime float work is one multiply + ln + divide +
+    * floor/ceil per group — both engines evaluate the identical tree
+    * (u = (u24+0.5)/2²⁴ is strictly inside (0,1): neither ln argument
+    * can reach 0). `released` clamps at 0 when clipLo ≥ 0 — clamping
+    * is post-processing, DP survives it. Output keeps the true
+    * `group_sum` alongside: the release AUDIT artifact; the public
+    * release projects `(q.., released)`. */
+  def dpNoisySums(df: DataFrame, quasi: Seq[Column], value: Column,
+                  clipLo: Long, clipHi: Long, eps: Double,
+                  seed: String): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(clipHi > clipLo, s"need clipHi > clipLo, got [$clipLo, $clipHi]")
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val delta = math.max(math.abs(clipLo), math.abs(clipHi)).toDouble
+    require(delta > 0, "clip bounds cannot both be 0")
+    val p = math.exp(-eps / delta)
+    val keys = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+    val keyNames = quasi.indices.map(i => s"q$i")
+    val clipped = greatest(lit(clipLo), least(lit(clipHi), value.cast("long")))
+    val sums = df.select(keys :+ clipped.as("_v"): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col("_v")).as("group_sum"))
+    // _u24 materialized once (the dpNoisyCounts expression-splicing
+    // discipline); u is cheap arithmetic over the materialized column
+    val u = (col("_u24").cast("double") + lit(0.5)) / lit(16777216.0)
+    val noise = when(u < lit(p / (1 + p)),
+        lit(1.0) - ceil(log(u * lit(1 + p)) / lit(math.log(p))))
+      .otherwise(floor(log((lit(1.0) - u) * lit(1 + p)) / lit(math.log(p))))
+    val released =
+      if (clipLo >= 0) greatest(lit(0L), col("group_sum") + col("noise"))
+      else col("group_sum") + col("noise")
+    sums
+      .withColumn("_u24", conv(substring(md5(
+          concat_ws("|", lit(seed) +: keyNames.map(col): _*)), 1, 6), 16, 10)
+        .cast("long"))
+      .withColumn("noise", noise.cast("long"))
+      .withColumn("released", released)
+      .drop("_u24")
+  }
+
   /** Keyed pseudonymization of identifier columns: each named column is
     * replaced IN PLACE by `sha2-256(secret | column-name | value)` —
     * deterministic under one secret (referential integrity survives:

@@ -25,6 +25,11 @@ object PrivacyQueries {
   private val DpEps = 0.5
   private val DpSeed = "graft-r12-release"
   private val DpMaxShift = 40
+  // q203 DP-sum constants (Δ = max(|lo|, |hi|) = 400 is the sensitivity)
+  private val DpSumEps = 0.5
+  private val DpSumSeed = "graft-r14-sums"
+  private val DpSumLo = 0L
+  private val DpSumHi = 400L
   private val dpNoiseCaseSql: String = {
     val ts = Privacy.geometricThresholds(DpEps, DpMaxShift)
     val whens = ts.zipWithIndex.map { case (t, i) =>
@@ -138,6 +143,36 @@ object PrivacyQueries {
       (s, dir) =>
         Privacy.dpNoisyCounts(docs(s, dir), Seq(col("lang"), col("source")),
           eps = DpEps, seed = DpSeed, maxShift = DpMaxShift)),
+
+    // ε-DP noisy SUM release (Privacy.dpNoisySums): per-(lang, source)
+    // char-mass sums with per-row contribution clipped to [0, 400]
+    // (Δ = 400 = the sensitivity), discrete-Laplace noise at ε/Δ from
+    // the CLOSED-FORM inverse CDF — q190's table would need thousands
+    // of branches at this Δ. All mechanism constants (p, 1+p, p/(1+p),
+    // ln p) fold in Scala and print into this twin, so both engines'
+    // runtime float work is the identical multiply+ln+divide+floor tree.
+    Q("q203_dp_noisy_sums", {
+      val delta = math.max(math.abs(DpSumLo), math.abs(DpSumHi)).toDouble
+      val p = math.exp(-DpSumEps / delta)
+      Some(s"""WITH s AS (SELECT lang AS q0, source AS q1,
+              |    CAST(sum(greatest($DpSumLo, least($DpSumHi, n_chars)))
+              |      AS BIGINT) AS group_sum
+              |  FROM documents GROUP BY 1, 2),
+              |h AS (SELECT q0, q1, group_sum,
+              |  (('0x' || substr(md5('$DpSumSeed' || '|' || q0 || '|' || q1), 1, 6))::BIGINT
+              |    + 0.5) / 16777216.0 AS u FROM s),
+              |n AS (SELECT q0, q1, group_sum,
+              |  CAST(CASE WHEN u < ${p / (1 + p)}
+              |       THEN 1 - ceil(ln(u * ${1 + p}) / ${math.log(p)})
+              |       ELSE floor(ln((1 - u) * ${1 + p}) / ${math.log(p)}) END
+              |    AS BIGINT) AS noise FROM h)
+              |SELECT q0, q1, group_sum, noise,
+              |  greatest(0, group_sum + noise) AS released FROM n""".stripMargin)
+    },
+      (s, dir) =>
+        Privacy.dpNoisySums(docs(s, dir), Seq(col("lang"), col("source")),
+          col("n_chars"), clipLo = DpSumLo, clipHi = DpSumHi,
+          eps = DpSumEps, seed = DpSumSeed)),
 
     // Keyed pseudonymization (Privacy.pseudonymize): doc_id and source
     // replaced by sha2-256(secret|col|value); the released frame still

@@ -126,6 +126,57 @@ class PrivacySpec extends SparkSpec {
     assert(thresholds.last >= (1L << 24) - 2, thresholds.last.toString)
   }
 
+  test("dpNoisySums: clipped sensitivity, JVM-replayed closed-form noise, clamp") {
+    // values straddle the clip bounds so the clamp does real work
+    val rows = (1L to 100L).map { i =>
+      (i, if (i <= 60) "en" else "de", if (i % 2 == 0) "web" else "book",
+        i * 13L % 700L) // 0..699, clip [0, 400] bites on ~43% of rows
+    }.toDF("id", "lang", "src", "v")
+    val eps = 0.5; val seed = "sum-seed"; val lo = 0L; val hi = 400L
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpNoisySums(df, Seq(col("lang"), col("src")), col("v"),
+          lo, hi, eps, seed)
+        .select("q0", "q1", "group_sum", "noise", "released")
+        .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val got = release(rows)
+    assert(got.length == 4)
+    // group_sum is the CLIPPED sum (driver-replayed)
+    val wantSums = (1L to 100L).map { i =>
+      ((if (i <= 60) "en" else "de", if (i % 2 == 0) "web" else "book"),
+        math.min(hi, math.max(lo, i * 13L % 700L)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // noise equals a from-scratch JVM replay of the closed-form inverse CDF
+    val delta = hi.toDouble
+    val p = math.exp(-eps / delta)
+    got.foreach { case (q0, q1, s, noise, rel) =>
+      assert(s == wantSums((q0, q1)), s"($q0,$q1): clipped sum")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$q0|$q1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(h.take(6), 16) + 0.5) / 16777216.0
+      val expect =
+        if (u < p / (1 + p)) 1L - math.ceil(math.log(u * (1 + p)) / math.log(p)).toLong
+        else math.floor(math.log((1 - u) * (1 + p)) / math.log(p)).toLong
+      assert(noise == expect, s"($q0,$q1): noise $noise != replayed $expect")
+      assert(rel == math.max(0L, s + noise))
+    }
+    // noise scale is Δ/ε-ish, not count-scale: some group must move by > 40
+    assert(got.exists(g => math.abs(g._4) > 40L),
+      s"expected sum-scale noise, got ${got.map(_._4).toSeq}")
+    // partitioning-invariant (the determinism a release audit needs)
+    assert(release(rows.repartition(7, col("id"))).toSeq == got.toSeq)
+    // negative clip bounds skip the 0-clamp (sums may be negative)
+    val signed = Privacy.dpNoisySums(rows.toDF(), Seq(col("lang")),
+        col("v") - 650L, -100L, 100L, eps = 5.0, seed)
+      .select("group_sum", "noise", "released")
+      .as[(Long, Long, Long)].collect()
+    signed.foreach { case (s, n, r) => assert(r == s + n, "no clamp when lo < 0") }
+    assert(signed.exists(_._1 < 0), "fixture must produce a negative sum")
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisySums(rows.toDF(), Seq(col("lang")), col("v"), 5L, 5L, eps, seed)
+    }
+  }
+
   test("pseudonymize: referential integrity, domain separation, secret rotation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
     val events = Seq((1L, "click"), (1L, "view"), (2L, "click"), (3L, "view"))
