@@ -233,12 +233,7 @@ object Privacy {
     // one of the 2·maxShift branch conditions (the q124-family
     // expression-splicing hazard), bloating the plan ~80×
     val u = col("_u")
-    val thresholds = geometricThresholds(eps, maxShift)
-    val noise = thresholds.zipWithIndex.foldLeft(Option.empty[Column]) {
-      case (acc, (t, i)) =>
-        val k = lit((i - maxShift).toLong)
-        Some(acc.fold(when(u < lit(t), k))(_.when(u < lit(t), k)))
-    }.get.otherwise(lit(maxShift.toLong))
+    val noise = tableNoiseExpr(u, eps, maxShift)
     counts
       .withColumn("_u", conv(substring(md5(
           concat_ws("|", lit(seed) +: keyNames.map(col): _*)), 1, 6), 16, 10)
@@ -247,6 +242,26 @@ object Privacy {
       .withColumn("released", greatest(lit(0L), col("group_size") + col("noise")))
       .drop("_u")
   }
+
+  /** Table-mechanism noise: literal when-chain over the 24-bit uniform
+    * (the [[dpNoisyCounts]] expression — shared with [[dpNoisyAvg]]'s
+    * count half so the two can't drift). */
+  private def tableNoiseExpr(u: Column, eps: Double, maxShift: Int): Column = {
+    val thresholds = geometricThresholds(eps, maxShift)
+    thresholds.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (t, i)) =>
+        val k = lit((i - maxShift).toLong)
+        Some(acc.fold(when(u < lit(t), k))(_.when(u < lit(t), k)))
+    }.get.otherwise(lit(maxShift.toLong))
+  }
+
+  /** Closed-form two-sided-geometric inverse CDF at parameter p (the
+    * [[dpNoisySums]] expression — shared with [[dpNoisyAvg]]'s sum
+    * half). `u` must be strictly inside (0, 1). */
+  private def closedFormNoiseExpr(u: Column, p: Double): Column =
+    when(u < lit(p / (1 + p)),
+      lit(1.0) - ceil(log(u * lit(1 + p)) / lit(math.log(p))))
+    .otherwise(floor(log((lit(1.0) - u) * lit(1 + p)) / lit(math.log(p))))
 
   /** ε-DP noisy SUM release: per quasi-identifier group, the sum of a
     * per-row value CLIPPED to [clipLo, clipHi], perturbed by
@@ -293,9 +308,7 @@ object Privacy {
     // _u24 materialized once (the dpNoisyCounts expression-splicing
     // discipline); u is cheap arithmetic over the materialized column
     val u = (col("_u24").cast("double") + lit(0.5)) / lit(16777216.0)
-    val noise = when(u < lit(p / (1 + p)),
-        lit(1.0) - ceil(log(u * lit(1 + p)) / lit(math.log(p))))
-      .otherwise(floor(log((lit(1.0) - u) * lit(1 + p)) / lit(math.log(p))))
+    val noise = closedFormNoiseExpr(u, p)
     val released =
       if (clipLo >= 0) greatest(lit(0L), col("group_sum") + col("noise"))
       else col("group_sum") + col("noise")
@@ -306,6 +319,57 @@ object Privacy {
       .withColumn("noise", noise.cast("long"))
       .withColumn("released", released)
       .drop("_u24")
+  }
+
+  /** ε-DP noisy MEAN release — the third of the DP release trio: the
+    * budget splits ε/2 to the count (table mechanism, sensitivity 1)
+    * and ε/2 to the clipped sum (closed-form mechanism, sensitivity
+    * Δ = clipHi), both released, and the mean derived as the
+    * post-processing ratio released_sum / max(1, released_count) —
+    * sequential composition gives the pair (and hence the ratio) ε-DP.
+    * The two uniforms are DOMAIN-SEPARATED (`seed|count|keys` vs
+    * `seed|sum|keys`): one shared uniform would correlate the noises
+    * and leak through the ratio.
+    *
+    * One aggregation computes both statistics (no second corpus pass);
+    * the mean is the exact staged-integer micro-ratio
+    * ([[Sampling.microRatioSql]] — overflow-safe to quadrillions, and
+    * engine-portable only because every operand is non-negative:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * which diverge on negatives, hence the clipLo ≥ 0 requirement).
+    * Output keeps the true (group_size, group_sum) alongside — the
+    * audit artifact; the public release projects
+    * `(q.., released_count, released_sum, mean_micro)`. */
+  def dpNoisyAvg(df: DataFrame, quasi: Seq[Column], value: Column,
+                 clipLo: Long, clipHi: Long, eps: Double, seed: String,
+                 maxShift: Int = 40): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(clipLo >= 0, s"dpNoisyAvg needs clipLo >= 0 (staged-integer " +
+      s"ratio portability: div vs // diverge on negatives), got $clipLo")
+    require(clipHi > clipLo, s"need clipHi > clipLo, got [$clipLo, $clipHi]")
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val epsHalf = eps / 2
+    val p = math.exp(-epsHalf / clipHi.toDouble)
+    val keys = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+    val keyNames = quasi.indices.map(i => s"q$i")
+    val clipped = greatest(lit(clipLo), least(lit(clipHi), value.cast("long")))
+    val agg = df.select(keys :+ clipped.as("_v"): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("group_size"), sum(col("_v")).as("group_sum"))
+    def u24(tag: String): Column = conv(substring(md5(
+        concat_ws("|", lit(seed) +: lit(tag) +: keyNames.map(col): _*)),
+      1, 6), 16, 10).cast("long")
+    val uS = (col("_us").cast("double") + lit(0.5)) / lit(16777216.0)
+    agg
+      .withColumn("_uc", u24("count"))
+      .withColumn("_us", u24("sum"))
+      .withColumn("released_count",
+        greatest(lit(0L), col("group_size") + tableNoiseExpr(col("_uc"), epsHalf, maxShift)))
+      .withColumn("released_sum",
+        greatest(lit(0L), col("group_sum") + closedFormNoiseExpr(uS, p).cast("long")))
+      .withColumn("mean_micro", expr(Sampling.microRatioSql(
+        "released_sum", "greatest(1, released_count)", "div")))
+      .drop("_uc", "_us")
   }
 
   /** Keyed pseudonymization of identifier columns: each named column is

@@ -30,13 +30,18 @@ object PrivacyQueries {
   private val DpSumSeed = "graft-r14-sums"
   private val DpSumLo = 0L
   private val DpSumHi = 400L
-  private val dpNoiseCaseSql: String = {
-    val ts = Privacy.geometricThresholds(DpEps, DpMaxShift)
+  private def dpNoiseCase(uE: String, eps: Double, maxShift: Int): String = {
+    val ts = Privacy.geometricThresholds(eps, maxShift)
     val whens = ts.zipWithIndex.map { case (t, i) =>
-      s"WHEN u < $t THEN ${i - DpMaxShift}"
+      s"WHEN $uE < $t THEN ${i - maxShift}"
     }.mkString(" ")
-    s"CASE $whens ELSE $DpMaxShift END"
+    s"CASE $whens ELSE $maxShift END"
   }
+  private val dpNoiseCaseSql: String = dpNoiseCase("u", DpEps, DpMaxShift)
+  // q204 DP-mean constants: ε splits ε/2 count + ε/2 sum
+  private val DpAvgEps = 1.0
+  private val DpAvgSeed = "graft-r14-mean"
+  private val DpAvgHi = 400L
 
   val queries: Seq[Q] = Seq(
 
@@ -173,6 +178,45 @@ object PrivacyQueries {
         Privacy.dpNoisySums(docs(s, dir), Seq(col("lang"), col("source")),
           col("n_chars"), clipLo = DpSumLo, clipHi = DpSumHi,
           eps = DpSumEps, seed = DpSumSeed)),
+
+    // ε-DP noisy MEAN (Privacy.dpNoisyAvg) — the DP release trio's
+    // third member: ε/2 to the count (q190's table mechanism), ε/2 to
+    // the clipped sum (q203's closed form), DOMAIN-SEPARATED uniforms
+    // (seed|count|keys vs seed|sum|keys — one shared uniform would
+    // correlate the noises through the ratio), mean as the exact
+    // staged-integer micro-ratio of the two releases (post-processing).
+    Q("q204_dp_noisy_mean", {
+      import graft.operators.Sampling.microRatioSql
+      val epsHalf = DpAvgEps / 2
+      val p = math.exp(-epsHalf / DpAvgHi.toDouble)
+      val countCase = dpNoiseCase("uc", epsHalf, DpMaxShift)
+      Some(s"""WITH s AS (SELECT lang AS q0, source AS q1,
+              |    count(*) AS group_size,
+              |    CAST(sum(greatest(0, least($DpAvgHi, n_chars))) AS BIGINT)
+              |      AS group_sum
+              |  FROM documents GROUP BY 1, 2),
+              |h AS (SELECT q0, q1, group_size, group_sum,
+              |  ('0x' || substr(md5('$DpAvgSeed' || '|count|' || q0 || '|' || q1), 1, 6))::BIGINT
+              |    AS uc,
+              |  (('0x' || substr(md5('$DpAvgSeed' || '|sum|' || q0 || '|' || q1), 1, 6))::BIGINT
+              |    + 0.5) / 16777216.0 AS us
+              |  FROM s),
+              |n AS (SELECT q0, q1, group_size, group_sum,
+              |  greatest(0, group_size + CAST($countCase AS BIGINT)) AS released_count,
+              |  greatest(0, group_sum + CAST(CASE WHEN us < ${p / (1 + p)}
+              |      THEN 1 - ceil(ln(us * ${1 + p}) / ${math.log(p)})
+              |      ELSE floor(ln((1 - us) * ${1 + p}) / ${math.log(p)}) END
+              |    AS BIGINT)) AS released_sum
+              |  FROM h)
+              |SELECT q0, q1, group_size, group_sum, released_count, released_sum,
+              |  ${microRatioSql("released_sum", "greatest(1, released_count)", "//")}
+              |    AS mean_micro
+              |FROM n""".stripMargin)
+    },
+      (s, dir) =>
+        Privacy.dpNoisyAvg(docs(s, dir), Seq(col("lang"), col("source")),
+          col("n_chars"), clipLo = 0L, clipHi = DpAvgHi,
+          eps = DpAvgEps, seed = DpAvgSeed, maxShift = DpMaxShift)),
 
     // Keyed pseudonymization (Privacy.pseudonymize): doc_id and source
     // replaced by sha2-256(secret|col|value); the released frame still

@@ -177,6 +177,52 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("dpNoisyAvg: split-budget trio — both halves JVM-replayed, exact micro-ratio") {
+    val rows = (1L to 100L).map { i =>
+      (i, if (i <= 60) "en" else "de", if (i % 2 == 0) "web" else "book",
+        i * 13L % 700L)
+    }.toDF("id", "lang", "src", "v")
+    val eps = 1.0; val seed = "mean-seed"; val hi = 400L; val b = 40
+    val got = Privacy.dpNoisyAvg(rows, Seq(col("lang"), col("src")), col("v"),
+        0L, hi, eps, seed, b)
+      .select("q0", "q1", "group_size", "group_sum",
+        "released_count", "released_sum", "mean_micro")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 4)
+    val epsHalf = eps / 2
+    val p = math.exp(-epsHalf / hi.toDouble)
+    val thresholds = Privacy.geometricThresholds(epsHalf, b)
+    def u24(tag: String, q0: String, q1: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$tag|$q0|$q1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(6), 16)
+    }
+    got.foreach { case (q0, q1, n, s, rc, rs, m) =>
+      val idx = thresholds.indexWhere(u24("count", q0, q1) < _)
+      val nc = (if (idx < 0) b else idx - b).toLong
+      assert(rc == math.max(0L, n + nc), s"($q0,$q1): count half")
+      val us = (u24("sum", q0, q1) + 0.5) / 16777216.0
+      val ns =
+        if (us < p / (1 + p)) 1L - math.ceil(math.log(us * (1 + p)) / math.log(p)).toLong
+        else math.floor(math.log((1 - us) * (1 + p)) / math.log(p)).toLong
+      assert(rs == math.max(0L, s + ns), s"($q0,$q1): sum half")
+      val d = math.max(1L, rc)
+      val expectM = (rs * 1000L / d) * 1000L + (rs * 1000L % d) * 1000L / d
+      assert(m == expectM, s"($q0,$q1): micro-ratio")
+      assert(math.abs(nc) <= b, "count noise is count-scale (table-bounded)")
+    }
+    // sum noise must be sum-scale somewhere (domain separation is real:
+    // the two halves draw from different uniforms and mechanisms)
+    assert(got.exists(g => math.abs(g._6 - g._4) > b),
+      s"expected a sum-scale perturbation beyond the count table bound")
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyAvg(rows.toDF(), Seq(col("lang")), col("v"),
+        -1L, hi, eps, seed)
+    }
+  }
+
   test("pseudonymize: referential integrity, domain separation, secret rotation") {
     val users = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "name")
     val events = Seq((1L, "click"), (1L, "view"), (2L, "click"), (3L, "view"))
