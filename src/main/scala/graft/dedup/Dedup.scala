@@ -496,9 +496,9 @@ object Dedup {
     * text is distinct — measured ~25% on the 500-doc q140 corpus
     * (r13 bench: 3.19 s plain → 4.02 s collapsed) — so the operator
     * probes exact-dup presence first with ONE ungrouped aggregate over
-    * the already-persisted keyed frame (`count == count_distinct(h)`,
+    * the persisted (doc, h) frame (`count == count_distinct(h)`,
     * map-side-combinable, a 1-row driver read) and runs the plain
-    * pipeline on the persisted frame when no text repeats. The probe's
+    * pipeline straight off the source when no text repeats. The probe's
     * cost on dup-heavy corpora is a rounding error next to the LSH
     * stages it then shrinks; on dup-free corpora it buys back the
     * collapse overhead (EXPLAIN.md round 14 has the break-even
@@ -507,24 +507,29 @@ object Dedup {
                               threshold: Double,
                               cfg: MinHashConfig = MinHashConfig.OraclePinned,
                               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // (h, doc, text) is read by the presence probe, the rep election,
-    // the star join, and the rep-corpus semi-join — persist so the
-    // (possibly expensive) source pipeline and the md5 run once
-    val keyed = scope.persist(
-      df.select(idCol.as("doc"), textCol.as("text"))
-        .withColumn("h", md5(col("text"))))
+    // (doc, h) — 24 bytes per doc — is what the presence probe, the rep
+    // election, and the star join read; persist THAT, never the text:
+    // a full-text persist would write the whole corpus to executor
+    // storage (r13 shipped exactly that; the 1M composite probe paid
+    // ~13 s materializing ~600 MB of text nobody re-read in bulk, and
+    // at 100 TB the shape is disqualifying). TEXT is only needed for
+    // the rep corpus — |distinct texts| rows, the collapse's point —
+    // re-derived from the source by one rep-id semi-join and persisted
+    // at THAT size for nearDuplicates' two scans (sigs + verify).
+    val src = df.select(idCol.as("doc"), textCol.as("text"))
+    val keyed = scope.persist(src.select(col("doc"), md5(col("text")).as("h")))
     val Seq(nRows, nTexts) = keyed
       .agg(count(lit(1)), count_distinct(col("h")))
       .head().toSeq.map(_.asInstanceOf[Long])
     if (nRows == nTexts)
-      nearDuplicates(keyed, col("doc"), col("text"), threshold, cfg, scope)
+      nearDuplicates(src, col("doc"), col("text"), threshold, cfg, scope)
     else {
       val reps = keyed.groupBy("h").agg(min("doc").as("rep"))
       val exact = keyed.join(reps, "h")
         .filter(col("doc") =!= col("rep"))
         .select(col("rep").as("d1"), col("doc").as("d2"), lit(1.0).as("jaccard"))
-      val repCorpus = keyed.join(
-        reps.select(col("h"), col("rep").as("doc")), Seq("h", "doc"), "left_semi")
+      val repCorpus = scope.persist(src.join(
+        reps.select(col("rep").as("doc")), Seq("doc"), "left_semi"))
       val near = nearDuplicates(repCorpus, col("doc"), col("text"),
         threshold, cfg, scope)
       exact.union(near)
