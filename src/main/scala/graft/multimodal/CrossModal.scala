@@ -71,11 +71,15 @@ object CrossModal {
     * persisted via `scope`. */
   def crossModalDedup(pairs: DataFrame, idCol: Column, captionCol: Column,
                       imgKeyCol: Column,
-                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val keyed = scope.persist(pairs.select(idCol.as("pair_id"),
+                      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    crossModalDedupKeyed(scope.persist(pairs.select(idCol.as("pair_id"),
       TextFunctions.portableHash(TextFunctions.canonicalize(captionCol))
         .as("cap_key"),
-      imgKeyCol.as("img_key")))
+      imgKeyCol.as("img_key"))))
+
+  /** [[crossModalDedup]] over an already-keyed (pair_id, cap_key,
+    * img_key) frame — the caller persists it (three readers). */
+  private def crossModalDedupKeyed(keyed: DataFrame): DataFrame = {
     val groups = keyed.groupBy("cap_key", "img_key")
       .agg(min("pair_id").as("keeper"), count(lit(1)).as("n_group"))
     val capReuse = keyed.groupBy("cap_key")
@@ -163,12 +167,17 @@ object CrossModal {
                   capVecCol: Column, imgVecCol: Column, imgKeyCol: Column,
                   minMicro: Long,
                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // captions hash to 8-byte keys BEFORE the persist — the cached
+    // frame carries keys, never caption bodies (the collapse-persist
+    // lesson: persist the slim projection the stages re-read)
     val gated = scope.persist(
       alignmentGate(pairs, capVecCol, imgVecCol, minMicro)
-        .select(idCol.as("pair_id"), captionCol.as("_cap"),
-          imgKeyCol.as("_img"), col("align_micro"), col("aligned")))
-    val flags = crossModalDedup(gated.filter(col("aligned")),
-      col("pair_id"), col("_cap"), col("_img"), scope)
+        .select(idCol.as("pair_id"),
+          TextFunctions.portableHash(TextFunctions.canonicalize(captionCol))
+            .as("cap_key"),
+          imgKeyCol.as("img_key"), col("align_micro"), col("aligned")))
+    val flags = crossModalDedupKeyed(gated.filter(col("aligned"))
+      .select("pair_id", "cap_key", "img_key"))
     gated.filter(col("aligned"))
       .select(col("pair_id"), col("align_micro"))
       .join(flags, Seq("pair_id"))
