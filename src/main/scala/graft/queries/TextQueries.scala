@@ -1565,6 +1565,49 @@ object TextQueries {
             rankCol = "rank")
           .select("qid", "doc", "rank")
         Retrieval.rrfFuse(Seq(sparse, dense), k = 5, k0 = RrfK0)
+      }),
+
+    // Retrieve-then-rerank: BM25 top-20 nominates candidates (cheap,
+    // high recall), the dense scorer re-ranks ONLY those to a top-5
+    // (precise) — the production two-stage stack, where the expensive
+    // scorer's cost is |candidates|, never corpus. Dots are exact small
+    // integers in double (hash features), so dot_i and the ranking are
+    // float-hazard-free; the oracle replays both stages.
+    Q("q205_retrieve_rerank", {
+      val hj = portableHashSql("(text || ':' || CAST(j AS VARCHAR))")
+      Some(s"""WITH $bm25Ctes,
+              |cands AS (SELECT qid, doc FROM (
+              |    SELECT qid, doc, row_number() OVER (PARTITION BY qid
+              |      ORDER BY bm25_micro DESC, doc) AS rank FROM sc)
+              |  WHERE rank <= 20),
+              |e AS (SELECT doc_id AS doc, list_transform(generate_series(0, 15),
+              |    j -> CAST($hj % 1000 AS DOUBLE)) AS v FROM documents),
+              |qe AS (SELECT doc AS qid, v AS qv FROM e WHERE doc % 100 = 0),
+              |scored AS (SELECT c.qid, c.doc,
+              |    CAST(${graft.similarity.Similarity.dotSql("qv", "v")} AS BIGINT)
+              |      AS dot_i
+              |  FROM cands c JOIN e USING (doc) JOIN qe USING (qid))
+              |SELECT qid, doc, dot_i, CAST(rank AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |    ORDER BY dot_i DESC, doc) AS rank FROM scored)
+              |WHERE rank <= 5""".stripMargin)
+    },
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cands = Retrieval.bm25TopK(d, col("doc_id"), tokens(col("text")),
+            d.filter(col("doc_id") % 100 === 0), col("doc_id"),
+            array_distinct(slice(tokens(col("text")), 1, 10)), k = 20,
+            k1 = Bm25K1, b = Bm25B)
+          .select("qid", "doc")
+        val vec = transform(sequence(lit(0), lit(15)),
+          j => (portableHash(concat(col("text"), lit(":"), j.cast("string")))
+            % 1000).cast("double"))
+        val e = d.select(col("doc_id").as("doc"), vec.as("v"))
+        val qe = e.filter(col("doc") % 100 === 0)
+          .select(col("doc").as("qid"), col("v").as("qv"))
+        Retrieval.rerankDense(cands, qe, e, 5)
+          .select(col("qid"), col("doc"), col("dot").cast("long").as("dot_i"),
+            col("rank"))
       })
   )
 }

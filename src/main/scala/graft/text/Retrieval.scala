@@ -169,6 +169,28 @@ object Retrieval {
     bm25TopKFromIndex(bm25Index(corpus, idCol, toksCol, scope),
       queries, qidCol, qtoksCol, k, k1, b, scope)
 
+  /** Dense rerank of a candidate list — the second stage of the
+    * production retrieve-then-rerank stack: a cheap high-recall first
+    * stage (BM25 top-N, an IVF probe) nominates candidates, and the
+    * precise scorer re-ranks ONLY those. `candidates` carries
+    * (qid, doc); embeddings join in from `queryVecs` (qid, qv — the
+    * query batch, broadcast) and `docVecs` (doc, v — corpus-sized, but
+    * only candidate rows survive the join, so the scoring cost is
+    * |candidates|, never corpus). Top-k per qid by (dot DESC, doc),
+    * map-side pruned. Same output shape as the other rankers, so the
+    * result feeds [[rrfFuse]] directly. */
+  def rerankDense(candidates: DataFrame, queryVecs: DataFrame,
+                  docVecs: DataFrame, k: Int): DataFrame = {
+    val scored = candidates.select("qid", "doc")
+      .join(docVecs, "doc")
+      .join(broadcast(queryVecs), "qid")
+      .select(col("qid"), col("doc"),
+        graft.similarity.Similarity.dot(col("qv"), col("v")).as("dot"))
+    Relational.topKPerGroup(scored, Seq(col("qid")),
+      Seq(desc("dot"), col("doc")), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("int"))
+  }
+
   /** Reciprocal-rank fusion across ranked lists (each a DataFrame with
     * columns qid, doc, rank): rrf(q,d) = Σ_lists 10⁹ div (k0 + rank) —
     * integer division, so contributions and sums are exact longs (no

@@ -129,6 +129,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rerankDense: scores only nominated candidates; full nomination == brute") {
+    val docVecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(2.0, 0.0)), (4L, Seq(0.5, 0.5))).toDF("doc", "v")
+    val qv = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    // doc 3 has the best dot (2.0) but is NOT nominated — must not appear
+    val cands = Seq((10L, 1L), (10L, 2L), (10L, 4L)).toDF("qid", "doc")
+    val got = Retrieval.rerankDense(cands, qv, docVecs, 2)
+      .select("doc", "rank").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 4L -> 2), s"got $got")
+    val all = docVecs.select(lit(10L).as("qid"), col("doc"))
+    val brute = Retrieval.rerankDense(all, qv, docVecs, 4)
+      .select("doc", "rank").as[(Long, Int)].collect().toMap
+    assert(brute == Map(3L -> 1, 1L -> 2, 4L -> 3, 2L -> 4), s"got $brute")
+  }
+
   // ---- RRF fusion -----------------------------------------------------------
 
   private def ranking(rows: Seq[(Long, Long, Int)]): DataFrame =
