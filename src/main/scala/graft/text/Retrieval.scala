@@ -121,6 +121,32 @@ object Retrieval {
     Bm25Index(postings, stats)
   }
 
+  /** Compact an accumulated on-disk index into a fresh single-batch
+    * layout — the small-files remedy for a long-running
+    * [[graft.streaming.RetrievalStream]] ingestion (thousands of
+    * `batch_id=N` partitions × shuffle-partition part files otherwise
+    * accumulate, and file-listing cost eventually dominates query
+    * planning). Postings rewrite under `outDir/postings/batch_id=0`
+    * (optionally coalesced to `targetPartitions`), the per-batch stats
+    * rows collapse to ONE exact recombined row — so
+    * [[bm25IndexLoad]](outDir) scores bit-identically to the
+    * uncompacted dir (spec-pinned). Writes to a NEW dir: compact,
+    * verify, swap — never in place (the overwrite-while-reading hazard
+    * documented on [[bm25IndexAppend]]). */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, outDir: String,
+                       targetPartitions: Int = 0): Unit = {
+    require(new java.io.File(dir).getCanonicalPath !=
+      new java.io.File(outDir).getCanonicalPath,
+      "compact to a NEW directory, never in place")
+    val ix = bm25IndexLoad(spark, dir)
+    val p = if (targetPartitions > 0) ix.postings.coalesce(targetPartitions)
+            else ix.postings
+    p.write.mode("overwrite").parquet(s"$outDir/postings/batch_id=0")
+    ix.stats.select("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$outDir/stats/batch_id=0")
+  }
+
   /** BM25 top-k per query over a prebuilt index. `queries` carries
     * (qidCol, qtoksCol); query tokens deduplicate to a term SET (BM25
     * treats the query as a set — repeating a query term must not double

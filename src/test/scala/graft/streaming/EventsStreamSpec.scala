@@ -433,6 +433,24 @@ class EventsStreamSpec extends SparkSpec {
     val replayed = Retrieval.bm25TopKFromIndex(Retrieval.bm25IndexLoad(spark, dir),
       q, col("doc_id"), qtoks, 5).collect().map(_.toSeq).toSet
     assert(replayed == want, "a replayed batch id must replace, not duplicate")
+    // compaction: batch partitions collapse to one generation, scores
+    // bit-identical, part-file count strictly reduced, never in place
+    val compacted = Files.createTempDirectory("graft_bm25_cx").toString + "/ix"
+    Retrieval.bm25IndexCompact(spark, dir, compacted, targetPartitions = 1)
+    val viaCompacted = Retrieval.bm25TopKFromIndex(
+      Retrieval.bm25IndexLoad(spark, compacted),
+      q, col("doc_id"), qtoks, 5).collect().map(_.toSeq).toSet
+    assert(viaCompacted == want)
+    def parquetFiles(p: String): Long = {
+      val it = Files.walk(Paths.get(p))
+      try it.filter(f => f.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    assert(parquetFiles(s"$compacted/postings") < parquetFiles(s"$dir/postings"),
+      "compaction must reduce the part-file count")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexCompact(spark, dir, dir)
+    }
   }
 
   test("streaming dedupe drops replayed events within the watermark") {
