@@ -51,6 +51,30 @@ object Release {
         sum("n_chars").as("n_chars"),
         sum("h").as("checksum"))
 
+  /** Byte-balanced sharding: assign each row (in `orderCol`'s total
+    * order) to the shard its EXCLUSIVE byte prefix falls in —
+    * `shard_id = (running − bytes) div targetBytes` over the
+    * distributed prefix sum, so shards carry ~targetBytes each
+    * regardless of document-length skew ([[withShard]]'s hash
+    * assignment balances COUNTS; a long-document source would give it
+    * fat shards, and trainers want equal-byte units). Contract per
+    * shard: bytes ≤ targetBytes + max single-row bytes (a row
+    * straddling a boundary lands wholly in the shard where it starts);
+    * ids are contiguous from 0 and non-decreasing in the order. Exact
+    * long arithmetic end to end (`bytesCol` must be non-negative — div
+    * vs `//` diverge on negatives); one range exchange (the prefix
+    * sum's), everything after is a projection. */
+  def shardByBytes(df: DataFrame, orderCol: Column, bytesCol: Column,
+                   targetBytes: Long,
+                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    Relational.prefixSum(df.withColumn("_bytes", bytesCol.cast("long")),
+        orderCol, col("_bytes"), scope = scope)
+      .withColumn("shard_id",
+        expr(s"(running - _bytes) div cast($targetBytes as bigint)"))
+      .drop("_bytes")
+  }
+
   /** Per-source data card: the human-facing release summary a dataset
     * publication ships next to the shard manifest — for every source,
     * volume (`n_docs`, `n_chars`, corpus `share_ppm`), language profile

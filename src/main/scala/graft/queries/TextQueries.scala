@@ -1608,6 +1608,25 @@ object TextQueries {
         Retrieval.rerankDense(cands, qe, e, 5)
           .select(col("qid"), col("doc"), col("dot").cast("long").as("dot_i"),
             col("rank"))
-      })
+      }),
+
+    // Byte-balanced release sharding (Release.shardByBytes): shard_id =
+    // exclusive-byte-prefix div target over the DISTRIBUTED prefix sum
+    // (q107's machinery) — equal-BYTE shards under document-length skew,
+    // where the hash assignment (q161) balances only counts. Exact long
+    // arithmetic; the oracle replays the cumulative sum as a window.
+    Q("q206_shard_by_bytes",
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+             |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS running
+             |  FROM documents)
+             |SELECT doc_id, n_chars, running,
+             |  (running - n_chars) // 20000 AS shard_id
+             |FROM r""".stripMargin),
+      (s, dir) =>
+        graft.operators.Release.shardByBytes(
+            docs(s, dir).select("doc_id", "n_chars"),
+            col("doc_id"), col("n_chars"), targetBytes = 20000L)
+          .select(col("doc_id"), col("n_chars"), col("running"),
+            col("shard_id")))
   )
 }

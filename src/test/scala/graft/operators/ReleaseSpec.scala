@@ -121,6 +121,37 @@ class ReleaseSpec extends SparkSpec {
     assert(got("a").getDouble(got("a").fieldIndex("median_chars")) === 4.0)
   }
 
+  test("shardByBytes: equal-byte shards under length skew — bound, contiguity, determinism") {
+    import spark.implicits._
+    // heavy length skew: doc i carries (i*37 % 900) + 10 bytes
+    val rows = (1L to 200L).map(i => (i, i * 37 % 900 + 10)).toDF("doc_id", "nb")
+    val target = 5000L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Release.shardByBytes(df, col("doc_id"), col("nb"), target)
+        .select("doc_id", "nb", "shard_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val got = run(rows)
+    // per-shard byte bound: <= target + max single doc
+    val maxDoc = got.map(_._2).max
+    val perShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    perShard.foreach { case (s, b) =>
+      assert(b <= target + maxDoc, s"shard $s carries $b bytes > $target + $maxDoc")
+    }
+    // every shard except possibly the last is filled past target - maxDoc
+    val last = got.map(_._3).max
+    perShard.filter(_._1 != last).foreach { case (s, b) =>
+      assert(b > target - maxDoc, s"shard $s underfilled at $b")
+    }
+    // ids contiguous from 0, non-decreasing in the order
+    assert(got.map(_._3).distinct.sorted.sameElements(0L to last))
+    assert(got.map(_._3).sameElements(got.map(_._3).sorted), "order-respecting")
+    // partitioning-invariant (the release determinism contract)
+    assert(run(rows.repartition(7)).toSeq == got.toSeq)
+    intercept[IllegalArgumentException] {
+      Release.shardByBytes(rows, col("doc_id"), col("nb"), 0L)
+    }
+  }
+
   test("dataCard: ppm columns are partitioning-invariant exact integers") {
     val base = Tables.documents(spark, sfDir)
       .select("source", "lang", "text")
