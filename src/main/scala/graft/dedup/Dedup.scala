@@ -392,11 +392,21 @@ object Dedup {
     // scan running once per band-join side — the 26 s → 8 s fix.
     val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
     val cand = scope.persist(lshCandidates(sigs, cfg))
+    exactVerifyPairs(df, idCol, textCol, cand, threshold, cfg)
+  }
+
+  /** Exact-Jaccard verification of a (d1, d2) candidate frame: the
+    * shared tail of [[nearDuplicates]] and
+    * [[nearDuplicatesEstimateVerify]] — re-shingles ONLY the candidate
+    * docs (the LSH point: \|candidates\| ≪ \|corpus\|), so the md5
+    * cost is bounded. `cand` should be persisted by the caller (read
+    * for the doc broadcast and the pair join). */
+  private def exactVerifyPairs(df: DataFrame, idCol: Column, textCol: Column,
+                               cand: DataFrame, threshold: Double,
+                               cfg: MinHashConfig): DataFrame = {
     val candDocs = cand.select(col("d1").as("cdoc"))
       .union(cand.select(col("d2").as("cdoc"))).distinct()
     val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
-    // Exact verification re-shingles only the candidate docs (the LSH
-    // point: |candidates| ≪ |corpus|), so the md5 cost here is bounded.
     val shSets = shingleHashes(candCorpus, idCol, textCol, cfg.shingleK, cfg.portable)
       .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
     cand
@@ -407,6 +417,34 @@ object Dedup {
         col("n_inter").cast("double") / (size(col("s1")) + size(col("s2")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** Estimate-then-verify near-dup — the two-stage verification shape:
+    * the signature-agreement floor ([[nearDuplicatesEstimatedFromSigs]])
+    * prunes the banded candidates with a CHEAP integer projection over
+    * signature rows, and exact-Jaccard verification (the operator's
+    * only text re-read) runs on the survivors alone. Worth it when
+    * banding emits many sub-threshold candidates: the pre-filter
+    * shrinks the re-shingle by the agreement selectivity at the cost
+    * of one extra pass over signature-sized rows.
+    *
+    * `minAgree` must be LOOSE relative to `threshold` — a pair the
+    * floor drops is gone even if exact J ≥ threshold. The estimator's
+    * std bounds the safe gap: with n perms, floor ≈ n·J − 3√(J(1−J)n)
+    * keeps the false-drop rate ~per-mille (40/64 for J 0.8). With a
+    * conservative floor the output EQUALS [[nearDuplicates]]
+    * (spec-pinned); an aggressive floor trades recall for verify
+    * cost — measured, not silent, via [[nearDuplicatesEstimated]]'s
+    * audit view of what the floor keeps. */
+  def nearDuplicatesEstimateVerify(df: DataFrame, idCol: Column, textCol: Column,
+                                   threshold: Double, minAgree: Int,
+                                   cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
+    val pruned = scope.persist(
+      nearDuplicatesEstimatedFromSigs(sigs, minAgree, cfg, scope)
+        .select("d1", "d2"))
+    exactVerifyPairs(df, idCol, textCol, pruned, threshold, cfg)
   }
 
   /** MinHash-LSH near-dup with ESTIMATED similarity: banded candidates
