@@ -384,6 +384,178 @@ object Media {
       }
     }
   }
+
+  // -------------------------------------------------- temporal structure
+
+  /** `(media_id, frame_idx, t_ms, fhash)` for EVERY container frame —
+    * unlike [[withFrameHashes]]' evenly time-sampled `nFrames`, this is
+    * the dense per-frame hash track that temporal analysis (scene cuts,
+    * keyframe selection) needs: a cut between two adjacent frames is
+    * invisible to a sparse sampler. One map-side codec pass per row
+    * (decode once, hash each frame), zero shuffle; frames that fail to
+    * decode are absent, and temporal ops compare against the previous
+    * DECODED frame. This is the frame a video pipeline persists once;
+    * [[sceneCutsFromHashes]] re-thresholds it without re-decoding. */
+  def withEveryFrameHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.decode(r.payload) match {
+            case v: MediaCodec.VideoMjpeg =>
+              v.frames.iterator.zipWithIndex.flatMap { case (jpeg, i) =>
+                MediaCodec.frameRaster(jpeg).flatMap(MediaCodec.dHash64)
+                  .map(h => (r.media_id, i, i * v.microsPerFrame / 1000, h))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "frame_idx", "t_ms", "fhash")
+  }
+
+  /** Scene-cut detection over an ALREADY-COMPUTED per-frame hash track
+    * ([[withEveryFrameHash]] output): a cut is an adjacent-frame dHash
+    * hamming distance ≥ `threshold` (smooth motion moves a handful of
+    * gradient bits per frame; a content change rewrites the whole
+    * gradient field — `MediaTemporalSpec` pins both sides on planted
+    * payloads; on the adversarially busy synthetic grating family the
+    * measured separation is smooth ≤ 24 bits / cut ≥ 25 bits, so even
+    * globally periodic full-field motion stays under a cut-sized jump).
+    * Emits every frame row with `dist_prev` (hamming to the
+    * previous decoded frame; null on the first) and `is_cut` (the first
+    * frame is a scene start by definition). Scale shape: one narrow
+    * exchange on media_id for the per-video lag window — hashes and
+    * ids move, never pixels — and re-thresholding a persisted track
+    * costs no codec work. */
+  def sceneCutsFromHashes(f: DataFrame, threshold: Int = 16): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    f.withColumn("_prev", lag(col("fhash"), 1).over(w))
+      .withColumn("dist_prev",
+        bit_count(col("fhash").bitwiseXOR(col("_prev"))).cast("long"))
+      .withColumn("is_cut",
+        col("_prev").isNull || col("dist_prev") >= threshold)
+      .drop("_prev")
+  }
+
+  /** [[sceneCutsFromHashes]] from raw payloads — the hash track is
+    * computed (one codec pass) and persisted through `scope` so a
+    * caller composing cuts + keyframe export decodes once. */
+  def sceneCuts(media: Dataset[MediaRow], threshold: Int = 16,
+                scope: graft.operators.CacheScope =
+                  graft.operators.CacheScope.unmanaged): DataFrame =
+    sceneCutsFromHashes(scope.persist(withEveryFrameHash(media)), threshold)
+
+  /** Scene-start frames (the keyframe selection a vision-LM sampler
+    * actually wants: one frame per scene, not one per fixed interval)
+    * in ONE decode pass with ZERO shuffle: scene detection is
+    * per-video-sequential, so it runs inside the codec pass and only
+    * the selected JPEG frames leave the task. Emits the first frame
+    * plus every frame whose dHash hamming to the previous decoded
+    * frame ≥ `threshold` — the same chain [[sceneCutsFromHashes]]
+    * computes (parity spec-pinned), so a pipeline can re-threshold on
+    * the persisted track and only re-decode when exporting frames. */
+  def keyFrames(media: Dataset[MediaRow], threshold: Int = 16): Dataset[FrameSample] = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decode(r.payload) match {
+          case v: MediaCodec.VideoMjpeg =>
+            var prev = 0L
+            var havePrev = false
+            v.frames.iterator.zipWithIndex.flatMap { case (jpeg, i) =>
+              MediaCodec.frameRaster(jpeg).flatMap(MediaCodec.dHash64) match {
+                case Some(h) =>
+                  val cut = !havePrev || java.lang.Long.bitCount(h ^ prev) >= threshold
+                  prev = h; havePrev = true
+                  if (cut)
+                    Some(FrameSample(r.media_id, i, i * v.microsPerFrame / 1000, jpeg))
+                  else None
+                case None => None // undecodable frame: no cut judgment
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** `(media_id, win_idx, start_ms, end_ms, rms)` per fixed-size energy
+    * window over the PCM — the persistable track behind voice/sound
+    * activity detection. RMS is over 16-bit samples (0..32767 scale);
+    * a digital-silence window reads 0 exactly. One map-side decode
+    * pass, zero shuffle; the tail partial window is emitted (its
+    * `end_ms` clamps to the clip length) so trailing activity is never
+    * silently dropped. Non-audio and undecodable rows are absent. */
+  def withAudioEnergy(media: Dataset[MediaRow], windowMs: Int = 50): DataFrame = {
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.decode(r.payload) match {
+            case MediaCodec.AudioPcm(rate, samples) if samples.length > 0 =>
+              val win = math.max(1, (rate * windowMs / 1000.0).toInt)
+              val nWin = (samples.length + win - 1) / win
+              (0 until nWin).iterator.map { i =>
+                val from = i * win
+                val until = math.min(from + win, samples.length)
+                var sumSq = 0.0
+                var j = from
+                while (j < until) {
+                  val s = samples(j).toDouble
+                  sumSq += s * s
+                  j += 1
+                }
+                val rms = math.sqrt(sumSq / (until - from))
+                (r.media_id, i,
+                  math.round(from * 1000.0 / rate),
+                  math.round(until * 1000.0 / rate),
+                  rms)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "win_idx", "start_ms", "end_ms", "rms")
+  }
+
+  /** Activity segments from an ALREADY-COMPUTED energy track
+    * ([[withAudioEnergy]] output): windows with `rms ≥ minRms` are
+    * active; maximal runs of consecutive active windows merge into one
+    * segment (classic gaps-and-islands — `win_idx − row_number` is
+    * constant exactly on a run). Emits `(media_id, seg_idx, start_ms,
+    * end_ms, n_windows, mean_rms)` ordered per clip. Scale shape: the
+    * filter drops silence BEFORE the window exchange, so the shuffle
+    * carries active windows only — a mostly-silent corpus (the common
+    * case for raw field audio) shrinks, not grows, on the wire. */
+  def audioActivityFromEnergy(e: DataFrame, minRms: Double = 1000.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win_idx")
+    e.filter(col("rms") >= minRms)
+      .withColumn("_island", col("win_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("_island"))
+      .agg(min("start_ms").as("start_ms"), max("end_ms").as("end_ms"),
+        count(lit(1)).as("n_windows"), round(avg("rms"), 3).as("mean_rms"))
+      .withColumn("seg_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("start_ms")).cast("long"))
+      .select("media_id", "seg_idx", "start_ms", "end_ms", "n_windows", "mean_rms")
+  }
+
+  /** [[audioActivityFromEnergy]] from raw payloads — the energy track
+    * is computed (one decode pass) and persisted through `scope` so
+    * re-thresholding or pairing segments with per-clip stats shares
+    * the decode. */
+  def audioActivity(media: Dataset[MediaRow], windowMs: Int = 50,
+                    minRms: Double = 1000.0,
+                    scope: graft.operators.CacheScope =
+                      graft.operators.CacheScope.unmanaged): DataFrame =
+    audioActivityFromEnergy(scope.persist(withAudioEnergy(media, windowMs)), minRms)
 }
 
 /** The codec seam. All three modalities are REAL, JDK-only:
@@ -600,6 +772,47 @@ object MediaCodec {
     val n = (durationMs / (AviMicrosPerFrame / 1000)).max(2L).min(8L).toInt
     aviBytes((0 until n).map(i =>
       encodeJpeg(grating(seed, w, h, i * math.Pi / 8))), w, h)
+  }
+
+  /** [[synthAvi]] with a planted HARD CUT: frames before `cutAt` render
+    * `seedA`'s grating (phase advancing per frame — smooth motion),
+    * frames from `cutAt` on render `seedB`'s (its phase walk restarts)
+    * — two scenes in one container, the ground truth the scene-cut
+    * specs and query assert against. */
+  def synthAviCut(seedA: Long, seedB: Long, w: Int, h: Int, nFrames: Int,
+                  cutAt: Int): Array[Byte] = {
+    require(nFrames >= 2 && cutAt >= 1 && cutAt < nFrames,
+      s"need 1 <= cutAt < nFrames (>= 2), got $cutAt/$nFrames")
+    aviBytes((0 until nFrames).map { i =>
+      if (i < cutAt) encodeJpeg(grating(seedA, w, h, i * math.Pi / 8))
+      else encodeJpeg(grating(seedB, w, h, (i - cutAt) * math.Pi / 8))
+    }, w, h)
+  }
+
+  /** [[synthWav]] with planted DIGITAL-SILENCE gaps: the seeded harmonic
+    * tone plays for `toneMs`, then `gapMs` of exact zeros, repeating to
+    * `durationMs` (clamped like [[synthWav]]) — the ground truth the
+    * voice-activity specs and query assert against (active segments =
+    * the tone runs, to window resolution). */
+  def synthWavGapped(seed: Long, durationMs: Long, toneMs: Long,
+                     gapMs: Long): Array[Byte] = {
+    require(toneMs >= 1 && gapMs >= 1, s"need positive toneMs/gapMs, got $toneMs/$gapMs")
+    val base = synthWav(seed, durationMs)
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(base))
+    val fmt = ais.getFormat
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val period = toneMs + gapMs
+    var i = 0
+    while (i < n) {
+      val ms = (i * 1000.0 / fmt.getSampleRate).toLong
+      if (ms % period >= toneMs) { bytes(2 * i) = 0; bytes(2 * i + 1) = 0 }
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(bytes),
+      fmt, n.toLong), AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Parse an MJPEG AVI: walk the RIFF tree for `avih` (µs-per-frame)

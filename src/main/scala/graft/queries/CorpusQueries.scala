@@ -1029,6 +1029,57 @@ object CorpusQueries {
         xm.curateDelta(index, pairs.filter(col("pair_id") >= 1000000L),
           col("pair_id"), col("caption"), col("cap_vec"), col("img_vec"),
           col("iv"), minMicro = 500L)
+      }),
+
+    // Scene-cut detection over real MJPEG payloads (Media.sceneCuts):
+    // every doc synthesizes a 6-frame 48×32 video — docs ≡0 (mod 5)
+    // with a HARD CUT at frame 3 (grating seed change), the rest smooth
+    // phase-walk motion — and the detector reports the cuts. Threshold
+    // 25 = the probed decision boundary of the grating family (smooth
+    // adjacent-frame dHash hamming ≤ 24, seed change ≥ 25; see
+    // MediaTemporalSpec). No DuckDB oracle — the codec pass (JPEG
+    // decode → dHash) isn't ANSI SQL; MediaTemporalSpec carries
+    // correctness and the driver records the rows-only check.
+    Q("q207_scene_cuts", None,
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Media
+        val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+          val payload =
+            if (id % 5 == 0)
+              graft.multimodal.MediaCodec.synthAviCut(id, id + 5000L, 48, 32, 6, 3)
+            else graft.multimodal.MediaCodec.synthAvi(id, 48, 32, 6 * 40L)
+          m.MediaRow(id, "video", payload, 48, 32, 240L)
+        }
+        m.sceneCuts(media, threshold = 25)
+          .filter(col("is_cut") && col("frame_idx") > 0)
+          .select(col("media_id"), col("frame_idx"), col("t_ms"),
+            col("dist_prev"))
+      }),
+
+    // Audio activity segmentation over real WAV payloads
+    // (Media.audioActivity): every doc synthesizes a gapped-tone clip
+    // (250 ms tone / 150 ms digital silence, duration seeded off
+    // n_chars), VAD segments it at 50 ms windows, and the per-clip
+    // rollup reports segment count + total active time. Same
+    // no-ANSI-SQL tier as q207 (PCM decode + RMS); MediaTemporalSpec
+    // pins exact segment boundaries on the planted layout.
+    Q("q208_audio_activity", None,
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Media
+        val media = docs(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("long"))
+          .as[(Long, Long)].map { case (id, nc) =>
+            val dur = 400L + nc % 1600L
+            m.MediaRow(id, "audio",
+              graft.multimodal.MediaCodec.synthWavGapped(id, dur, 250L, 150L),
+              0, 0, dur)
+          }
+        m.audioActivity(media, windowMs = 50, minRms = 100.0)
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("end_ms") - col("start_ms")).as("active_ms"))
       }))
 
   /** The q166 Bradley–Terry fit over hash-paired document duels, shared
