@@ -1361,6 +1361,35 @@ object TextQueries {
       (s, dir) =>
         graft.text.Masking.spanCorrupt(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Contrastive crop positives (Masking.cropPairs): two hash-drawn
+    // crops per document, both straddling the midpoint so the views
+    // share content — the cropping-style positive-pair generator for
+    // contrastive embedding pretraining. The oracle replays the draw
+    // arithmetic (start in [0, len/2], end in (len/2, len]) and the
+    // substrings; the hash certifies crops byte-for-byte.
+    Q("q209_crop_pairs", {
+      def h(tag: String) =
+        portableHashSql(s"(CAST(doc_id AS VARCHAR) || ':$tag')")
+      def boundsSql(k: String) =
+        s"""CASE WHEN n >= 2 THEN ${h(s"crop$k:s")} % (half + 1) ELSE 0 END AS ${k}_s,
+           |    CASE WHEN n >= 2 THEN half + 1 + ${h(s"crop$k:e")} % (n - half)
+           |         ELSE n END AS ${k}_e""".stripMargin
+      Some(s"""WITH b AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+              |    CAST(len(text) AS BIGINT) // 2 AS half FROM documents),
+              |c AS (SELECT doc_id, text,
+              |    ${boundsSql("a")},
+              |    ${boundsSql("b")}
+              |  FROM b)
+              |SELECT doc_id AS doc,
+              |  substr(text, CAST(a_s + 1 AS INT), CAST(a_e - a_s AS INT)) AS crop_a,
+              |  substr(text, CAST(b_s + 1 AS INT), CAST(b_e - b_s AS INT)) AS crop_b,
+              |  CAST(a_s AS BIGINT) AS a_start, CAST(a_e AS BIGINT) AS a_end,
+              |  CAST(b_s AS BIGINT) AS b_start, CAST(b_e AS BIGINT) AS b_end
+              |FROM c""".stripMargin)
+    },
+      (s, dir) =>
+        graft.text.Masking.cropPairs(docs(s, dir), col("doc_id"), col("text"))),
+
     // Fill-in-the-middle reorder (Masking.fim): two hash-drawn character
     // offsets carve each document into <PRE>prefix<SUF>suffix<MID>middle
     // — the code-model infilling example, a pure per-row projection.

@@ -146,6 +146,40 @@ object Masking {
                         blockTokens: Int = 3, maskEvery: Int = 5): Column =
     spanCorruptScalar(idCol, textCol, blockTokens, maskEvery, target = true)
 
+  /** Contrastive crop positives (the Contriever/cropping-style
+    * objective): each document emits TWO deterministic crops that both
+    * straddle the midpoint — `crop_a`/`crop_b` start at independent
+    * hash draws in `[0, len/2]` and end at draws in `(len/2, len]` —
+    * so the two views always share content (a genuine positive pair)
+    * while their boundaries differ, which is exactly what a contrastive
+    * embedding loss needs (identical views teach nothing; disjoint
+    * views are false positives). Same determinism contract as [[fim]]:
+    * crop selection is a pure function of (doc_id, text), so the
+    * training set is DuckDB-replayable and reproduces byte-for-byte.
+    * Documents shorter than 2 chars emit the full text on both sides
+    * (no midpoint to straddle). Pure per-row projection, zero shuffle.
+    *
+    * Returns `(doc, crop_a, crop_b, a_start, a_end, b_start, b_end)`
+    * with 0-based [start, end) character offsets. */
+  def cropPairs(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val len = length(textCol).cast("long")
+    val half = (len / 2).cast("long") // integer midpoint (Spark / is double)
+    def draw(tag: String): Column = TextFunctions.portableHash(
+      concat(idCol.cast("string"), lit(s":$tag")))
+    def bounds(k: String): (Column, Column) = {
+      val s = when(len >= 2, draw(s"crop$k:s") % (half + 1)).otherwise(0L)
+      val e = when(len >= 2, half + 1 + draw(s"crop$k:e") % (len - half))
+        .otherwise(len)
+      (s, e)
+    }
+    val (as_, ae) = bounds("a")
+    val (bs, be) = bounds("b")
+    df.select(idCol.as("doc"),
+      textCol.substr(as_ + 1, ae - as_).as("crop_a"),
+      textCol.substr(bs + 1, be - bs).as("crop_b"),
+      as_.as("a_start"), ae.as("a_end"), bs.as("b_start"), be.as("b_end"))
+  }
+
   private def spanCorruptScalar(idCol: Column, textCol: Column,
                                 blockTokens: Int, maskEvery: Int,
                                 target: Boolean): Column = {

@@ -112,4 +112,36 @@ class MaskingSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].head()
     assert(got == ((9L, "<PRE><SUF><MID>", 0L, 0L)))
   }
+
+  test("cropPairs: both crops straddle the midpoint, match offsets, and differ") {
+    val d = Tables.documents(spark, sfDir)
+    val got = Masking.cropPairs(d, col("doc_id"), col("text"))
+      .join(d.select(col("doc_id").as("doc"), col("text")), Seq("doc"))
+      .as[(Long, String, String, Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (doc, a, b, as_, ae, bs, be, text) =>
+      val n = text.length.toLong
+      val half = n / 2
+      for ((s, e, crop) <- Seq((as_, ae, a), (bs, be, b))) {
+        assert(s >= 0 && s <= half, s"doc $doc: start $s outside [0, $half]")
+        assert(e > half && e <= n, s"doc $doc: end $e outside ($half, $n]")
+        assert(crop == text.substring(s.toInt, e.toInt),
+          s"doc $doc: crop disagrees with its offsets")
+      }
+      // both crops cover position `half` → they genuinely share content
+      assert(a.nonEmpty && b.nonEmpty)
+    }
+    // the draws are independent: most pairs should NOT be identical views
+    assert(got.count { case (_, a, b, _, _, _, _, _) => a != b } > got.length / 2)
+  }
+
+  test("cropPairs: degenerate short documents emit the full text twice") {
+    val got = Masking.cropPairs(
+        Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, String, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "", "", 0L, 0L, 0L, 0L)))
+    assert(got(2L) == ((2L, "x", "x", 0L, 1L, 0L, 1L)))
+  }
 }
