@@ -1032,7 +1032,8 @@ object CorpusQueries {
       }),
 
     // Scene-cut detection over real MJPEG payloads (Media.sceneCuts):
-    // every doc synthesizes a 6-frame 48×32 video — docs ≡0 (mod 5)
+    // the corpus's video shard (doc_id ≡2 mod 3 — Media.synthesize's
+    // kind split) synthesizes 6-frame 48×32 clips — ids ≡0 (mod 5)
     // with a HARD CUT at frame 3 (grating seed change), the rest smooth
     // phase-walk motion — and the detector reports the cuts. Threshold
     // 25 = the probed decision boundary of the grating family (smooth
@@ -1044,7 +1045,8 @@ object CorpusQueries {
       (s, dir) => {
         import s.implicits._
         val m = graft.multimodal.Media
-        val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val media = docs(s, dir).filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long].map { id =>
           val payload =
             if (id % 5 == 0)
               graft.multimodal.MediaCodec.synthAviCut(id, id + 5000L, 48, 32, 6, 3)
@@ -1058,9 +1060,10 @@ object CorpusQueries {
       }),
 
     // Audio activity segmentation over real WAV payloads
-    // (Media.audioActivity): every doc synthesizes a gapped-tone clip
+    // (Media.audioActivity): the corpus's audio shard (doc_id ≡1 mod 3,
+    // Media.synthesize's kind split) synthesizes gapped-tone clips
     // (250 ms tone / 150 ms digital silence, duration seeded off
-    // n_chars), VAD segments it at 50 ms windows, and the per-clip
+    // n_chars), VAD segments them at 50 ms windows, and the per-clip
     // rollup reports segment count + total active time. Same
     // no-ANSI-SQL tier as q207 (PCM decode + RMS); MediaTemporalSpec
     // pins exact segment boundaries on the planted layout.
@@ -1068,7 +1071,7 @@ object CorpusQueries {
       (s, dir) => {
         import s.implicits._
         val m = graft.multimodal.Media
-        val media = docs(s, dir)
+        val media = docs(s, dir).filter(col("doc_id") % 3 === 1)
           .select(col("doc_id"), col("n_chars").cast("long"))
           .as[(Long, Long)].map { case (id, nc) =>
             val dur = 400L + nc % 1600L
