@@ -82,10 +82,48 @@ object Drift {
                   scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(alertNum >= 1 && alertDen >= 1,
       s"alert multiple must be a positive fraction, got $alertNum/$alertDen")
+    seriesFromPaired(paired(df, by, periodCol, bucketCol, scope),
+      by.indices.map(i => s"g$i"), alertNum, alertDen)
+  }
+
+  /** [[tvdSeriesBy]] over PRE-COUNTED histogram rows
+    * `(group.., period, bucket, count)` instead of raw corpus rows —
+    * the maintained-histogram form a production monitor actually runs:
+    * per-(period, bucket) counts are ADDITIVE, so an ingestion stream
+    * appends each micro-batch's own tiny groupBy as a new generation
+    * (see `streaming.DriftStream`) and the daily series runs on the
+    * accumulated histogram WITHOUT ever rescanning the corpus — at
+    * 100 TB the corpus-scale aggregate [[tvdSeriesBy]] pays is exactly
+    * the scan this form amortizes across arrivals. Duplicate
+    * (group, period, bucket) rows are summed, so appended generations
+    * are accepted as-is (the [[tvdFromHistograms]] contract). Output
+    * and alert rule identical to [[tvdSeriesBy]] row-for-row
+    * (spec-pinned; the two share [[pairedFromHist]] and
+    * [[seriesFromPaired]], so they cannot drift). */
+  def tvdSeriesFromCounts(counts: DataFrame, by: Seq[Column],
+                          periodCol: Column, bucketCol: Column,
+                          countCol: Column,
+                          alertNum: Long = 3L, alertDen: Long = 2L,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(alertNum >= 1 && alertDen >= 1,
+      s"alert multiple must be a positive fraction, got $alertNum/$alertDen")
     val gNames = by.indices.map(i => s"g$i")
+    val keyed = by.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val hist = scope.persist(counts
+      .select(keyed ++ Seq(periodCol.cast("long").as("period"),
+        bucketCol.as("_b"), countCol.cast("long").as("_c")): _*)
+      .groupBy((gNames.map(col) :+ col("period")) :+ col("_b"): _*)
+      .agg(sum("_c").as("_c")))
+    seriesFromPaired(pairedFromHist(hist, gNames), gNames, alertNum, alertDen)
+  }
+
+  /** The per-period TVD aggregate + self-normalizing alert shared by
+    * the raw-row and pre-counted series forms. */
+  private def seriesFromPaired(pairedF: DataFrame, gNames: Seq[String],
+                               alertNum: Long, alertDen: Long): DataFrame = {
     val gCols = gNames.map(col)
     val keys = gNames :+ "period"
-    val perPeriod = paired(df, by, periodCol, bucketCol, scope)
+    val perPeriod = pairedF
       .groupBy(keys.map(col): _*)
       .agg(max("n_prev").as("n_prev"), max("n_cur").as("n_cur"),
         sum(abs(col("_c") * col("n_prev") - col("_cp") * col("n_cur")))
@@ -96,7 +134,7 @@ object Drift {
     val series = perPeriod.groupBy(gCols: _*).agg(
       count(lit(1)).as("_k"), sum("tvd_ppm").cast("long").as("_s"))
     val withStats =
-      if (by.isEmpty) perPeriod.crossJoin(broadcast(series)) // 1 row
+      if (gNames.isEmpty) perPeriod.crossJoin(broadcast(series)) // 1 row
       else perPeriod.join(series, gNames) // co-partitioned on the keys
     withStats
       .withColumn("drifted",
@@ -122,6 +160,15 @@ object Drift {
         bucketCol.as("_b")): _*)
       .groupBy((gCols :+ col("period")) :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c")))
+    pairedFromHist(hist, gNames)
+  }
+
+  /** [[paired]]'s tail over an already-canonical persisted histogram
+    * `(g0.., period, _b, _c)` — shared with the pre-counted entry
+    * points so the raw-row and maintained-histogram paths cannot
+    * drift. */
+  private def pairedFromHist(hist: DataFrame, gNames: Seq[String]): DataFrame = {
+    val gCols = gNames.map(col)
     val keys = gNames :+ "period"
     val tot = hist.groupBy(keys.map(col): _*)
       .agg(sum("_c").cast("long").as("n_cur"))

@@ -1079,6 +1079,51 @@ object RelationalQueries {
         Drift.tvdSeries(t(s, dir, "events"),
           unix_date(to_date(col("ts"))), col("event_type"))),
 
+    // The SAME drift series from MAINTAINED histograms
+    // (Drift.tvdSeriesFromCounts): the monitor's production shape — a
+    // streaming ingestion appends per-batch (period, bucket) counts
+    // (streaming.DriftStream) and the series runs on the accumulated
+    // generations without rescanning the corpus. The engine path
+    // deliberately splits every count into two partial generations
+    // (c−1 and 1) before re-summing, so the oracle hash — q193's SQL
+    // verbatim, over raw events — certifies that partial counts
+    // recombine EXACTLY, verdicts included.
+    Q("q210_drift_series_counts",
+      Some(s"""WITH h AS (
+             |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         event_type AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+             |hp AS (SELECT period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.period, hp.period) AS period,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+             |s AS (
+             |  SELECT j.period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+             |         CAST(sum(abs(c * n_prev - cp * n_cur)) AS BIGINT) AS tvd_num
+             |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT period, n_prev, n_cur, tvd_num,
+             |         ${Sampling.microRatioSql("tvd_num", "2 * n_cur * n_prev", "//")} AS tvd_ppm
+             |  FROM s)
+             |SELECT period, n_prev, n_cur, tvd_num, tvd_ppm,
+             |       2 * (SELECT count(*) FROM p) * tvd_ppm
+             |         > 3 * (SELECT CAST(sum(tvd_ppm) AS BIGINT) FROM p) AS drifted
+             |FROM p""".stripMargin),
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .groupBy(unix_date(to_date(col("ts"))).as("period"),
+            col("event_type").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val gen1 = counts.withColumn("c", col("c") - 1).filter(col("c") > 0)
+        val gen2 = counts.withColumn("c", lit(1L))
+        Drift.tvdSeriesFromCounts(gen1.unionByName(gen2),
+          Nil, col("period"), col("bucket"), col("c"))
+      }),
+
     // Reference-vs-candidate drift gate: the promote/hold decision for an
     // ingestion window against a pinned reference (fixed threshold — the
     // reference is a contract). Two gates: the true second half passes

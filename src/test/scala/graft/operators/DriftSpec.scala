@@ -164,4 +164,54 @@ class DriftSpec extends SparkSpec {
       .as[(String, Long, String, Long)].collect()
     assert(got.map(r => (r._1, r._2)).toSet === Set("x" -> 4L), got.mkString(", "))
   }
+
+  test("tvdSeriesFromCounts == tvdSeries row-for-row (incl. verdicts)") {
+    val counts = seriesFixture.groupBy("day", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val fromCounts = Drift.tvdSeriesFromCounts(counts,
+        Nil, col("day"), col("bucket"), col("c"))
+      .select("period", "n_prev", "n_cur", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    val fromRows = Drift.tvdSeries(seriesFixture, col("day"), col("bucket"))
+      .select("period", "n_prev", "n_cur", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(fromCounts === fromRows)
+    assert(fromRows.nonEmpty)
+  }
+
+  test("tvdSeriesFromCounts sums duplicate generations (appended micro-batches)") {
+    // split each (day, bucket) count into two partial generations —
+    // the on-disk layout a streaming append accumulates
+    val counts = seriesFixture.groupBy("day", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val gen1 = counts.withColumn("c", col("c") - 1)
+    val gen2 = counts.withColumn("c", lit(1L))
+    val appended = gen1.filter(col("c") > 0).unionByName(gen2)
+    val got = Drift.tvdSeriesFromCounts(appended,
+        Nil, col("day"), col("bucket"), col("c"))
+      .select("period", "tvd_num", "tvd_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Drift.tvdSeries(seriesFixture, col("day"), col("bucket"))
+      .select("period", "tvd_num", "tvd_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("tvdSeriesFromCounts: grouped form matches tvdSeriesBy") {
+    val df = Seq(
+      ("x", 1L, "a"), ("x", 1L, "b"), ("x", 2L, "a"), ("x", 2L, "b"),
+      ("x", 3L, "b"), ("x", 3L, "b"),
+      ("y", 1L, "a"), ("y", 2L, "a"), ("y", 3L, "a")
+    ).toDF("grp", "day", "bucket")
+    val counts = df.groupBy("grp", "day", "bucket").agg(count(lit(1)).as("c"))
+    val got = Drift.tvdSeriesFromCounts(counts, Seq(col("grp")),
+        col("day"), col("bucket"), col("c"))
+      .select("g0", "period", "tvd_num", "drifted")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val want = Drift.tvdSeriesBy(df, Seq(col("grp")), col("day"), col("bucket"))
+      .select("g0", "period", "tvd_num", "drifted")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._4), "fixture must alert somewhere")
+  }
 }

@@ -244,6 +244,45 @@ class EventsStreamSpec extends SparkSpec {
       s"fixture must exercise both verdicts: $streamed")
   }
 
+  test("maintained drift histograms: stream-appended generations drive the EXACT batch series") {
+    // DriftStream.histogramsToParquet: each micro-batch appends its own
+    // (period, bucket) counts as an on-disk generation; unlike the
+    // forward-only driver-state form below, the accumulated histogram
+    // supports the FULL batch series — self-normalizing verdicts
+    // included — because tvdSeriesFromCounts re-sums generations
+    // exactly. Batches deliberately SPLIT periods across arrivals
+    // (each batch carries half of every period's rows) so the parity
+    // only holds if partial counts really recombine.
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("period", ((dayofmonth($"ts") - 1) / lit(10)).cast("long"))
+      .select($"event_type", $"period", pmod(hash($"user_id"), lit(2)).as("half"))
+    val src = Files.createTempDirectory("graft_drifthist_stream")
+    val hist = Files.createTempDirectory("graft_drifthist_out")
+    (0 to 1).foreach { h =>
+      ev.filter($"half" === h).drop("half")
+        .coalesce(1).write.parquet(s"$src/$h.parquet.dir")
+    }
+    val stream = spark.readStream.schema(ev.drop("half").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(src.toString)
+    graft.streaming.DriftStream.histogramsToParquet(stream, hist.toString,
+      col("period"), col("event_type"))
+    // two generations landed (one per micro-batch), with overlapping keys
+    val gens = spark.read.parquet(hist.toString).select("batch_id").distinct().count()
+    assert(gens === 2L, s"expected 2 on-disk generations, got $gens")
+    val got = graft.operators.Drift.tvdSeriesFromCounts(
+        graft.streaming.DriftStream.loadHistograms(spark, hist.toString),
+        Nil, col("period"), col("bucket"), col("c"))
+      .select("period", "n_prev", "n_cur", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    val want = graft.operators.Drift.tvdSeries(ev, col("period"), col("event_type"))
+      .select("period", "n_prev", "n_cur", "tvd_num", "tvd_ppm", "drifted")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("drift series over a stream: histogram state across micro-batches == batch series") {
     // The streaming twin of Drift.tvdSeries: each micro-batch is one
     // ingestion window; the only state carried between windows is the
