@@ -1390,6 +1390,31 @@ object TextQueries {
       (s, dir) =>
         graft.text.Masking.cropPairs(docs(s, dir), col("doc_id"), col("text"))),
 
+    // Boilerplate n-gram mining (TextAnalysis.boilerplateNgrams): the
+    // top-20 trigrams by document frequency — the blocklist BUILDER the
+    // substring gates consume. Engine: per-doc distinct shingle hashes
+    // → doc-freq count → global top-k → strings recovered via a
+    // broadcast semi-join (strings never shuffle). Oracle: DuckDB's
+    // lockstep parallel unnest aligns the hash and string shingle
+    // lists positionally; same min-string collision rule, same
+    // (df desc, h) tie-break.
+    Q("q211_boilerplate_ngrams",
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |    ${tokensSql(canonicalizeSql("text"))} AS tk FROM documents),
+              |z AS (SELECT doc_id, unnest(${shingleHashesSql("tk", 3)}) AS h,
+              |    unnest(${shinglesSql("tk", 3)}) AS s FROM tk),
+              |d AS (SELECT DISTINCT doc_id, h FROM z),
+              |f AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY 1),
+              |top AS (SELECT h, df FROM f ORDER BY df DESC, h LIMIT 20),
+              |str AS (SELECT z.h, min(z.s) AS ngram FROM z
+              |  JOIN top ON z.h = top.h GROUP BY 1)
+              |SELECT s.ngram, t.h, t.df,
+              |  CAST(row_number() OVER (ORDER BY t.df DESC, t.h) AS BIGINT) AS rk
+              |FROM top t JOIN str s ON t.h = s.h""".stripMargin),
+      (s, dir) =>
+        graft.text.TextAnalysis.boilerplateNgrams(docs(s, dir),
+          col("doc_id"), col("text"), n = 3, topK = 20)),
+
     // Fill-in-the-middle reorder (Masking.fim): two hash-drawn character
     // offsets carve each document into <PRE>prefix<SUF>suffix<MID>middle
     // — the code-model infilling example, a pure per-row projection.

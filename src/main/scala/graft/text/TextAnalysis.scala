@@ -77,6 +77,51 @@ object TextAnalysis {
       .filter(col("n_kept") > 0)
   }
 
+  /** Corpus-wide boilerplate n-gram MINER: the top-`topK` token
+    * n-grams by DOCUMENT frequency — the builder of the blocklist the
+    * substring/safety gates consume (cookie banners, nav bars, license
+    * footers: the phrases that appear in thousands of documents are
+    * boilerplate by definition; nothing else in the engine MINES them).
+    *
+    * Scale shape — strings never shuffle: pass 1 explodes per-doc
+    * DISTINCT arithmetic shingle HASHES (8-byte longs; doc frequency =
+    * a map-side-combinable count because of the per-doc distinct),
+    * takes the global top-k as TakeOrderedAndProject; pass 2 re-scans
+    * the corpus for (hash, n-gram string) pairs but keeps only rows
+    * surviving a BROADCAST semi-join against the k winning hashes —
+    * so n-gram STRINGS materialize only for the k candidates, and the
+    * exchange they enter is k-sized. Two corpus scans beat one scan
+    * that ships every shingle string through the count shuffle. Hash
+    * collisions (different strings, one hash bucket) resolve to the
+    * MIN string, replayed identically by the oracle. Ordering ties
+    * break on the hash. Returns (ngram, h, df, rk). */
+  def boilerplateNgrams(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int = 3, topK: Int = 20): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(topK >= 1 && topK <= 10000,
+      s"topK must be in [1, 10000] (it broadcasts), got $topK")
+    // _tk as its own projection column: the q110 lesson — an inline
+    // tokens() inside the shingle lambdas re-splits per element
+    def base = df.select(idCol.as("doc"),
+      tokens(canonicalize(textCol)).as("_tk"))
+    val dfreq = base
+      .select(explode(array_distinct(shingleHashArray(col("_tk"), n))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(col("df").desc, col("h")).limit(topK)
+    val strings = base
+      .select(explode(arrays_zip(
+        shingleHashArray(col("_tk"), n).as("h"),
+        shingles(col("_tk"), n).as("s"))).as("z"))
+      .select(col("z.h").as("h"), col("z.s").as("ngram"))
+      .join(broadcast(top.select("h")), Seq("h"), "left_semi")
+      .groupBy("h").agg(min("ngram").as("ngram"))
+    top.join(strings, "h")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("h"))).cast("long"))
+      .select("ngram", "h", "df", "rk")
+  }
+
   /** Repetition ratio in [0,1]: distinct tokens / total tokens — the
     * boilerplate/spam signal (low ratio = heavy repetition) a quality
     * filter combines with [[withQuality]]. Exact integer inputs to one

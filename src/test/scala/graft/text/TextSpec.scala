@@ -609,6 +609,30 @@ class TextSpec extends SparkSpec {
     assert(onRow(fixed)._1 == fixed)
   }
 
+  test("boilerplateNgrams: doc-frequency ranking, per-doc distinct, strings recovered") {
+    val docs = Seq(
+      (1L, "all your cookies are accepted here once"),
+      (2L, "please note all your cookies stay fine"),
+      (3L, "site says all your cookies matter greatly"),
+      (4L, "all your cookies all your cookies twice"), // repeat in ONE doc
+      (5L, "terms of service apply to terms of service"),
+      (6L, "terms of service and unrelated filler words"),
+      (7L, "totally unique sentence with no shared phrases")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .boilerplateNgrams(docs, col("doc_id"), col("text"), n = 3, topK = 3)
+      .orderBy("rk")
+      .select("ngram", "df", "rk")
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 3)
+    // "all your cookies" appears in docs 1-4 (doc 4's double counts ONCE)
+    assert(got.head === (("all your cookies", 4L, 1L)))
+    // "terms of service" in docs 5-6 (doc 5's double counts once)
+    assert(got(1) === (("terms of service", 2L, 2L)))
+    // third row is some df-1 trigram: rank present, df exact
+    assert(got(2)._2 === 1L && got(2)._3 === 3L)
+  }
+
   test("registeredDomain: eTLD+1 with two-label public suffixes") {
     def rd(h: String): String =
       Seq(h).toDF("h").select(registeredDomain(col("h"))).head.getString(0)
