@@ -556,6 +556,37 @@ object Media {
                     scope: graft.operators.CacheScope =
                       graft.operators.CacheScope.unmanaged): DataFrame =
     audioActivityFromEnergy(scope.persist(withAudioEnergy(media, windowMs)), minRms)
+
+  // ----------------------------------------------------- metadata scrub
+
+  /** Privacy scrub for media payloads: every row's payload rewritten by
+    * [[MediaCodec.stripMetadata]] — PNG ancillary chunks (tEXt/eXIf/…),
+    * JPEG APPn/COM segments (EXIF GPS lives in APP1), RIFF INFO/JUNK
+    * chunks (WAV author/copyright fields) are DROPPED at the byte level
+    * while the compressed pixel/sample payload is untouched
+    * byte-for-byte (no decode→re-encode round-trip: re-encoding would
+    * silently change compression, checksums, and perceptual hashes —
+    * `MediaScrubSpec` pins dHash/fingerprint invariance). Unrecognized
+    * containers pass through. Zero shuffle — a pure per-row rewrite. */
+  def scrubMetadata(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r => r.copy(payload = MediaCodec.stripMetadata(r.payload)))
+  }
+
+  /** [[scrubMetadata]] with the release audit trail: `(media_id, kind,
+    * bytes_before, bytes_after, bytes_removed)` — what a data-card's
+    * "metadata removed" line aggregates. Same single pass (the scrub
+    * runs once per row; stats are a projection of it). */
+  def scrubMetadataStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val clean = MediaCodec.stripMetadata(r.payload)
+      (r.media_id, r.kind, r.payload.length.toLong, clean.length.toLong,
+        (r.payload.length - clean.length).toLong)
+    }.toDF("media_id", "kind", "bytes_before", "bytes_after", "bytes_removed")
+  }
 }
 
 /** The codec seam. All three modalities are REAL, JDK-only:
@@ -917,6 +948,154 @@ object MediaCodec {
 
   def checksum(payload: Array[Byte]): Long =
     payload.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L)
+
+  // ------------------------------------------------------ metadata strip
+
+  /** Byte-surgical metadata removal (see [[Media.scrubMetadata]]):
+    * container chunks/segments that carry METADATA are dropped; the
+    * compressed image/sample data is copied verbatim. Malformed
+    * structures return the payload unchanged (scrubbing must never
+    * corrupt — the quarantine stance of [[decode]]). */
+  def stripMetadata(payload: Array[Byte]): Array[Byte] =
+    try {
+      if (startsWith(payload, PngSig)) stripPng(payload)
+      else if (payload.length >= 3 && (payload(0) & 0xff) == 0xFF &&
+        (payload(1) & 0xff) == 0xD8) stripJpeg(payload)
+      else if (payload.length >= 12 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF") stripRiff(payload)
+      else payload
+    } catch { case _: Exception => payload }
+
+  private def startsWith(payload: Array[Byte], sig: Array[Byte]): Boolean =
+    payload.length >= sig.length && sig.indices.forall(i => payload(i) == sig(i))
+
+  /** PNG: keep CRITICAL chunks (uppercase first type letter — IHDR,
+    * PLTE, IDAT, IEND) plus `tRNS` (ancillary but render-affecting);
+    * drop every other ancillary chunk — tEXt/iTXt/zTXt (author,
+    * copyright), eXIf (GPS), tIME, pHYs, iCCP, … Per-chunk CRCs copy
+    * with their chunks, so the output is a valid PNG. */
+  private def stripPng(payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(payload, 0, 8)
+    var p = 8
+    while (p + 12 <= payload.length) {
+      val len = ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+        ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+      if (len < 0 || p + 12 + len > payload.length)
+        throw new IllegalArgumentException("bad PNG chunk")
+      val tpe = new String(payload, p + 4, 4, "US-ASCII")
+      val critical = (payload(p + 4) & 0x20) == 0
+      if (critical || tpe == "tRNS") out.write(payload, p, 12 + len)
+      p += 12 + len
+    }
+    out.toByteArray
+  }
+
+  /** JPEG: drop APPn (0xE0–0xEF — EXIF lives in APP1, thumbnails and
+    * editor fingerprints in the others) and COM (0xFE) segments; from
+    * SOS on, the entropy-coded stream copies verbatim. JFIF's APP0 is
+    * dropped too — decoders don't need it (spec-pinned through the
+    * real ImageIO decode). */
+  private def stripJpeg(payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    var p = 2
+    var done = false
+    while (!done && p + 2 <= payload.length) {
+      if ((payload(p) & 0xff) != 0xFF)
+        throw new IllegalArgumentException("bad JPEG segment")
+      val marker = payload(p + 1) & 0xff
+      if (marker == 0xDA) { // SOS: copy the rest verbatim
+        out.write(payload, p, payload.length - p)
+        done = true
+      } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        out.write(payload, p, 2); p += 2 // standalone markers
+      } else {
+        if (p + 4 > payload.length)
+          throw new IllegalArgumentException("truncated JPEG segment")
+        val len = ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > payload.length)
+          throw new IllegalArgumentException("bad JPEG segment length")
+        val drop = (marker >= 0xE0 && marker <= 0xEF) || marker == 0xFE
+        if (!drop) out.write(payload, p, 2 + len)
+        p += 2 + len
+      }
+    }
+    if (!done) throw new IllegalArgumentException("JPEG without SOS")
+    out.toByteArray
+  }
+
+  /** RIFF (WAV, AVI): drop top-level `LIST INFO` (author/copyright/
+    * software fields), `JUNK`, and `id3 ` chunks; keep everything else
+    * (fmt/data for WAV, hdrl/movi/idx1 for AVI) and patch the RIFF
+    * size. Nested INFO lists inside kept lists are left alone — AVI
+    * metadata conventionally sits at top level. */
+  private def stripRiff(payload: Array[Byte]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    var p = 12
+    while (p + 8 <= payload.length) {
+      val id = new String(payload, p, 4, "US-ASCII")
+      val size = readLe32(payload, p + 4).toInt
+      if (size < 0) throw new IllegalArgumentException("bad RIFF chunk size")
+      val total = 8 + size + (size % 2)
+      if (p + total > payload.length + (size % 2))
+        throw new IllegalArgumentException("truncated RIFF chunk")
+      val listType =
+        if (id == "LIST" && size >= 4) new String(payload, p + 8, 4, "US-ASCII")
+        else ""
+      val drop = id == "JUNK" || id == "id3 " || listType == "INFO"
+      if (!drop) body.write(payload, p, math.min(total, payload.length - p))
+      p += total
+    }
+    val bodyBytes = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(fourcc("RIFF")); out.write(le32(bodyBytes.length + 4L))
+    out.write(payload, 8, 4) // form type (WAVE / AVI )
+    out.write(bodyBytes)
+    out.toByteArray
+  }
+
+  // ---- deterministic metadata PLANTERS (spec/query fixtures) ----------
+
+  /** Insert a PNG `tEXt` chunk (keyword\0text, correct CRC) right after
+    * IHDR — the planted metadata the scrub specs/query remove. */
+  def withPngText(png: Array[Byte], keyword: String, text: String): Array[Byte] = {
+    val data = keyword.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+      text.getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+    val chunk = Array(
+      ((data.length >> 24) & 0xff).toByte, ((data.length >> 16) & 0xff).toByte,
+      ((data.length >> 8) & 0xff).toByte, (data.length & 0xff).toByte) ++
+      "tEXt".getBytes("US-ASCII") ++ data ++ Array(
+      ((crc.getValue >> 24) & 0xff).toByte, ((crc.getValue >> 16) & 0xff).toByte,
+      ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte)
+    // IHDR is always the first chunk: sig(8) + len(4)+type(4)+13+crc(4)
+    val ihdrEnd = 8 + 12 + 13
+    png.slice(0, ihdrEnd) ++ chunk ++ png.slice(ihdrEnd, png.length)
+  }
+
+  /** Insert a JPEG `COM` segment right after SOI. */
+  def withJpegComment(jpeg: Array[Byte], comment: String): Array[Byte] = {
+    val data = comment.getBytes("ISO-8859-1")
+    val len = data.length + 2
+    jpeg.slice(0, 2) ++
+      Array(0xFF.toByte, 0xFE.toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte) ++ data ++ jpeg.slice(2, jpeg.length)
+  }
+
+  /** Insert a RIFF `LIST INFO` chunk (IART artist field) right after the
+    * form type, patching the RIFF size. */
+  def withRiffInfo(riff: Array[Byte], artist: String): Array[Byte] = {
+    val info = list("INFO", chunk("IART", artist.getBytes("ISO-8859-1")))
+    val out = new ByteArrayOutputStream()
+    out.write(fourcc("RIFF"))
+    out.write(le32(readLe32(riff, 4) + info.length))
+    out.write(riff, 8, 4)
+    out.write(info)
+    out.write(riff, 12, riff.length - 12)
+    out.toByteArray
+  }
 
   // ------------------------------------------------------------- audio fp
 

@@ -1083,6 +1083,39 @@ object CorpusQueries {
           .groupBy("media_id")
           .agg(count(lit(1)).as("n_segments"),
             sum(col("end_ms") - col("start_ms")).as("active_ms"))
+      }),
+
+    // Media metadata scrub (Media.scrubMetadataStats): the corpus's
+    // image/audio shards synthesize payloads with PLANTED metadata
+    // (PNG tEXt author+GPS, WAV LIST INFO artist — the fields a
+    // release must not ship), the scrub strips them byte-surgically
+    // (no re-encode: perceptual hashes stay valid — MediaScrubSpec),
+    // and the per-row audit aggregates to (kind, rows, total bytes
+    // removed). Rows-only tier like q207/q208 (byte surgery isn't
+    // ANSI SQL); the spec family carries exactness.
+    Q("q212_metadata_scrub", None,
+      (s, dir) => {
+        import s.implicits._
+        val m = graft.multimodal.Media
+        val media = docs(s, dir).filter(col("doc_id") % 3 =!= 2)
+          .select(col("doc_id"), col("n_chars").cast("long"))
+          .as[(Long, Long)].map { case (id, nc) =>
+            import graft.multimodal.MediaCodec.{synthPng, synthWav, withPngText, withRiffInfo}
+            if (id % 3 == 1) {
+              val wav = withRiffInfo(synthWav(id, 400L + nc % 800L),
+                s"artist-$id <user$id@example.com>")
+              m.MediaRow(id, "audio", wav, 0, 0, 400L + nc % 800L)
+            } else {
+              val png = withPngText(synthPng(id, 48, 32),
+                "Author", s"gps ${id % 90}.${id % 100},-${id % 180}.${id % 10}")
+              m.MediaRow(id, "image", png, 48, 32, 0L)
+            }
+          }
+        m.scrubMetadataStats(media)
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("bytes_removed").as("bytes_removed"),
+            sum("bytes_after").as("bytes_kept"))
       }))
 
   /** The q166 Bradley–Terry fit over hash-paired document duels, shared

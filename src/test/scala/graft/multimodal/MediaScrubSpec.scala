@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Media.MediaRow
+
+/** Metadata scrub: planted PNG tEXt / JPEG COM+APP0 / WAV INFO fields
+  * are removed at the byte level while the decoded pixels/samples —
+  * and therefore every perceptual hash the dedup family relies on —
+  * stay IDENTICAL (the no-re-encode contract). */
+class MediaScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ascii(b: Array[Byte]) = new String(b, "ISO-8859-1")
+
+  test("PNG: tEXt dropped, pixels byte-identical, dHash unchanged") {
+    val clean = MediaCodec.synthPng(7L, 64, 48)
+    val tagged = MediaCodec.withPngText(clean, "Author", "gps 1.23,4.56 secret")
+    assert(ascii(tagged).contains("secret"))
+    val scrubbed = MediaCodec.stripMetadata(tagged)
+    assert(!ascii(scrubbed).contains("secret"))
+    assert(!ascii(scrubbed).contains("tEXt"))
+    (MediaCodec.decode(scrubbed), MediaCodec.decode(tagged)) match {
+      case (a: MediaCodec.ImageRaster, b: MediaCodec.ImageRaster) =>
+        assert(a.width === b.width && a.height === b.height)
+        assert(a.pixels.toSeq === b.pixels.toSeq)
+      case other => fail(s"both must decode as images: $other")
+    }
+    assert(MediaCodec.dHash64(MediaCodec.decode(scrubbed))
+      === MediaCodec.dHash64(MediaCodec.decode(clean)))
+  }
+
+  test("JPEG: COM and APPn dropped, still decodes to the same raster") {
+    val avi = MediaCodec.synthAvi(3L, 64, 48, 2 * 40L)
+    val jpeg = MediaCodec.decode(avi) match {
+      case v: MediaCodec.VideoMjpeg => v.frames(0)
+      case other => fail(s"expected MJPEG: $other")
+    }
+    val tagged = MediaCodec.withJpegComment(jpeg, "shot on SECRETCAM")
+    assert(ascii(tagged).contains("SECRETCAM"))
+    val scrubbed = MediaCodec.stripMetadata(tagged)
+    assert(!ascii(scrubbed).contains("SECRETCAM"))
+    // JFIF APP0 (written by ImageIO's encoder) is gone too
+    assert(!ascii(scrubbed).contains("JFIF"))
+    (MediaCodec.frameRaster(scrubbed), MediaCodec.frameRaster(jpeg)) match {
+      case (Some(a), Some(b)) => assert(a.pixels.toSeq === b.pixels.toSeq)
+      case other => fail(s"both must decode: $other")
+    }
+  }
+
+  test("WAV: LIST INFO dropped, samples and fingerprint identical") {
+    val clean = MediaCodec.synthWav(5L, 600L)
+    val tagged = MediaCodec.withRiffInfo(clean, "Alex Example <alex@example.com>")
+    assert(ascii(tagged).contains("alex@example.com"))
+    // the planted container still decodes (INFO is transparent to decode)
+    val scrubbed = MediaCodec.stripMetadata(tagged)
+    assert(!ascii(scrubbed).contains("alex@example.com"))
+    assert(!ascii(scrubbed).contains("INFO"))
+    (MediaCodec.decode(scrubbed), MediaCodec.decode(clean)) match {
+      case (a: MediaCodec.AudioPcm, b: MediaCodec.AudioPcm) =>
+        assert(a.sampleRate === b.sampleRate)
+        assert(a.samples.toSeq === b.samples.toSeq)
+      case other => fail(s"both must decode as audio: $other")
+    }
+    assert(MediaCodec.audioFingerprint(MediaCodec.decode(scrubbed)).toSeq
+      === MediaCodec.audioFingerprint(MediaCodec.decode(tagged)).toSeq)
+  }
+
+  test("AVI: top-level INFO dropped, frames and frame hashes untouched") {
+    val clean = MediaCodec.synthAvi(9L, 48, 32, 4 * 40L)
+    val tagged = MediaCodec.withRiffInfo(clean, "editor trail")
+    val scrubbed = MediaCodec.stripMetadata(tagged)
+    assert(!ascii(scrubbed).contains("editor trail"))
+    (MediaCodec.decode(scrubbed), MediaCodec.decode(clean)) match {
+      case (a: MediaCodec.VideoMjpeg, b: MediaCodec.VideoMjpeg) =>
+        assert(a.microsPerFrame === b.microsPerFrame)
+        assert(a.frames.length === b.frames.length)
+        a.frames.zip(b.frames).foreach { case (x, y) =>
+          assert(x.toSeq === y.toSeq)
+        }
+      case other => fail(s"both must decode as video: $other")
+    }
+  }
+
+  test("unrecognized and malformed payloads pass through unchanged") {
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+    assert(MediaCodec.stripMetadata(junk).toSeq === junk.toSeq)
+    // a truncated PNG (valid signature, garbage body) must come back as-is
+    val badPng = MediaCodec.synthPng(1L, 16, 16).take(20)
+    assert(MediaCodec.stripMetadata(badPng).toSeq === badPng.toSeq)
+  }
+
+  test("scrubMetadata/scrubMetadataStats: per-row rewrite with audit trail") {
+    val rows = Seq(
+      MediaRow(1L, "image",
+        MediaCodec.withPngText(MediaCodec.synthPng(1L, 32, 32), "GPS", "51.5,-0.1"),
+        32, 32, 0L),
+      MediaRow(2L, "audio",
+        MediaCodec.withRiffInfo(MediaCodec.synthWav(2L, 400L), "author x"),
+        0, 0, 400L),
+      MediaRow(3L, "image", MediaCodec.synthPng(3L, 32, 32), 32, 32, 0L))
+      .toDS()
+    val stats = Media.scrubMetadataStats(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats(1L)._3 > 0L, "planted PNG metadata must be counted as removed")
+    assert(stats(2L)._3 > 0L, "planted WAV metadata must be counted as removed")
+    assert(stats.forall { case (_, (before, after, removed)) =>
+      before - after == removed && removed >= 0 })
+    val scrubbed = Media.scrubMetadata(rows).collect()
+    assert(scrubbed.forall(r => !ascii(r.payload).contains("GPS") &&
+      !ascii(r.payload).contains("author x")))
+    // the clean row loses nothing but encoder-ancillary chunks at most;
+    // its pixels must still decode identically
+    val clean3 = scrubbed.find(_.media_id == 3L).get.payload
+    (MediaCodec.decode(clean3), MediaCodec.decode(rows.collect().last.payload)) match {
+      case (a: MediaCodec.ImageRaster, b: MediaCodec.ImageRaster) =>
+        assert(a.pixels.toSeq === b.pixels.toSeq)
+      case other => fail(s"decode mismatch: $other")
+    }
+  }
+}
