@@ -587,6 +587,65 @@ object Media {
         (r.payload.length - clean.length).toLong)
     }.toDF("media_id", "kind", "bytes_before", "bytes_after", "bytes_removed")
   }
+
+  // ------------------------------------------------------- normalization
+
+  /** Audio sample-rate normalization (the audio twin of [[resized]]):
+    * every audio payload re-rendered at `targetRate` Hz — an audio
+    * encoder consumes fixed-rate batches, and raw corpora mix rates.
+    * Linear interpolation over the decoded PCM (the JDK conversion
+    * path's quality class; a production pipeline swaps the interpolator
+    * at this seam and nothing else changes), rewritten as a standard
+    * WAV. Non-audio rows and undecodable payloads pass through
+    * unchanged. Zero shuffle — per-row local, like the whole codec
+    * family. */
+  def resampledAudio(media: Dataset[MediaRow], targetRate: Float): Dataset[MediaRow] = {
+    require(targetRate >= 1000f && targetRate <= 192000f,
+      s"targetRate out of range: $targetRate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "audio") r
+        else MediaCodec.decode(r.payload) match {
+          case MediaCodec.AudioPcm(rate, samples) if samples.length > 0 =>
+            r.copy(payload = MediaCodec.pcmToWav(
+              MediaCodec.resamplePcm(samples, rate, targetRate), targetRate))
+          case _ => r
+        }
+      }
+    }
+  }
+
+  /** Video frame-rate normalization (the temporal twin of [[resized]]):
+    * every video re-timed to `targetFps` by sampling the source frame
+    * covering each target tick (nearest-frame pull — frames duplicate
+    * when slowing down, drop when speeding up; no re-encode of the
+    * pulled JPEGs). Duration is preserved to the tick. Non-video and
+    * undecodable rows pass through. Zero shuffle. */
+  def retimedVideo(media: Dataset[MediaRow], targetFps: Int): Dataset[MediaRow] = {
+    require(targetFps >= 1 && targetFps <= 240, s"targetFps out of range: $targetFps")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "video") r
+        else MediaCodec.decode(r.payload) match {
+          case v: MediaCodec.VideoMjpeg if v.frames.nonEmpty =>
+            val durationUs = v.microsPerFrame * v.frames.length
+            val targetUsPerFrame = 1000000L / targetFps
+            val n = math.max(1L, durationUs / targetUsPerFrame).toInt
+            val pulled = (0 until n).map { i =>
+              val srcIdx = ((i.toLong * targetUsPerFrame) / v.microsPerFrame).toInt
+              v.frames(math.min(srcIdx, v.frames.length - 1))
+            }
+            r.copy(payload = MediaCodec.aviBytes(pulled, r.width, r.height,
+              targetUsPerFrame))
+          case _ => r
+        }
+      }
+    }
+  }
 }
 
 /** The codec seam. All three modalities are REAL, JDK-only:
@@ -948,6 +1007,50 @@ object MediaCodec {
 
   def checksum(payload: Array[Byte]): Long =
     payload.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L)
+
+  // -------------------------------------------------------- PCM helpers
+
+  /** Linear-interpolation PCM resample. Sample i of the output reads
+    * source position i·(srcRate/dstRate); fractional positions blend
+    * the two neighbors. Output length = ceil(n · dstRate / srcRate),
+    * so duration is preserved to the sample. */
+  def resamplePcm(samples: Array[Short], srcRate: Float, dstRate: Float): Array[Short] = {
+    require(srcRate > 0 && dstRate > 0, s"rates must be positive: $srcRate -> $dstRate")
+    if (srcRate == dstRate) samples
+    else {
+      val n = math.ceil(samples.length.toDouble * dstRate / srcRate).toInt
+      val out = new Array[Short](n)
+      val step = srcRate.toDouble / dstRate
+      var i = 0
+      while (i < n) {
+        val pos = i * step
+        val lo = pos.toInt
+        val hi = math.min(lo + 1, samples.length - 1)
+        val frac = pos - lo
+        out(i) = (samples(math.min(lo, samples.length - 1)) * (1 - frac) +
+          samples(hi) * frac).toShort
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Render 16-bit mono PCM as a standard little-endian WAV. */
+  def pcmToWav(samples: Array[Short], rate: Float): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
 
   // ------------------------------------------------------ metadata strip
 
