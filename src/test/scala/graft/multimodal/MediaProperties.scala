@@ -53,4 +53,60 @@ object MediaProperties extends Properties("graft.multimodal") {
         case _ => true                         // quarantined, no throw
       }
     }
+
+  property("stripMetadata never throws and never grows a payload") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val out = MediaCodec.stripMetadata(bytes.toArray)
+      out.length <= math.max(bytes.length, 12) // RIFF header floor
+    }
+
+  private val printable: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(64))
+
+  property("PNG: planted tEXt of arbitrary content strips; pixels identical") =
+    Prop.forAll(Gen.chooseNum(1L, 5000L), Gen.chooseNum(8, 64),
+      Gen.chooseNum(8, 64), printable, printable) { (seed, w, h, key, value) =>
+      val clean = MediaCodec.synthPng(seed, w, h)
+      val scrubbed = MediaCodec.stripMetadata(
+        MediaCodec.withPngText(clean, key, value))
+      (MediaCodec.decode(scrubbed), MediaCodec.decode(clean)) match {
+        case (a: MediaCodec.ImageRaster, b: MediaCodec.ImageRaster) =>
+          !new String(scrubbed, "ISO-8859-1").contains("tEXt") &&
+            java.util.Arrays.equals(a.pixels, b.pixels)
+        case _ => false
+      }
+    }
+
+  property("WAV: planted INFO of arbitrary content strips; samples identical") =
+    Prop.forAll(Gen.chooseNum(1L, 5000L), Gen.chooseNum(200L, 1500L),
+      printable) { (seed, ms, artist) =>
+      val clean = MediaCodec.synthWav(seed, ms)
+      val scrubbed = MediaCodec.stripMetadata(
+        MediaCodec.withRiffInfo(clean, artist))
+      (MediaCodec.decode(scrubbed), MediaCodec.decode(clean)) match {
+        case (a: MediaCodec.AudioPcm, b: MediaCodec.AudioPcm) =>
+          java.util.Arrays.equals(a.samples.map(_.toInt), b.samples.map(_.toInt))
+        case _ => false
+      }
+    }
+
+  property("resamplePcm: identity at equal rates; length = ceil(n*dst/src)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue, Short.MaxValue)),
+      Gen.chooseNum(2000, 48000), Gen.chooseNum(2000, 48000)) { (xs, src, dst) =>
+      val s = xs.map(_.toShort).toArray
+      val out = MediaCodec.resamplePcm(s, src.toFloat, dst.toFloat)
+      val wantLen = math.ceil(s.length.toDouble * dst / src).toInt
+      (src != dst || (out eq s)) && (src == dst || out.length == wantLen)
+    }
+
+  property("pcmToWav -> decode round-trips samples byte-exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue, Short.MaxValue)),
+      Gen.oneOf(8000f, 16000f, 44100f)) { (xs, rate) =>
+      val s = xs.map(_.toShort).toArray
+      MediaCodec.decode(MediaCodec.pcmToWav(s, rate)) match {
+        case MediaCodec.AudioPcm(r, got) =>
+          r == rate && java.util.Arrays.equals(got.map(_.toInt), s.map(_.toInt))
+        case _ => false
+      }
+    }
 }
