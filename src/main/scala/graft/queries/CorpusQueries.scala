@@ -1116,6 +1116,88 @@ object CorpusQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum("bytes_removed").as("bytes_removed"),
             sum("bytes_after").as("bytes_kept"))
+      }),
+
+    // Scene-cut CORE LOGIC at the oracle tier (the q202 FromSigs
+    // discipline: the codec pass stays spec-tier, the track-based
+    // operator gets a DuckDB twin): a 6-frame hash track synthesized
+    // from doc_ids — docs ≡0 (mod 5) switch scene identity at frame 3,
+    // hashes are portableHash(doc:scene) so within-scene distance is 0
+    // and the cut distance is whatever the two hashes disagree on —
+    // and Media.sceneCutsFromHashes runs the lag window + hamming +
+    // threshold exactly as the oracle replays it.
+    Q("q213_scene_cuts_track", {
+      val h = TextFunctions.portableHashSql(
+        "(CAST(media_id AS VARCHAR) || ':scene:' || CAST(scene AS VARCHAR))")
+      Some(s"""WITH fr AS (SELECT doc_id AS media_id,
+              |    unnest([0, 1, 2, 3, 4, 5]) AS frame_idx FROM documents),
+              |sc AS (SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+              |    CASE WHEN media_id % 5 = 0 AND frame_idx >= 3
+              |         THEN 1 ELSE 0 END AS scene FROM fr),
+              |hx AS (SELECT media_id, frame_idx, $h AS fhash FROM sc),
+              |l AS (SELECT media_id, frame_idx, fhash,
+              |    lag(fhash) OVER (PARTITION BY media_id ORDER BY frame_idx)
+              |      AS prev FROM hx)
+              |SELECT media_id, frame_idx, fhash,
+              |  CASE WHEN prev IS NULL THEN NULL
+              |       ELSE CAST(bit_count(xor(fhash, prev)) AS BIGINT)
+              |       END AS dist_prev,
+              |  (prev IS NULL OR bit_count(xor(fhash, prev)) >= 16) AS is_cut
+              |FROM l""".stripMargin)
+    },
+      (s, dir) => {
+        val track = docs(s, dir)
+          .select(col("doc_id").as("media_id"),
+            explode(sequence(lit(0), lit(5))).as("frame_idx"))
+          .withColumn("scene",
+            when(col("media_id") % 5 === 0 && col("frame_idx") >= 3, 1)
+              .otherwise(0))
+          .withColumn("fhash", TextFunctions.portableHash(
+            concat(col("media_id").cast("string"), lit(":scene:"),
+              col("scene").cast("string"))))
+          .drop("scene")
+        graft.multimodal.Media.sceneCutsFromHashes(track, threshold = 16)
+      }),
+
+    // Audio-activity CORE LOGIC at the oracle tier (same two-tier
+    // discipline as q213): a 40-window energy track synthesized from
+    // doc_ids — tone layout win%8<5 (250 ms on / 150 ms off at 50 ms
+    // windows), per-doc amplitude — and
+    // Media.audioActivityFromEnergy's filter-before-exchange
+    // gaps-and-islands merge is replayed by the oracle window-for-window.
+    Q("q214_vad_track",
+      Some(s"""WITH w AS (SELECT doc_id AS media_id,
+              |    unnest(range(0, 40)) AS win_idx FROM documents),
+              |e AS (SELECT media_id, CAST(win_idx AS INT) AS win_idx,
+              |    CAST(win_idx * 50 AS BIGINT) AS start_ms,
+              |    CAST((win_idx + 1) * 50 AS BIGINT) AS end_ms,
+              |    CASE WHEN win_idx % 8 < 5
+              |         THEN CAST(2000 + media_id % 100 AS DOUBLE)
+              |         ELSE 0.0 END AS rms FROM w),
+              |a AS (SELECT *, win_idx - row_number()
+              |    OVER (PARTITION BY media_id ORDER BY win_idx) AS island
+              |  FROM e WHERE rms >= 100),
+              |g AS (SELECT media_id, island,
+              |    min(start_ms) AS start_ms, max(end_ms) AS end_ms,
+              |    CAST(count(*) AS BIGINT) AS n_windows,
+              |    round(avg(rms), 3) AS mean_rms
+              |  FROM a GROUP BY 1, 2)
+              |SELECT media_id,
+              |  CAST(row_number() OVER (PARTITION BY media_id
+              |    ORDER BY start_ms) AS BIGINT) AS seg_idx,
+              |  start_ms, end_ms, n_windows, mean_rms
+              |FROM g""".stripMargin),
+      (s, dir) => {
+        val track = docs(s, dir)
+          .select(col("doc_id").as("media_id"),
+            explode(sequence(lit(0), lit(39))).as("win_idx"))
+          .withColumn("start_ms", (col("win_idx") * 50L).cast("long"))
+          .withColumn("end_ms", ((col("win_idx") + 1) * 50L).cast("long"))
+          .withColumn("rms",
+            when(col("win_idx") % 8 < 5,
+              (lit(2000L) + col("media_id") % 100).cast("double"))
+              .otherwise(lit(0.0)))
+        graft.multimodal.Media.audioActivityFromEnergy(track, minRms = 100.0)
       }))
 
   /** The q166 Bradley–Terry fit over hash-paired document duels, shared
