@@ -97,6 +97,30 @@ object StressTemporal {
         Media.audioActivityFromEnergy(energy, 3000.0).count())}")
     }
     energy.unpersist(); audios.unpersist()
+
+    // --- scrub: byte-surgical metadata removal at volume (half PNGs
+    // with a planted tEXt author/GPS field, half WAVs with a planted
+    // INFO artist chunk)
+    val tagged = spark.range(nAudio).as[Long].map { id =>
+      if (id % 2 == 0)
+        MediaRow(id, "image",
+          MediaCodec.withPngText(MediaCodec.synthPng(id, 48, 32),
+            "Author", s"user-$id gps ${id % 90}.${id % 100}"),
+          48, 32, 0L)
+      else
+        MediaRow(id, "audio",
+          MediaCodec.withRiffInfo(MediaCodec.synthWav(id, 300L),
+            s"artist-$id <u$id@example.com>"), 0, 0, 300L)
+    }.persist()
+    timed("synth tagged payloads")(tagged.count())
+    timed("scrubMetadataStats (byte surgery)") {
+      val st = Media.scrubMetadataStats(tagged)
+        .agg(count(lit(1)), sum("bytes_removed"), sum("bytes_before")).head()
+      println(s"[temporal]   scrubbed ${"%,d".format(st.getLong(0))} payloads, " +
+        s"removed ${"%,d".format(st.getLong(1))} of " +
+        s"${"%,d".format(st.getLong(2))} bytes")
+    }
+    tagged.unpersist()
     spark.stop()
   }
 }
