@@ -165,4 +165,43 @@ object Release {
     sharded.write.partitionBy("shard").mode("overwrite").parquet(dir)
     manifest(df, idCol, textCol, shards)
   }
+
+  /** Per-source release DELTA card: the reviewer artifact for "what
+    * changed between release A and B" — per source, the doc counts by
+    * diff status (added / removed / changed / unchanged, the
+    * [[Relational.snapshotDiff]] statuses) plus the byte movement:
+    * `bytes_added` (payload bytes of added docs), `bytes_removed`
+    * (bytes of removed docs), and `bytes_delta` (Σ new−old over every
+    * doc — changed docs contribute their growth/shrinkage). A release
+    * review reads this next to [[dataCard]]: the card says what a
+    * release IS, the delta says what the new one DID.
+    *
+    * Scale shape: one full-outer equi-join on the id over narrow
+    * `(id, source, payload, len)` projections — the payload column
+    * enters only the null-safe equality, bodies never shuffle twice —
+    * then a map-side-combinable rollup to |sources| rows. A source's
+    * name comes from the NEW side when present (renames surface as
+    * added+removed, which is the honest reading). */
+  def releaseDelta(oldDf: DataFrame, newDf: DataFrame, keyCol: Column,
+                   sourceCol: Column, payloadCol: Column): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.select(keyCol.as("key"), sourceCol.as(s"${p}s"),
+        payloadCol.as(s"${p}v"), length(payloadCol).cast("long").as(s"${p}b"))
+    val j = side(oldDf, "o").join(side(newDf, "n"), Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("os").isNull, lit("added"))
+          .when(col("ns").isNull, lit("removed"))
+          .when(!(col("ov") <=> col("nv")), lit("changed"))
+          .otherwise(lit("unchanged")))
+    def n(st: String) = sum(when(col("status") === st, 1L).otherwise(0L))
+    j.groupBy(coalesce(col("ns"), col("os")).as("source"))
+      .agg(n("added").as("added_docs"), n("removed").as("removed_docs"),
+        n("changed").as("changed_docs"), n("unchanged").as("unchanged_docs"),
+        sum(when(col("status") === "added", col("nb")).otherwise(0L))
+          .as("bytes_added"),
+        sum(when(col("status") === "removed", col("ob")).otherwise(0L))
+          .as("bytes_removed"),
+        sum(coalesce(col("nb"), lit(0L)) - coalesce(col("ob"), lit(0L)))
+          .as("bytes_delta"))
+  }
 }

@@ -556,6 +556,55 @@ object CorpusQueries {
           .select(col("key").as("doc_id"), col("status"))
       }),
 
+    // Per-source release delta card (Release.releaseDelta): q128's
+    // planted A/B snapshots rolled up to the reviewer artifact — per
+    // source, doc counts by diff status plus byte movement (added /
+    // removed / net delta). The dataCard says what a release IS; this
+    // says what the new one DID.
+    Q("q215_release_delta",
+      Some(s"""WITH o AS (SELECT doc_id, source, text,
+              |    CAST(len(text) AS BIGINT) AS b FROM documents
+              |  WHERE doc_id % 10 <> 7),
+              |nn AS (SELECT doc_id, source,
+              |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+              |         ELSE text END AS text
+              |  FROM documents WHERE doc_id % 10 <> 4),
+              |n2 AS (SELECT doc_id, source, text,
+              |    CAST(len(text) AS BIGINT) AS b FROM nn),
+              |j AS (SELECT coalesce(n2.source, o.source) AS source,
+              |    CASE WHEN o.doc_id IS NULL THEN 'added'
+              |         WHEN n2.doc_id IS NULL THEN 'removed'
+              |         WHEN o.text <> n2.text THEN 'changed'
+              |         ELSE 'unchanged' END AS status,
+              |    o.b AS ob, n2.b AS nb
+              |  FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id)
+              |SELECT source,
+              |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS added_docs,
+              |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS removed_docs,
+              |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS changed_docs,
+              |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS unchanged_docs,
+              |  CAST(sum(CASE WHEN status = 'added' THEN nb ELSE 0 END) AS BIGINT)
+              |    AS bytes_added,
+              |  CAST(sum(CASE WHEN status = 'removed' THEN ob ELSE 0 END) AS BIGINT)
+              |    AS bytes_removed,
+              |  CAST(sum(coalesce(nb, 0) - coalesce(ob, 0)) AS BIGINT)
+              |    AS bytes_delta
+              |FROM j GROUP BY source""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val old = d.filter(col("doc_id") % 10 =!= 7)
+        val neu = d.filter(col("doc_id") % 10 =!= 4)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")))
+        graft.operators.Release.releaseDelta(old, neu,
+          col("doc_id"), col("source"), col("text"))
+      }),
+
     // Latest crawl per canonical URL: canonicalize the planted variants
     // (scheme case, tracking params), keep the newest snapshot of each
     // of the 100 canonical pages plus its crawl count.

@@ -152,6 +152,25 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("releaseDelta: planted add/remove/change rolls up per source with exact bytes") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "web", "aaaa"), (2L, "web", "bb"), (3L, "books", "cccc"),
+      (4L, "books", "dd")).toDF("doc_id", "source", "text")
+    val neu = Seq(
+      (1L, "web", "aaaa"),        // unchanged
+      (2L, "web", "bbbbbb"),      // changed: +4 chars
+      (4L, "books", "dd"),        // unchanged (doc 3 removed: -4)
+      (5L, "web", "eee")).toDF("doc_id", "source", "text") // added: +3
+    val got = Release.releaseDelta(old, neu, col("doc_id"), col("source"),
+        col("text")).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    //              added removed changed unchanged b_add b_rm b_delta
+    assert(got("web") === Seq(1L, 0L, 1L, 1L, 3L, 0L, 7L))
+    assert(got("books") === Seq(0L, 1L, 0L, 1L, 0L, 4L, -4L))
+  }
+
   test("dataCard: ppm columns are partitioning-invariant exact integers") {
     val base = Tables.documents(spark, sfDir)
       .select("source", "lang", "text")
