@@ -562,12 +562,18 @@ object Media {
   /** Privacy scrub for media payloads: every row's payload rewritten by
     * [[MediaCodec.stripMetadata]] — PNG ancillary chunks (tEXt/eXIf/…),
     * JPEG APPn/COM segments (EXIF GPS lives in APP1), RIFF INFO/JUNK
-    * chunks (WAV author/copyright fields) are DROPPED at the byte level
-    * while the compressed pixel/sample payload is untouched
-    * byte-for-byte (no decode→re-encode round-trip: re-encoding would
-    * silently change compression, checksums, and perceptual hashes —
-    * `MediaScrubSpec` pins dHash/fingerprint invariance). Unrecognized
-    * containers pass through. Zero shuffle — a pure per-row rewrite. */
+    * chunks at every nesting level (WAV author/copyright fields), AND
+    * the APPn/COM segments of every MJPEG frame inside an AVI's movi
+    * list (real camera MJPEG carries per-frame EXIF/GPS — a top-level
+    * scrub would silently ship it) are DROPPED at the byte level while
+    * the compressed pixel/sample payload is untouched byte-for-byte
+    * (no decode→re-encode round-trip: re-encoding would silently
+    * change compression, checksums, and perceptual hashes —
+    * `MediaScrubSpec` pins dHash/fingerprint invariance; AVI frames
+    * shrink when segments are dropped, so idx1 is rebuilt, but the
+    * entropy-coded stream — and therefore every decoded raster and
+    * persisted hash — is copied verbatim). Unrecognized containers
+    * pass through. Zero shuffle — a pure per-row rewrite. */
   def scrubMetadata(media: Dataset[MediaRow]): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -866,16 +872,29 @@ object MediaCodec {
 
   /** [[synthAvi]] with a planted HARD CUT: frames before `cutAt` render
     * `seedA`'s grating (phase advancing per frame — smooth motion),
-    * frames from `cutAt` on render `seedB`'s (its phase walk restarts)
+    * frames from `cutAt` on render scene B's (its phase walk restarts)
     * — two scenes in one container, the ground truth the scene-cut
-    * specs and query assert against. */
+    * specs and query assert against.
+    *
+    * Scene B's seed is `seedB` NUDGED (+7, at most once) while its
+    * grating spatial frequencies `(fx, fy)` collide with `seedA`'s:
+    * `grating` derives `(fx, fy)` from the seed mod 25, so a caller's
+    * natural `seedB = seedA + 5000` (5000 ≡ 0 mod 25) would otherwise
+    * change only the PHASE — and for unlucky `cutAt` the cut-frame
+    * phase delta lands near 0 mod 360, i.e. the "hard cut" would be
+    * weaker than a smooth-motion step. The nudge (7 is coprime to 25)
+    * guarantees the cut is a genuine texture change for every legal
+    * `(seedA, seedB, cutAt)`, keeping the docstring's ground-truth
+    * claim unconditional. */
   def synthAviCut(seedA: Long, seedB: Long, w: Int, h: Int, nFrames: Int,
                   cutAt: Int): Array[Byte] = {
     require(nFrames >= 2 && cutAt >= 1 && cutAt < nFrames,
       s"need 1 <= cutAt < nFrames (>= 2), got $cutAt/$nFrames")
+    def freqs(s: Long) = (math.floorMod(s, 5L), math.floorMod(s / 5, 5L))
+    val sB = if (freqs(seedB) == freqs(seedA)) seedB + 7 else seedB
     aviBytes((0 until nFrames).map { i =>
       if (i < cutAt) encodeJpeg(grating(seedA, w, h, i * math.Pi / 8))
-      else encodeJpeg(grating(seedB, w, h, (i - cutAt) * math.Pi / 8))
+      else encodeJpeg(grating(sB, w, h, (i - cutAt) * math.Pi / 8))
     }, w, h)
   }
 
@@ -1128,33 +1147,122 @@ object MediaCodec {
     out.toByteArray
   }
 
-  /** RIFF (WAV, AVI): drop top-level `LIST INFO` (author/copyright/
-    * software fields), `JUNK`, and `id3 ` chunks; keep everything else
-    * (fmt/data for WAV, hdrl/movi/idx1 for AVI) and patch the RIFF
-    * size. Nested INFO lists inside kept lists are left alone — AVI
-    * metadata conventionally sits at top level. */
+  /** RIFF (WAV, AVI): drop `LIST INFO` (author/copyright/software
+    * fields), `JUNK`, and `id3 ` chunks at EVERY nesting level, and —
+    * the part a top-level-only scrub silently misses — recurse into the
+    * `movi` list and run [[stripJpeg]] on each `..dc`/`..db` MJPEG
+    * frame, because real camera MJPEG AVIs carry per-frame EXIF/GPS in
+    * APPn segments. Frame pixels are untouched (APPn never affects the
+    * entropy-coded stream), so every persisted perceptual hash stays
+    * valid; a frame that is not a parseable JPEG (some other codec)
+    * copies verbatim — scrubbing must never corrupt.
+    *
+    * Because stripped frames SHRINK, the original `idx1` offsets and
+    * sizes go stale; the scrub rebuilds `idx1` from the rewritten
+    * `movi` (offsets relative to the list's type fourcc, the standard
+    * convention), pairing per-entry flags with the original index in
+    * chunk order — the scrub never drops a movi child, so order pairing
+    * is exact. An AVI without `idx1` stays without one. The RIFF size
+    * and every kept LIST size are re-patched. If the original index's
+    * entry count does not match the movi children (a broken index), the
+    * index is DROPPED rather than guessed — players and [[parseAvi]]
+    * recover by scanning movi — which also keeps the never-grow
+    * invariant ([[MediaProperties]]) unconditional. */
   private def stripRiff(payload: Array[Byte]): Array[Byte] = {
-    val body = new ByteArrayOutputStream()
-    var p = 12
-    while (p + 8 <= payload.length) {
-      val id = new String(payload, p, 4, "US-ASCII")
-      val size = readLe32(payload, p + 4).toInt
-      if (size < 0) throw new IllegalArgumentException("bad RIFF chunk size")
-      val total = 8 + size + (size % 2)
-      if (p + total > payload.length + (size % 2))
-        throw new IllegalArgumentException("truncated RIFF chunk")
-      val listType =
-        if (id == "LIST" && size >= 4) new String(payload, p + 8, 4, "US-ASCII")
-        else ""
-      val drop = id == "JUNK" || id == "id3 " || listType == "INFO"
-      if (!drop) body.write(payload, p, math.min(total, payload.length - p))
-      p += total
+    val isAvi = payload.length >= 12 &&
+      new String(payload, 8, 4, "US-ASCII") == "AVI "
+    // (id, flags) per original idx1 entry, in order — flags re-attach to
+    // the rebuilt index; None when the container has no idx1.
+    var origIdx: Option[Vector[(Array[Byte], Array[Byte])]] = None
+    // (id, offset-from-movi-fourcc, size) per direct child of the NEW movi
+    val newEntries = Vector.newBuilder[(Array[Byte], Long, Int)]
+    var sawMovi = false
+
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+    def looksJpeg(from: Int, size: Int): Boolean =
+      size >= 3 && (payload(from) & 0xff) == 0xFF && (payload(from + 1) & 0xff) == 0xD8
+
+    /** Rewrite the children in [from, until); returns the new body. */
+    def stripChildren(from: Int, until: Int, inMovi: Boolean,
+                      topLevel: Boolean, depth: Int): Array[Byte] = {
+      if (depth > 32)
+        throw new IllegalArgumentException("RIFF list nesting too deep")
+      val body = new ByteArrayOutputStream()
+      var p = from
+      while (p + 8 <= until) {
+        val id = new String(payload, p, 4, "US-ASCII")
+        val size = readLe32(payload, p + 4).toInt
+        if (size < 0) throw new IllegalArgumentException("bad RIFF chunk size")
+        if (p + 8 + size > until)
+          throw new IllegalArgumentException("truncated RIFF chunk")
+        val total = 8 + size + (size % 2)
+        val listType =
+          if (id == "LIST" && size >= 4) new String(payload, p + 8, 4, "US-ASCII")
+          else ""
+        val drop = id == "JUNK" || id == "id3 " || listType == "INFO"
+        if (!drop) {
+          if (topLevel && isAvi && id == "idx1") {
+            // capture (id, flags) per 16-byte entry; rebuilt at the end
+            val entries = Vector.newBuilder[(Array[Byte], Array[Byte])]
+            var q = p + 8
+            while (q + 16 <= p + 8 + size) {
+              entries += ((payload.slice(q, q + 4), payload.slice(q + 4, q + 8)))
+              q += 16
+            }
+            origIdx = Some(entries.result())
+          } else if (id == "LIST") {
+            val thisIsMovi = isAvi && listType == "movi"
+            if (thisIsMovi) sawMovi = true
+            val inner = stripChildren(p + 12, p + 8 + size, thisIsMovi,
+              topLevel = false, depth + 1)
+            body.write(fourcc("LIST")); body.write(le32(inner.length + 4L))
+            body.write(payload, p + 8, 4) // list type fourcc
+            body.write(inner)
+            if ((inner.length + 4) % 2 == 1) body.write(0)
+          } else {
+            val data =
+              if (inMovi && isFrameId(id) && looksJpeg(p + 8, size))
+                try stripJpeg(payload.slice(p + 8, p + 8 + size))
+                catch { case _: Exception => payload.slice(p + 8, p + 8 + size) }
+              else payload.slice(p + 8, p + 8 + size)
+            if (inMovi)
+              // offset counts from the movi type fourcc: 4 (the fourcc
+              // itself) + bytes of children already written
+              newEntries += ((fourcc(id), 4L + body.size(), data.length))
+            body.write(payload, p, 4) // chunk id
+            body.write(le32(data.length.toLong))
+            body.write(data)
+            if (data.length % 2 == 1) body.write(0)
+          }
+        }
+        p += total
+      }
+      body.toByteArray
     }
-    val bodyBytes = body.toByteArray
+
+    val bodyBytes =
+      stripChildren(12, payload.length, inMovi = false, topLevel = true, 0)
     val out = new ByteArrayOutputStream()
-    out.write(fourcc("RIFF")); out.write(le32(bodyBytes.length + 4L))
+    val entries = newEntries.result()
+    val idx1 = origIdx match {
+      case Some(orig) if sawMovi && orig.length == entries.length =>
+        // same chunk sequence as the original movi (the scrub never drops
+        // a movi child), so order pairing of the original flags is exact
+        val b = new ByteArrayOutputStream()
+        entries.zipWithIndex.foreach { case ((id, off, sz), i) =>
+          b.write(id); b.write(orig(i)._2)
+          b.write(le32(off)); b.write(le32(sz.toLong))
+        }
+        val ib = b.toByteArray
+        fourcc("idx1") ++ le32(ib.length.toLong) ++ ib
+      case _ => Array.emptyByteArray
+    }
+    out.write(fourcc("RIFF"))
+    out.write(le32(bodyBytes.length + 4L + idx1.length))
     out.write(payload, 8, 4) // form type (WAVE / AVI )
     out.write(bodyBytes)
+    out.write(idx1)
     out.toByteArray
   }
 

@@ -372,6 +372,93 @@ object Privacy {
       .drop("_uc", "_us")
   }
 
+  // ------------------------------------------------------ budget ledger
+
+  /** One mechanism invocation in a DP release pipeline — a budget-ledger
+    * row. ε is carried as MICRO-ε (`round(ε·10⁶)`): the ledger and its
+    * audit are exact integer arithmetic end to end, so the artifact
+    * replays identically on any engine (the drift-family ppm
+    * discipline). `seedDomain` is the FULL domain string the mechanism
+    * hashed under (seed plus any domain-separation tag — e.g.
+    * [[dpNoisyAvg]]'s `seed|count` / `seed|sum` halves), because seed
+    * REUSE across releases is itself a privacy defect the audit must
+    * see: two releases noised from the same uniform are correlated, and
+    * their difference cancels the noise. `nGroups` records how many
+    * rows the release actually published. */
+  final case class DpSpend(release: String, tableName: String,
+                           mechanism: String, epsMicro: Long,
+                           sensitivity: Long, seedDomain: String,
+                           nGroups: Long)
+
+  private def microEps(eps: Double): Long = math.round(eps * 1e6)
+
+  /** Ledger rows for a [[dpNoisyCounts]] release (sensitivity 1). Kept
+    * adjacent to the mechanism so the accounting can't drift from the
+    * implementation; `PrivacySpec` pins the correspondence. */
+  def spendOfCounts(release: String, table: String, eps: Double,
+                    seed: String, nGroups: Long): Seq[DpSpend] =
+    Seq(DpSpend(release, table, "dp_noisy_counts", microEps(eps), 1L,
+      seed, nGroups))
+
+  /** Ledger rows for a [[dpNoisySums]] release (Δ = max(|lo|, |hi|)). */
+  def spendOfSums(release: String, table: String, eps: Double,
+                  clipLo: Long, clipHi: Long, seed: String,
+                  nGroups: Long): Seq[DpSpend] =
+    Seq(DpSpend(release, table, "dp_noisy_sums", microEps(eps),
+      math.max(math.abs(clipLo), math.abs(clipHi)), seed, nGroups))
+
+  /** Ledger rows for a [[dpNoisyAvg]] release: TWO mechanism rows — the
+    * ε/2 count half (sensitivity 1, domain `seed|count`) and the ε/2
+    * clipped-sum half (sensitivity `clipHi`, domain `seed|sum`) —
+    * mirroring exactly how the mechanism splits its budget, so the
+    * ledger total equals the real spend under sequential composition. */
+  def spendOfAvg(release: String, table: String, eps: Double,
+                 clipHi: Long, seed: String, nGroups: Long): Seq[DpSpend] =
+    Seq(
+      DpSpend(release, table, "dp_noisy_mean.count", microEps(eps / 2), 1L,
+        s"$seed|count", nGroups),
+      DpSpend(release, table, "dp_noisy_mean.sum", microEps(eps / 2),
+        clipHi, s"$seed|sum", nGroups))
+
+  /** The DP budget LEDGER: one row per mechanism invocation. The spend
+    * list is driver-side release telemetry (a pipeline runs a handful
+    * of releases), so materializing it as a frame is exact and free —
+    * the frame exists so the audit composes with the rest of the
+    * release artifacts (joins against [[graft.operators.Release]] cards,
+    * streaming append sinks, …). */
+  def dpLedger(spark: org.apache.spark.sql.SparkSession,
+               spends: Seq[DpSpend]): DataFrame = {
+    require(spends.nonEmpty, "an empty ledger audits nothing")
+    spark.createDataFrame(spends).toDF(
+      "release", "table_name", "mechanism", "eps_micro", "sensitivity",
+      "seed_domain", "n_groups")
+  }
+
+  /** Composed-budget AUDIT over a [[dpLedger]] frame: per released
+    * table, the cumulative ε spend under SIMPLE SEQUENTIAL COMPOSITION
+    * (Σ εᵢ — every mechanism run against the same records adds; the
+    * conservative reading a release review wants) against a micro-ε
+    * budget, plus the seed-hygiene flag: `seed_reused` fires when two
+    * mechanism invocations shared a seed domain (correlated noise — the
+    * difference of two such releases cancels the perturbation). All
+    * columns are exact integers; telemetry-sized. */
+  def dpBudgetAudit(ledger: DataFrame, budgetMicroEps: Long): DataFrame = {
+    require(budgetMicroEps > 0, s"budget must be positive, got $budgetMicroEps")
+    ledger.groupBy("table_name")
+      .agg(countDistinct("release").as("n_releases"),
+        count(lit(1)).as("n_mechanisms"),
+        sum("eps_micro").as("spent_eps_micro"),
+        countDistinct("seed_domain").as("n_seed_domains"),
+        sum("n_groups").as("n_groups_released"))
+      .withColumn("budget_eps_micro", lit(budgetMicroEps))
+      .withColumn("remaining_eps_micro",
+        col("budget_eps_micro") - col("spent_eps_micro"))
+      .withColumn("over_budget",
+        col("spent_eps_micro") > col("budget_eps_micro"))
+      .withColumn("seed_reused",
+        col("n_mechanisms") > col("n_seed_domains"))
+  }
+
   /** Keyed pseudonymization of identifier columns: each named column is
     * replaced IN PLACE by `sha2-256(secret | column-name | value)` —
     * deterministic under one secret (referential integrity survives:

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -176,6 +177,21 @@ object Release {
     * review reads this next to [[dataCard]]: the card says what a
     * release IS, the delta says what the new one DID.
     *
+    * Byte columns are true OCTET counts (`octet_length`): multi-byte
+    * UTF-8 payloads report their encoded size, which is what "byte
+    * movement" on a release card must mean (a char count would
+    * undercount non-ASCII corpora).
+    *
+    * CONTRACT: `keyCol` must be unique within EACH snapshot — the diff
+    * is keyed set arithmetic and a duplicated key has no single
+    * old→new story. Rather than let duplicates fan out through the
+    * full-outer join and silently inflate every count, the operator
+    * fails loudly: a `count(*) over (partition by key)` window —
+    * free, because the join's output is already hash-partitioned (and
+    * under SMJ sorted) by `key` — detects any key that produced more
+    * than one joined row (unique keys produce exactly one) and raises
+    * with the offending key.
+    *
     * Scale shape: one full-outer equi-join on the id over narrow
     * `(id, source, payload, len)` projections — the payload column
     * enters only the null-safe equality, bodies never shuffle twice —
@@ -186,10 +202,16 @@ object Release {
                    sourceCol: Column, payloadCol: Column): DataFrame = {
     def side(df: DataFrame, p: String) =
       df.select(keyCol.as("key"), sourceCol.as(s"${p}s"),
-        payloadCol.as(s"${p}v"), length(payloadCol).cast("long").as(s"${p}b"))
+        payloadCol.as(s"${p}v"),
+        octet_length(payloadCol).cast("long").as(s"${p}b"))
+    val fan = count(lit(1)).over(Window.partitionBy(col("key")))
     val j = side(oldDf, "o").join(side(newDf, "n"), Seq("key"), "full_outer")
+      .withColumn("_fan", fan)
       .withColumn("status",
-        when(col("os").isNull, lit("added"))
+        when(col("_fan") > 1, raise_error(concat(
+          lit("releaseDelta: duplicate key in a snapshot violates the "
+            + "unique-key contract; key="), col("key").cast("string"))))
+          .when(col("os").isNull, lit("added"))
           .when(col("ns").isNull, lit("removed"))
           .when(!(col("ov") <=> col("nv")), lit("changed"))
           .otherwise(lit("unchanged")))

@@ -563,14 +563,14 @@ object CorpusQueries {
     // says what the new one DID.
     Q("q215_release_delta",
       Some(s"""WITH o AS (SELECT doc_id, source, text,
-              |    CAST(len(text) AS BIGINT) AS b FROM documents
+              |    CAST(strlen(text) AS BIGINT) AS b FROM documents
               |  WHERE doc_id % 10 <> 7),
               |nn AS (SELECT doc_id, source,
               |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
               |         ELSE text END AS text
               |  FROM documents WHERE doc_id % 10 <> 4),
               |n2 AS (SELECT doc_id, source, text,
-              |    CAST(len(text) AS BIGINT) AS b FROM nn),
+              |    CAST(strlen(text) AS BIGINT) AS b FROM nn),
               |j AS (SELECT coalesce(n2.source, o.source) AS source,
               |    CASE WHEN o.doc_id IS NULL THEN 'added'
               |         WHEN n2.doc_id IS NULL THEN 'removed'

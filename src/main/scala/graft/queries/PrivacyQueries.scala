@@ -218,6 +218,74 @@ object PrivacyQueries {
           col("n_chars"), clipLo = 0L, clipHi = DpAvgHi,
           eps = DpAvgEps, seed = DpAvgSeed, maxShift = DpMaxShift)),
 
+    // DP budget ledger + composed audit (Privacy.dpLedger /
+    // dpBudgetAudit): the q190/q203/q204 trio re-run as a REAL
+    // multi-release pipeline over documents (counts + sums + mean —
+    // the mean contributing its two ε/2 mechanism halves), plus two
+    // event-table releases that REUSE a seed. Per table: cumulative
+    // micro-ε under sequential composition vs a 1.5ε budget
+    // (documents: 2.0ε spent → over budget; events: 0.5ε → within)
+    // and the seed-hygiene flag (events' reuse fires it, documents'
+    // domain-separated seeds don't) — both verdicts of both flags
+    // fire tri-scale. All-integer arithmetic; n_groups comes from the
+    // actually-released frames.
+    Q("q216_dp_budget_ledger",
+      Some(s"""WITH gd AS (SELECT CAST(count(*) AS BIGINT) AS ng
+              |  FROM (SELECT DISTINCT lang, source FROM documents)),
+              |ge AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS ng
+              |  FROM events),
+              |led AS (
+              |  SELECT 'rel_counts' AS release, 'documents' AS table_name,
+              |    CAST(500000 AS BIGINT) AS eps_micro, '$DpSeed' AS seed_domain,
+              |    ng AS n_groups FROM gd
+              |  UNION ALL SELECT 'rel_sums', 'documents', 500000,
+              |    '$DpSumSeed', ng FROM gd
+              |  UNION ALL SELECT 'rel_mean', 'documents', 500000,
+              |    '$DpAvgSeed' || '|count', ng FROM gd
+              |  UNION ALL SELECT 'rel_mean', 'documents', 500000,
+              |    '$DpAvgSeed' || '|sum', ng FROM gd
+              |  UNION ALL SELECT 'rel_ev_a', 'events', 250000,
+              |    'graft-r15-ev', ng FROM ge
+              |  UNION ALL SELECT 'rel_ev_b', 'events', 250000,
+              |    'graft-r15-ev', ng FROM ge)
+              |SELECT table_name,
+              |  CAST(count(DISTINCT release) AS BIGINT) AS n_releases,
+              |  count(*) AS n_mechanisms,
+              |  CAST(sum(eps_micro) AS BIGINT) AS spent_eps_micro,
+              |  CAST(count(DISTINCT seed_domain) AS BIGINT) AS n_seed_domains,
+              |  CAST(sum(n_groups) AS BIGINT) AS n_groups_released,
+              |  CAST(1500000 AS BIGINT) AS budget_eps_micro,
+              |  CAST(1500000 - sum(eps_micro) AS BIGINT) AS remaining_eps_micro,
+              |  sum(eps_micro) > 1500000 AS over_budget,
+              |  count(*) > count(DISTINCT seed_domain) AS seed_reused
+              |FROM led GROUP BY table_name""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val quasi = Seq(col("lang"), col("source"))
+        val ev = Tables.events(s, dir)
+        val evQuasi = Seq(col("event_type"))
+        // run the releases; each count() is the published row count
+        val nDoc = Privacy.dpNoisyCounts(d, quasi, DpEps, DpSeed,
+          DpMaxShift).count()
+        val nSum = Privacy.dpNoisySums(d, quasi, col("n_chars"),
+          DpSumLo, DpSumHi, DpSumEps, DpSumSeed).count()
+        val nAvg = Privacy.dpNoisyAvg(d, quasi, col("n_chars"),
+          0L, DpAvgHi, DpAvgEps, DpAvgSeed, DpMaxShift).count()
+        val nEvA = Privacy.dpNoisyCounts(ev, evQuasi, 0.25,
+          "graft-r15-ev").count()
+        val nEvB = Privacy.dpNoisyCounts(ev, evQuasi, 0.25,
+          "graft-r15-ev").count() // the seed-reuse defect the audit flags
+        val ledger = Privacy.dpLedger(s,
+          Privacy.spendOfCounts("rel_counts", "documents", DpEps, DpSeed, nDoc) ++
+          Privacy.spendOfSums("rel_sums", "documents", DpSumEps,
+            DpSumLo, DpSumHi, DpSumSeed, nSum) ++
+          Privacy.spendOfAvg("rel_mean", "documents", DpAvgEps,
+            DpAvgHi, DpAvgSeed, nAvg) ++
+          Privacy.spendOfCounts("rel_ev_a", "events", 0.25, "graft-r15-ev", nEvA) ++
+          Privacy.spendOfCounts("rel_ev_b", "events", 0.25, "graft-r15-ev", nEvB))
+        Privacy.dpBudgetAudit(ledger, budgetMicroEps = 1500000L)
+      }),
+
     // Keyed pseudonymization (Privacy.pseudonymize): doc_id and source
     // replaced by sha2-256(secret|col|value); the released frame still
     // groups correctly on the pseudonym (per-source doc counts over

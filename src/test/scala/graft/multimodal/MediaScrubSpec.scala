@@ -65,19 +65,88 @@ class MediaScrubSpec extends SparkSpec {
       === MediaCodec.audioFingerprint(MediaCodec.decode(tagged)).toSeq)
   }
 
-  test("AVI: top-level INFO dropped, frames and frame hashes untouched") {
+  test("AVI: top-level INFO dropped, frame rasters and hashes untouched") {
     val clean = MediaCodec.synthAvi(9L, 48, 32, 4 * 40L)
     val tagged = MediaCodec.withRiffInfo(clean, "editor trail")
     val scrubbed = MediaCodec.stripMetadata(tagged)
     assert(!ascii(scrubbed).contains("editor trail"))
+    // frames may SHRINK (the per-frame scrub drops the encoder's JFIF
+    // APP0 too) but the entropy-coded stream copies verbatim, so every
+    // decoded raster — and therefore every perceptual hash — is identical
     (MediaCodec.decode(scrubbed), MediaCodec.decode(clean)) match {
       case (a: MediaCodec.VideoMjpeg, b: MediaCodec.VideoMjpeg) =>
         assert(a.microsPerFrame === b.microsPerFrame)
         assert(a.frames.length === b.frames.length)
         a.frames.zip(b.frames).foreach { case (x, y) =>
-          assert(x.toSeq === y.toSeq)
+          assert(x.length <= y.length)
+          (MediaCodec.frameRaster(x), MediaCodec.frameRaster(y)) match {
+            case (Some(fa), Some(fb)) => assert(fa.pixels.toSeq === fb.pixels.toSeq)
+            case other => fail(s"both frames must decode: $other")
+          }
         }
       case other => fail(s"both must decode as video: $other")
+    }
+  }
+
+  test("AVI: per-frame EXIF/COM inside movi is scrubbed and idx1 rebuilt") {
+    val clean = MediaCodec.synthAvi(11L, 48, 32, 4 * 40L)
+    val frames = MediaCodec.decode(clean) match {
+      case v: MediaCodec.VideoMjpeg => v.frames
+      case other => fail(s"expected MJPEG: $other")
+    }
+    // plant per-frame metadata the way a camera does: inside each movi
+    // frame, invisible to any top-level-only scrub
+    val tagged = MediaCodec.aviBytes(
+      frames.map(f => MediaCodec.withJpegComment(f, "gps 51.5,-0.1 FRAMESECRET")),
+      48, 32)
+    assert(ascii(tagged).contains("FRAMESECRET"))
+    val scrubbed = MediaCodec.stripMetadata(tagged)
+    assert(!ascii(scrubbed).contains("FRAMESECRET"),
+      "per-frame metadata inside movi must not survive the scrub")
+    // rasters identical to the clean original's
+    (MediaCodec.decode(scrubbed), MediaCodec.decode(clean)) match {
+      case (a: MediaCodec.VideoMjpeg, b: MediaCodec.VideoMjpeg) =>
+        assert(a.frames.length === b.frames.length)
+        a.frames.zip(b.frames).foreach { case (x, y) =>
+          (MediaCodec.frameRaster(x), MediaCodec.frameRaster(y)) match {
+            case (Some(fa), Some(fb)) => assert(fa.pixels.toSeq === fb.pixels.toSeq)
+            case other => fail(s"both frames must decode: $other")
+          }
+        }
+      case other => fail(s"both must decode as video: $other")
+    }
+    // idx1 must be rebuilt for the shrunken frames: each entry's offset
+    // (relative to the movi type fourcc) must land on a frame chunk whose
+    // recorded size matches the entry's
+    def le32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    def findChunk(b: Array[Byte], id: String): Int = {
+      var p = 12
+      while (p + 8 <= b.length) {
+        val cid = new String(b, p, 4, "ISO-8859-1")
+        val sz = le32(b, p + 4).toInt
+        val lt = if (cid == "LIST" && sz >= 4) new String(b, p + 8, 4, "ISO-8859-1") else ""
+        if (cid == id || lt == id) return p
+        p += 8 + sz + (sz % 2)
+      }
+      fail(s"chunk $id not found")
+    }
+    val moviAt = findChunk(scrubbed, "movi")
+    val idxAt = findChunk(scrubbed, "idx1")
+    val nIdx = (le32(scrubbed, idxAt + 4) / 16).toInt
+    assert(nIdx === frames.length, "one rebuilt idx1 entry per frame")
+    (0 until nIdx).foreach { i =>
+      val e = idxAt + 8 + 16 * i
+      val off = le32(scrubbed, e + 8).toInt
+      val sz = le32(scrubbed, e + 12).toInt
+      // offsets count from the movi list's TYPE fourcc (moviAt + 8), the
+      // aviBytes/players convention; the chunk header sits at that + off
+      val hdr = moviAt + 8 + off
+      assert(new String(scrubbed, hdr, 4, "ISO-8859-1") === "00dc",
+        s"idx1 entry $i offset must land on a frame chunk header")
+      assert(le32(scrubbed, hdr + 4).toInt === sz,
+        s"idx1 entry $i size must match the rewritten frame chunk")
     }
   }
 

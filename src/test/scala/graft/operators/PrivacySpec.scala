@@ -286,4 +286,45 @@ class PrivacySpec extends SparkSpec {
       Privacy.eraseByKey(events, col("uid"), events)
     }
   }
+
+  test("dpLedger/dpBudgetAudit: composition arithmetic, seed hygiene, " +
+    "and spend rows that mirror the mechanisms' actual budget splits") {
+    // spendOfAvg must mirror dpNoisyAvg: ε/2 + ε/2, domain-separated
+    // |count / |sum seeds — the accounting can't drift from the split
+    val avg = Privacy.spendOfAvg("r", "t", eps = 1.0, clipHi = 400L,
+      seed = "s", nGroups = 7L)
+    assert(avg.map(_.epsMicro) === Seq(500000L, 500000L))
+    assert(avg.map(_.seedDomain) === Seq("s|count", "s|sum"))
+    assert(avg.map(_.sensitivity) === Seq(1L, 400L))
+    assert(Privacy.spendOfSums("r", "t", 0.3, -50L, 40L, "s", 1L)
+      .head.sensitivity === 50L, "Δ = max(|lo|, |hi|), the mechanism's")
+    assert(Privacy.spendOfCounts("r", "t", 0.25, "s", 1L)
+      .head.epsMicro === 250000L)
+
+    val ledger = Privacy.dpLedger(spark,
+      Privacy.spendOfCounts("a", "docs", 0.5, "s1", 10L) ++
+      Privacy.spendOfAvg("b", "docs", 1.0, 400L, "s2", 10L) ++
+      Privacy.spendOfCounts("c", "ev", 0.25, "sx", 3L) ++
+      Privacy.spendOfCounts("d", "ev", 0.25, "sx", 3L)) // seed reuse
+    val audit = Privacy.dpBudgetAudit(ledger, budgetMicroEps = 1200000L)
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
+    val docsRow = audit("docs")
+    assert(docsRow.getAs[Long]("spent_eps_micro") === 1500000L)
+    assert(docsRow.getAs[Long]("remaining_eps_micro") === -300000L)
+    assert(docsRow.getAs[Boolean]("over_budget"))
+    assert(!docsRow.getAs[Boolean]("seed_reused"),
+      "domain-separated mean halves are NOT seed reuse")
+    val evRow = audit("ev")
+    assert(evRow.getAs[Long]("spent_eps_micro") === 500000L)
+    assert(!evRow.getAs[Boolean]("over_budget"))
+    assert(evRow.getAs[Boolean]("seed_reused"),
+      "two releases hashing under one seed must be flagged")
+    assert(evRow.getAs[Long]("n_releases") === 2L)
+    intercept[IllegalArgumentException] {
+      Privacy.dpLedger(spark, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpBudgetAudit(ledger, 0L)
+    }
+  }
 }

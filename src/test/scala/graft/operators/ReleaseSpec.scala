@@ -171,6 +171,33 @@ class ReleaseSpec extends SparkSpec {
     assert(got("books") === Seq(0L, 1L, 0L, 1L, 0L, 4L, -4L))
   }
 
+  test("releaseDelta: byte columns count UTF-8 octets, not characters") {
+    import spark.implicits._
+    // "é" is 2 bytes, "日本" is 6 bytes — a char count would report 1 and 2
+    val old = Seq((1L, "web", "é")).toDF("doc_id", "source", "text")
+    val neu = Seq((1L, "web", "é"), (2L, "web", "日本"))
+      .toDF("doc_id", "source", "text")
+    val r = Release.releaseDelta(old, neu, col("doc_id"), col("source"),
+      col("text")).collect().head
+    assert(r.getAs[Long]("bytes_added") === 6L)
+    assert(r.getAs[Long]("bytes_delta") === 6L)
+  }
+
+  test("releaseDelta: a duplicated key in a snapshot fails loudly") {
+    import spark.implicits._
+    val old = Seq((1L, "web", "a"), (1L, "web", "a2"))
+      .toDF("doc_id", "source", "text")
+    val neu = Seq((1L, "web", "a")).toDF("doc_id", "source", "text")
+    val ex = intercept[Exception] {
+      Release.releaseDelta(old, neu, col("doc_id"), col("source"),
+        col("text")).collect()
+    }
+    // Spark wraps raise_error in a SparkRuntimeException at USER_RAISED_EXCEPTION
+    assert(ex.getMessage.contains("duplicate key")
+      || Option(ex.getCause).exists(_.getMessage.contains("duplicate key")),
+      s"unexpected failure: ${ex.getMessage}")
+  }
+
   test("dataCard: ppm columns are partitioning-invariant exact integers") {
     val base = Tables.documents(spark, sfDir)
       .select("source", "lang", "text")
