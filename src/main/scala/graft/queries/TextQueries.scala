@@ -1664,6 +1664,136 @@ object TextQueries {
             col("rank"))
       }),
 
+    // Retrieval QUALITY probe: the q200/q201/q205 stack measured on
+    // PLANTED GRADED RELEVANCE, where the ideal ranking is provable.
+    // Per query family (one per doc_id%50 doc): a grade-2 relevant doc
+    // (all 3 query terms once + its own embedding direction), a grade-0
+    // TERM-SPAM decoy (every query term ×3 — BM25's tf saturation still
+    // rewards it above the relevant doc at ANY corpus size, the provable
+    // lexical failure), a grade-1 partial (1 term), and a grade-0 noise
+    // doc. Dense scores are exact-integer dots ([1,1]·v), so rankings
+    // carry no float hazard. Metrics per ranker — reciprocal-rank micro
+    // sum, hits@1, cumulative gain@2 — pin that fusion and rerank
+    // IMPROVE the ranking, not just run: bm25 (0 hits@1, RR ½/query),
+    // rrf (n hits@1, CG@2 2n), rerank (n hits@1, CG@2 3n).
+    // RetrievalSpec asserts the strict ordering; this row pins the
+    // cross-engine arithmetic.
+    Q("q217_retrieval_quality",
+      Some(s"""WITH qs AS (SELECT doc_id AS qid FROM documents
+              |  WHERE doc_id % 50 = 0),
+              |corp AS (
+              |  SELECT qid, qid*10+1 AS doc, 2 AS grade,
+              |    ['k'||qid||'a','k'||qid||'b','k'||qid||'c',
+              |     'f'||(qid*10+1)||'x','f'||(qid*10+1)||'y',
+              |     'f'||(qid*10+1)||'z'] AS tk,
+              |    [600.0, 400.0] AS v FROM qs
+              |  UNION ALL SELECT qid, qid*10+2, 0,
+              |    ['k'||qid||'a','k'||qid||'a','k'||qid||'a',
+              |     'k'||qid||'b','k'||qid||'b','k'||qid||'b',
+              |     'k'||qid||'c','k'||qid||'c','k'||qid||'c'],
+              |    [50.0, 50.0] FROM qs
+              |  UNION ALL SELECT qid, qid*10+3, 1,
+              |    ['k'||qid||'a','f'||(qid*10+3)||'x','f'||(qid*10+3)||'y',
+              |     'f'||(qid*10+3)||'z'],
+              |    [300.0, 200.0] FROM qs
+              |  UNION ALL SELECT qid, qid*10+4, 0,
+              |    ['f'||(qid*10+4)||'x','f'||(qid*10+4)||'y'],
+              |    [10.0, 10.0] FROM qs),
+              |stats AS (SELECT count(*) AS n_docs,
+              |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM corp),
+              |p AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl,
+              |    unnest(tk) AS token FROM corp),
+              |tfr AS (SELECT doc, dl, token, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+              |q AS (SELECT qid,
+              |    unnest(['k'||qid||'a','k'||qid||'b','k'||qid||'c']) AS token
+              |  FROM qs),
+              |pr AS (SELECT tfr.* FROM tfr
+              |  JOIN (SELECT DISTINCT token FROM q) qd USING (token)),
+              |dfq AS (SELECT token, count(*) AS df FROM pr GROUP BY 1),
+              |w AS (SELECT doc, token,
+              |    CAST(round((ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+              |      * ((tf * ${Bm25K1 + 1}) / (tf + $Bm25K1 *
+              |          (${1 - Bm25B} + ($Bm25B * dl) / avgdl))))
+              |      * 1000000.0) AS BIGINT) AS w_micro
+              |  FROM pr JOIN dfq USING (token) CROSS JOIN stats),
+              |sc AS (SELECT qid, doc, CAST(sum(w_micro) AS BIGINT) AS bm25_micro
+              |  FROM w JOIN q USING (token) GROUP BY 1, 2),
+              |sp AS (SELECT qid, doc, rank FROM (SELECT *,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY bm25_micro DESC, doc) AS rank FROM sc)
+              |  WHERE rank <= 5),
+              |dn AS (SELECT qid, doc, rank FROM (
+              |    SELECT sp.qid, sp.doc, row_number() OVER (PARTITION BY sp.qid
+              |      ORDER BY (c.v[1] * 1.0 + c.v[2] * 1.0) DESC, sp.doc) AS rank
+              |    FROM sp JOIN corp c ON c.doc = sp.doc)),
+              |fused AS (SELECT qid, doc,
+              |    CAST(sum(1000000000 // ($RrfK0 + rank)) AS BIGINT) AS rrf_nano
+              |  FROM (SELECT * FROM sp UNION ALL SELECT * FROM dn)
+              |  GROUP BY 1, 2),
+              |rr AS (SELECT qid, doc, rank FROM (SELECT *,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY rrf_nano DESC, doc) AS rank FROM fused)
+              |  WHERE rank <= 5),
+              |sys AS (SELECT 'bm25' AS ranker, qid, doc, rank FROM sp
+              |  UNION ALL SELECT 'rerank', qid, doc, rank FROM dn
+              |  UNION ALL SELECT 'rrf', qid, doc, rank FROM rr),
+              |g AS (SELECT s.ranker, s.qid, s.rank, c.grade
+              |  FROM sys s JOIN corp c ON c.doc = s.doc)
+              |SELECT ranker,
+              |  CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+              |  CAST(sum(CASE WHEN grade = 2 THEN 1000000 // rank ELSE 0 END)
+              |    AS BIGINT) AS sum_rr_micro,
+              |  CAST(count_if(grade = 2 AND rank = 1) AS BIGINT) AS hits_at_1,
+              |  CAST(sum(CASE WHEN rank <= 2 THEN grade ELSE 0 END) AS BIGINT)
+              |    AS cg_at_2
+              |FROM g GROUP BY ranker""".stripMargin),
+      (s, dir) => {
+        val qs = docs(s, dir).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("qid"))
+        def kt(sfx: String) =
+          concat(lit("k"), col("qid").cast("string"), lit(sfx))
+        def ft(sfx: String) =
+          concat(lit("f"), col("doc").cast("string"), lit(sfx))
+        def fam(v: Int, grade: Int, vec: (Double, Double))(
+            tk: org.apache.spark.sql.Column) =
+          qs.withColumn("doc", col("qid") * 10 + v)
+            .withColumn("grade", lit(grade.toLong))
+            .withColumn("tk", tk)
+            .withColumn("v", array(lit(vec._1), lit(vec._2)))
+        val corp =
+          fam(1, 2, (600.0, 400.0))(
+              array(kt("a"), kt("b"), kt("c"), ft("x"), ft("y"), ft("z")))
+            .unionByName(fam(2, 0, (50.0, 50.0))(
+              array(kt("a"), kt("a"), kt("a"), kt("b"), kt("b"), kt("b"),
+                kt("c"), kt("c"), kt("c"))))
+            .unionByName(fam(3, 1, (300.0, 200.0))(
+              array(kt("a"), ft("x"), ft("y"), ft("z"))))
+            .unionByName(fam(4, 0, (10.0, 10.0))(array(ft("x"), ft("y"))))
+        val queries = qs.select(col("qid"),
+          array(kt("a"), kt("b"), kt("c")).as("qtoks"))
+        val sp = Retrieval.bm25TopK(corp, col("doc"), col("tk"),
+            queries, col("qid"), col("qtoks"), k = 5, k1 = Bm25K1, b = Bm25B)
+          .select("qid", "doc", "rank")
+        val qv = qs.select(col("qid"), array(lit(1.0), lit(1.0)).as("qv"))
+        val dn = Retrieval.rerankDense(sp.select("qid", "doc"), qv,
+            corp.select(col("doc"), col("v")), k = 5)
+          .select("qid", "doc", "rank")
+        val rr = Retrieval.rrfFuse(Seq(sp, dn), k = 5, k0 = RrfK0)
+          .select("qid", "doc", "rank")
+        val sys = sp.withColumn("ranker", lit("bm25"))
+          .unionByName(dn.withColumn("ranker", lit("rerank")))
+          .unionByName(rr.withColumn("ranker", lit("rrf")))
+        sys.join(corp.select("doc", "grade"), "doc")
+          .groupBy("ranker")
+          .agg(countDistinct("qid").as("n_queries"),
+            sum(when(col("grade") === 2,
+              expr("cast(1000000 as bigint) div cast(rank as bigint)"))
+              .otherwise(0L)).as("sum_rr_micro"),
+            count_if(col("grade") === 2 && col("rank") === 1).as("hits_at_1"),
+            sum(when(col("rank") <= 2, col("grade")).otherwise(0L))
+              .as("cg_at_2"))
+      }),
+
     // Byte-balanced release sharding (Release.shardByBytes): shard_id =
     // exclusive-byte-prefix div target over the DISTRIBUTED prefix sum
     // (q107's machinery) — equal-BYTE shards under document-length skew,

@@ -174,6 +174,44 @@ class RetrievalSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("relevance quality: rerank and rrf strictly improve over bm25 on " +
+    "the planted term-spam fixture (the q217 construction)") {
+    import org.apache.spark.sql.functions._
+    // one query family: grade-2 relevant (each term once), grade-0 spam
+    // (every term ×3 — tf saturation still ranks it above the relevant
+    // doc), grade-1 partial, grade-0 noise; dense vectors order the
+    // OPPOSITE way (rel > partial > spam)
+    val corp = Seq(
+      (11L, 2L, Seq("ka", "kb", "kc", "f1", "f2", "f3"), Seq(600.0, 400.0)),
+      (12L, 0L, Seq("ka", "ka", "ka", "kb", "kb", "kb", "kc", "kc", "kc"),
+        Seq(50.0, 50.0)),
+      (13L, 1L, Seq("ka", "g1", "g2", "g3"), Seq(300.0, 200.0)),
+      (14L, 0L, Seq("h1", "h2"), Seq(10.0, 10.0)))
+      .toDF("doc", "grade", "tk", "v")
+    val queries = Seq((1L, Seq("ka", "kb", "kc"))).toDF("qid", "qtoks")
+    val sp = Retrieval.bm25TopK(corp, col("doc"), col("tk"), queries,
+      col("qid"), col("qtoks"), k = 5).select("qid", "doc", "rank")
+    val bmRanks = sp.as[(Long, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(bmRanks(12L) === 1 && bmRanks(11L) === 2 && bmRanks(13L) === 3,
+      s"the lexical failure must be planted: spam above relevant ($bmRanks)")
+    val qv = Seq((1L, Seq(1.0, 1.0))).toDF("qid", "qv")
+    val dn = Retrieval.rerankDense(sp.select("qid", "doc"), qv,
+      corp.select(col("doc"), col("v")), k = 5).select("qid", "doc", "rank")
+    val rrRanks = dn.as[(Long, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(rrRanks(11L) === 1, s"rerank must put the relevant doc first ($rrRanks)")
+    val fused = Retrieval.rrfFuse(Seq(sp, dn), k = 5)
+      .select("doc", "rank").as[(Long, Int)].collect().toMap
+    assert(fused(11L) === 1, s"fusion must recover the relevant doc at 1 ($fused)")
+    // the metric ordering the q217 oracle row freezes: RR 1/2 -> 1,
+    // CG@2 2 -> 2 (rrf) -> 3 (rerank)
+    def cg2(m: Map[Long, Int], grades: Map[Long, Long]) =
+      m.collect { case (d, r) if r <= 2 => grades(d) }.sum
+    val grades = Map(11L -> 2L, 12L -> 0L, 13L -> 1L, 14L -> 0L)
+    assert(cg2(bmRanks, grades) === 2L)
+    assert(cg2(fused, grades) === 2L)
+    assert(cg2(rrRanks, grades) === 3L)
+  }
+
   test("rrf: k0 damping flattens rank differences") {
     val a = ranking(Seq((1L, 1L, 1), (1L, 2L, 10)))
     def gap(k0: Int): Long = {
