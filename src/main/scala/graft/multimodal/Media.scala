@@ -876,22 +876,32 @@ object MediaCodec {
     * — two scenes in one container, the ground truth the scene-cut
     * specs and query assert against.
     *
-    * Scene B's seed is `seedB` NUDGED (+7, at most once) while its
-    * grating spatial frequencies `(fx, fy)` collide with `seedA`'s:
-    * `grating` derives `(fx, fy)` from the seed mod 25, so a caller's
-    * natural `seedB = seedA + 5000` (5000 ≡ 0 mod 25) would otherwise
-    * change only the PHASE — and for unlucky `cutAt` the cut-frame
-    * phase delta lands near 0 mod 360, i.e. the "hard cut" would be
-    * weaker than a smooth-motion step. The nudge (7 is coprime to 25)
-    * guarantees the cut is a genuine texture change for every legal
-    * `(seedA, seedB, cutAt)`, keeping the docstring's ground-truth
-    * claim unconditional. */
+    * The cut is guaranteed HARD by MEASUREMENT, not hope: scene B's
+    * seed starts at `seedB` and walks (+7 per step, deterministic)
+    * until the cut frame's dHash hamming distance to the last scene-A
+    * frame is ≥ 32 — comfortably past the family's scene-cut decision
+    * boundary (smooth motion ≤ 24, threshold 25). Without the check, a
+    * caller's natural `seedB = seedA + 5000` can land on a grating
+    * whose spatial frequencies and phase happen to produce a sub-
+    * threshold jump (`grating` derives its frequencies from the seed
+    * mod 25 and 5000 ≡ 0 mod 25 — only the phase changes, and even a
+    * frequency change does not bound the gradient-sign flip count), so
+    * the docstring's ground-truth claim would hold only for lucky
+    * `(seedA, seedB, cutAt)`. Fixture-generation cost: one extra
+    * candidate-frame encode+hash per rejected seed, typically zero. */
   def synthAviCut(seedA: Long, seedB: Long, w: Int, h: Int, nFrames: Int,
                   cutAt: Int): Array[Byte] = {
     require(nFrames >= 2 && cutAt >= 1 && cutAt < nFrames,
       s"need 1 <= cutAt < nFrames (>= 2), got $cutAt/$nFrames")
-    def freqs(s: Long) = (math.floorMod(s, 5L), math.floorMod(s / 5, 5L))
-    val sB = if (freqs(seedB) == freqs(seedA)) seedB + 7 else seedB
+    def hashOf(seed: Long, phaseShift: Double): Long =
+      frameRaster(encodeJpeg(grating(seed, w, h, phaseShift)))
+        .flatMap(dHash64).getOrElse(
+          throw new IllegalStateException("synthetic frame must decode"))
+    val preCutHash = hashOf(seedA, (cutAt - 1) * math.Pi / 8)
+    val sB = Iterator.iterate(seedB)(_ + 7).take(512)
+      .find(s => java.lang.Long.bitCount(hashOf(s, 0.0) ^ preCutHash) >= 32)
+      .getOrElse(throw new IllegalStateException(
+        s"no strong-cut seed near $seedB for ${w}x$h"))
     aviBytes((0 until nFrames).map { i =>
       if (i < cutAt) encodeJpeg(grating(seedA, w, h, i * math.Pi / 8))
       else encodeJpeg(grating(sB, w, h, (i - cutAt) * math.Pi / 8))
