@@ -82,6 +82,31 @@ object StressAnn {
     batchSets.foreach { case (qid, s) => bHits += (s & bruteSets(qid)).size }
     println(f"[ann] batched recall@$k vs brute: ${bHits.toDouble / (nQ * k)}%.3f")
 
+    // Refined-codebook recall (r15): kmeansRefine's distributed Lloyd
+    // iterations over the FULL corpus, seeded from the sample-trained
+    // codebook — the q113 production path (sample-train then full-corpus
+    // refine). Recall must hold (or improve) under the refined cells.
+    val refined = time("kmeansRefine: 5 Lloyd iters over 1M") {
+      Similarity.kmeansRefine(corpus, col("vec_id"), col("embedding"),
+        centroids, iters = 5)
+    }
+    val refinedCells = time("refined cell re-assignment") {
+      val c = Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"),
+        refined).cache()
+      c.count(); c
+    }
+    val tRb = System.nanoTime()
+    val refinedSets = Similarity.annIvfBatch(refinedCells, qVecs.toSeq,
+        refined, nProbe = 8, k = k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    println(f"[ann] IVF batched over refined codebook       ${(System.nanoTime() - tRb) / 1e9}%8.2f s")
+    var rHits = 0L
+    refinedSets.foreach { case (qid, s) => rHits += (s & bruteSets(qid)).size }
+    println(f"[ann] refined-codebook recall@$k vs brute: ${rHits.toDouble / (nQ * k)}%.3f")
+    refinedCells.unpersist()
+
     // Bitext margin mining (r11): the full 1M-corpus src side against a
     // 64-vector target batch — one corpus scan into the scored frame,
     // both neighbor ranks, the margin division, the global top cut
