@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
@@ -593,6 +593,51 @@ object Media {
         (r.payload.length - clean.length).toLong)
     }.toDF("media_id", "kind", "bytes_before", "bytes_after", "bytes_removed")
   }
+
+  /** Oracle-tier DECISION CORE of the metadata scrub (the q213/q214
+    * two-tier discipline: the byte walkers stay spec-tier, the
+    * keep/strip POLICY gets a DuckDB twin): over a container-inventory
+    * row `(fmt, kind, marker, list_type)`, the boolean
+    * [[MediaCodec.stripMetadata]] applies to that chunk/segment —
+    *   - `png`: keep CRITICAL chunks (bit 5 of the first type byte
+    *     clear, i.e. uppercase first letter) plus `tRNS`;
+    *   - `jpeg`: keep everything except APPn (markers 0xE0–0xEF) and
+    *     COM (0xFE);
+    *   - `riff`: keep everything except `JUNK`, `id3 `, and
+    *     `LIST INFO`;
+    *   - any other fmt: keep (unrecognized containers pass through).
+    * The SAME rules stripPng/stripJpeg/stripRiff hard-code over bytes,
+    * expressed relationally so an external engine can audit a scrub
+    * manifest; `MediaScrubSpec` pins byte-vs-policy agreement
+    * chunk-for-chunk on real payloads via [[MediaCodec.chunkInventory]],
+    * and q218 hash-matches the policy + audit arithmetic tri-scale. */
+  def scrubKeep(fmt: Column, kind: Column, marker: Column,
+                listType: Column): Column =
+    when(fmt === "png",
+      (ascii(substring(kind, 1, 1)).bitwiseAND(lit(32)) === 0) ||
+        kind === "tRNS")
+      .when(fmt === "jpeg", !(marker.between(224, 239) || marker === 254))
+      .when(fmt === "riff", !(kind.isin("JUNK", "id3 ") ||
+        (kind === "LIST" && listType === "INFO")))
+      .otherwise(lit(true))
+
+  /** The scrub-manifest audit over an inventory frame: per (doc, fmt),
+    * chunk and byte movement under [[scrubKeep]] — what a release data
+    * card's "metadata removed" line reports WITHOUT re-reading payloads
+    * (the inventory is a byte-free projection a single codec pass
+    * emits). Pure groupBy — one map-side-combinable aggregation. */
+  def scrubPolicyAudit(inv: DataFrame, docCol: Column, fmtCol: Column,
+                       kindCol: Column, markerCol: Column,
+                       listTypeCol: Column, sizeCol: Column): DataFrame =
+    inv.select(docCol.as("doc"), fmtCol.as("fmt"),
+        sizeCol.cast("long").as("_sz"),
+        scrubKeep(fmtCol, kindCol, markerCol, listTypeCol).as("_keep"))
+      .groupBy("doc", "fmt")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("_keep"), col("_sz")).otherwise(0L)).as("bytes_kept"),
+        sum(when(!col("_keep"), col("_sz")).otherwise(0L)).as("bytes_dropped"))
 
   // ------------------------------------------------------- normalization
 
@@ -1274,6 +1319,88 @@ object MediaCodec {
     out.write(bodyBytes)
     out.write(idx1)
     out.toByteArray
+  }
+
+  // ------------------------------------------------ container inventory
+
+  /** One structural chunk/segment of a media container, as the
+    * byte-free projection [[chunkInventory]] emits: `fmt` ∈
+    * {png, jpeg, riff}, `kind` the chunk type / marker mnemonic /
+    * RIFF id, `marker` the JPEG marker byte (−1 elsewhere),
+    * `listType` a RIFF LIST's type fourcc ("" elsewhere), `size` the
+    * chunk's TOTAL container bytes (header + payload + CRC/padding —
+    * so Σ size over dropped rows is exactly the byte shrink a
+    * same-structure scrub produces). */
+  final case class ChunkRow(fmt: String, pos: Int, kind: String,
+                            marker: Int, listType: String, size: Long)
+
+  /** Walk a container's TOP-LEVEL structure into [[ChunkRow]]s — the
+    * inventory [[Media.scrubKeep]] decides over. PNG: every chunk
+    * (size = 12 + len). JPEG: every marker segment up to and including
+    * SOS (whose size extends to EOF — the entropy stream copies
+    * verbatim through a scrub, so it belongs to the SOS row).
+    * RIFF: every direct child of the form (LIST children are NOT
+    * recursed — nested INFO drops and movi-frame JPEG stripping shrink
+    * a kept LIST in place, which the top-level inventory sees only as
+    * that LIST's size; `MediaScrubSpec`'s byte-tie therefore compares
+    * kind sequences for RIFF and full rows for PNG/JPEG). Malformed
+    * payloads throw — inventory is a diagnostic tool; the scrub's own
+    * quarantine stance lives in [[stripMetadata]]. */
+  def chunkInventory(payload: Array[Byte]): Seq[ChunkRow] = {
+    val rows = Vector.newBuilder[ChunkRow]
+    if (startsWith(payload, PngSig)) {
+      var p = 8; var i = 0
+      while (p + 12 <= payload.length) {
+        val len = ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+          ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+        if (len < 0 || p + 12 + len > payload.length)
+          throw new IllegalArgumentException("bad PNG chunk")
+        rows += ChunkRow("png", i, new String(payload, p + 4, 4, "US-ASCII"),
+          -1, "", 12L + len)
+        p += 12 + len; i += 1
+      }
+    } else if (payload.length >= 3 && (payload(0) & 0xff) == 0xFF &&
+      (payload(1) & 0xff) == 0xD8) {
+      var p = 2; var i = 0; var done = false
+      while (!done && p + 2 <= payload.length) {
+        if ((payload(p) & 0xff) != 0xFF)
+          throw new IllegalArgumentException("bad JPEG segment")
+        val marker = payload(p + 1) & 0xff
+        if (marker == 0xDA) {
+          rows += ChunkRow("jpeg", i, "SOS", marker, "",
+            (payload.length - p).toLong)
+          done = true
+        } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          rows += ChunkRow("jpeg", i, f"m$marker%02X", marker, "", 2L)
+          p += 2; i += 1
+        } else {
+          if (p + 4 > payload.length)
+            throw new IllegalArgumentException("truncated JPEG segment")
+          val len = ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+          if (len < 2 || p + 2 + len > payload.length)
+            throw new IllegalArgumentException("bad JPEG segment length")
+          rows += ChunkRow("jpeg", i, f"m$marker%02X", marker, "", 2L + len)
+          p += 2 + len; i += 1
+        }
+      }
+      if (!done) throw new IllegalArgumentException("JPEG without SOS")
+    } else if (payload.length >= 12 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF") {
+      var p = 12; var i = 0
+      while (p + 8 <= payload.length) {
+        val id = new String(payload, p, 4, "US-ASCII")
+        val size = readLe32(payload, p + 4).toInt
+        if (size < 0 || p + 8 + size > payload.length)
+          throw new IllegalArgumentException("bad RIFF chunk")
+        val listType =
+          if (id == "LIST" && size >= 4) new String(payload, p + 8, 4, "US-ASCII")
+          else ""
+        val total = 8L + size + (size % 2)
+        rows += ChunkRow("riff", i, id, -1, listType, total)
+        p += total.toInt; i += 1
+      }
+    } else throw new IllegalArgumentException("unrecognized container")
+    rows.result()
   }
 
   // ---- deterministic metadata PLANTERS (spec/query fixtures) ----------

@@ -117,6 +117,99 @@ object Drift {
     seriesFromPaired(pairedFromHist(hist, gNames), gNames, alertNum, alertDen)
   }
 
+  /** Consecutive-period POPULATION STABILITY INDEX series — the other
+    * drift statistic a model-monitoring review asks for by name:
+    * PSI(P,Q) = Σ_b (p_b − q_b)·ln(p_b/q_b), with the industry's fixed
+    * reading (<0.1 stable, 0.1–0.25 moderate, ≥0.25 shifted). PSI
+    * complements [[tvdSeries]]: TVD weighs every moved row equally,
+    * PSI's log ratio amplifies buckets whose RELATIVE mass moved (a
+    * 0.1%→1% bucket barely registers in TVD but screams in PSI), which
+    * is why scorecard monitoring standardized on it; the fixed
+    * threshold works because add-one smoothing plus the log form keep
+    * the statistic scale-comparable where raw TVD is not.
+    *
+    * Engine-portability discipline (the [[Privacy.dpNoisySums]] ln
+    * precedent): both sides' proportions are add-one-smoothed over the
+    * pair's bucket UNION (p = (c+1)/(N+B) — vanished and brand-new
+    * buckets contribute a finite, large term instead of ±∞), quantized
+    * to micro-proportions by integer division and clamped at 1 micro,
+    * and each bucket's term is ONE float tree
+    * ⌊(p_µ − q_µ)·ln(p_µ/q_µ)⌋ floored to a long BEFORE the sum — the
+    * cross-bucket sum is integer, so no float-summation-order hazard
+    * exists anywhere; psi_micro ≈ PSI·10⁶ (per-bucket flooring
+    * under-counts by <1 micro per bucket, identically on both
+    * engines). Terms are never negative ((p−q) and ln(p/q) share
+    * sign), so flooring is the only bias and it is one-sided.
+    *
+    * Same scale shape as [[tvdSeries]]: one corpus-scale
+    * map-side-combinable count, then everything — including the
+    * per-pair bucket-union count, a window over the histogram —
+    * runs on |periods × buckets| rows. Output:
+    * (group.., period, n_prev, n_cur, n_buckets, psi_micro, level). */
+  def psiSeries(df: DataFrame, periodCol: Column, bucketCol: Column,
+                scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    psiSeriesBy(df, Nil, periodCol, bucketCol, scope)
+
+  /** [[psiSeries]] per group (the [[tvdSeriesBy]] fleet form; group
+    * columns come back as `g0..gN`). */
+  def psiSeriesBy(df: DataFrame, by: Seq[Column],
+                  periodCol: Column, bucketCol: Column,
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    psiFromPaired(paired(df, by, periodCol, bucketCol, scope),
+      by.indices.map(i => s"g$i"))
+
+  /** [[psiSeriesBy]] over PRE-COUNTED histogram rows — the
+    * maintained-histogram form ([[tvdSeriesFromCounts]]'s contract:
+    * duplicate (group, period, bucket) generations sum, the corpus is
+    * never rescanned). Shares [[pairedFromHist]] and [[psiFromPaired]]
+    * with the raw-row path, so the two cannot drift (spec-pinned). */
+  def psiSeriesFromCounts(counts: DataFrame, by: Seq[Column],
+                          periodCol: Column, bucketCol: Column,
+                          countCol: Column,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val gNames = by.indices.map(i => s"g$i")
+    val keyed = by.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val hist = scope.persist(counts
+      .select(keyed ++ Seq(periodCol.cast("long").as("period"),
+        bucketCol.as("_b"), countCol.cast("long").as("_c")): _*)
+      .groupBy((gNames.map(col) :+ col("period")) :+ col("_b"): _*)
+      .agg(sum("_c").as("_c")))
+    psiFromPaired(pairedFromHist(hist, gNames), gNames)
+  }
+
+  /** The per-period PSI aggregate shared by the raw-row and
+    * pre-counted forms: smoothed micro-proportions over the pair's
+    * bucket union, per-bucket term floored to a long BEFORE the
+    * cross-bucket (integer) sum, fixed industry thresholds. */
+  private def psiFromPaired(pairedF: DataFrame, gNames: Seq[String]): DataFrame = {
+    val keys = gNames :+ "period"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    pairedF
+      .withColumn("_nb", count(lit(1)).over(w))
+      .withColumn("_p",
+        expr("greatest(1, ((_c + 1) * 1000000) div (n_cur + _nb))"))
+      .withColumn("_q",
+        expr("greatest(1, ((_cp + 1) * 1000000) div (n_prev + _nb))"))
+      .withColumn("_term", expr(psiTermSql("_p", "_q")))
+      .groupBy(keys.map(col): _*)
+      .agg(max("n_prev").as("n_prev"), max("n_cur").as("n_cur"),
+        max("_nb").cast("long").as("n_buckets"),
+        sum("_term").cast("long").as("psi_micro"))
+      .withColumn("level",
+        when(col("psi_micro") < 100000L, lit("stable"))
+          .when(col("psi_micro") < 250000L, lit("moderate"))
+          .otherwise(lit("shifted")))
+  }
+
+  /** The per-bucket PSI term ⌊(p_µ − q_µ)·ln(p_µ/q_µ)⌋ as SQL text,
+    * generated for BOTH engines from one helper (the
+    * [[graft.operators.Sampling.microRatioSql]] anti-drift rule) —
+    * `ln`, `floor`, and the DOUBLE/BIGINT casts spell identically in
+    * Spark SQL and DuckDB. */
+  def psiTermSql(pE: String, qE: String): String =
+    s"CAST(floor((($pE) - ($qE)) * ln(CAST(($pE) AS DOUBLE) / CAST(($qE) AS DOUBLE))) AS BIGINT)"
+
   /** The per-period TVD aggregate + self-normalizing alert shared by
     * the raw-row and pre-counted series forms. */
   private def seriesFromPaired(pairedF: DataFrame, gNames: Seq[String],

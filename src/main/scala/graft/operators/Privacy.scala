@@ -372,6 +372,54 @@ object Privacy {
       .drop("_uc", "_us")
   }
 
+  // ------------------------------------------- contribution bounding
+
+  /** Bounded-contribution projection: keep each individual's first `k`
+    * rows under a caller-supplied DETERMINISTIC total order — the step
+    * that turns row-level DP into USER-level DP. Every mechanism above
+    * is calibrated to "one ROW changes"; a real individual contributes
+    * many rows (one user, thousands of events), so a row-level release
+    * over raw data protects far less than its ε claims. Capping
+    * contributions at `k` bounds any one individual's influence on a
+    * downstream count at k — group privacy then prices the release at
+    * k·ε_row, which [[dpNoisyCountsByUser]] spends explicitly.
+    *
+    * `order` must be a deterministic total order WITHIN each user's
+    * rows (ties broken by every caller-relevant column — pass e.g.
+    * `(ts, event_id)`); a non-total order would make the kept set
+    * partitioning-dependent and the release unreplayable. One
+    * hash-partition-by-user window (rank ≤ k is WindowGroupLimit'd
+    * map-side, so the exchange carries ≤ k rows per user per
+    * partition), no other shuffle. */
+  def boundContributions(df: DataFrame, userCol: Column, k: Int,
+                         order: Seq[Column]): DataFrame = {
+    require(k >= 1, s"contribution bound must be >= 1, got $k")
+    require(order.nonEmpty, "need a deterministic within-user order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(order: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** USER-level ε-DP noisy counts: [[boundContributions]] at `k`, then
+    * [[dpNoisyCounts]] with the per-row budget ε/k — by group privacy,
+    * the composite is ε-DP with respect to changing ONE USER's entire
+    * contribution (≤ k rows, each row's change costing ε/k). This is
+    * the release a privacy review actually demands for event-shaped
+    * tables ([[dpNoisyCounts]]'s row-level contract is only right when
+    * rows ARE individuals); ledger it with [[spendOfUserCounts]],
+    * which records sensitivity k so the audit shows the user-level
+    * price, not the per-row one. */
+  def dpNoisyCountsByUser(df: DataFrame, userCol: Column,
+                          order: Seq[Column], k: Int,
+                          quasi: Seq[Column], eps: Double, seed: String,
+                          maxShift: Int = 40): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    dpNoisyCounts(boundContributions(df, userCol, k, order), quasi,
+      eps / k, seed, maxShift)
+  }
+
   // ------------------------------------------------------ budget ledger
 
   /** One mechanism invocation in a DP release pipeline — a budget-ledger
@@ -399,6 +447,16 @@ object Privacy {
                     seed: String, nGroups: Long): Seq[DpSpend] =
     Seq(DpSpend(release, table, "dp_noisy_counts", microEps(eps), 1L,
       seed, nGroups))
+
+  /** Ledger rows for a [[dpNoisyCountsByUser]] release: ONE row at the
+    * USER-level price — mechanism ε_row = ε/k over sensitivity-k
+    * contributions composes to ε per user, which is what the ledger
+    * must charge (recording ε/k at sensitivity 1 would understate the
+    * spend k-fold). */
+  def spendOfUserCounts(release: String, table: String, eps: Double,
+                        k: Int, seed: String, nGroups: Long): Seq[DpSpend] =
+    Seq(DpSpend(release, table, s"dp_noisy_counts.user_k$k",
+      microEps(eps), k.toLong, seed, nGroups))
 
   /** Ledger rows for a [[dpNoisySums]] release (Δ = max(|lo|, |hi|)). */
   def spendOfSums(release: String, table: String, eps: Double,

@@ -1247,6 +1247,78 @@ object CorpusQueries {
               (lit(2000L) + col("media_id") % 100).cast("double"))
               .otherwise(lit(0.0)))
         graft.multimodal.Media.audioActivityFromEnergy(track, minRms = 100.0)
+      }),
+
+    // Metadata-scrub POLICY at the oracle tier (the q213/q214 two-tier
+    // discipline, closing the one family whose correctness rested
+    // entirely on self-authored byte fixtures): a container inventory
+    // synthesized from doc_ids — each doc is a PNG / JPEG / RIFF / or
+    // unrecognized container (doc_id % 4) whose chunk list comes from a
+    // fixed spec dimension covering every policy branch (critical vs
+    // ancillary vs tRNS; APPn vs COM vs structural vs SOS; JUNK vs
+    // id3 vs LIST INFO vs kept LISTs; passthrough) — and
+    // Media.scrubKeep + scrubPolicyAudit decide/aggregate exactly as
+    // the oracle's CASE replays. The BYTE walkers stay spec-tier:
+    // MediaScrubSpec ties them to this same policy chunk-for-chunk on
+    // real payloads via MediaCodec.chunkInventory.
+    Q("q218_scrub_policy",
+      Some(s"""WITH spec(fmt, kind, marker, list_type, base_size) AS (VALUES
+              |  ('png', 'IHDR', -1, '', 25), ('png', 'tEXt', -1, '', 40),
+              |  ('png', 'eXIf', -1, '', 300), ('png', 'tRNS', -1, '', 18),
+              |  ('png', 'pHYs', -1, '', 21), ('png', 'IDAT', -1, '', 5000),
+              |  ('png', 'IEND', -1, '', 12),
+              |  ('jpeg', 'mE0', 224, '', 18), ('jpeg', 'mE1', 225, '', 2000),
+              |  ('jpeg', 'mDB', 219, '', 69), ('jpeg', 'mC0', 192, '', 19),
+              |  ('jpeg', 'mFE', 254, '', 60), ('jpeg', 'SOS', 218, '', 8000),
+              |  ('riff', 'fmt ', -1, '', 24), ('riff', 'JUNK', -1, '', 512),
+              |  ('riff', 'LIST', -1, 'INFO', 128), ('riff', 'LIST', -1, 'movi', 9000),
+              |  ('riff', 'id3 ', -1, '', 200), ('riff', 'data', -1, '', 7000),
+              |  ('gif', 'hdr', -1, '', 100)),
+              |inv AS (
+              |  SELECT d.doc_id AS doc, s.fmt, s.kind, s.marker, s.list_type,
+              |    CAST(s.base_size + d.doc_id % 7 AS BIGINT) AS sz,
+              |    CASE WHEN s.fmt = 'png' THEN
+              |           ((ascii(substr(s.kind, 1, 1)) & 32) = 0) OR s.kind = 'tRNS'
+              |         WHEN s.fmt = 'jpeg' THEN
+              |           NOT (s.marker BETWEEN 224 AND 239 OR s.marker = 254)
+              |         WHEN s.fmt = 'riff' THEN
+              |           NOT (s.kind IN ('JUNK', 'id3 ')
+              |                OR (s.kind = 'LIST' AND s.list_type = 'INFO'))
+              |         ELSE TRUE END AS keep
+              |  FROM documents d JOIN spec s ON s.fmt =
+              |    CASE d.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              |         WHEN 2 THEN 'riff' ELSE 'gif' END)
+              |SELECT doc, fmt, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              |  CAST(sum(CASE WHEN keep THEN sz ELSE 0 END) AS BIGINT) AS bytes_kept,
+              |  CAST(sum(CASE WHEN NOT keep THEN sz ELSE 0 END) AS BIGINT) AS bytes_dropped
+              |FROM inv GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val spec = s.createDataFrame(Seq(
+          ("png", "IHDR", -1, "", 25L), ("png", "tEXt", -1, "", 40L),
+          ("png", "eXIf", -1, "", 300L), ("png", "tRNS", -1, "", 18L),
+          ("png", "pHYs", -1, "", 21L), ("png", "IDAT", -1, "", 5000L),
+          ("png", "IEND", -1, "", 12L),
+          ("jpeg", "mE0", 224, "", 18L), ("jpeg", "mE1", 225, "", 2000L),
+          ("jpeg", "mDB", 219, "", 69L), ("jpeg", "mC0", 192, "", 19L),
+          ("jpeg", "mFE", 254, "", 60L), ("jpeg", "SOS", 218, "", 8000L),
+          ("riff", "fmt ", -1, "", 24L), ("riff", "JUNK", -1, "", 512L),
+          ("riff", "LIST", -1, "INFO", 128L), ("riff", "LIST", -1, "movi", 9000L),
+          ("riff", "id3 ", -1, "", 200L), ("riff", "data", -1, "", 7000L),
+          ("gif", "hdr", -1, "", 100L)))
+          .toDF("fmt", "kind", "marker", "list_type", "base_size")
+        val inv = docs(s, dir)
+          .select(col("doc_id").as("doc"),
+            (col("doc_id") % 4).cast("int").as("_f"),
+            (col("doc_id") % 7).as("_var"))
+          .withColumn("fmt",
+            when(col("_f") === 0, "png").when(col("_f") === 1, "jpeg")
+              .when(col("_f") === 2, "riff").otherwise("gif"))
+          .join(broadcast(spec), "fmt")
+          .withColumn("sz", (col("base_size") + col("_var")).cast("long"))
+        graft.multimodal.Media.scrubPolicyAudit(inv, col("doc"), col("fmt"),
+          col("kind"), col("marker"), col("list_type"), col("sz"))
       }))
 
   /** The q166 Bradley–Terry fit over hash-paired document duels, shared

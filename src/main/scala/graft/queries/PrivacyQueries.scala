@@ -42,6 +42,10 @@ object PrivacyQueries {
   private val DpAvgEps = 1.0
   private val DpAvgSeed = "graft-r14-mean"
   private val DpAvgHi = 400L
+  // q219 user-level constants: ε per USER, k-bounded contributions
+  private val DpUserEps = 0.9
+  private val DpUserK = 3
+  private val DpUserSeed = "graft-r15-user"
 
   val queries: Seq[Q] = Seq(
 
@@ -285,6 +289,39 @@ object PrivacyQueries {
           Privacy.spendOfCounts("rel_ev_b", "events", 0.25, "graft-r15-ev", nEvB))
         Privacy.dpBudgetAudit(ledger, budgetMicroEps = 1500000L)
       }),
+
+    // USER-level ε-DP noisy counts (Privacy.dpNoisyCountsByUser): the
+    // row-level q190 contract is wrong for event tables — one user
+    // contributes MANY rows, so row-level ε protects almost nothing.
+    // Contributions are bounded at k=3 under the deterministic total
+    // order (ts, event_id), then the count mechanism runs at ε/k; by
+    // group privacy the release is ε-DP per USER. The oracle replays
+    // the bound (row_number window) and the noise (CASE chain generated
+    // from geometricThresholds at ε/k — the one constant source).
+    // Ledger rows for this release come from spendOfUserCounts, which
+    // records sensitivity k so the audit charges the user-level price.
+    Q("q219_dp_user_level", {
+      val caseSql = dpNoiseCase("u", DpUserEps / DpUserK, DpMaxShift)
+      Some(s"""WITH b AS (
+              |  SELECT event_type FROM (
+              |    SELECT event_type, row_number() OVER (
+              |        PARTITION BY user_id ORDER BY ts, event_id) AS rk
+              |    FROM events) WHERE rk <= $DpUserK),
+              |c AS (SELECT event_type AS q0, count(*) AS group_size
+              |  FROM b GROUP BY 1),
+              |h AS (SELECT q0, group_size,
+              |  ('0x' || substr(md5('$DpUserSeed' || '|' || q0), 1, 6))::BIGINT
+              |    AS u FROM c),
+              |n AS (SELECT q0, group_size,
+              |  CAST($caseSql AS BIGINT) AS noise FROM h)
+              |SELECT q0, group_size, noise,
+              |  greatest(0, group_size + noise) AS released FROM n""".stripMargin)
+    },
+      (s, dir) =>
+        Privacy.dpNoisyCountsByUser(Tables.events(s, dir), col("user_id"),
+          Seq(col("ts"), col("event_id")), k = DpUserK,
+          quasi = Seq(col("event_type")), eps = DpUserEps,
+          seed = DpUserSeed, maxShift = DpMaxShift)),
 
     // Keyed pseudonymization (Privacy.pseudonymize): doc_id and source
     // replaced by sha2-256(secret|col|value); the released frame still

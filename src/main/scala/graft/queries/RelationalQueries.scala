@@ -1124,6 +1124,51 @@ object RelationalQueries {
           Nil, col("period"), col("bucket"), col("c"))
       }),
 
+    // Day-over-day POPULATION STABILITY INDEX series (Drift.psiSeries):
+    // the scorecard-monitoring drift statistic alongside q193's TVD —
+    // the log ratio amplifies RELATIVE mass moves TVD underweights, and
+    // add-one smoothing over the pair's bucket union gives the fixed
+    // industry reading (<0.1 / 0.1–0.25 / ≥0.25). Engine portability by
+    // the DP-sums ln precedent, hardened one step further: each
+    // bucket's term is ONE float tree floored to a long BEFORE the
+    // cross-bucket sum, so no float summation-order hazard exists; the
+    // per-bucket term SQL is generated from the same helper as the
+    // engine's (anti-drift).
+    Q("q220_psi_series",
+      Some(s"""WITH h AS (
+             |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS period,
+             |         event_type AS b, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+             |hp AS (SELECT period + 1 AS period, b, c FROM h),
+             |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+             |j AS (
+             |  SELECT coalesce(h.period, hp.period) AS period,
+             |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+             |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+             |k AS (
+             |  SELECT j.period, c, cp, n_cur, n_prev,
+             |         count(*) OVER (PARTITION BY j.period) AS nb
+             |  FROM j JOIN tot ON j.period = tot.period
+             |         JOIN tp ON j.period = tp.period),
+             |t AS (
+             |  SELECT period, n_prev, n_cur, nb,
+             |         greatest(1, ((c + 1) * 1000000) // (n_cur + nb)) AS p,
+             |         greatest(1, ((cp + 1) * 1000000) // (n_prev + nb)) AS q
+             |  FROM k),
+             |u AS (SELECT period, n_prev, n_cur, nb,
+             |         ${Drift.psiTermSql("p", "q")} AS term FROM t)
+             |SELECT period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+             |  CAST(max(nb) AS BIGINT) AS n_buckets,
+             |  CAST(sum(term) AS BIGINT) AS psi_micro,
+             |  CASE WHEN sum(term) < 100000 THEN 'stable'
+             |       WHEN sum(term) < 250000 THEN 'moderate'
+             |       ELSE 'shifted' END AS level
+             |FROM u GROUP BY period""".stripMargin),
+      (s, dir) =>
+        Drift.psiSeries(t(s, dir, "events"),
+          unix_date(to_date(col("ts"))), col("event_type"))),
+
     // Reference-vs-candidate drift gate: the promote/hold decision for an
     // ingestion window against a pinned reference (fixed threshold — the
     // reference is a contract). Two gates: the true second half passes

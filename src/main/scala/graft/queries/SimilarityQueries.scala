@@ -443,6 +443,57 @@ object SimilarityQueries {
           e.filter(col("vec_id") % 2 === 1 && col("vec_id") <= 80),
           col("vec_id"), col("embedding"),
           nnK = 4, topN = 50)
+      }),
+
+    // SEMANTIC drift: the embedding-distribution monitor — assign every
+    // vector to its seeded-codebook IVF cell (the q47 oracle pipeline:
+    // argmin |c|² − 2·v·c, ties on cell), histogram cells per ingestion
+    // period (vec_id % 4), and run the exact-integer TVD series over
+    // the CELL histograms. At 100 TB this is how embedding shift is
+    // monitored without storing or re-scanning embeddings: the
+    // |periods × cells| histogram is the only retained state, and the
+    // codebook pins cell identity across periods (re-fitting per
+    // period would make the series incomparable). Composes
+    // Similarity.withIvfCell ∘ Drift.tvdSeries — both oracle-proven
+    // alone (q47, q193); this row pins the composition.
+    Q("q221_semantic_drift",
+      Some(s"""WITH $eCte,
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |asgn AS (SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM e CROSS JOIN c) WHERE rn = 1),
+              |h AS (SELECT vec_id % 4 AS period, cell AS b, count(*) AS c
+              |  FROM asgn GROUP BY 1, 2),
+              |tot AS (SELECT period, CAST(sum(c) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+              |hp AS (SELECT period + 1 AS period, b, c FROM h),
+              |tp AS (SELECT period + 1 AS period, n_cur AS n_prev FROM tot),
+              |j AS (
+              |  SELECT coalesce(h.period, hp.period) AS period,
+              |         coalesce(h.c, 0) AS c, coalesce(hp.c, 0) AS cp
+              |  FROM h FULL JOIN hp ON h.period = hp.period AND h.b = hp.b),
+              |sx AS (
+              |  SELECT j.period, max(n_prev) AS n_prev, max(n_cur) AS n_cur,
+              |         CAST(sum(abs(c * n_prev - cp * n_cur)) AS BIGINT) AS tvd_num
+              |  FROM j JOIN tot ON j.period = tot.period JOIN tp ON j.period = tp.period
+              |  GROUP BY 1),
+              |p AS (
+              |  SELECT period, n_prev, n_cur, tvd_num,
+              |         ${graft.operators.Sampling.microRatioSql("tvd_num", "2 * n_cur * n_prev", "//")} AS tvd_ppm
+              |  FROM sx)
+              |SELECT period, n_prev, n_cur, tvd_num, tvd_ppm,
+              |       2 * (SELECT count(*) FROM p) * tvd_ppm
+              |         > 3 * (SELECT CAST(sum(tvd_ppm) AS BIGINT) FROM p) AS drifted
+              |FROM p""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = Similarity.seededCentroids(e, col("vec_id"),
+          col("embedding"), 1L to 8L)
+        val cells = Similarity.withIvfCell(e, col("vec_id"),
+          col("embedding"), cents)
+        graft.operators.Drift.tvdSeries(cells, col("vec_id") % 4, col("cell"))
       })
   )
 }

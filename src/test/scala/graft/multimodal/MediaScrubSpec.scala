@@ -186,4 +186,61 @@ class MediaScrubSpec extends SparkSpec {
       case other => fail(s"decode mismatch: $other")
     }
   }
+
+  // ---- byte-vs-policy tie (the q218 oracle-tier core's ground truth):
+  // the RELATIONAL policy (Media.scrubKeep, DuckDB-replayed by q218)
+  // must agree chunk-for-chunk with what the byte walkers actually do.
+
+  /** Kept (kind, size) sequence per the RELATIONAL policy, evaluated
+    * through the real Column expression (not a re-implementation). */
+  private def policyKept(rows: Seq[MediaCodec.ChunkRow]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    rows.toDF()
+      .withColumn("keep", Media.scrubKeep(col("fmt"), col("kind"),
+        col("marker"), col("listType")))
+      .collect()
+      .filter(_.getAs[Boolean]("keep"))
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("size"))).toSeq
+  }
+
+  test("scrubKeep policy == byte scrub, chunk-for-chunk (PNG/JPEG)") {
+    val png = MediaCodec.withPngText(MediaCodec.synthPng(21L, 40, 24),
+      "Author", "gps 9.9,8.8")
+    val avi = MediaCodec.synthAvi(22L, 48, 32, 2 * 40L)
+    val jpeg = MediaCodec.withJpegComment(MediaCodec.decode(avi) match {
+      case v: MediaCodec.VideoMjpeg => v.frames(0)
+      case other => fail(s"expected MJPEG: $other")
+    }, "SECRET")
+    for (p <- Seq(png, jpeg)) {
+      val before = MediaCodec.chunkInventory(p)
+      val after = MediaCodec.chunkInventory(MediaCodec.stripMetadata(p))
+      // kinds AND total sizes survive exactly for kept chunks: the byte
+      // scrub copies them verbatim (PNG chunks, pre-SOS JPEG segments,
+      // and the SOS row's verbatim entropy tail)
+      assert(after.map(r => (r.kind, r.size)) === policyKept(before),
+        s"policy/byte disagreement on ${before.head.fmt}")
+      assert(after.size < before.size, "fixtures plant droppable metadata")
+    }
+  }
+
+  test("scrubKeep policy == byte scrub at RIFF top level; movi shrink visible") {
+    val wav = MediaCodec.withRiffInfo(MediaCodec.synthWav(23L, 500L), "author z")
+    val beforeW = MediaCodec.chunkInventory(wav)
+    val afterW = MediaCodec.chunkInventory(MediaCodec.stripMetadata(wav))
+    // WAV: no nesting changes sizes, so kinds AND sizes tie exactly
+    assert(afterW.map(r => (r.kind, r.size)) === policyKept(beforeW))
+    val avi = MediaCodec.withRiffInfo(
+      MediaCodec.synthAvi(24L, 48, 32, 3 * 40L), "editor trail")
+    val beforeA = MediaCodec.chunkInventory(avi)
+    val afterA = MediaCodec.chunkInventory(MediaCodec.stripMetadata(avi))
+    // AVI: kept LISTs can SHRINK in place (nested INFO drops, movi
+    // frames lose APPn), so the top-level tie is on the kind sequence;
+    // the policy decides identically (idx1 is REBUILT by the scrub,
+    // not dropped, so it appears on both sides)
+    assert(afterA.map(_.kind) === policyKept(beforeA).map(_._1),
+      "AVI top-level kind sequence must match the policy")
+    assert(beforeA.exists(r => r.kind == "LIST" && r.listType == "INFO") &&
+      !afterA.exists(r => r.listType == "INFO"),
+      "the planted INFO list must be the thing the policy dropped")
+  }
 }

@@ -214,4 +214,73 @@ class DriftSpec extends SparkSpec {
     assert(got === want)
     assert(want.exists(_._4), "fixture must alert somewhere")
   }
+
+  // ------------------------------------------------------------- PSI
+
+  test("psiSeries: identical mix is 0/stable; flip terms are exact") {
+    val got = Drift.psiSeries(seriesFixture, col("day"), col("bucket"))
+      .select("period", "n_prev", "n_cur", "n_buckets", "psi_micro", "level")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2, s"edge period must drop: $got")
+    assert(got(2L) == ((2L, 4L, 4L, 2L, 0L, "stable")), got.toString)
+    // p3 vs p2 (a: 3→1, b: 1→3), union B=2, both totals 4: smoothed
+    // micro-proportions (c+1)·10⁶ div 6 = 333333 / 666666; the expected
+    // terms replay the operator's float tree VERBATIM (⌊(p−q)·ln(p/q)⌋
+    // per bucket — not an algebraic rearrangement, which could differ
+    // in the last ulp)
+    def term(p: Long, q: Long): Long =
+      math.floor((p - q).toDouble * math.log(p.toDouble / q.toDouble)).toLong
+    val want = term(333333L, 666666L) + term(666666L, 333333L)
+    assert(got(3L)._5 == want, s"want $want: $got")
+    assert(got(3L)._6 == "shifted", got.toString) // ≈ 0.46 PSI
+  }
+
+  test("psiSeries: vanished bucket stays finite via add-one smoothing") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"), (2L, "a")).toDF("day", "bucket")
+    val r = Drift.psiSeries(df, col("day"), col("bucket"))
+      .select("n_buckets", "psi_micro", "level")
+      .as[(Long, Long, String)].head()
+    // b vanished entirely: raw PSI would be ±∞; smoothing keeps the
+    // term finite and large — and every term is non-negative
+    assert(r._1 == 2L && r._2 > 0L, r.toString)
+    // a: p=(5·10⁶ div 6)=833333 q=(3·10⁶ div 6)=500000;
+    // b: p=(1·10⁶ div 6)=166666 q=500000 — terms replay the
+    // operator's tree verbatim
+    def term(p: Long, q: Long): Long =
+      math.floor((p - q).toDouble * math.log(p.toDouble / q.toDouble)).toLong
+    val want = term(833333L, 500000L) + term(166666L, 500000L)
+    assert(r._2 == want, s"want $want: $r")
+  }
+
+  test("psiSeriesBy: per-group series stay independent") {
+    val df = Seq(
+      ("g1", 1L, "a"), ("g1", 1L, "b"), ("g1", 2L, "a"), ("g1", 2L, "b"),
+      ("g2", 1L, "a"), ("g2", 1L, "a"), ("g2", 2L, "b"), ("g2", 2L, "b"))
+      .toDF("grp", "day", "bucket")
+    val got = Drift.psiSeriesBy(df, Seq(col("grp")), col("day"), col("bucket"))
+      .select("g0", "psi_micro", "level")
+      .as[(String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got("g1")._2 == 0L && got("g1")._3 == "stable", got.toString)
+    assert(got("g2")._2 > 250000L && got("g2")._3 == "shifted", got.toString)
+  }
+
+  test("psiSeriesFromCounts == psiSeries, duplicate generations summed") {
+    val df = seriesFixture
+    val counts = df.groupBy("day", "bucket").agg(count(lit(1)).as("c"))
+    // split every count into two generations (c−1, 1) — appended
+    // micro-batches must recombine exactly
+    val gen1 = counts.withColumn("c", col("c") - 1).filter(col("c") > 0)
+    val gen2 = counts.withColumn("c", lit(1L))
+    val got = Drift.psiSeriesFromCounts(gen1.unionByName(gen2), Nil,
+        col("day"), col("bucket"), col("c"))
+      .select("period", "psi_micro", "level")
+      .as[(Long, Long, String)].collect().toSet
+    val want = Drift.psiSeries(df, col("day"), col("bucket"))
+      .select("period", "psi_micro", "level")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._3 == "shifted"), "fixture must shift somewhere")
+  }
 }

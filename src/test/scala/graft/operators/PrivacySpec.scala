@@ -327,4 +327,49 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpBudgetAudit(ledger, 0L)
     }
   }
+
+  test("boundContributions: first k per user under the total order") {
+    val df = Seq(
+      ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "c"),
+      ("u1", 40L, "d"), ("u1", 50L, "e"),
+      ("u2", 15L, "x"), ("u2", 25L, "y")).toDF("user", "ts", "tag")
+    val kept = Privacy.boundContributions(df, col("user"), 3,
+        Seq(col("ts"), col("tag")))
+      .select("user", "tag").as[(String, String)].collect().toSet
+    assert(kept === Set(("u1", "a"), ("u1", "b"), ("u1", "c"),
+      ("u2", "x"), ("u2", "y")), kept.toString)
+    intercept[IllegalArgumentException] {
+      Privacy.boundContributions(df, col("user"), 0, Seq(col("ts")))
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.boundContributions(df, col("user"), 3, Nil)
+    }
+  }
+
+  test("dpNoisyCountsByUser == bound-then-count at eps/k; ledger charges k") {
+    val df = Seq(
+      ("u1", 1L, "t1"), ("u1", 2L, "t1"), ("u1", 3L, "t1"),
+      ("u1", 4L, "t1"), ("u1", 5L, "t2"),
+      ("u2", 1L, "t2"), ("u2", 2L, "t2"), ("u3", 1L, "t1"))
+      .toDF("user", "seq", "tag")
+    val eps = 0.9; val k = 3
+    val got = Privacy.dpNoisyCountsByUser(df, col("user"),
+        Seq(col("seq")), k, Seq(col("tag")), eps, "s15")
+      .select("q0", "group_size", "noise", "released")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Privacy.dpNoisyCounts(
+        Privacy.boundContributions(df, col("user"), k, Seq(col("seq"))),
+        Seq(col("tag")), eps / k, "s15")
+      .select("q0", "group_size", "noise", "released")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // the bound bit: u1's 5 rows cap at 3 (t1 loses its seq=4,5 rows,
+    // so t2 contributes nothing from u1)
+    assert(got.map(r => r._1 -> r._2).toMap === Map("t1" -> 4L, "t2" -> 2L))
+    // ledger: ONE row at the user-level price — full ε, sensitivity k
+    val spend = Privacy.spendOfUserCounts("rel", "events", eps, k, "s15", 2L)
+    assert(spend.size == 1 && spend.head.epsMicro == 900000L &&
+      spend.head.sensitivity == 3L &&
+      spend.head.mechanism == "dp_noisy_counts.user_k3", spend.toString)
+  }
 }

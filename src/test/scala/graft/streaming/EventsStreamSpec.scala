@@ -281,6 +281,17 @@ class EventsStreamSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
     assert(got === want)
     assert(want.nonEmpty)
+    // the SAME streamed generations drive the exact batch PSI series too
+    // (psiSeriesFromCounts shares the histogram contract)
+    val gotPsi = graft.operators.Drift.psiSeriesFromCounts(
+        graft.streaming.DriftStream.loadHistograms(spark, hist.toString),
+        Nil, col("period"), col("bucket"), col("c"))
+      .select("period", "psi_micro", "level")
+      .as[(Long, Long, String)].collect().toSet
+    val wantPsi = graft.operators.Drift.psiSeries(ev, col("period"), col("event_type"))
+      .select("period", "psi_micro", "level")
+      .as[(Long, Long, String)].collect().toSet
+    assert(gotPsi === wantPsi)
   }
 
   test("drift series over a stream: histogram state across micro-batches == batch series") {
