@@ -69,6 +69,14 @@ object StressDrift {
       }
       println(s"[drift]   pairs=${s.getLong(0)} drifted=${s.getLong(1)} max_ppm=${s.getLong(2)}")
     }
+    for (rep <- Seq("cold", "warm")) timed(s"psi_series_$rep") {
+      val s = scala.util.Using.resource(new graft.operators.CacheScope) { sc =>
+        Drift.psiSeries(rows, col("day"), col("bucket"), scope = sc)
+          .agg(count(lit(1)),
+            count_if(col("level") =!= "stable"), max(col("psi_micro"))).head
+      }
+      println(s"[drift]   pairs=${s.getLong(0)} nonstable=${s.getLong(1)} max_psi_micro=${s.getLong(2)}")
+    }
     for (rep <- Seq("cold", "warm")) timed(s"tvd_gate_$rep") {
       val ref = rows.filter(col("day") < 15)
       val cur = rows.filter(col("day") >= 15)
