@@ -420,6 +420,36 @@ object Privacy {
       eps / k, seed, maxShift)
   }
 
+  /** USER-level ε-DP noisy sums: pre-aggregate the value per
+    * (user, group) — after which rows ARE individuals, which is exactly
+    * the one-row-per-individual contract [[dpNoisySums]] documents —
+    * then clip each user's per-group TOTAL to [clipLo, clipHi] and
+    * noise at ε/Δ. One user's entire contribution to a released group
+    * moves that group's sum by at most Δ = max(|lo|, |hi|), so the
+    * release is ε-DP per user WITH RESPECT TO EACH GROUP. A user
+    * contributing to g groups is covered by g·ε under sequential
+    * composition — bound g first with [[boundContributions]] over the
+    * user's DISTINCT group keys when strict whole-release user-level ε
+    * is required (the same caveat every production user-level sum
+    * carries). Ledger with [[spendOfSums]] under a user-level release
+    * name — Δ is already the clip bound, which is now per-USER.
+    *
+    * Shape: two map-side-combinable aggregations (corpus → per-user
+    * partials → group sums); the clip between them is a projection. */
+  def dpNoisySumsByUser(df: DataFrame, userCol: Column, quasi: Seq[Column],
+                        value: Column, clipLo: Long, clipHi: Long,
+                        eps: Double, seed: String): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    val keys = quasi.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+    val keyNames = quasi.indices.map(i => s"q$i")
+    val perUser = df
+      .select((userCol.as("_user") +: keys) :+ value.cast("long").as("_v"): _*)
+      .groupBy((col("_user") +: keyNames.map(col)): _*)
+      .agg(sum("_v").as("_uv"))
+    dpNoisySums(perUser, keyNames.map(col), col("_uv"),
+      clipLo, clipHi, eps, seed)
+  }
+
   // ------------------------------------------------------ budget ledger
 
   /** One mechanism invocation in a DP release pipeline — a budget-ledger

@@ -46,6 +46,10 @@ object PrivacyQueries {
   private val DpUserEps = 0.9
   private val DpUserK = 3
   private val DpUserSeed = "graft-r15-user"
+  // q223 user-level sum constants: per-user per-group total clipped to
+  // [0, 2000] — Δ = 2000 is the user-level sensitivity
+  private val DpUserSumEps = 0.5
+  private val DpUserSumSeed = "graft-r15-usersum"
 
   val queries: Seq[Q] = Seq(
 
@@ -322,6 +326,39 @@ object PrivacyQueries {
           Seq(col("ts"), col("event_id")), k = DpUserK,
           quasi = Seq(col("event_type")), eps = DpUserEps,
           seed = DpUserSeed, maxShift = DpMaxShift)),
+
+    // USER-level ε-DP noisy SUMS (Privacy.dpNoisySumsByUser): value mass
+    // pre-aggregated per (user, event_type) — after which rows ARE
+    // individuals, dpNoisySums' documented contract — each user's
+    // per-group TOTAL clipped to [0, 2000] (Δ = 2000 is now the
+    // USER-level sensitivity), closed-form discrete-Laplace at ε/Δ.
+    // The oracle replays pre-aggregate, clip, and noise; floor(value)
+    // (not a raw double cast) keeps the integer conversion identical
+    // across engines (Spark CAST truncates, DuckDB CAST rounds).
+    Q("q223_dp_user_sums", {
+      val p = math.exp(-DpUserSumEps / 2000.0)
+      Some(s"""WITH pu AS (SELECT user_id, event_type AS q0,
+              |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS uv
+              |  FROM events GROUP BY 1, 2),
+              |s AS (SELECT q0,
+              |    CAST(sum(greatest(0, least(2000, uv))) AS BIGINT) AS group_sum
+              |  FROM pu GROUP BY 1),
+              |h AS (SELECT q0, group_sum,
+              |  (('0x' || substr(md5('$DpUserSumSeed' || '|' || q0), 1, 6))::BIGINT
+              |    + 0.5) / 16777216.0 AS u FROM s),
+              |n AS (SELECT q0, group_sum,
+              |  CAST(CASE WHEN u < ${p / (1 + p)}
+              |       THEN 1 - ceil(ln(u * ${1 + p}) / ${math.log(p)})
+              |       ELSE floor(ln((1 - u) * ${1 + p}) / ${math.log(p)}) END
+              |    AS BIGINT) AS noise FROM h)
+              |SELECT q0, group_sum, noise,
+              |  greatest(0, group_sum + noise) AS released FROM n""".stripMargin)
+    },
+      (s, dir) =>
+        Privacy.dpNoisySumsByUser(Tables.events(s, dir), col("user_id"),
+          Seq(col("event_type")), floor(col("value")),
+          clipLo = 0L, clipHi = 2000L, eps = DpUserSumEps,
+          seed = DpUserSumSeed)),
 
     // Keyed pseudonymization (Privacy.pseudonymize): doc_id and source
     // replaced by sha2-256(secret|col|value); the released frame still

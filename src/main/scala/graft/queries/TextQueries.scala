@@ -1811,6 +1811,40 @@ object TextQueries {
             docs(s, dir).select("doc_id", "n_chars"),
             col("doc_id"), col("n_chars"), targetBytes = 20000L)
           .select(col("doc_id"), col("n_chars"), col("running"),
-            col("shard_id")))
+            col("shard_id"))),
+
+    // Tokenizer fertility/compression card (TokenizerEval.fertilityCard):
+    // per-language tokens-per-word and chars-per-token — the audit a
+    // multilingual pipeline reads before committing to a vocabulary
+    // (2-3x fertility imbalance is the defect q134's temperature
+    // rebalance exists to fix). Instantiated here with the regex
+    // pre-tokenizer (Java∩RE2, oracle-replayable); the learned byte-BPE
+    // instantiation is spec-tier (its merge table isn't ANSI). Ratios
+    // are exact staged-integer micro-ratios.
+    Q("q222_tokenizer_fertility", {
+      import graft.operators.Sampling.microRatioSql
+      Some(s"""WITH p AS (SELECT lang,
+              |    len($toksSql) AS w,
+              |    len(${bpePiecesSql("text")}) AS t,
+              |    length(text) AS c
+              |  FROM documents),
+              |a AS (SELECT lang, count(*) AS n_docs,
+              |    CAST(sum(w) AS BIGINT) AS sum_words,
+              |    CAST(sum(t) AS BIGINT) AS sum_tokens,
+              |    CAST(sum(c) AS BIGINT) AS sum_chars
+              |  FROM p GROUP BY lang)
+              |SELECT lang, n_docs, sum_words, sum_tokens, sum_chars,
+              |  CASE WHEN sum_words > 0
+              |       THEN ${microRatioSql("sum_tokens", "sum_words", "//")}
+              |       END AS fertility_micro,
+              |  CASE WHEN sum_tokens > 0
+              |       THEN ${microRatioSql("sum_chars", "sum_tokens", "//")}
+              |       END AS chars_per_token_micro
+              |FROM a""".stripMargin)
+    },
+      (s, dir) =>
+        graft.text.TokenizerEval.fertilityCard(docs(s, dir), col("lang"),
+          size(tokens(col("text"))), size(bpePieces(col("text"))),
+          length(col("text"))))
   )
 }

@@ -372,4 +372,27 @@ class PrivacySpec extends SparkSpec {
       spend.head.sensitivity == 3L &&
       spend.head.mechanism == "dp_noisy_counts.user_k3", spend.toString)
   }
+
+  test("dpNoisySumsByUser: per-user totals clipped, == dpNoisySums over pre-agg") {
+    // u1 contributes 3 rows to g1 totaling 900 (clips to 500);
+    // u2 contributes 100 to g1; u3 contributes 2 rows to g2 totaling 300
+    val df = Seq(
+      ("u1", "g1", 400L), ("u1", "g1", 400L), ("u1", "g1", 100L),
+      ("u2", "g1", 100L), ("u3", "g2", 200L), ("u3", "g2", 100L))
+      .toDF("user", "grp", "v")
+    val got = Privacy.dpNoisySumsByUser(df, col("user"), Seq(col("grp")),
+        col("v"), clipLo = 0L, clipHi = 500L, eps = 0.5, seed = "us15")
+      .select("q0", "group_sum", "noise", "released")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val pre = df.groupBy("user", "grp").agg(sum("v").as("uv"))
+    val want = Privacy.dpNoisySums(pre, Seq(col("grp")), col("uv"),
+        clipLo = 0L, clipHi = 500L, eps = 0.5, seed = "us15")
+      .select("q0", "group_sum", "noise", "released")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // the user-level clip bit: g1's sum is 500 (u1's 900 clipped) + 100,
+    // NOT 1000 — a row-level clip at 500 would have passed all of u1's
+    // rows through unclipped
+    assert(got.map(r => r._1 -> r._2).toMap === Map("g1" -> 600L, "g2" -> 300L))
+  }
 }

@@ -158,4 +158,37 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m._1, m._2)) ==
       Seq(("a", "b"), ("ab", Bpe.EndOfWord)), merges.toString)
   }
+
+  test("fertilityCard: exact hand ratios; learned byte-BPE instantiation") {
+    import graft.text.TokenizerEval
+    // hand fixture: en has 2 docs, 3+1 words, 6+2 tokens, 20+10 chars
+    // → fertility 8/4 = 2.000000, chars/token 30/8 = 3.750000
+    val df = Seq(
+      ("en", 3L, 6L, 20L), ("en", 1L, 2L, 10L), ("xx", 0L, 0L, 0L))
+      .toDF("lang", "w", "t", "c")
+    val got = TokenizerEval.fertilityCard(df, col("lang"), col("w"),
+        col("t"), col("c"))
+      .select("lang", "n_docs", "fertility_micro", "chars_per_token_micro")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("en") == ((2L, Some(2000000L), Some(3750000L))), got.toString)
+    // degenerate denominators release NULL, not a fake ratio
+    assert(got("xx") == ((1L, None, None)), got.toString)
+    // learned byte-BPE instantiation: the card consumes ANY tokenizer's
+    // counts — encoded symbol counts from a trained merge table here
+    val corpus = Seq((1L, "en", "aa aa bb"), (2L, "en", "aa bb bb"),
+      (3L, "zz", "qq rr ss tt")).toDF("doc_id", "lang", "text")
+    val merges = Bpe.learnMerges(Bpe.initByteVocab(corpus, col("text")), 8)
+      .map(m => (m._1, m._2))
+    val card = TokenizerEval.fertilityCard(corpus, col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))),
+        size(Bpe.applyByteMerges(col("text"), merges)),
+        length(col("text")))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("sum_tokens"), r.getAs[Long]("fertility_micro"))).toMap
+    // merges were trained on en-dominated pairs, so en compresses to
+    // fewer symbols per word than the unseen-script zz
+    assert(card("en")._2 < card("zz")._2,
+      s"trained language must show lower fertility: $card")
+  }
 }
