@@ -594,6 +594,45 @@ object Media {
     }.toDF("media_id", "kind", "bytes_before", "bytes_after", "bytes_removed")
   }
 
+  /** Temporal-media DATA CARD: the release-facing summary of the
+    * corpus's persisted temporal tracks — what a multimodal dataset
+    * card's "video/audio characteristics" section reports
+    * ([[graft.operators.Release.dataCard]] covers the text corpus;
+    * this covers the clips). Inputs are the PERSISTED track operators'
+    * outputs ([[sceneCutsFromHashes]] rows and
+    * [[audioActivityFromEnergy]] segments — both re-readable without a
+    * codec pass, the FromSigs discipline), so the card costs two
+    * track-sized aggregations and one 1-row cross join; the corpus
+    * payloads are never touched.
+    *
+    * One row: (n_video_clips, n_frames, n_cuts, cut_rate_ppm — cuts
+    * per frame in ppm; every clip's first frame counts as a cut, the
+    * scene-start convention [[sceneCutsFromHashes]] emits —
+    * mean_scene_frames_micro, n_audio_clips, n_segments, speech_ms,
+    * mean_seg_ms_micro). Exact integers and staged micro-ratios
+    * throughout; NULL ratios on empty inputs rather than fake zeros. */
+  def temporalCard(cuts: DataFrame, segments: DataFrame): DataFrame = {
+    import graft.operators.Sampling.microRatioSql
+    val v = cuts.agg(
+        countDistinct("media_id").as("n_video_clips"),
+        count(lit(1)).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
+      .withColumn("cut_rate_ppm",
+        when(col("n_frames") > 0L,
+          expr(microRatioSql("n_cuts", "n_frames", "div"))))
+      .withColumn("mean_scene_frames_micro",
+        when(col("n_cuts") > 0L,
+          expr(microRatioSql("n_frames", "n_cuts", "div"))))
+    val a = segments.agg(
+        countDistinct("media_id").as("n_audio_clips"),
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(col("end_ms") - col("start_ms")), lit(0L)).as("speech_ms"))
+      .withColumn("mean_seg_ms_micro",
+        when(col("n_segments") > 0L,
+          expr(microRatioSql("speech_ms", "n_segments", "div"))))
+    v.crossJoin(a) // both sides are 1 row
+  }
+
   /** Oracle-tier DECISION CORE of the metadata scrub (the q213/q214
     * two-tier discipline: the byte walkers stay spec-tier, the
     * keep/strip POLICY gets a DuckDB twin): over a container-inventory

@@ -1249,6 +1249,92 @@ object CorpusQueries {
         graft.multimodal.Media.audioActivityFromEnergy(track, minRms = 100.0)
       }),
 
+    // Temporal-media DATA CARD (Media.temporalCard): the release
+    // summary of the persisted temporal tracks — clips/frames/cuts,
+    // cut rate, mean scene length, speech segments and mass — over the
+    // SAME synthetic q213/q214 tracks, so the oracle replays scene-cut
+    // detection, the VAD gaps-and-islands merge, AND the card
+    // arithmetic end to end. Track-sized aggregations only; payloads
+    // are never touched (the FromSigs discipline's payoff: the card
+    // needs no codec pass).
+    Q("q224_temporal_card", {
+      val h = TextFunctions.portableHashSql(
+        "(CAST(media_id AS VARCHAR) || ':scene:' || CAST(scene AS VARCHAR))")
+      import graft.operators.Sampling.microRatioSql
+      Some(s"""WITH fr AS (SELECT doc_id AS media_id,
+              |    unnest([0, 1, 2, 3, 4, 5]) AS frame_idx FROM documents),
+              |sc AS (SELECT media_id, frame_idx,
+              |    CASE WHEN media_id % 5 = 0 AND frame_idx >= 3
+              |         THEN 1 ELSE 0 END AS scene FROM fr),
+              |hx AS (SELECT media_id, frame_idx, $h AS fhash FROM sc),
+              |l AS (SELECT media_id, fhash,
+              |    lag(fhash) OVER (PARTITION BY media_id ORDER BY frame_idx)
+              |      AS prev FROM hx),
+              |cuts AS (SELECT media_id,
+              |    (prev IS NULL OR bit_count(xor(fhash, prev)) >= 16) AS is_cut
+              |  FROM l),
+              |v AS (SELECT
+              |    CAST(count(DISTINCT media_id) AS BIGINT) AS n_video_clips,
+              |    count(*) AS n_frames,
+              |    CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_cuts FROM cuts),
+              |w AS (SELECT doc_id AS media_id,
+              |    unnest(range(0, 40)) AS win_idx FROM documents),
+              |e AS (SELECT media_id, win_idx,
+              |    CAST(win_idx * 50 AS BIGINT) AS start_ms,
+              |    CAST((win_idx + 1) * 50 AS BIGINT) AS end_ms,
+              |    CASE WHEN win_idx % 8 < 5
+              |         THEN CAST(2000 + media_id % 100 AS DOUBLE)
+              |         ELSE 0.0 END AS rms FROM w),
+              |ai AS (SELECT *, win_idx - row_number()
+              |    OVER (PARTITION BY media_id ORDER BY win_idx) AS island
+              |  FROM e WHERE rms >= 100),
+              |g AS (SELECT media_id, island,
+              |    min(start_ms) AS start_ms, max(end_ms) AS end_ms
+              |  FROM ai GROUP BY 1, 2),
+              |a AS (SELECT
+              |    CAST(count(DISTINCT media_id) AS BIGINT) AS n_audio_clips,
+              |    count(*) AS n_segments,
+              |    CAST(coalesce(sum(end_ms - start_ms), 0) AS BIGINT)
+              |      AS speech_ms FROM g)
+              |SELECT n_video_clips, n_frames, n_cuts,
+              |  CASE WHEN n_frames > 0
+              |       THEN ${microRatioSql("n_cuts", "n_frames", "//")}
+              |       END AS cut_rate_ppm,
+              |  CASE WHEN n_cuts > 0
+              |       THEN ${microRatioSql("n_frames", "n_cuts", "//")}
+              |       END AS mean_scene_frames_micro,
+              |  n_audio_clips, n_segments, speech_ms,
+              |  CASE WHEN n_segments > 0
+              |       THEN ${microRatioSql("speech_ms", "n_segments", "//")}
+              |       END AS mean_seg_ms_micro
+              |FROM v CROSS JOIN a""".stripMargin)
+    },
+      (s, dir) => {
+        val m = graft.multimodal.Media
+        val track = docs(s, dir)
+          .select(col("doc_id").as("media_id"),
+            explode(sequence(lit(0), lit(5))).as("frame_idx"))
+          .withColumn("scene",
+            when(col("media_id") % 5 === 0 && col("frame_idx") >= 3, 1)
+              .otherwise(0))
+          .withColumn("fhash", TextFunctions.portableHash(
+            concat(col("media_id").cast("string"), lit(":scene:"),
+              col("scene").cast("string"))))
+          .drop("scene")
+        val energy = docs(s, dir)
+          .select(col("doc_id").as("media_id"),
+            explode(sequence(lit(0), lit(39))).as("win_idx"))
+          .withColumn("start_ms", (col("win_idx") * 50L).cast("long"))
+          .withColumn("end_ms", ((col("win_idx") + 1) * 50L).cast("long"))
+          .withColumn("rms",
+            when(col("win_idx") % 8 < 5,
+              (lit(2000L) + col("media_id") % 100).cast("double"))
+              .otherwise(lit(0.0)))
+        m.temporalCard(m.sceneCutsFromHashes(track, threshold = 16),
+          m.audioActivityFromEnergy(energy, minRms = 100.0))
+      }),
+
     // Metadata-scrub POLICY at the oracle tier (the q213/q214 two-tier
     // discipline, closing the one family whose correctness rested
     // entirely on self-authored byte fixtures): a container inventory

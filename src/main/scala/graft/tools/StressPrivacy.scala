@@ -92,6 +92,28 @@ object StressPrivacy {
         .agg(count(lit(1)), sum(abs(col("noise"))), count_if(col("released") === 0)).head
       println(s"[privacy]   groups=${r.getLong(0)} sum|noise|=${r.getLong(1)} zeroed=${r.getLong(2)}")
     }
+    // user-level DP: ~100k synthetic users (mega-user u0 owns every
+    // 10th row — the contribution skew the bound exists for); the
+    // per-user rank window is the family's only corpus-scale shuffle
+    timed("dp_user_counts") {
+      val withUser = rows.withColumn("user",
+        when(col("id") % 10 === 0, lit(0L))
+          .otherwise(pmod(xxhash64(lit("usr"), col("id")), lit(100000L))))
+      val r = Privacy.dpNoisyCountsByUser(withUser, col("user"),
+          Seq(col("id")), k = 5, quasi = quasi, eps = 1.0, seed = "stress-u")
+        .agg(count(lit(1)), sum("group_size")).head
+      println(s"[privacy]   groups=${r.getLong(0)} bounded_rows=${r.getLong(1)}")
+    }
+    timed("dp_user_sums") {
+      val withUser = rows.withColumn("user",
+        when(col("id") % 10 === 0, lit(0L))
+          .otherwise(pmod(xxhash64(lit("usr"), col("id")), lit(100000L))))
+      val r = Privacy.dpNoisySumsByUser(withUser, col("user"), quasi,
+          col("num"), clipLo = 0L, clipHi = 500000L, eps = 0.5,
+          seed = "stress-us")
+        .agg(count(lit(1)), sum("group_sum")).head
+      println(s"[privacy]   groups=${r.getLong(0)} clipped_mass=${r.getLong(1)}")
+    }
     // erasure: ~6% of ids request deletion (mod 17 hits both parities,
     // so the derived frame's owner ids — first id per odd-id group —
     // are reachable too); audited through the base frame AND a derived

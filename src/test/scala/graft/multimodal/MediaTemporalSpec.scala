@@ -158,6 +158,31 @@ class MediaTemporalSpec extends SparkSpec {
     assert(segs.head.getAs[Long]("end_ms") === 1975L)
   }
 
+  test("temporalCard: exact hand-computed release summary; NULL ratios on empty") {
+    // 2 clips × 3 frames: clip 1 cuts at frame 2 (plus both scene-start
+    // firsts) → 3 cuts over 6 frames; 2 segments totaling 300 ms
+    val cuts = Seq(
+      (1L, 0, true), (1L, 1, false), (1L, 2, true),
+      (2L, 0, true), (2L, 1, false), (2L, 2, false))
+      .toDF("media_id", "frame_idx", "is_cut")
+    val segs = Seq(
+      (1L, 1L, 0L, 200L), (2L, 1L, 100L, 200L))
+      .toDF("media_id", "seg_idx", "start_ms", "end_ms")
+    val got = Media.temporalCard(cuts, segs).collect().head
+    assert(got.getLong(0) == 2L && got.getLong(1) == 6L &&
+      got.getLong(2) == 3L, got.toString)
+    assert(got.getLong(3) == 500000L, s"cut rate 3/6 ppm: $got")
+    assert(got.getLong(4) == 2000000L, s"mean scene 6/3 frames: $got")
+    assert(got.getLong(5) == 2L && got.getLong(6) == 2L &&
+      got.getLong(7) == 300L, got.toString)
+    assert(got.getLong(8) == 150000000L, s"mean seg 300/2 ms micro: $got")
+    // empty tracks: counts 0, ratios NULL — never a fake zero
+    val empty = Media.temporalCard(cuts.filter(lit(false)),
+      segs.filter(lit(false))).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3) && empty.isNullAt(4)
+      && empty.isNullAt(8), empty.toString)
+  }
+
   test("non-audio rows and digital silence produce no activity rows") {
     val silent = MediaCodec.synthWavGapped(5L, 500L, toneMs = 1L, gapMs = 100000L)
     val media = Seq(
