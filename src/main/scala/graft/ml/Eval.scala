@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling.microRatioSql
+
+/** Classifier evaluation on corpus-scale score columns — the audit
+  * behind every "keep if classifier score ≥ τ" curation gate: before a
+  * pipeline trusts the quality/safety classifier seam, something must
+  * measure whether its scores actually rank positives above negatives.
+  * Extension tier (the reference evaluates with MLlib's
+  * BinaryClassificationEvaluator, whose area is approximated and
+  * float-summed — not replayable across engines).
+  */
+object Eval {
+
+  /** EXACT ROC-AUC by the Mann–Whitney rank-sum identity, integer end
+    * to end: AUC = U/(n⁺·n⁻) with U = Σ_{positives} midrank −
+    * n⁺(n⁺+1)/2, ties handled by MID-ranks (the textbook definition —
+    * an approximate trapezoid over sampled thresholds is what this
+    * replaces). Mid-ranks step by ½, so everything is carried DOUBLED:
+    * `two_u = Σ_s pos_s·(2·cumBefore_s + cnt_s + 1) − n⁺(n⁺+1)` is an
+    * exact long, and `auc_ppm = 10⁶·two_u/(2·n⁺·n⁻)` stages through
+    * [[graft.operators.Sampling.microRatioSql]] — no float anywhere,
+    * so any engine reproduces the released number bit-for-bit.
+    *
+    * Scale shape: scores must be integer-valued (the classifier seam's
+    * micro-quantized scores are; real-valued scores quantize first —
+    * that is a measurement decision, not a loss). The corpus collapses
+    * to a per-distinct-score histogram in ONE map-side-combinable
+    * aggregation; the global rank walk is a window over |distinct
+    * scores| rows (bounded by the score domain, NOT the corpus — the
+    * unpartitioned window is histogram-sized by construction).
+    *
+    * Output (1 row): (n_pos, n_neg, two_u, auc_ppm); auc_ppm is NULL
+    * when either class is absent (AUC is undefined, not 0). */
+  def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val h = df.select(scoreCol.cast("long").as("s"),
+        labelCol.cast("boolean").as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val before = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("_cb", coalesce(sum("cnt").over(before), lit(0L)))
+      .withColumn("_tms",
+        col("pos") * (lit(2L) * col("_cb") + col("cnt") + lit(1L)))
+      .agg(sum("pos").cast("long").as("n_pos"),
+        sum(col("cnt") - col("pos")).cast("long").as("n_neg"),
+        sum("_tms").cast("long").as("_trs"))
+      .withColumn("two_u",
+        col("_trs") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .withColumn("auc_ppm",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr(microRatioSql("two_u", "2 * n_pos * n_neg", "div"))))
+      .drop("_trs")
+  }
+}

@@ -72,4 +72,52 @@ object Packing {
   def packedBoundaries(packed: DataFrame): DataFrame =
     packed.select(col("shard"), col("bin"), col("doc_id"),
       (col("fill") - col("w")).as("seq_start"), col("w").as("seq_len"))
+
+  /** Packing EFFICIENCY audit over [[packGreedy]]'s output — the
+    * training-cost readout (every padding token is paid-for compute
+    * that trains nothing): per corpus, bins/docs/token totals, padding
+    * mass, overflow-bin count (single docs heavier than capacity —
+    * their bins legitimately exceed it and contribute no padding), the
+    * per-shard bin LOWER BOUND — overflow docs need one bin each
+    * regardless of weight, so the bound is Σ_s (overflow_docs_s +
+    * ⌈non-overflow-tokens_s / capacity⌉), which stays a true bound
+    * (≤ actual bins, so efficiency_ppm ≤ 10⁶) where the naive
+    * ⌈tokens/capacity⌉ would overshoot on heavy docs — and two staged
+    * micro-ratios: `fill_rate_ppm` (tokens over bins·capacity) and
+    * `efficiency_ppm` (lower bound over actual bins; 10⁶ means greedy
+    * first-fit matched the bound). All exact integers
+    * ([[graft.operators.Sampling.microRatioSql]]).
+    *
+    * Scale shape: one map-side-combinable (shard, bin) aggregation and
+    * one (shard) aggregation — both histogram-sized outputs — then
+    * 1-row arithmetic. The corpus-scale walk already happened in
+    * [[packGreedy]]; the audit never re-reads text. */
+  def fillAudit(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    import graft.operators.Sampling.microRatioSql
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("w").as("_btok"), count(lit(1)).as("_bdocs"))
+    val lb = packed.groupBy("shard")
+      .agg(sum(when(col("w") <= capacity, col("w")).otherwise(0L)).as("_st"),
+        sum(when(col("w") > capacity, 1L).otherwise(0L)).as("_ovf"))
+      .agg(sum(col("_ovf") +
+          expr(s"(_st + ${capacity - 1}) div $capacity"))
+        .cast("long").as("lower_bound_bins"))
+    bins.agg(
+        count(lit(1)).as("n_bins"),
+        sum("_bdocs").cast("long").as("n_docs"),
+        sum("_btok").cast("long").as("total_tokens"),
+        sum(greatest(lit(0L), lit(capacity) - col("_btok")))
+          .cast("long").as("padding_tokens"),
+        sum(when(col("_btok") > capacity, 1L).otherwise(0L))
+          .cast("long").as("overflow_bins"))
+      .crossJoin(lb) // both sides are 1 row
+      .withColumn("capacity", lit(capacity))
+      .withColumn("fill_rate_ppm",
+        when(col("n_bins") > 0L,
+          expr(microRatioSql("total_tokens", s"n_bins * $capacity", "div"))))
+      .withColumn("efficiency_ppm",
+        when(col("n_bins") > 0L,
+          expr(microRatioSql("lower_bound_bins", "n_bins", "div"))))
+  }
 }

@@ -543,6 +543,49 @@ object PipelineQueries {
           col("source"), col("tc"),
           Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.15, "wiki" -> 0.10),
           budget = 500000L, maxEpochs = 2.5)
-      })
+      }),
+
+    // EXACT ROC-AUC by rank-sum (ml.Eval.aucExact): the audit behind
+    // every classifier-score curation gate, integer end to end (the
+    // Mann-Whitney identity with mid-rank ties, carried doubled so the
+    // .5 steps stay exact) — replacing the float-summed trapezoid an
+    // MLlib evaluator would hand back. Planted separable-with-ties
+    // scores: positives (doc_id%4=0) score +300 over the n_chars%1000
+    // base, so AUC is high but tied scores exercise the mid-rank path
+    // at every scale. The corpus collapses to a per-distinct-score
+    // histogram; the rank walk windows over |scores| <= 1300 rows.
+    Q("q225_auc_exact", {
+      import graft.operators.Sampling.microRatioSql
+      Some(s"""WITH d AS (SELECT (doc_id % 4 = 0) AS y,
+              |    CAST(n_chars % 1000
+              |      + CASE WHEN doc_id % 4 = 0 THEN 300 ELSE 0 END
+              |      AS BIGINT) AS s
+              |  FROM documents),
+              |h AS (SELECT s, count(*) AS cnt,
+              |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+              |  FROM d GROUP BY 1),
+              |r AS (SELECT s, cnt, pos,
+              |    CAST(coalesce(sum(cnt) OVER (ORDER BY s
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS cb
+              |  FROM h),
+              |a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+              |    CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+              |    CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS trs FROM r),
+              |b AS (SELECT n_pos, n_neg,
+              |    trs - n_pos * (n_pos + 1) AS two_u FROM a)
+              |SELECT n_pos, n_neg, two_u,
+              |  CASE WHEN n_pos > 0 AND n_neg > 0
+              |       THEN ${microRatioSql("two_u", "2 * n_pos * n_neg", "//")}
+              |       END AS auc_ppm
+              |FROM b""".stripMargin)
+    },
+      (s, dir) =>
+        graft.ml.Eval.aucExact(
+          docs(s, dir).select(
+            ((col("n_chars") % 1000) +
+              when(col("doc_id") % 4 === 0, 300L).otherwise(0L)).as("score"),
+            (col("doc_id") % 4 === 0).as("label")),
+          col("score"), col("label")))
   )
 }

@@ -1845,6 +1845,63 @@ object TextQueries {
       (s, dir) =>
         graft.text.TokenizerEval.fertilityCard(docs(s, dir), col("lang"),
           size(tokens(col("text"))), size(bpePieces(col("text"))),
-          length(col("text"))))
+          length(col("text")))),
+
+    // Packing efficiency audit (Packing.fillAudit): bins/docs/tokens,
+    // padding mass, overflow bins, the per-shard bin lower bound
+    // Σ⌈tokens/capacity⌉, fill-rate and efficiency micro-ratios — the
+    // training-cost readout over the q64 greedy packing (every padding
+    // token is paid-for compute that trains nothing). The oracle
+    // extends the q64 recursive CTE with the audit aggregation; the
+    // engine never re-reads text (two histogram-sized aggregations
+    // over the packGreedy output).
+    Q("q226_pack_fill_audit", {
+      import graft.operators.Sampling.microRatioSql
+      Some(s"""WITH RECURSIVE d AS (
+              |  SELECT doc_id, doc_id // 100 AS shard, len($toksSql) AS w
+              |  FROM documents),
+              |ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM d),
+              |pack AS (
+              |  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS fill
+              |  FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.shard, o.rn, o.doc_id, o.w,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.bin ELSE p.bin + 1 END,
+              |    CASE WHEN p.fill + o.w <= 256 THEN p.fill + o.w ELSE o.w END
+              |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1),
+              |bins AS (SELECT shard, bin, CAST(sum(w) AS BIGINT) AS btok,
+              |    count(*) AS bdocs FROM pack GROUP BY 1, 2),
+              |lb AS (SELECT CAST(sum(ovf + (st + 255) // 256) AS BIGINT)
+              |    AS lower_bound_bins
+              |  FROM (SELECT shard,
+              |          CAST(sum(CASE WHEN w <= 256 THEN w ELSE 0 END)
+              |            AS BIGINT) AS st,
+              |          CAST(sum(CASE WHEN w > 256 THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS ovf
+              |        FROM pack GROUP BY 1)),
+              |a AS (SELECT count(*) AS n_bins,
+              |    CAST(sum(bdocs) AS BIGINT) AS n_docs,
+              |    CAST(sum(btok) AS BIGINT) AS total_tokens,
+              |    CAST(sum(greatest(0, 256 - btok)) AS BIGINT) AS padding_tokens,
+              |    CAST(sum(CASE WHEN btok > 256 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS overflow_bins
+              |  FROM bins)
+              |SELECT n_bins, n_docs, total_tokens, padding_tokens,
+              |  overflow_bins, lower_bound_bins, CAST(256 AS BIGINT) AS capacity,
+              |  CASE WHEN n_bins > 0
+              |       THEN ${microRatioSql("total_tokens", "n_bins * 256", "//")}
+              |       END AS fill_rate_ppm,
+              |  CASE WHEN n_bins > 0
+              |       THEN ${microRatioSql("lower_bound_bins", "n_bins", "//")}
+              |       END AS efficiency_ppm
+              |FROM a CROSS JOIN lb""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Packing.fillAudit(
+          graft.operators.Packing.packGreedy(
+            docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
+            col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L),
+          capacity = 256L))
   )
 }

@@ -100,4 +100,33 @@ class PackingSpec extends SparkSpec {
       }
     }
   }
+
+  test("fillAudit: exact hand card; overflow-aware lower bound stays a bound") {
+    // shard 0: w=[100,100,100] cap 256 -> bins {200, 100}; padding 56+156
+    // shard 1: one overflow doc w=300 -> its own bin, no padding charge
+    val packed = Packing.packGreedy(
+      Seq((0L, 1L, 100L), (0L, 2L, 100L), (0L, 3L, 100L), (1L, 9L, 300L))
+        .toDF("shard", "doc_id", "w"),
+      col("doc_id"), col("w"), col("shard"), 256L)
+    val r = Packing.fillAudit(packed, 256L).collect().head
+    assert(r.getLong(0) == 3L, s"n_bins: $r")          // 2 + 1
+    assert(r.getLong(1) == 4L && r.getLong(2) == 600L, s"docs/tokens: $r")
+    assert(r.getLong(3) == 212L, s"padding 56+156: $r")
+    assert(r.getLong(4) == 1L, s"overflow bins: $r")
+    // LB: shard0 ceil(300/256)=2, shard1 1 overflow doc -> 3 == actual
+    assert(r.getLong(5) == 3L, s"lower bound: $r")
+    assert(r.getAs[Long]("efficiency_ppm") == 1000000L, r.toString)
+    // fill rate: 600 / (3*256) = 0.78125
+    assert(r.getAs[Long]("fill_rate_ppm") == 781250L, r.toString)
+  }
+
+  test("fillAudit: efficiency never exceeds 10^6 (bound stays true)") {
+    // heavy docs where naive ceil(tokens/cap) would overshoot actual bins
+    val packed = Packing.packGreedy(
+      Seq((0L, 1L, 500L), (0L, 2L, 500L)).toDF("shard", "doc_id", "w"),
+      col("doc_id"), col("w"), col("shard"), 256L)
+    val r = Packing.fillAudit(packed, 256L).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(5) == 2L, r.toString)
+    assert(r.getAs[Long]("efficiency_ppm") == 1000000L, r.toString)
+  }
 }
