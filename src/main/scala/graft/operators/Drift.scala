@@ -353,6 +353,46 @@ object Drift {
       cur.select(curBucket.as("_b")).groupBy("_b").agg(count(lit(1)).as("_n")),
       col("_b"), col("_n"), tNum, tDen)
 
+  /** Reference-vs-current PSI gate — [[psiSeries]]'s statistic in
+    * [[tvdBetween]]'s shape: the scorecard-monitoring promote/hold
+    * decision compares a candidate window against the PINNED reference
+    * distribution (the training mix) and reads the fixed industry
+    * thresholds. Same smoothing/float discipline as the series form:
+    * add-one over the union of buckets, micro-proportions by integer
+    * division clamped at 1 µ, each bucket's ⌊(p_µ−q_µ)·ln(p_µ/q_µ)⌋
+    * floored to a long BEFORE the integer sum. Output (1 row):
+    * (n_ref, n_cur, n_buckets, psi_micro, level). Both sides empty →
+    * NULL counts and psi with level 'shifted' — the fail-safe reading:
+    * an empty window against a pinned reference is maximally alarming,
+    * never silently 'stable'. */
+  def psiBetween(ref: DataFrame, refBucket: Column,
+                 cur: DataFrame, curBucket: Column): DataFrame = {
+    val h1 = ref.select(refBucket.as("_b")).groupBy("_b")
+      .agg(count(lit(1)).cast("long").as("_cr"))
+    val h2 = cur.select(curBucket.as("_b")).groupBy("_b")
+      .agg(count(lit(1)).cast("long").as("_cc"))
+    val joined = h1.join(h2, Seq("_b"), "full")
+      .select(coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val totals = joined.agg(sum("_cr").cast("long").as("n_ref"),
+      sum("_cc").cast("long").as("n_cur"),
+      count(lit(1)).as("_nb")) // 1 row
+    joined.crossJoin(broadcast(totals))
+      .withColumn("_p",
+        expr("greatest(1, ((_cc + 1) * 1000000) div (n_cur + _nb))"))
+      .withColumn("_q",
+        expr("greatest(1, ((_cr + 1) * 1000000) div (n_ref + _nb))"))
+      .withColumn("_term", expr(psiTermSql("_p", "_q")))
+      .groupBy()
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        max("_nb").cast("long").as("n_buckets"),
+        sum("_term").cast("long").as("psi_micro"))
+      .withColumn("level",
+        when(col("psi_micro") < 100000L, lit("stable"))
+          .when(col("psi_micro") < 250000L, lit("moderate"))
+          .otherwise(lit("shifted")))
+  }
+
   /** [[tvdBetween]] over PRE-COUNTED histograms `(bucket, count)` — the
     * state shape a streaming drift monitor holds between ingestion
     * windows (the previous window's histogram is tiny by the bucketing

@@ -488,6 +488,16 @@ object Privacy {
     Seq(DpSpend(release, table, s"dp_noisy_counts.user_k$k",
       microEps(eps), k.toLong, seed, nGroups))
 
+  /** Ledger rows for a [[dpNoisySumsByUser]] release: same Δ algebra as
+    * [[spendOfSums]] (the clip bound IS the sensitivity) but the
+    * mechanism name records that Δ bounds a USER's pre-aggregated
+    * total, not a row — the distinction a release review must see. */
+  def spendOfUserSums(release: String, table: String, eps: Double,
+                      clipLo: Long, clipHi: Long, seed: String,
+                      nGroups: Long): Seq[DpSpend] =
+    Seq(DpSpend(release, table, "dp_noisy_sums.user_level", microEps(eps),
+      math.max(math.abs(clipLo), math.abs(clipHi)), seed, nGroups))
+
   /** Ledger rows for a [[dpNoisySums]] release (Δ = max(|lo|, |hi|)). */
   def spendOfSums(release: String, table: String, eps: Double,
                   clipLo: Long, clipHi: Long, seed: String,

@@ -1169,6 +1169,55 @@ object RelationalQueries {
         Drift.psiSeries(t(s, dir, "events"),
           unix_date(to_date(col("ts"))), col("event_type"))),
 
+    // Reference-vs-candidate PSI gate (Drift.psiBetween): q194's
+    // promote/hold fixture read through the scorecard statistic — the
+    // true second half is 'stable' against the first-half reference,
+    // the candidate missing one 20%-share event type reads 'shifted'
+    // at every scale (a vanished bucket's smoothed log-ratio term is
+    // large by construction). Per-gate twin SQL generated by one local
+    // builder; the per-bucket term by Drift.psiTermSql (anti-drift).
+    Q("q227_psi_gate", {
+      def gate(g: String, curFilter: String): String =
+        s"""SELECT '$g' AS gate, n_ref, n_cur, n_buckets,
+           |  psi_micro,
+           |  CASE WHEN psi_micro < 100000 THEN 'stable'
+           |       WHEN psi_micro < 250000 THEN 'moderate'
+           |       ELSE 'shifted' END AS level
+           |FROM (
+           |  SELECT CAST(max(n_ref) AS BIGINT) AS n_ref,
+           |    CAST(max(n_cur) AS BIGINT) AS n_cur,
+           |    CAST(max(nb) AS BIGINT) AS n_buckets,
+           |    CAST(sum(${Drift.psiTermSql("p", "q")}) AS BIGINT) AS psi_micro
+           |  FROM (
+           |    SELECT n_ref, n_cur, nb,
+           |      greatest(1, ((cc + 1) * 1000000) // (n_cur + nb)) AS p,
+           |      greatest(1, ((cr + 1) * 1000000) // (n_ref + nb)) AS q
+           |    FROM (
+           |      SELECT cr, cc, CAST(sum(cr) OVER () AS BIGINT) AS n_ref,
+           |        CAST(sum(cc) OVER () AS BIGINT) AS n_cur,
+           |        count(*) OVER () AS nb
+           |      FROM (
+           |        SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+           |        FROM (SELECT event_type AS b, count(*) AS cr FROM events
+           |              WHERE CAST(ts AS DATE) < DATE '2024-01-16' GROUP BY 1) h1
+           |        FULL JOIN (SELECT event_type AS b, count(*) AS cc FROM events
+           |              WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+           |                AND ($curFilter) GROUP BY 1) h2 USING (b)))))""".stripMargin
+      Some(gate("second_half", "TRUE") + "\nUNION ALL\n" +
+        gate("biased_no_error", "event_type <> 'error'"))
+    },
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val ref = ev.filter(to_date(col("ts")) < lit("2024-01-16"))
+        val cur = ev.filter(to_date(col("ts")) >= lit("2024-01-16"))
+        Drift.psiBetween(ref, col("event_type"), cur, col("event_type"))
+          .withColumn("gate", lit("second_half"))
+          .unionByName(
+            Drift.psiBetween(ref, col("event_type"),
+                cur.filter(col("event_type") =!= "error"), col("event_type"))
+              .withColumn("gate", lit("biased_no_error")))
+      }),
+
     // Reference-vs-candidate drift gate: the promote/hold decision for an
     // ingestion window against a pinned reference (fixed threshold — the
     // reference is a contract). Two gates: the true second half passes

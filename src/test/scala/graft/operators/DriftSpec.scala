@@ -283,4 +283,44 @@ class DriftSpec extends SparkSpec {
     assert(got === want)
     assert(want.exists(_._3 == "shifted"), "fixture must shift somewhere")
   }
+
+  test("psiBetween: stationary passes, vanished bucket shifts, empty fails safe") {
+    val ref = Seq("a", "a", "a", "b").toDF("bucket")
+    val same = Seq("a", "a", "a", "b").toDF("bucket")
+    val s1 = Drift.psiBetween(ref, col("bucket"), same, col("bucket"))
+      .select("n_ref", "n_cur", "n_buckets", "psi_micro", "level")
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(s1 == ((4L, 4L, 2L, 0L, "stable")), s1.toString)
+    // candidate lost a 50%-share bucket entirely — the smoothed
+    // log-ratio term is large; a SMALL-share vanish on a tiny sample
+    // correctly reads only 'moderate' (smoothing damps sampling noise)
+    val ref5050 = Seq("a", "a", "a", "a", "a",
+      "b", "b", "b", "b", "b").toDF("bucket")
+    val noB = Seq("a", "a", "a", "a", "a",
+      "a", "a", "a", "a", "a").toDF("bucket")
+    val s2 = Drift.psiBetween(ref5050, col("bucket"), noB, col("bucket"))
+      .select("psi_micro", "level").as[(Long, String)].head()
+    assert(s2._1 > 250000L && s2._2 == "shifted", s2.toString)
+    val smallVanish = Drift.psiBetween(ref, col("bucket"),
+        Seq("a", "a", "a", "a").toDF("bucket"), col("bucket"))
+      .select("level").as[String].head()
+    assert(smallVanish == "moderate", smallVanish)
+    // both sides empty: NULL psi, level 'shifted' — fail-safe, never
+    // silently stable
+    val e = Drift.psiBetween(ref.filter(lit(false)), col("bucket"),
+        noB.filter(lit(false)), col("bucket"))
+      .select("psi_micro", "level").collect().head
+    assert(e.isNullAt(0) && e.getString(1) == "shifted", e.toString)
+  }
+
+  test("psiBetween direction: PSI is asymmetric, current vs reference") {
+    // current concentrated where reference was thin → big terms on the
+    // grown bucket; swapping roles changes the number (ln ratio flips
+    // but so do the (p−q) weights against different totals)
+    val ref = Seq("a", "a", "a", "a", "a", "a", "a", "b").toDF("bucket")
+    val cur = Seq("a", "b", "b", "b", "b", "b", "b", "b").toDF("bucket")
+    val fwd = Drift.psiBetween(ref, col("bucket"), cur, col("bucket"))
+      .select("psi_micro").as[Long].head()
+    assert(fwd > 250000L, s"grown tail bucket must shift: $fwd")
+  }
 }
