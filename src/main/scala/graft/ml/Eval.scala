@@ -35,7 +35,19 @@ object Eval {
     * unpartitioned window is histogram-sized by construction).
     *
     * Output (1 row): (n_pos, n_neg, two_u, auc_ppm); auc_ppm is NULL
-    * when either class is absent (AUC is undefined, not 0). */
+    * when either class is absent (AUC is undefined, not 0).
+    *
+    * SAFE-SCALE BOUND (the mixture-planner discipline: exactness has a
+    * documented int64 ceiling, not a silent wrap): `two_u ≤ 2·n⁺·n⁻`
+    * grows quadratically, and [[microRatioSql]] stages `two_u·1000`, so
+    * the ratio is exact while `2·n⁺·n⁻ < 2⁶³/1000 ≈ 9.2·10¹⁵` —
+    * n⁺·n⁻ ≤ 4.6·10¹⁵, i.e. ~1.4·10⁸ rows balanced (more if skewed:
+    * the binding product is n⁺·n⁻, not n). Upstream of that, the
+    * per-score partial `_tms = pos·(2·cumBefore + cnt + 1) < 2n·n⁺`
+    * and its sum stay in-range to n ≈ 2·10⁹ rows. Beyond ~140M
+    * balanced evaluation rows, pre-aggregate (sample or stratify the
+    * eval set — an EVAL set that size is a measurement-design smell)
+    * rather than trusting this ratio. */
   def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     val h = df.select(scoreCol.cast("long").as("s"),
         labelCol.cast("boolean").as("y"))

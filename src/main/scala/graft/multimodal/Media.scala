@@ -616,7 +616,10 @@ object Media {
     val v = cuts.agg(
         countDistinct("media_id").as("n_video_clips"),
         count(lit(1)).as("n_frames"),
-        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
+        // coalesce like speech_ms: COUNTS are 0 on empty inputs, only
+        // the ratio columns go NULL (the documented contract)
+        coalesce(sum(when(col("is_cut"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cuts"))
       .withColumn("cut_rate_ppm",
         when(col("n_frames") > 0L,
           expr(microRatioSql("n_cuts", "n_frames", "div"))))

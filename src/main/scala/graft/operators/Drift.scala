@@ -173,7 +173,12 @@ object Drift {
       .select(keyed ++ Seq(periodCol.cast("long").as("period"),
         bucketCol.as("_b"), countCol.cast("long").as("_c")): _*)
       .groupBy((gNames.map(col) :+ col("period")) :+ col("_b"): _*)
-      .agg(sum("_c").as("_c")))
+      .agg(sum("_c").as("_c"))
+      // a bucket whose generations sum to 0 never appears in the
+      // raw-row path's histogram; keeping it would inflate the pair's
+      // union bucket count _nb and shift every bucket's smoothed p/q
+      // (TVD was insensitive to such rows — PSI is not)
+      .filter(col("_c") > 0L))
     psiFromPaired(pairedFromHist(hist, gNames), gNames)
   }
 

@@ -431,8 +431,8 @@ object Privacy {
     * composition — bound g first with [[boundContributions]] over the
     * user's DISTINCT group keys when strict whole-release user-level ε
     * is required (the same caveat every production user-level sum
-    * carries). Ledger with [[spendOfSums]] under a user-level release
-    * name — Δ is already the clip bound, which is now per-USER.
+    * carries). Ledger with [[spendOfUserSums]], stating the g bound —
+    * the ledger row charges g·ε and names the per-group scope.
     *
     * Shape: two map-side-combinable aggregations (corpus → per-user
     * partials → group sums); the clip between them is a projection. */
@@ -490,13 +490,25 @@ object Privacy {
 
   /** Ledger rows for a [[dpNoisySumsByUser]] release: same Δ algebra as
     * [[spendOfSums]] (the clip bound IS the sensitivity) but the
-    * mechanism name records that Δ bounds a USER's pre-aggregated
-    * total, not a row — the distinction a release review must see. */
+    * mechanism's guarantee is PER-GROUP (a user contributing to g
+    * groups is only covered by g·ε under sequential composition), so
+    * the ledger row must carry that scope — an auditor consuming
+    * ledger rows alone must not read a whole-release user-level ε
+    * where none was bought. The caller states the contribution bound
+    * `maxGroupsPerUser` (enforce it upstream with
+    * [[boundContributions]] over the user's DISTINCT group keys); the
+    * row then charges the composed price `g·ε` under the mechanism
+    * name `dp_noisy_sums.user_g<g>`, making the scope machine-readable
+    * in the artifact itself, not just in this scaladoc. */
   def spendOfUserSums(release: String, table: String, eps: Double,
                       clipLo: Long, clipHi: Long, seed: String,
-                      nGroups: Long): Seq[DpSpend] =
-    Seq(DpSpend(release, table, "dp_noisy_sums.user_level", microEps(eps),
+                      nGroups: Long, maxGroupsPerUser: Int): Seq[DpSpend] = {
+    require(maxGroupsPerUser >= 1,
+      s"maxGroupsPerUser must be >= 1, got $maxGroupsPerUser")
+    Seq(DpSpend(release, table, s"dp_noisy_sums.user_g$maxGroupsPerUser",
+      microEps(eps) * maxGroupsPerUser,
       math.max(math.abs(clipLo), math.abs(clipHi)), seed, nGroups))
+  }
 
   /** Ledger rows for a [[dpNoisySums]] release (Δ = max(|lo|, |hi|)). */
   def spendOfSums(release: String, table: String, eps: Double,

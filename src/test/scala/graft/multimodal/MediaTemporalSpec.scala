@@ -176,11 +176,14 @@ class MediaTemporalSpec extends SparkSpec {
     assert(got.getLong(5) == 2L && got.getLong(6) == 2L &&
       got.getLong(7) == 300L, got.toString)
     assert(got.getLong(8) == 150000000L, s"mean seg 300/2 ms micro: $got")
-    // empty tracks: counts 0, ratios NULL — never a fake zero
+    // empty tracks: ALL counts 0 (incl. the summed n_cuts/speech_ms),
+    // ratios NULL — never a fake zero, never a NULL count
     val empty = Media.temporalCard(cuts.filter(lit(false)),
       segs.filter(lit(false))).collect().head
-    assert(empty.getLong(0) == 0L && empty.isNullAt(3) && empty.isNullAt(4)
-      && empty.isNullAt(8), empty.toString)
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L &&
+      empty.getLong(2) == 0L && empty.getLong(7) == 0L, empty.toString)
+    assert(empty.isNullAt(3) && empty.isNullAt(4) && empty.isNullAt(8),
+      empty.toString)
   }
 
   test("non-audio rows and digital silence produce no activity rows") {

@@ -284,6 +284,27 @@ class DriftSpec extends SparkSpec {
     assert(want.exists(_._3 == "shifted"), "fixture must shift somewhere")
   }
 
+  test("psiSeriesFromCounts: zero-sum generation pairs drop from the histogram") {
+    val df = seriesFixture
+    val counts = df.groupBy("day", "bucket").agg(count(lit(1)).as("c"))
+    // plant a bucket whose generations cancel to 0 (+3 then -3 — a
+    // maintained histogram that added then fully retracted): it must
+    // NOT inflate the pair's union bucket count _nb, which would shift
+    // every bucket's smoothed p/q vs the raw-row path
+    val ghost = counts.limit(1)
+      .select(col("day"), lit("__ghost").as("bucket"), lit(3L).as("c"))
+    val ghostNeg = ghost.withColumn("c", lit(-3L))
+    val got = Drift.psiSeriesFromCounts(
+        counts.unionByName(ghost).unionByName(ghostNeg), Nil,
+        col("day"), col("bucket"), col("c"))
+      .select("period", "n_prev", "n_cur", "n_buckets", "psi_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Drift.psiSeries(df, col("day"), col("bucket"))
+      .select("period", "n_prev", "n_cur", "n_buckets", "psi_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("psiBetween: stationary passes, vanished bucket shifts, empty fails safe") {
     val ref = Seq("a", "a", "a", "b").toDF("bucket")
     val same = Seq("a", "a", "a", "b").toDF("bucket")

@@ -394,5 +394,18 @@ class PrivacySpec extends SparkSpec {
     // NOT 1000 — a row-level clip at 500 would have passed all of u1's
     // rows through unclipped
     assert(got.map(r => r._1 -> r._2).toMap === Map("g1" -> 600L, "g2" -> 300L))
+    // ledger: the mechanism's guarantee is per-GROUP, so the row must
+    // charge the composed g·ε price and name the scope — an auditor
+    // reading the artifact alone sees the whole-release user-level cost
+    val spend = Privacy.spendOfUserSums("rel", "events", eps = 0.5,
+      clipLo = 0L, clipHi = 500L, seed = "us15", nGroups = 2L,
+      maxGroupsPerUser = 2)
+    assert(spend.size == 1 && spend.head.epsMicro == 1000000L &&
+      spend.head.sensitivity == 500L &&
+      spend.head.mechanism == "dp_noisy_sums.user_g2", spend.toString)
+    assertThrows[IllegalArgumentException] {
+      Privacy.spendOfUserSums("rel", "events", 0.5, 0L, 500L, "us15", 2L,
+        maxGroupsPerUser = 0)
+    }
   }
 }
