@@ -19,6 +19,14 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** Doc frame whose text is exactly the word subset both engines
+    * tokenize for the q228/q229 unigram rows ([[uniWordsCtes]]'s
+    * filter, applied as one codegen'd projection). */
+  private def uniDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      array_join(filter(tokens(canonicalize(col("text"))), w =>
+        w.rlike("^[a-z]+$") && length(w) <= UniMaxWord), " ").as("text"))
+
   private val toksSql = tokensSql("text")
 
   private def inList(words: Seq[String]): String =
@@ -211,6 +219,136 @@ object TextQueries {
        |WHERE cnt IS NOT NULL
        |ORDER BY cnt DESC, piece LIMIT 20""".stripMargin
   }
+
+  // ---- UnigramLM oracle SQL generation ----------------------------------
+  // Tokenizer config for the q228/q229 rows — kept small so the
+  // per-position Viterbi unroll stays a bounded CTE chain (the q151
+  // `steps` discipline): pieces to 4 chars, words to 12 chars (BOTH
+  // engines filter the word table identically, so a longer token is
+  // excluded symmetrically, never silently mis-segmented).
+  private val UniL = 4
+  private val UniSeed = 200
+  private val UniVocab = 80
+  private val UniMaxWord = 12
+  private val UniUnk = graft.text.UnigramLm.UnkScoreMicro
+
+  /** The corpus word table both engines tokenize for the unigram rows:
+    * canonicalized whitespace tokens, `[a-z]+` only, ≤ [[UniMaxWord]]. */
+  private val uniWordsCtes: String =
+    s"""uwd AS (SELECT unnest(${tokensSql(canonicalizeSql("text"))}) AS word
+       |  FROM documents),
+       |v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM uwd WHERE regexp_matches(word, '^[a-z]+$$')
+       |    AND len(word) <= $UniMaxWord GROUP BY word)""".stripMargin
+
+  /** `floor(ln(cnt/total)·10⁶)` as BIGINT — the SQL twin of
+    * `UnigramLm.scoresFromCounts` (identical IEEE division; ln differs
+    * at most in sub-ulp rounding, absorbed by the ·10⁶ floor). */
+  private def uniScoreSql(src: String): String =
+    s"""SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE) /
+       |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM $src)) * 1000000.0)
+       |    AS BIGINT) AS score FROM $src""".stripMargin
+
+  /** Unrolled Viterbi DP + backtrace over the `v` word table under the
+    * scores CTE `scores` (the q116/q151 recurrence-replay discipline
+    * applied to a DP): position CTE `d_j` holds the best path score
+    * into character j — the argmax over the ≤ [[UniL]] candidate split
+    * points, each a JOIN of `d_i` against the score table on the
+    * literal substring (single-char candidates LEFT JOIN and fall back
+    * to [[graft.text.UnigramLm.UnkScoreMicro]], so every position is
+    * reachable and the chain is total), ties to the EARLIEST split
+    * start (ORDER BY dp DESC, back ASC — the engine's ascending-scan
+    * strict-greater rule). The backtrace CTEs `b_t` walk `back` from
+    * len(word) to 0, emitting one piece per step; `<p>us` aggregates
+    * (piece, Σ freq) over every emitted slot, so a piece used twice in
+    * one word counts twice — exactly `emRound`'s E-step. MATERIALIZED
+    * throughout (the q151 fd-limit lesson: inlined CTE chains
+    * re-expand per reference). */
+  private def uniViterbiCtes(p: String, scores: String): String = {
+    val dp = (1 to UniMaxWord).map { j =>
+      val branches = (1 to math.min(UniL, j)).map { k =>
+        val i = j - k
+        if (k == 1)
+          s"""SELECT c.word, c.dp + coalesce(s.score, $UniUnk) AS dp, $i AS back
+             |    FROM ${p}d$i c LEFT JOIN $scores s
+             |      ON s.piece = substr(c.word, ${i + 1}, 1)
+             |    WHERE len(c.word) >= $j""".stripMargin
+        else
+          s"""SELECT c.word, c.dp + s.score AS dp, $i AS back
+             |    FROM ${p}d$i c JOIN $scores s
+             |      ON s.piece = substr(c.word, ${i + 1}, $k)
+             |    WHERE len(c.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""${p}d$j AS MATERIALIZED (SELECT word, dp, back FROM (
+         |    $branches)
+         |  QUALIFY row_number() OVER (PARTITION BY word
+         |    ORDER BY dp DESC, back ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val dall = (1 to UniMaxWord)
+      .map(j => s"SELECT word, $j AS pos, back FROM ${p}d$j")
+      .mkString(" UNION ALL ")
+    val bt = (1 to UniMaxWord).map { t =>
+      s"""${p}b$t AS MATERIALIZED (SELECT b.word, b.freq, d.back AS pos,
+         |    substr(b.word, d.back + 1, b.pos - d.back) AS piece
+         |  FROM ${p}b${t - 1} b JOIN ${p}dall d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val em = (1 to UniMaxWord)
+      .map(t => s"SELECT freq, piece FROM ${p}b$t")
+      .mkString(" UNION ALL ")
+    s"""${p}d0 AS (SELECT word, CAST(0 AS BIGINT) AS dp, 0 AS back FROM v),
+       |$dp,
+       |${p}dall AS MATERIALIZED ($dall),
+       |${p}b0 AS (SELECT word, freq, len(word) AS pos FROM v),
+       |$bt,
+       |${p}us AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM ($em) GROUP BY piece)""".stripMargin
+  }
+
+  /** WITH-body replaying `seedVocab → scoresFromCounts → emRound`:
+    * substring seed (all pieces ≤ [[UniL]] of every word, frequency-
+    * weighted, top [[UniSeed]] with ALL single chars kept), integer
+    * micro-nat scores, one Viterbi E-step (chain `a`), zero-usage
+    * singles retained at count 1 — `u1` is the round-1 usage table. */
+  private val uniTrainCtes: String =
+    s"""$uniWordsCtes,
+       |sd AS (SELECT substr(word, i, l) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM v
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(word))) AS s0(i)
+       |  CROSS JOIN LATERAL unnest(generate_series(1,
+       |      least($UniL, len(word) - i + 1))) AS s1(l)
+       |  GROUP BY 1),
+       |seed AS MATERIALIZED (SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM sd)
+       |  WHERE rk <= $UniSeed OR len(piece) = 1),
+       |sc0 AS MATERIALIZED (${uniScoreSql("seed")}),
+       |${uniViterbiCtes("a", "sc0")},
+       |u1 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM aus
+       |  UNION ALL
+       |  SELECT piece, CAST(1 AS BIGINT) AS cnt FROM sc0
+       |  WHERE len(piece) = 1
+       |    AND piece NOT IN (SELECT piece FROM aus))""".stripMargin
+
+  private val uniTrainSql: String =
+    s"""WITH $uniTrainCtes
+       |SELECT piece, cnt FROM u1 ORDER BY cnt DESC, piece LIMIT 30""".stripMargin
+
+  /** Full-pipeline twin of q229: train (trim `u1` to [[UniVocab]] with
+    * singles kept, rescore) then a SECOND unrolled Viterbi (chain `z`)
+    * under the trained scores — corpus piece frequencies. */
+  private val uniEncodeSql: String =
+    s"""WITH $uniTrainCtes,
+       |kept AS MATERIALIZED (SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM u1)
+       |  WHERE rk <= $UniVocab OR len(piece) = 1),
+       |sc1 AS MATERIALIZED (${uniScoreSql("kept")}),
+       |${uniViterbiCtes("z", "sc1")}
+       |SELECT piece, cnt FROM zus ORDER BY cnt DESC, piece LIMIT 20""".stripMargin
 
   /** Byte-level twin of [[BpeWrapWordSql]]: hex the word's UTF-8 bytes
     * (DuckDB `hex(encode(..))` and Spark `hex(encode(.., 'UTF-8'))` both
@@ -1902,6 +2040,44 @@ object TextQueries {
           graft.operators.Packing.packGreedy(
             docs(s, dir).withColumn("w", size(tokens(col("text"))).cast("long")),
             col("doc_id"), col("w"), expr("doc_id div 100"), capacity = 256L),
-          capacity = 256L))
+          capacity = 256L)),
+
+    // UnigramLM tokenizer EM, oracle tier (closing the family's last
+    // spec-only member): one E-step's piece-usage counts — substring
+    // seed, integer micro-nat scores, Viterbi segmentation of every
+    // distinct word (longs compare, never doubles, so the DP replays
+    // exactly), zero-usage single chars retained. The oracle unrolls
+    // the DP per character position and re-runs seed ranking, scoring,
+    // the per-position argmax (ties to the earliest split start), and
+    // the frequency-weighted usage sum.
+    Q("q228_unigram_em",
+      Some(uniTrainSql),
+      (s, dir) => {
+        import graft.text.UnigramLm
+        val words = UnigramLm.wordCounts(uniDocs(s, dir), col("text"))
+        UnigramLm.emRound(words,
+            UnigramLm.scoresFromCounts(
+              UnigramLm.seedVocab(words, UniL, UniSeed)), UniL)
+          .orderBy(desc("cnt"), col("piece")).limit(30)
+      }),
+
+    // Unigram ENCODE end to end: train (one EM round, trim to UniVocab
+    // with singles kept, rescore) then segment the corpus — top-20
+    // piece frequencies. Spark runs the real production path (train +
+    // per-doc broadcast-vocab encode), the oracle replays training AND
+    // a second unrolled Viterbi under the trained scores — so the
+    // shipped encoder itself is hash-checked, not a word-level twin.
+    Q("q229_unigram_encode",
+      Some(uniEncodeSql),
+      (s, dir) => {
+        import graft.text.UnigramLm
+        val fd = uniDocs(s, dir)
+        val scores = UnigramLm.train(fd, col("text"), maxPieceLen = UniL,
+          seedSize = UniSeed, vocabSize = UniVocab, rounds = 1)
+        UnigramLm.encode(fd, col("doc_id"), col("text"), scores, UniL)
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("piece")).limit(20)
+      })
   )
 }

@@ -163,9 +163,19 @@ object UnigramLm {
     * Returns (piece, score_micro) — the trained tokenizer. */
   def train(docs: DataFrame, textCol: Column, maxPieceLen: Int = 6,
             seedSize: Int = 2000, vocabSize: Int = 500,
-            rounds: Int = 2): DataFrame = {
+            rounds: Int = 2): DataFrame =
+    trainFromWords(wordCounts(docs, textCol), maxPieceLen, seedSize,
+      vocabSize, rounds)
+
+  /** [[train]] over a PRE-COMPUTED (word, freq) table — the form a
+    * curation pipeline that already paid the corpus→words shuffle (or
+    * that filters/caps the word set first, as the oracle rows do)
+    * composes with; `train` is this over [[wordCounts]]. */
+  def trainFromWords(wordsIn: DataFrame, maxPieceLen: Int = 6,
+                     seedSize: Int = 2000, vocabSize: Int = 500,
+                     rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val words = wordCounts(docs, textCol).cache()
+    val words = wordsIn.cache()
     var counts = seedVocab(words, maxPieceLen, seedSize).cache()
     counts.count()
     for (_ <- 1 to rounds)

@@ -74,6 +74,18 @@ class UnigramLmSpec extends SparkSpec {
     assert(bad == 0, s"$bad docs failed the piece round-trip")
   }
 
+  test("trainFromWords == train over the same corpus (the q228/q229 seam)") {
+    val docs = Seq("aa ab ba", "ab ab aa", "ba aa ab").toDF("text")
+    val viaDocs = UnigramLm.train(docs, col("text"), maxPieceLen = 2,
+      seedSize = 10, vocabSize = 8, rounds = 1)
+      .as[(String, Long)].collect().toSet
+    val viaWords = UnigramLm.trainFromWords(
+        UnigramLm.wordCounts(docs, col("text")), maxPieceLen = 2,
+        seedSize = 10, vocabSize = 8, rounds = 1)
+      .as[(String, Long)].collect().toSet
+    assert(viaDocs == viaWords)
+  }
+
   test("training and encoding are partitioning-invariant") {
     val docs = Seq("aa ab ba", "ab ab aa", "ba aa ab").toDF("text")
     def run(df: org.apache.spark.sql.DataFrame) =
