@@ -69,4 +69,75 @@ object Eval {
           expr(microRatioSql("two_u", "2 * n_pos * n_neg", "div"))))
       .drop("_trs")
   }
+
+  /** EXACT per-class precision/recall/F1 + accuracy from the confusion
+    * frame — the released-metrics twin of [[aucExact]]: the reference
+    * reads accuracy/F1 off MLlib's `MulticlassMetrics` (float division,
+    * not replayable); here every ratio is a staged integer floor-ppm
+    * ([[microRatioSql]]), so a released model card's metrics replay
+    * bit-for-bit on any engine.
+    *
+    * Definitions (the standard multiclass one-vs-rest accounting over
+    * classes = labels ∪ predictions):
+    *   tp_c = n(label=c ∧ pred=c), fp_c = predicted_c − tp_c,
+    *   fn_c = support_c − tp_c;
+    *   precision_ppm = ⌊10⁶·tp/predicted⌋ (NULL when predicted=0),
+    *   recall_ppm    = ⌊10⁶·tp/support⌋ (NULL when support=0),
+    *   f1_ppm        = ⌊2·P_ppm·R_ppm/(P_ppm+R_ppm)⌋ (NULL when either
+    *                   is NULL or both are 0 — undefined, not fake 0);
+    *   accuracy_ppm  = ⌊10⁶·Σtp/total⌋ and macro_f1_ppm =
+    *   ⌊Σcoalesce(f1,0)/|classes|⌋ ride along as constant columns
+    *   (undefined-F1 classes average as 0, the sklearn convention).
+    * All inputs to every division are exact longs; P,R ≤ 10⁶ so the F1
+    * cross-product ≤ 2·10¹² — no staging needed there.
+    *
+    * Null labels or predictions carry no evaluation evidence and are
+    * dropped (the calibration-fit discipline).
+    *
+    * Scale shape: ONE corpus-scale map-side-combinable aggregation to
+    * the ≤|classes|² confusion frame; every join/window after it is
+    * class-domain. Output: one row per class. */
+  def confusionMetrics(df: DataFrame, labelCol: Column,
+                       predCol: Column): DataFrame = {
+    val cm = df.select(labelCol.cast("string").as("label"),
+        predCol.cast("string").as("pred"))
+      .filter(col("label").isNotNull && col("pred").isNotNull)
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val classes = cm.select(col("label").as("class"))
+      .unionByName(cm.select(col("pred").as("class"))).distinct()
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("class"), col("n").as("tp"))
+    val sup = cm.groupBy(col("label").as("class"))
+      .agg(sum("n").cast("long").as("support"))
+    val pr = cm.groupBy(col("pred").as("class"))
+      .agg(sum("n").cast("long").as("predicted"))
+    val m = classes
+      .join(tp, Seq("class"), "left")
+      .join(sup, Seq("class"), "left")
+      .join(pr, Seq("class"), "left")
+      .na.fill(0L, Seq("tp", "support", "predicted"))
+      .withColumn("fp", col("predicted") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision_ppm", when(col("predicted") > 0L,
+        expr(microRatioSql("tp", "predicted", "div"))))
+      .withColumn("recall_ppm", when(col("support") > 0L,
+        expr(microRatioSql("tp", "support", "div"))))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0L,
+          expr("(2 * precision_ppm * recall_ppm)" +
+            " div (precision_ppm + recall_ppm)")))
+    val tot = cm.agg(sum("n").cast("long").as("total"),
+        coalesce(sum(when(col("label") === col("pred"), col("n"))), lit(0L))
+          .cast("long").as("_correct"))
+      .withColumn("accuracy_ppm", when(col("total") > 0L,
+        expr(microRatioSql("_correct", "total", "div"))))
+      .drop("_correct")
+    val macroF1 = m.agg(
+      expr("sum(coalesce(f1_ppm, bigint(0))) div count(*)")
+        .as("macro_f1_ppm"))
+    m.select("class", "tp", "fp", "fn", "support",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+      .crossJoin(broadcast(tot))   // 1 row
+      .crossJoin(broadcast(macroF1)) // 1 row
+  }
 }

@@ -586,6 +586,75 @@ object PipelineQueries {
             ((col("n_chars") % 1000) +
               when(col("doc_id") % 4 === 0, 300L).otherwise(0L)).as("score"),
             (col("doc_id") % 4 === 0).as("label")),
-          col("score"), col("label")))
+          col("score"), col("label"))),
+
+    // EXACT confusion-matrix metrics (ml.Eval.confusionMetrics): the
+    // §2.11 accuracy/F1 the reference reads off MLlib, replayable —
+    // per-class P/R/F1 + accuracy + macro-F1 as staged integer
+    // floor-ppm over the confusion frame (the q225 discipline applied
+    // to released model-card metrics). Planted 3-class classifier on
+    // orders: labels = o_orderstatus, predictions flip to 'F'/'O' on
+    // the %11/%7 orderkey lattices — a deterministic asymmetric error
+    // pattern populating every tp/fp/fn cell at every scale. One
+    // corpus aggregation to the K^2 confusion frame; all later joins
+    // are class-domain.
+    Q("q230_confusion_metrics", {
+      import graft.operators.Sampling.microRatioSql
+      Some(s"""WITH d AS (SELECT o_orderstatus AS label,
+              |    CASE WHEN o_orderkey % 11 = 0 THEN 'F'
+              |         WHEN o_orderkey % 7 = 0 THEN 'O'
+              |         ELSE o_orderstatus END AS pred
+              |  FROM orders),
+              |cm AS (SELECT label, pred, count(*) AS n FROM d GROUP BY 1, 2),
+              |cl AS (SELECT label AS class FROM cm
+              |  UNION SELECT pred FROM cm),
+              |tpc AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS tp
+              |  FROM cm WHERE label = pred GROUP BY 1),
+              |sup AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS support
+              |  FROM cm GROUP BY 1),
+              |prd AS (SELECT pred AS class, CAST(sum(n) AS BIGINT) AS predicted
+              |  FROM cm GROUP BY 1),
+              |base AS (SELECT cl.class, coalesce(tp, 0) AS tp,
+              |    coalesce(support, 0) AS support,
+              |    coalesce(predicted, 0) AS predicted
+              |  FROM cl LEFT JOIN tpc USING (class)
+              |    LEFT JOIN sup USING (class) LEFT JOIN prd USING (class)),
+              |m AS (SELECT class, tp, predicted - tp AS fp,
+              |    support - tp AS fn, support,
+              |    CASE WHEN predicted > 0
+              |         THEN ${microRatioSql("tp", "predicted", "//")}
+              |         END AS precision_ppm,
+              |    CASE WHEN support > 0
+              |         THEN ${microRatioSql("tp", "support", "//")}
+              |         END AS recall_ppm
+              |  FROM base),
+              |m2 AS (SELECT *,
+              |    CASE WHEN precision_ppm + recall_ppm > 0
+              |         THEN (2 * precision_ppm * recall_ppm)
+              |              // (precision_ppm + recall_ppm)
+              |         END AS f1_ppm
+              |  FROM m),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+              |    CAST(coalesce(sum(CASE WHEN label = pred THEN n END), 0)
+              |      AS BIGINT) AS correct FROM cm),
+              |ta AS (SELECT total,
+              |    CASE WHEN total > 0
+              |         THEN ${microRatioSql("correct", "total", "//")}
+              |         END AS accuracy_ppm FROM tot),
+              |mac AS (SELECT CAST(sum(coalesce(f1_ppm, 0)) // count(*)
+              |    AS BIGINT) AS macro_f1_ppm FROM m2)
+              |SELECT class, tp, fp, fn, support, precision_ppm, recall_ppm,
+              |  f1_ppm, total, accuracy_ppm, macro_f1_ppm
+              |FROM m2 CROSS JOIN ta CROSS JOIN mac""".stripMargin)
+    },
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val pred = when(col("o_orderkey") % 11 === 0, lit("F"))
+          .when(col("o_orderkey") % 7 === 0, lit("O"))
+          .otherwise(col("o_orderstatus"))
+        graft.ml.Eval.confusionMetrics(
+          o.select(col("o_orderstatus").as("label"), pred.as("pred")),
+          col("label"), col("pred"))
+      })
   )
 }

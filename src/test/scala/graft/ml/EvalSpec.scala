@@ -37,4 +37,39 @@ class EvalSpec extends SparkSpec {
     assert(auc(Seq((5L, true), (5L, true), (5L, false), (5L, false)))._4
       === Some(500000L))
   }
+
+  test("confusionMetrics: hand-computed 3-class frame, undefined cells NULL") {
+    // labels a,a,a,b,b,c; preds a,b,a,b,b,a:
+    //   a: tp=2 sup=3 prd=3 → P=R=666666, F1=666666
+    //   b: tp=2 sup=2 prd=3 → P=666666 R=10^6,
+    //      F1=⌊2·666666·10^6/1666666⌋=799999
+    //   c: tp=0 sup=1 prd=0 → P NULL (never predicted), R=0, F1 NULL
+    // accuracy=4/6→666666; macro=⌊(666666+799999+0)/3⌋=488888
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"),
+      ("b", "b"), ("b", "b"), ("c", "a")).toDF("label", "pred")
+    val got = Eval.confusionMetrics(df, col("label"), col("pred"))
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), opt(5), opt(6), opt(7), r.getLong(8),
+          opt(9), r.getLong(10)))
+      }.toMap
+    assert(got("a") === ((2L, 1L, 1L, 3L, Some(666666L), Some(666666L),
+      Some(666666L), 6L, Some(666666L), 488888L)), got("a").toString)
+    assert(got("b") === ((2L, 1L, 0L, 2L, Some(666666L), Some(1000000L),
+      Some(799999L), 6L, Some(666666L), 488888L)), got("b").toString)
+    assert(got("c") === ((0L, 0L, 1L, 1L, None, Some(0L),
+      None, 6L, Some(666666L), 488888L)), got("c").toString)
+  }
+
+  test("confusionMetrics: perfect classifier is all-10^6; null rows drop") {
+    val df = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("label", "pred")
+      .unionByName(Seq((null.asInstanceOf[String], "x"), ("y", null
+        .asInstanceOf[String])).toDF("label", "pred"))
+    val got = Eval.confusionMetrics(df, col("label"), col("pred"))
+      .select("class", "f1_ppm", "accuracy_ppm", "macro_f1_ppm", "total")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(("x", 1000000L, 1000000L, 1000000L, 3L),
+      ("y", 1000000L, 1000000L, 1000000L, 3L)), got.toString)
+  }
 }
