@@ -655,6 +655,50 @@ object PipelineQueries {
         graft.ml.Eval.confusionMetrics(
           o.select(col("o_orderstatus").as("label"), pred.as("pred")),
           col("label"), col("pred"))
+      }),
+
+    // EXACT isotonic calibration over binned scores
+    // (ml.Calibration.isotonicBinned): PAVA's sequential pool-merge is
+    // replaced by the minimax identity fit_i = max_{j<=i} min_{k>=i}
+    // mean(y over j..k) — a closed form over prefix sums any engine
+    // replays; every candidate mean is ONE division of exact longs, so
+    // the released doubles are bit-identical (CalibrationSpec pins
+    // minimax == exact-rational sequential PAVA). Planted fixture:
+    // 64 score bins with a lattice-noise label whose hit probability
+    // rises with the bin — violators at fine scale, monotone in bulk.
+    // One corpus aggregation to the histogram; the O(B^3) pyramid runs
+    // on 64 bins.
+    Q("q231_isotonic_fit",
+      Some("""WITH d AS (SELECT CAST(n_chars % 64 AS BIGINT) AS s,
+             |    CASE WHEN (doc_id * 7 + (n_chars % 64) * 3) % 97
+             |              < 20 + (n_chars % 64)
+             |         THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |b AS (SELECT s, CAST(sum(y) AS BIGINT) AS ynum,
+             |    count(*) AS yden FROM d GROUP BY s),
+             |c AS (SELECT s, ynum, yden,
+             |    CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rn,
+             |    CAST(sum(ynum) OVER (ORDER BY s) AS BIGINT) AS cnum,
+             |    CAST(sum(yden) OVER (ORDER BY s) AS BIGINT) AS cden
+             |  FROM b),
+             |p AS (SELECT rn AS pj, cnum AS pnum, cden AS pden FROM c
+             |  UNION ALL SELECT 0, 0, 0),
+             |k AS (SELECT rn AS kk, cnum AS knum, cden AS kden FROM c),
+             |pair AS (SELECT c.rn AS i, c.s, c.ynum, c.yden, p.pj,
+             |    CAST(k.knum - p.pnum AS DOUBLE)
+             |      / CAST(k.kden - p.pden AS DOUBLE) AS a
+             |  FROM c JOIN p ON p.pj < c.rn JOIN k ON k.kk >= c.rn),
+             |inn AS (SELECT i, s, ynum, yden, pj, min(a) AS ma
+             |  FROM pair GROUP BY 1, 2, 3, 4, 5)
+             |SELECT s, ynum, yden, max(ma) AS fit
+             |FROM inn GROUP BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val sbin = col("n_chars") % 64
+        graft.ml.Calibration.isotonicBinned(
+          docs(s, dir).select(sbin.cast("long").as("s"),
+            ((col("doc_id") * 7 + sbin * 3) % 97 < lit(20) + sbin)
+              .cast("long").as("y")),
+          col("s"), col("y"))
       })
   )
 }

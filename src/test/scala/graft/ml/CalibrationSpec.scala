@@ -74,4 +74,62 @@ class CalibrationSpec extends SparkSpec {
     assert(m.getFeaturesCol == featBefore && m.getPredictionCol == predBefore,
       "calibrate must operate on a copy, not mutate the shared model")
   }
+
+  /** Exact-rational sequential PAVA over sorted (ynum, yden) bins —
+    * the independent reference the minimax form must reproduce.
+    * Violator compare is cross-multiplied longs (a/b > c/d ⇔ ad > cb),
+    * pooled value rounded ONCE at the end, like the operator. */
+  private def pavaRef(bins: Seq[(Long, Long, Long)]): Seq[(Long, Double)] = {
+    val sorted = bins.sortBy(_._1)
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    for ((_, n, d) <- sorted) {
+      var cur = (n, d, 1)
+      while (st.nonEmpty &&
+          st.last._1 * cur._2 > cur._1 * st.last._2) { // prev mean > cur
+        val p = st.remove(st.size - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 + cur._3)
+      }
+      st += cur
+    }
+    val fits = st.toSeq.flatMap { case (n, d, c) =>
+      Seq.fill(c)(n.toDouble / d.toDouble) }
+    sorted.map(_._1).zip(fits)
+  }
+
+  test("isotonicBinned == exact-rational PAVA, bit-for-bit, and monotone") {
+    // planted violators: rises, dips, recovers, dips again
+    val bins = Seq(
+      (1L, 0L, 4L), (2L, 3L, 4L), (3L, 1L, 4L), (4L, 2L, 4L),
+      (5L, 1L, 1L), (6L, 2L, 4L), (7L, 4L, 4L))
+    val rows = bins.flatMap { case (s, n, d) =>
+      Seq.fill(n.toInt)((s, 1L)) ++ Seq.fill((d - n).toInt)((s, 0L)) }
+    val got = Calibration.isotonicBinned(rows.toDF("s", "y"),
+        col("s"), col("y"))
+      .orderBy("s").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) === bins, "histogram must match")
+    val want = pavaRef(bins)
+    assert(got.map(r => (r._1, r._4)) === want,
+      s"minimax must equal sequential PAVA exactly:\n$got\nvs $want")
+    assert(got.map(_._4).sliding(2).forall(p => p.head <= p.last),
+      s"fit must be monotone: $got")
+    // the pooled blocks: 0/4 | pool(3/4,1/4,2/4)=6/12 | pool(1/1,2/4)=3/5 | 4/4
+    assert(want.map(_._2) === Seq(0.0, 0.5, 0.5, 0.5, 0.6, 0.6, 1.0))
+  }
+
+  test("isotonicBinned matches PAVA on lattice-noise fixtures") {
+    // deterministic pseudo-noise over 24 bins, three different lattices
+    for (m <- Seq(5L, 11L, 23L)) {
+      val bins = (0L until 24L).map { s =>
+        val d = 3L + (s * m) % 4L
+        val n = ((s * 7L + m) % (d + 1L))
+        (s, n, d)
+      }
+      val rows = bins.flatMap { case (s, n, d) =>
+        Seq.fill(n.toInt)((s, 1L)) ++ Seq.fill((d - n).toInt)((s, 0L)) }
+      val got = Calibration.isotonicBinned(rows.toDF("s", "y"),
+          col("s"), col("y"))
+        .orderBy("s").as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got.map(r => (r._1, r._4)) === pavaRef(bins), s"lattice $m")
+    }
+  }
 }
