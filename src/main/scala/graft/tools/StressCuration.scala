@@ -13,17 +13,20 @@ import graft.sources.Tables
 import graft.text.{LanguageModel, TextAnalysis}
 
 /** Scale probe for the q106 five-stage curation composite (driver-side
-  * tooling): inflate the sf0.1 documents table to ~1M docs and run the
-  * pipeline STAGE BY STAGE, timing each and reading the stage's shuffle
-  * record counts off a SparkListener — the evidence that no stage goes
-  * super-linear in the corpus. Unlike StressDedup's pathological
-  * all-copies corpus, the inflation here salts each copy's text to keep
-  * docs unique (the realistic shape for gating/DSIR) while planting an
-  * exact duplicate every 20th doc so the dedup stage has real work
-  * (~5% duplicate mass).
+  * tooling): inflate the sf0.1 documents table (SPARK_GRAFT_COPIES:
+  * 200 → ~1M docs, 2000 → the 10M rep; give the 10M rep
+  * SPARK_DRIVER_MEM=24g) and run the pipeline STAGE BY STAGE, timing
+  * each and reading the stage's shuffle record counts off a
+  * SparkListener — the evidence that no stage goes super-linear in the
+  * corpus. Unlike StressDedup's pathological all-copies corpus, the
+  * inflation here salts each copy's text to keep docs unique (the
+  * realistic shape for gating/DSIR) while planting an exact duplicate
+  * every 20th doc so the dedup stage has real work (~5% duplicate
+  * mass).
   *
   * Committed numbers live in EXPLAIN.md ("curation composite at 1M
-  * docs"). */
+  * docs"; "StressCuration at 10M docs" — shuffle rows exactly 10×,
+  * linear as claimed). */
 object StressCuration {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,10 +87,14 @@ object StressCuration {
         .select("doc_id", "lang", "text"))
     stage("1 canonicalize+gates")(gated.count())
 
-    // Stage 1b — safety blocklist gate (q175: two codegen'd lexicon
-    // probes per row, integer ratio verdict). Measured STANDALONE so
-    // stages 2-5 keep their round-over-round comparability — it does
-    // not feed the survivor chain.
+    // Stage 1b/1c — standalone comparison baselines (they do not feed
+    // the survivor chain). Skippable: the 1c fold baselines exist to
+    // show the DFA wins and cost ~20 regex/replace passes per doc —
+    // at the 10M scale they dominate the whole probe's wall clock
+    // while proving nothing new (set SPARK_GRAFT_CURATION_BASELINES=0).
+    val baselines = sys.env.getOrElse("SPARK_GRAFT_CURATION_BASELINES",
+      "1") != "0"
+    if (baselines) {
     stage("1b safety gate (standalone)")(
       TextAnalysis.withSafetyGate(canonical, col("text"),
         Seq("dup"), Seq("slow", "broken"), softPermille = 80L)
@@ -115,6 +122,7 @@ object StressCuration {
           (length(col("text")) - length(replace(col("text"), lit(p),
             lit("")))) / p.length)
           .reduce(_ + _).as("h")).filter(col("h") > 0).count())
+    }
 
     // Stage 2 — exact dedup keepers (ONE shuffle on the content hash)
     val keepers = CacheScope.unmanaged.persist(

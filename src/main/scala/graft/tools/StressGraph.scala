@@ -75,6 +75,51 @@ object StressGraph {
       val covered = lp.filter(col("label").isNotNull).count()
       println(f"[graph]   labeled $covered%,d / $n%,d nodes from ${n / 1000}%,d seeds")
     }
+    edges.unpersist()
+
+    // ---- ZIPF in-degree skew: the graph family's real hazard --------
+    // Uniform hash targets spread in-neighbor lists evenly; a web/link
+    // graph doesn't — in-degree is Zipfian and the hottest vertex's
+    // neighbor list dominates the contribution aggregate. dst =
+    // floor(n^u) with u uniform gives P(dst=v) ∝ 1/v (s≈1 Zipf): at 1M
+    // nodes / 3M edges the top vertex takes ~5% of ALL edges. PageRank
+    // and label propagation must survive this WITHOUT a per-key
+    // repartition: PageRank's per-dst contribution sum is map-side
+    // combinable, and label prop's mode is a combinable count per
+    // (dst, label) followed by a window over the LABEL DOMAIN (≤ 5
+    // rows per dst however hot the vertex) — the probe proves the
+    // skewed runs stay in the uniform runs' envelope.
+    val u = pmod(xxhash64(concat(col("src").cast("string"),
+      lit("#"), col("j"))), lit(1000000L)).cast("double") / 1e6
+    val zedges = nodes
+      .select(col("node").as("src"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .withColumn("dst", least(lit(n - 1),
+        floor(pow(lit(n.toDouble), u))).cast("long"))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst").cache()
+    val nze = zedges.count()
+    val hot = zedges.groupBy("dst").count()
+      .orderBy(desc("count")).limit(3).collect()
+    println(f"[graph] zipf: $nze%,d edges, hottest in-degrees = " +
+      hot.map(r => f"${r.getLong(0)}:${r.getLong(1)}%,d").mkString(", "))
+    timed("zipf_pagerank(3)") {
+      val pr = Graph.pageRank(nodes, col("node"), zedges,
+        col("src"), col("dst"), 3)
+      val top = pr.orderBy(desc("rank")).limit(1).collect().head
+      val m = pr.agg(sum("rank")).head.getDouble(0)
+      println(f"[graph]   rank mass = $m%.6f, top rank node ${top.getLong(0)} " +
+        f"= ${top.getDouble(1)}%.6f")
+    }
+    timed("zipf_label_prop(3)") {
+      val seeded = nodes.withColumn("seed",
+        when(col("node") % 1000 === 0, col("node") % 5)
+          .otherwise(lit(null).cast("long")))
+      val lp = Graph.labelPropagation(seeded, col("node"), col("seed"),
+        zedges, col("src"), col("dst"), 3)
+      val covered = lp.filter(col("label").isNotNull).count()
+      println(f"[graph]   labeled $covered%,d / $n%,d nodes")
+    }
     spark.stop()
   }
 }

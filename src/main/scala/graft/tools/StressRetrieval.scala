@@ -74,6 +74,134 @@ object StressRetrieval {
       }
       top.show(5, truncate = false)
     }
+
+    // ---- graded RELEVANCE at scale: the q217 provably-ideal fixture
+    // instantiated at nFam families x 4 docs (default 1M docs), queried
+    // for nGq of the families. Per family: grade-2 relevant, grade-0
+    // term-spam decoy (BM25's tf saturation provably ranks it first at
+    // ANY corpus size), grade-1 partial, grade-0 noise — token
+    // namespaces are per-family, so the ideal top-5 is the family and
+    // the metrics have EXACT expected values: bm25 hits@1 = 0,
+    // rrf hits@1 = nGq with CG@2 = 2*nGq, rerank hits@1 = nGq with
+    // CG@2 = 3*nGq. The index ingests via 8 on-disk batches then
+    // compacts; post-compact metrics must be identical rows.
+    val nFam = sys.env.getOrElse("SPARK_GRAFT_RETRIEVAL_FAMILIES",
+      "250000").toLong
+    val nGq = sys.env.getOrElse("SPARK_GRAFT_RETRIEVAL_GRADED_QUERIES",
+      "10000").toLong
+    val fams = spark.range(nFam).select(col("id").as("qid"))
+    def kt(sfx: String) = concat(lit("k"), col("qid"), lit(sfx))
+    def ft(sfx: String) = concat(lit("f"), col("doc"), lit(sfx))
+    def fam(v: Int, grade: Int, vec: (Double, Double))(
+        tk: Seq[org.apache.spark.sql.Column]) =
+      fams.withColumn("doc", col("qid") * 10 + v)
+        .withColumn("grade", lit(grade.toLong))
+        .withColumn("tk", array(tk: _*))
+        .withColumn("v", array(lit(vec._1), lit(vec._2)))
+    val corp =
+      fam(1, 2, (600.0, 400.0))(
+          Seq(kt("a"), kt("b"), kt("c"), ft("x"), ft("y"), ft("z")))
+        .unionByName(fam(2, 0, (50.0, 50.0))(
+          Seq(kt("a"), kt("a"), kt("a"), kt("b"), kt("b"), kt("b"),
+            kt("c"), kt("c"), kt("c"))))
+        .unionByName(fam(3, 1, (300.0, 200.0))(
+          Seq(kt("a"), ft("x"), ft("y"), ft("z"))))
+        .unionByName(fam(4, 0, (10.0, 10.0))(Seq(ft("x"), ft("y"))))
+        .cache()
+    println(s"[retrieval] graded corpus = ${"%,d".format(corp.count())} docs")
+    val dir = java.nio.file.Files.createTempDirectory("graded_ix").toString
+    timed(s"graded_ingest_8_batches") {
+      (0 until 8).foreach { b =>
+        Retrieval.bm25IndexAppend(corp.filter(pmod(col("doc"), lit(8)) === b),
+          col("doc"), col("tk"), dir, b.toLong)
+      }
+    }
+    val gq = fams.filter(col("qid") % (nFam / nGq) === 0)
+      .select(col("qid"), array(kt("a"), kt("b"), kt("c")).as("qtoks"))
+    def metrics(label: String): Array[org.apache.spark.sql.Row] =
+      scala.util.Using.resource(new CacheScope) { scope =>
+        val ixg = Retrieval.bm25IndexLoad(spark, dir)
+        val sp = timed(s"${label}_bm25_top5") {
+          val r = Retrieval.bm25TopKFromIndex(ixg, gq,
+            col("qid"), col("qtoks"), 5, scope = scope)
+            .select("qid", "doc", "rank").cache()
+          r.count(); r
+        }
+        val qv = gq.select(col("qid"), array(lit(1.0), lit(1.0)).as("qv"))
+        val dn = timed(s"${label}_rerank_top5") {
+          val r = Retrieval.rerankDense(sp.select("qid", "doc"), qv,
+            corp.select(col("doc"), col("v")), 5)
+            .select("qid", "doc", "rank").cache()
+          r.count(); r
+        }
+        val rr = timed(s"${label}_rrf") {
+          val r = Retrieval.rrfFuse(Seq(sp, dn), k = 5)
+            .select("qid", "doc", "rank").cache()
+          r.count(); r
+        }
+        val sys0 = sp.withColumn("ranker", lit("bm25"))
+          .unionByName(dn.withColumn("ranker", lit("rerank")))
+          .unionByName(rr.withColumn("ranker", lit("rrf")))
+        val rows = sys0.join(corp.select("doc", "grade"), "doc")
+          .groupBy("ranker")
+          .agg(count_if(col("grade") === 2 && col("rank") === 1)
+              .as("hits_at_1"),
+            sum(when(col("rank") <= 2, col("grade")).otherwise(0L))
+              .as("cg_at_2"))
+          .orderBy("ranker").collect()
+        rows.foreach(r => println(s"[retrieval] $label ${r.getString(0)}: " +
+          s"hits@1=${r.getLong(1)} cg@2=${r.getLong(2)}"))
+        Seq(sp, dn, rr).foreach(_.unpersist())
+        rows
+      }
+    val before = metrics(s"graded_${nGq / 1000}kq")
+    val want = Map("bm25" -> (0L, 2 * nGq), "rrf" -> (nGq, 2 * nGq),
+      "rerank" -> (nGq, 3 * nGq))
+    before.foreach { r =>
+      val (h, c) = want(r.getString(0))
+      assert(r.getLong(1) == h && r.getLong(2) == c,
+        s"graded metrics off the provable ideal: $r (want $h/$c)")
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graded_ix2").toString
+    timed("graded_compact_16p") {
+      Retrieval.bm25IndexCompact(spark, dir, dir2, targetPartitions = 16)
+    }
+    def partFiles(d: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+    println(s"[retrieval] part files: ${partFiles(dir)} -> ${partFiles(dir2)}")
+    val dirOld = dir
+    // re-point loads at the compacted dir and re-measure: rows identical
+    val after = {
+      val save = dir2
+      // metrics() closes over `dir`; inline the reload against dir2
+      scala.util.Using.resource(new CacheScope) { scope =>
+        val ixg = Retrieval.bm25IndexLoad(spark, save)
+        val sp = Retrieval.bm25TopKFromIndex(ixg, gq,
+          col("qid"), col("qtoks"), 5, scope = scope)
+          .select("qid", "doc", "rank").cache()
+        val qv = gq.select(col("qid"), array(lit(1.0), lit(1.0)).as("qv"))
+        val dn = Retrieval.rerankDense(sp.select("qid", "doc"), qv,
+          corp.select(col("doc"), col("v")), 5)
+        val rr = Retrieval.rrfFuse(Seq(sp,
+          dn.select("qid", "doc", "rank")), k = 5)
+        val sys0 = sp.withColumn("ranker", lit("bm25"))
+          .unionByName(dn.select("qid", "doc", "rank")
+            .withColumn("ranker", lit("rerank")))
+          .unionByName(rr.select("qid", "doc", "rank")
+            .withColumn("ranker", lit("rrf")))
+        sys0.join(corp.select("doc", "grade"), "doc")
+          .groupBy("ranker")
+          .agg(count_if(col("grade") === 2 && col("rank") === 1)
+              .as("hits_at_1"),
+            sum(when(col("rank") <= 2, col("grade")).otherwise(0L))
+              .as("cg_at_2"))
+          .orderBy("ranker").collect()
+      }
+    }
+    assert(before.map(_.toString).toSeq == after.map(_.toString).toSeq,
+      s"compacted index changed the metrics: ${after.mkString(";")}")
+    println(s"[retrieval] post-compact metrics identical (${dirOld} -> $dir2)")
     spark.stop()
   }
 }

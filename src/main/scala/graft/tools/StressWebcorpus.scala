@@ -145,19 +145,33 @@ object StressWebcorpus {
     // alias: referencing col("doc_id") here would lateral-alias-capture
     // the NEW per-copy id computed in the same select (observed: every
     // copy got a unique salt and the dedup stage had nothing to remove)
+    // corpus scale knobs. COPIES sets |docs| (200 = 1M at sf0.1,
+    // 2000 = 10M); GROUP sets the exact-dup family size (consecutive
+    // copies sharing one salt). The two 10M shapes probe different
+    // axes: GROUP=10 keeps families 1M-like but multiplies DISTINCT
+    // texts 10× — and with them the corpus's cross-group near-miss
+    // structure, which is QUADRATIC in groups-per-base (C(g,2) pairs
+    // at J≈0.65, just under the 0.8 threshold); GROUP=100 keeps the
+    // distinct-text core at the 1M run's 100k and multiplies only the
+    // DUPLICATION, which the collapse absorbs before LSH ever runs.
+    val cCopies = sys.env.getOrElse("SPARK_GRAFT_WEBCORPUS_COPIES",
+      "200").toInt
+    val cGroup = sys.env.getOrElse("SPARK_GRAFT_WEBCORPUS_GROUP",
+      "10").toInt
     val famSalt = array_join(transform(sequence(lit(0), lit(29)),
       j => concat(lit("s"), col("base_id"), lit("g"),
-        (col("i") / 10).cast("int"), lit("t"), j)), " ")
+        (col("i") / cGroup).cast("int"), lit("t"), j)), " ")
     val families = base
       .select(col("doc_id").as("base_id"), col("text"),
-        explode(sequence(lit(0), lit(199))).as("i"))
+        explode(sequence(lit(0), lit(cCopies - 1))).as("i"))
       .select((col("base_id") + col("i") * 1000000L).as("doc_id"),
         concat(col("text"), lit(" "), famSalt).as("text"))
       .withColumn("n_chars", length(col("text")))
       .repartition(32)
       .localCheckpoint()
     println(s"[webcorpus] composite corpus: ${families.count()} docs " +
-      "(10-member exact-dup families throughout)")
+      s"($cGroup-member exact-dup families, " +
+      s"${cCopies / cGroup} groups per base doc)")
 
     def composite(tag: String,
                   nearDup: org.apache.spark.sql.DataFrame =>
