@@ -116,6 +116,28 @@ class CalibrationSpec extends SparkSpec {
     assert(want.map(_._2) === Seq(0.0, 0.5, 0.5, 0.5, 0.6, 0.6, 1.0))
   }
 
+  test("isotonicBinned agrees with Spark ML's fitIsotonic on the bins") {
+    // the two implementations share nothing (minimax closed form vs
+    // MLlib's distributed pool-merge) — agreement on a violator
+    // fixture ties the oracle-tier form to the production seam.
+    // Tolerance, not equality: MLlib averages pools in its own
+    // float order.
+    val bins = Seq(
+      (1L, 0L, 4L), (2L, 3L, 4L), (3L, 1L, 4L), (4L, 2L, 4L),
+      (5L, 1L, 1L), (6L, 2L, 4L), (7L, 4L, 4L))
+    val rows = bins.flatMap { case (s, n, d) =>
+      Seq.fill(n.toInt)((s, 1.0)) ++ Seq.fill((d - n).toInt)((s, 0.0)) }
+    val df = rows.toDF("s", "y")
+    val got = Calibration.isotonicBinned(df, col("s"), col("y"))
+      .orderBy("s").as[(Long, Long, Long, Double)].collect()
+    val model = Calibration.fitIsotonic(df, col("s"), col("y"))
+    val ml = Calibration.calibrate(model,
+        bins.map(_._1).toDF("s"), col("s"))
+      .orderBy("s").select("calibrated").as[Double].collect()
+    got.map(_._4).zip(ml).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"minimax $a vs MLlib $b") }
+  }
+
   test("isotonicBinned matches PAVA on lattice-noise fixtures") {
     // deterministic pseudo-noise over 24 bins, three different lattices
     for (m <- Seq(5L, 11L, 23L)) {
