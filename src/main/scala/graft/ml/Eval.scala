@@ -85,22 +85,42 @@ object Eval {
     *   recall_ppm    = ⌊10⁶·tp/support⌋ (NULL when support=0),
     *   f1_ppm        = ⌊2·P_ppm·R_ppm/(P_ppm+R_ppm)⌋ (NULL when either
     *                   is NULL or both are 0 — undefined, not fake 0);
-    *   accuracy_ppm  = ⌊10⁶·Σtp/total⌋ and macro_f1_ppm =
-    *   ⌊Σcoalesce(f1,0)/|classes|⌋ ride along as constant columns
-    *   (undefined-F1 classes average as 0, the sklearn convention).
+    *   accuracy_ppm  = ⌊10⁶·Σtp/total⌋, macro_f1_ppm =
+    *   ⌊Σcoalesce(f1,0)/|classes|⌋, and weighted_f1_ppm =
+    *   ⌊Σcoalesce(f1,0)·support / Σsupport⌋ ride along as constant
+    *   columns (undefined-F1 classes average as 0, the sklearn
+    *   convention; weighted F1 is MulticlassClassificationEvaluator's
+    *   DEFAULT metric — the one the reference actually reads — so a
+    *   parity reader gets it without re-deriving it from the per-class
+    *   rows).
     * All inputs to every division are exact longs; P,R ≤ 10⁶ so the F1
-    * cross-product ≤ 2·10¹² — no staging needed there.
+    * cross-product ≤ 2·10¹², and the weighted numerator ≤ 10⁶·total
+    * (in-range while total < 9.2·10¹² rows) — no staging needed.
     *
     * Null labels or predictions carry no evaluation evidence and are
     * dropped (the calibration-fit discipline).
+    *
+    * Mixed-type guard: the reference's exact shape is integer-ish
+    * labels vs MLlib's DOUBLE predictions; stringifying each column
+    * independently renders those as '1' vs '1.0' and every row lands
+    * off-diagonal with no error. Numeric columns therefore canonicalize
+    * through `double` before `string`, so 1 (int) and 1.0 (double) name
+    * the same class; non-numeric columns stringify as-is.
     *
     * Scale shape: ONE corpus-scale map-side-combinable aggregation to
     * the ≤|classes|² confusion frame; every join/window after it is
     * class-domain. Output: one row per class. */
   def confusionMetrics(df: DataFrame, labelCol: Column,
                        predCol: Column): DataFrame = {
-    val cm = df.select(labelCol.cast("string").as("label"),
-        predCol.cast("string").as("pred"))
+    import org.apache.spark.sql.types.NumericType
+    val raw = df.select(labelCol.as("label"), predCol.as("pred"))
+    val canon = raw.schema.fields.map { f =>
+      f.dataType match {
+        case _: NumericType => col(f.name).cast("double").cast("string").as(f.name)
+        case _ => col(f.name).cast("string").as(f.name)
+      }
+    }
+    val cm = raw.select(canon.toSeq: _*)
       .filter(col("label").isNotNull && col("pred").isNotNull)
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))
     val classes = cm.select(col("label").as("class"))
@@ -134,7 +154,9 @@ object Eval {
       .drop("_correct")
     val macroF1 = m.agg(
       expr("sum(coalesce(f1_ppm, bigint(0))) div count(*)")
-        .as("macro_f1_ppm"))
+        .as("macro_f1_ppm"),
+      expr("sum(coalesce(f1_ppm, bigint(0)) * support) div sum(support)")
+        .as("weighted_f1_ppm"))
     m.select("class", "tp", "fp", "fn", "support",
         "precision_ppm", "recall_ppm", "f1_ppm")
       .crossJoin(broadcast(tot))   // 1 row

@@ -590,9 +590,10 @@ object PipelineQueries {
 
     // EXACT confusion-matrix metrics (ml.Eval.confusionMetrics): the
     // §2.11 accuracy/F1 the reference reads off MLlib, replayable —
-    // per-class P/R/F1 + accuracy + macro-F1 as staged integer
-    // floor-ppm over the confusion frame (the q225 discipline applied
-    // to released model-card metrics). Planted 3-class classifier on
+    // per-class P/R/F1 + accuracy + macro-F1 + weighted-F1 (the
+    // MulticlassClassificationEvaluator DEFAULT the reference reads)
+    // as staged integer floor-ppm over the confusion frame (the q225
+    // discipline applied to released model-card metrics). Planted 3-class classifier on
     // orders: labels = o_orderstatus, predictions flip to 'F'/'O' on
     // the %11/%7 orderkey lattices — a deterministic asymmetric error
     // pattern populating every tp/fp/fn cell at every scale. One
@@ -642,9 +643,11 @@ object PipelineQueries {
               |         THEN ${microRatioSql("correct", "total", "//")}
               |         END AS accuracy_ppm FROM tot),
               |mac AS (SELECT CAST(sum(coalesce(f1_ppm, 0)) // count(*)
-              |    AS BIGINT) AS macro_f1_ppm FROM m2)
+              |    AS BIGINT) AS macro_f1_ppm,
+              |    CAST(sum(coalesce(f1_ppm, 0) * support) // sum(support)
+              |    AS BIGINT) AS weighted_f1_ppm FROM m2)
               |SELECT class, tp, fp, fn, support, precision_ppm, recall_ppm,
-              |  f1_ppm, total, accuracy_ppm, macro_f1_ppm
+              |  f1_ppm, total, accuracy_ppm, macro_f1_ppm, weighted_f1_ppm
               |FROM m2 CROSS JOIN ta CROSS JOIN mac""".stripMargin)
     },
       (s, dir) => {

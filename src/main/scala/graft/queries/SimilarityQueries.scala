@@ -494,6 +494,106 @@ object SimilarityQueries {
         val cells = Similarity.withIvfCell(e, col("vec_id"),
           col("embedding"), cents)
         graft.operators.Drift.tvdSeries(cells, col("vec_id") % 4, col("cell"))
+      }),
+
+    // Persisted IVF index LIFECYCLE (Similarity.ivfIndexAppend/Load —
+    // the bm25 on-disk-index discipline applied to ANN): the corpus
+    // ingests as three delta batches, batch 1 is ingested TWICE (a
+    // replayed batch id must REPLACE its partition, not duplicate), and
+    // the loaded accumulated index must equal a one-shot assignment of
+    // the whole corpus — which is what the oracle computes (the q47
+    // seeded-codebook argmin over ALL vectors, aggregated per cell).
+    // Equality holds because assignment is per-row deterministic
+    // against the FIXED saved codebook; that is exactly the property
+    // that makes "assign once, persist, append deltas" sound at 100 TB
+    // (round-16's 10M probe showed assignment dominates index cost —
+    // queries must not re-pay it).
+    Q("q232_ivf_index_lifecycle",
+      Some(s"""WITH $eCte,
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |asgn AS (SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM e CROSS JOIN c) WHERE rn = 1)
+              |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+              |  CAST(sum(vec_id) AS BIGINT) AS sum_id,
+              |  CAST(min(vec_id) AS BIGINT) AS min_id,
+              |  CAST(max(vec_id) AS BIGINT) AS max_id
+              |FROM asgn GROUP BY cell""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = Similarity.seededCentroids(e, col("vec_id"),
+          col("embedding"), 1L to 8L)
+        val ix = java.nio.file.Files.createTempDirectory("ivf_ix").toString
+        def ingest(m: Int, batchId: Long): Unit =
+          Similarity.ivfIndexAppend(e.filter(col("vec_id") % 3 === m),
+            col("vec_id"), col("embedding"), cents, ix, batchId)
+        ingest(0, 0L)
+        ingest(1, 1L)
+        ingest(1, 1L) // replayed batch: must replace, not duplicate
+        ingest(2, 2L) // late delta: only these vectors get scored
+        val (cells, cb) = Similarity.ivfIndexLoad(s, ix)
+        require(cb.length == cents.length &&
+          cb.zip(cents).forall { case (a, b) => a.sameElements(b) },
+          "loaded codebook must round-trip exactly")
+        cells.groupBy("cell").agg(
+          count(lit(1)).as("n_vecs"),
+          sum("vec_id").cast("long").as("sum_id"),
+          min("vec_id").cast("long").as("min_id"),
+          max("vec_id").cast("long").as("max_id"))
+      }),
+
+    // TWO-LEVEL (IMI-style) cell assignment (Similarity.withIvfCell2 /
+    // TwoLevelArgMin): coarse argmin over the q47 seeded codebook, then
+    // argmin within that cell's fine sub-codebook — here the 2
+    // lowest-id MEMBERS of each coarse cell (seededFineCodebooks: the
+    // seeded-centroid rule applied per cell, replayable as a rank
+    // window). Composite cell = coarse·2 + fineIdx. This is the
+    // constant-cell-size scale path: Σ|cell|² pair work (SemDeDup) is
+    // linear only if the codebook grows with the corpus, and flat
+    // argmin at k ∝ N makes assignment itself the bottleneck —
+    // (k₀+k₁)·d beats k₀·k₁·d per row. The oracle replays BOTH argmin
+    // levels as chained rank windows over the same ‖c‖²−2⟨v,c⟩ scores.
+    Q("q233_two_level_cells",
+      Some(s"""WITH $eCte,
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |asgn AS (SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM e CROSS JOIN c) WHERE rn = 1),
+              |fs AS (SELECT cell, fid, CAST(rk - 1 AS INT) AS fi FROM (
+              |    SELECT cell, vec_id AS fid,
+              |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+              |    FROM asgn) WHERE rk <= 2),
+              |fv AS (SELECT fs.cell, fs.fi, e.v AS fvv
+              |  FROM fs JOIN e ON e.vec_id = fs.fid),
+              |fasgn AS (SELECT vec_id, cell, fi FROM (
+              |    SELECT a.vec_id, a.cell, fv.fi,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |        ORDER BY (${Similarity.dotSql("fvv", "fvv")}) - 2*(${Similarity.dotSql("v", "fvv")}), fv.fi) AS rn
+              |    FROM asgn a JOIN e ON e.vec_id = a.vec_id
+              |      JOIN fv ON fv.cell = a.cell) WHERE rn = 1)
+              |SELECT CAST(cell * 2 + fi AS INT) AS cell2,
+              |  CAST(count(*) AS BIGINT) AS n_vecs,
+              |  CAST(sum(vec_id) AS BIGINT) AS sum_id,
+              |  CAST(min(vec_id) AS BIGINT) AS min_id
+              |FROM fasgn GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val coarse = Similarity.seededCentroids(e, col("vec_id"),
+          col("embedding"), 1L to 8L)
+        val fines = Similarity.seededFineCodebooks(e, col("vec_id"),
+          col("embedding"), coarse, kFine = 2)
+        Similarity.withIvfCell2(e, col("vec_id"), col("embedding"),
+            coarse, fines, fineStride = 2)
+          .groupBy(col("cell").as("cell2")).agg(
+            count(lit(1)).as("n_vecs"),
+            sum("vec_id").cast("long").as("sum_id"),
+            min("vec_id").cast("long").as("min_id"))
       })
   )
 }

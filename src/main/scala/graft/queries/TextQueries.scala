@@ -242,8 +242,15 @@ object TextQueries {
        |    AND len(word) <= $UniMaxWord GROUP BY word)""".stripMargin
 
   /** `floor(ln(cnt/total)·10⁶)` as BIGINT — the SQL twin of
-    * `UnigramLm.scoresFromCounts` (identical IEEE division; ln differs
-    * at most in sub-ulp rounding, absorbed by the ·10⁶ floor). */
+    * `UnigramLm.scoresFromCounts` (identical IEEE division; ln may
+    * differ in sub-ulp rounding between engines). The ·10⁶ floor
+    * absorbs that in ALMOST every case but cannot guarantee it: a
+    * product landing within an ulp of an integer can flip the floor,
+    * and one flipped micro-nat can cascade through the Viterbi argmax
+    * into a different segmentation. Accepted residual risk (the
+    * dpNoisySums ln precedent) — if q228/q229 ever hash-mismatch on a
+    * regenerated corpus, triage as this known ulp hazard before
+    * suspecting the DP logic. */
   private def uniScoreSql(src: String): String =
     s"""SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE) /
        |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM $src)) * 1000000.0)

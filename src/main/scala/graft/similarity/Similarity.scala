@@ -343,13 +343,12 @@ object Similarity {
     * zero-shuffle shape as [[withLshBucket]], but the cells adapt to the
     * data distribution instead of being random hyperplane cuts. The
     * centroid count is the classic √N-ish knob; the codebook is tiny by
-    * construction, so inlining it as literals is free.
+    * construction, so shipping it inside the assignment expression is free.
     *
-    * argmin(dist) is expressed as `array_min` over (distance, cell)
-    * structs — lexicographic struct ordering gives the nearest cell, with
-    * the cell index as a deterministic tie-break. dot(v,v) is common to
-    * every cell's distance so it drops out of the argmin:
-    * rank by |c|² − 2·v·c. */
+    * argmin(dist) is one codegen'd [[graft.functions.expressions.CentroidArgMin]]
+    * (codebook as a reference object — constant generated-code size at any
+    * k), ties to the lower cell index. dot(v,v) is common to every cell's
+    * distance so it drops out of the argmin: rank by |c|² − 2·v·c. */
   def trainCentroids(vectors: DataFrame, vecCol: Column, k: Int,
                      seed: Long = 42L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
@@ -395,7 +394,7 @@ object Similarity {
     * the codebook itself, not data.
     *
     * Deterministic: assignment ties break toward the lower cell index
-    * (array_min over (distance, cell) structs, same rule as
+    * (the [[graft.functions.expressions.CentroidArgMin]] rule, same as
     * [[withIvfCell]] and the q47/q95 oracles), sums are
     * exact-order-independent per dimension only up to FP addition — the
     * per-cell mean uses Spark's grouped sum, so cross-engine replay
@@ -422,17 +421,132 @@ object Similarity {
     cents
   }
 
+  /** Assign every vector its nearest centroid: `(vec_id, v, cell)` where
+    * cell = argmin over ‖c‖² − 2·⟨v,c⟩, ties to the lower cell index.
+    * Map-side only — the codebook rides inside one codegen'd
+    * [[graft.functions.expressions.CentroidArgMin]] as a reference
+    * object, so generated-code size is CONSTANT in (k, d). The previous
+    * form inlined k literal `struct(d, cell)` expressions and took
+    * `array_min`: at 256×64 that blew Janino's 64 KB method limit, fell
+    * back to interpreted eval, and cost 255.5 s at 10M vectors (29× for
+    * 10×; round-16 StressAnn). Same scores, same argmin, same tie rule —
+    * q47/q95/q113/q221 hashes unchanged. */
   def withIvfCell(vectors: DataFrame, idCol: Column, vecCol: Column,
                   centroids: Array[Array[Double]]): DataFrame = {
     val v = vecCol.cast("array<double>")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = typedLit(c.toSeq)
-      struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("v"), cLit)).as("d"),
-        lit(i).as("cell"))
-    }
     vectors.select(idCol.as("vec_id"), v.as("v"))
-      .withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+      .withColumn("cell", graft.functions.Native.centroidArgMin(col("v"), centroids))
   }
+
+  /** Two-level (IMI-style) cell assignment: coarse argmin, then argmin
+    * within that cell's fine sub-codebook — composite cell =
+    * coarse·fineStride + fineIdx (decode: cell div/mod fineStride).
+    * One codegen'd [[graft.functions.expressions.TwoLevelArgMin]];
+    * map-side, zero shuffle, constant generated-code size.
+    *
+    * This is the constant-cell-SIZE scale path: Σ|cell|² pair work
+    * (SemDeDup, within-cell near-dup) is linear in the corpus only if
+    * the codebook grows with it (k ∝ N), and flat argmin at k ∝ N makes
+    * assignment itself quadratic-ish (k·d per row). Two levels pay
+    * (k₀+k₁)·d for k₀·k₁ effective cells — 256×156 ≈ 40k cells at 412·d
+    * instead of 40 000·d per row. Recall trade vs flat argmin over the
+    * k₀·k₁ product book: a vector near a coarse boundary may land in a
+    * fine cell of the "wrong" coarse side — identical vectors still
+    * always share a composite cell, so exact duplicates are never
+    * missed (the [[semanticDedup]] guarantee that matters). */
+  def withIvfCell2(vectors: DataFrame, idCol: Column, vecCol: Column,
+                   coarse: Array[Array[Double]],
+                   fine: Array[Array[Array[Double]]],
+                   fineStride: Int): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    vectors.select(idCol.as("vec_id"), v.as("v"))
+      .withColumn("cell",
+        graft.functions.Native.twoLevelArgMin(col("v"), coarse, fine, fineStride))
+  }
+
+  /** Deterministic fine sub-codebooks for [[withIvfCell2]]: per coarse
+    * cell, the `kFine` LOWEST-id member vectors (the [[seededCentroids]]
+    * rule applied per cell — oracle-replayable as a rank window, unlike
+    * a per-cell k-means fit). A cell with no members keeps its coarse
+    * centroid as a 1-entry book (never consulted — no member ever
+    * assigns there — but keeps the structure total). One distributed
+    * pass: assign coarse, rank members per cell, collect only the
+    * ≤ k₀·kFine seed vectors (codebooks are driver-side by contract —
+    * this collect IS the codebook, not data). */
+  def seededFineCodebooks(vectors: DataFrame, idCol: Column, vecCol: Column,
+                          coarse: Array[Array[Double]],
+                          kFine: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    require(kFine >= 1, s"kFine must be >= 1, got $kFine")
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    val seeds = withIvfCell(vectors, idCol, vecCol, coarse)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= kFine)
+      .select("cell", "_rk", "v")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    Array.tabulate(coarse.length)(c => seeds.getOrElse(c, Array(coarse(c))))
+  }
+
+  /** Persisted IVF index — the [[graft.text.Retrieval.bm25IndexAppend]]
+    * discipline applied to ANN: cell assignments are computed ONCE per
+    * ingestion batch and live on disk, so the corpus-scale argmin never
+    * re-runs for a query (round-16's 10M probe showed assignment is the
+    * expensive step; "assign once and persist" was prose — this makes
+    * it an operator). Layout: `dir/codebook` (k rows: cell, cv) +
+    * `dir/cells/batch_id=N` (vec_id, v, cell) — partition discovery
+    * accumulates batches, a REPLAYED batch id overwrites its own
+    * partition instead of appending duplicates (idempotent re-ingest),
+    * and a later batch is a pure DELTA: only its vectors are scored.
+    *
+    * Because assignment is per-row deterministic against a FIXED
+    * codebook, incremental build ≡ one-shot [[withIvfCell]] over the
+    * union — the q232 oracle row pins that equality. The codebook is
+    * saved with the index and every append REQUIRES the caller's
+    * codebook to match the saved one exactly: silently mixing codebooks
+    * is the real corruption mode of incremental ANN indexes (cells stop
+    * meaning the same region, recall decays invisibly). Re-codebooking
+    * is a rebuild, not an append. */
+  def ivfIndexAppend(batch: DataFrame, idCol: Column, vecCol: Column,
+                     centroids: Array[Array[Double]], dir: String,
+                     batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cbPath = new org.apache.hadoop.fs.Path(s"$dir/codebook")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val saved = if (fs.exists(cbPath)) Some(loadCodebook(spark, dir)) else None
+    saved.foreach { s =>
+      require(s.length == centroids.length &&
+        s.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+        s"codebook mismatch vs $dir/codebook: an IVF index is only " +
+          "consistent under ONE codebook — rebuild instead of appending")
+    }
+    if (saved.isEmpty) {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/codebook")
+    }
+    withIvfCell(batch, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$dir/cells/batch_id=$batchId")
+  }
+
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/codebook").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Load the accumulated on-disk IVF index: `(cells, codebook)` where
+    * cells is `(vec_id, v, cell)` across every ingested batch (the
+    * self-contained probe input — [[annIvf]]/[[annIvfBatch]] run on it
+    * directly, no join back to the raw corpus) and the codebook ranks
+    * probe cells driver-side. */
+  def ivfIndexLoad(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, Array[Array[Double]]) =
+    (spark.read.parquet(s"$dir/cells").select("vec_id", "v", "cell"),
+      loadCodebook(spark, dir))
 
   /** IVF ANN: search only the `nProbe` cells nearest to the query vector
     * (cells ranked driver-side against the tiny codebook). One scan,
@@ -589,25 +703,24 @@ object Similarity {
     * raw floats for 100 TB ANN: 64 dims × f32 → 4 codes is 64×, and ADC
     * search ([[pqAdcTopK]]) never touches the original vectors.
     *
-    * The codebook INLINES into the plan (literal structs, like
-    * [[withIvfCell]]): encode is ONE map-side projection — argmin per
-    * subspace via `array_min` over (distance, code) structs, distance
-    * in the rank-equivalent ‖c‖² − 2⟨v_m,c⟩ form (⟨v_m,v_m⟩ is constant
-    * within a subspace's argmin) — zero shuffle, no join against a
-    * codebook table. Output is WIDE: `(vec_id, codes array<long>)`, one
-    * row per vector ([[pqCodesLong]] posexplodes for diagnostics/the
-    * oracle — still per-row, still no shuffle). */
+    * Encode is ONE map-side projection — argmin per subspace via one
+    * codegen'd [[graft.functions.expressions.CentroidArgMin]] over the
+    * dim slice (sub-codebook as a reference object — generated code is
+    * constant-size in codes×subDim, so a production 16-subspace×256-code
+    * book can't trip the Janino 64 KB limit the way the literal-struct
+    * form did for [[withIvfCell]]), distance in the rank-equivalent
+    * ‖c‖² − 2⟨v_m,c⟩ form (⟨v_m,v_m⟩ is constant within a subspace's
+    * argmin) — zero shuffle, no join against a codebook table. Output is
+    * WIDE: `(vec_id, codes array<long>)`, one row per vector
+    * ([[pqCodesLong]] posexplodes for diagnostics/the oracle — still
+    * per-row, still no shuffle). */
   def pqEncode(vectors: DataFrame, idCol: Column, vecCol: Column,
                codebook: Array[Array[Array[Double]]]): DataFrame = {
     val subDim = codebook(0)(0).length
     val v = vecCol.cast("array<double>")
     val codeCols = codebook.indices.map { m =>
       val sub = slice(v, m * subDim + 1, subDim)
-      val scored = codebook(m).zipWithIndex.map { case (c, ci) =>
-        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq)))
-          .as("d"), lit(ci.toLong).as("code"))
-      }
-      array_min(array(scored: _*)).getField("code")
+      graft.functions.Native.centroidArgMin(sub, codebook(m)).cast("long")
     }
     vectors.select(idCol.as("vec_id"), array(codeCols: _*).as("codes"))
   }
@@ -698,7 +811,18 @@ object Similarity {
     // status join — without the barrier each consumer re-scans the corpus
     // and re-evaluates the codebook argmin (same rationale as the LSH
     // pipeline's signature persist; see nearDuplicates' cache NOTE)
-    val cells = scope.persist(withIvfCell(vectors, idCol, vecCol, centroids))
+    semanticDedupOnCells(
+      scope.persist(withIvfCell(vectors, idCol, vecCol, centroids)), threshold)
+  }
+
+  /** [[semanticDedup]] over PRE-ASSIGNED cells `(vec_id, v, cell)` —
+    * the seam that lets the pair join run on ANY deterministic cell
+    * rule: flat [[withIvfCell]], two-level [[withIvfCell2]] (the
+    * constant-cell-size path at 10M+), or a loaded persisted index
+    * ([[ivfIndexLoad]] — assignment paid once at ingest, never again).
+    * The caller owns persistence of `cells` (it is consumed three
+    * times: both join sides + the status join). */
+  def semanticDedupOnCells(cells: DataFrame, threshold: Double): DataFrame = {
     val a = cells.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
     val b = cells.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))
     val dropped = a.join(b, "cell")

@@ -175,7 +175,11 @@ object UnigramLm {
                      seedSize: Int = 2000, vocabSize: Int = 500,
                      rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val words = wordsIn.cache()
+    // Persist only if the CALLER hasn't: a pipeline that already cached
+    // its word table (the advertised compose case) must not have its
+    // persistence silently evicted on return.
+    val ownCache = wordsIn.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val words = if (ownCache) wordsIn.cache() else wordsIn
     var counts = seedVocab(words, maxPieceLen, seedSize).cache()
     counts.count()
     for (_ <- 1 to rounds)
@@ -187,7 +191,7 @@ object UnigramLm {
           .orderBy(col("cnt").desc, col("piece").asc)))
       .filter(col("_rk") <= vocabSize || length(col("piece")) === 1)
       .select("piece", "cnt")
-    words.unpersist()
+    if (ownCache) words.unpersist()
     scoresFromCounts(kept)
   }
 

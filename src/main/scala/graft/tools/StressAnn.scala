@@ -107,6 +107,78 @@ object StressAnn {
     println(f"[ann] refined-codebook recall@$k vs brute: ${rHits.toDouble / (nQ * k)}%.3f")
     refinedCells.unpersist()
 
+    // Persisted-index lifecycle (r17): the "assign once and persist"
+    // mitigation as an operator. Ingest the corpus as 4 on-disk delta
+    // batches, then append a NEW n/10 delta (only the delta is scored —
+    // the incremental cost a streaming ingest pays per batch), then load
+    // and probe: batched-IVF results over the LOADED index must equal
+    // the in-memory cells' results on the original corpus ids.
+    val ixDir = java.nio.file.Files.createTempDirectory("ivf_ix").toString
+    time("ivf index build (4 on-disk delta batches)") {
+      (0 until 4).foreach { b =>
+        Similarity.ivfIndexAppend(corpus.filter(pmod(col("vec_id"), lit(4L)) === b),
+          col("vec_id"), col("embedding"), centroids, ixDir, b.toLong)
+      }
+    }
+    val (loadedCells, loadedCb) = Similarity.ivfIndexLoad(spark, ixDir)
+    val tLq = System.nanoTime()
+    val loadedSets = Similarity.annIvfBatch(loadedCells, qVecs.toSeq, loadedCb,
+        nProbe = 8, k = k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    println(f"[ann] IVF batched over LOADED index          ${(System.nanoTime() - tLq) / 1e9}%8.2f s")
+    val mismatch = batchSets.count { case (q, s) => loadedSets.getOrElse(q, Set()) != s }
+    println(s"[ann] loaded-index probe equality: ${if (mismatch == 0) "EXACT" else s"$mismatch/$nQ queries differ"}")
+    val delta = spark.range(n, n + n / 10).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (pmod(xxhash64(lit("c"), pmod(xxhash64(col("id")), lit(1000L)), d),
+          lit(2000001L)).cast("double") / 1e6 - 1.0) +
+          (pmod(xxhash64(col("id"), d), lit(2001L)).cast("double") / 1e3 - 1.0) * 0.05)
+        .as("embedding"))
+    time(s"ivf index delta append (${n / 10} new vectors)") {
+      Similarity.ivfIndexAppend(delta, col("vec_id"), col("embedding"),
+        centroids, ixDir, 4L)
+    }
+    val grown = Similarity.ivfIndexLoad(spark, ixDir)._1.count()
+    println(s"[ann] index rows after delta = ${"%,d".format(grown)} (expect ${"%,d".format(n + n / 10)})")
+
+    // ---- semantic family at scale through codegen'd assignment (r17) ----
+    // Constant-cell-size config: k_eff ≈ n/250 composite cells via
+    // two-level assignment (256 coarse × kFine fine at (256+kFine)·64
+    // per-row cost — flat argmin at k_eff·64 would be the next scale
+    // killer after the codegen fix). Σ|cell|² is the SemDeDup pair-work
+    // bound; the occupancy line makes it a measured number, then the
+    // actual pair join runs through it.
+    val kFine = math.max(2, (n / 250 / 256).toInt)
+    val fines = time(s"seeded fine codebooks (256 x $kFine)") {
+      Similarity.seededFineCodebooks(corpus, col("vec_id"), col("embedding"),
+        centroids, kFine)
+    }
+    val cells2 = time(s"two-level assignment (${256 * kFine} eff cells)") {
+      val c = Similarity.withIvfCell2(corpus, col("vec_id"), col("embedding"),
+        centroids, fines, kFine).cache()
+      c.count(); c
+    }
+    cells.unpersist() // flat cells no longer needed; free executor memory
+    val occ = cells2.groupBy("cell").count()
+      .agg(count(lit(1)), max("count"), sum(col("count") * col("count"))).head
+    println(s"[ann] occupied cells = ${"%,d".format(occ.getLong(0))}, " +
+      s"max|cell| = ${"%,d".format(occ.getLong(1))}, " +
+      s"sum|cell|^2 = ${"%,d".format(occ.getLong(2))} (pair-work bound)")
+    time("semantic drift over two-level cells (TVD)") {
+      val d = graft.operators.Drift.tvdSeries(cells2, pmod(col("vec_id"), lit(4L)),
+        col("cell")).collect()
+      println(s"[ann]   drift rows = ${d.length}")
+    }
+    time("semanticDedup pair join (threshold 0.999)") {
+      val st = Similarity.semanticDedupOnCells(cells2, 0.999)
+        .groupBy("status").count().orderBy("status").collect()
+      println(s"[ann]   " + st.map(r => s"${r.getString(0)}=${"%,d".format(r.getLong(1))}")
+        .mkString(", "))
+    }
+    cells2.unpersist()
+
     // Bitext margin mining (r11): the full 1M-corpus src side against a
     // 64-vector target batch — one corpus scan into the scored frame,
     // both neighbor ranks, the margin division, the global top cut

@@ -116,6 +116,10 @@ object StressRetrieval {
           col("doc"), col("tk"), dir, b.toLong)
       }
     }
+    require(nGq >= 1 && nGq <= nFam && nFam % nGq == 0,
+      s"GRADED_QUERIES must divide FAMILIES (got $nGq of $nFam): the stride " +
+        "filter below selects exactly nGq queries only when nFam % nGq == 0, " +
+        "and the exact-metrics assertions depend on that count")
     val gq = fams.filter(col("qid") % (nFam / nGq) === 0)
       .select(col("qid"), array(kt("a"), kt("b"), kt("c")).as("qtoks"))
     def metrics(label: String): Array[org.apache.spark.sql.Row] =

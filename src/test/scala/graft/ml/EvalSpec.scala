@@ -62,6 +62,29 @@ class EvalSpec extends SparkSpec {
       None, 6L, Some(666666L), 488888L)), got("c").toString)
   }
 
+  test("confusionMetrics: weighted F1 is the support-weighted mean (the evaluator's default metric)") {
+    // Same frame as the hand-computed test: supports a=3 b=2 c=1;
+    // weighted = ⌊(666666·3 + 799999·2 + 0·1)/6⌋ = ⌊3599996/6⌋ = 599999.
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "a"),
+      ("b", "b"), ("b", "b"), ("c", "a")).toDF("label", "pred")
+    val got = Eval.confusionMetrics(df, col("label"), col("pred"))
+      .select("weighted_f1_ppm").distinct().as[Long].collect().toSeq
+    assert(got == Seq(599999L), got.toString)
+  }
+
+  test("confusionMetrics: int labels vs double predictions share class names (MLlib's shape)") {
+    // MLlib predictions are DOUBLE; labels are often int. Independent
+    // stringification would render '1' vs '1.0' and every row would land
+    // off-diagonal silently. The canonical double→string cast keeps them
+    // on the diagonal: 3 of 4 correct here.
+    val df = Seq((1, 1.0), (1, 1.0), (0, 1.0), (0, 0.0)).toDF("label", "pred")
+    val got = Eval.confusionMetrics(df, col("label"), col("pred"))
+      .select("class", "tp", "support", "accuracy_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("1.0", 2L, 2L, 750000L), ("0.0", 1L, 2L, 750000L)),
+      got.toString)
+  }
+
   test("confusionMetrics: perfect classifier is all-10^6; null rows drop") {
     val df = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("label", "pred")
       .unionByName(Seq((null.asInstanceOf[String], "x"), ("y", null

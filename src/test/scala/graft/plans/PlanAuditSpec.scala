@@ -214,9 +214,12 @@ class PlanAuditSpec extends SparkSpec {
   test("q95: semantic dedup assigns cells shuffle-free; pair join is an equi-join") {
     val p = planUncached("q95_semantic_dedup").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // cell assignment is a projection against the inlined codebook — the
+    // cell assignment is a projection against the embedded codebook — the
     // only exchanges are the pair equi-join on cell + the drop-set joins
-    assert(p.contains("array_min"), "argmin must be the inlined-codebook projection: " + p)
+    // (since r17 the argmin is the codegen'd CentroidArgMin expression,
+    // not the array_min literal chain that blew Janino's 64 KB limit)
+    assert(p.contains("centroid_argmin"),
+      "argmin must be the embedded-codebook projection: " + p)
   }
 
   test("q90: the rank window sorts the aggregated vocabulary, not the corpus") {

@@ -114,6 +114,54 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.length} misassigned vectors")
   }
 
+  test("persisted IVF index: delta build == one-shot, replay replaces, codebook drift rejected") {
+    val cents = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"),
+      Seq(1L, 2L, 3L, 4L))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    def ingest(m: Int, id: Long): Unit =
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 2 === m),
+        col("vec_id"), col("embedding"), cents, dir, id)
+    ingest(0, 0L); ingest(1, 1L); ingest(1, 1L) // replay batch 1
+    val (cells, cb) = Similarity.ivfIndexLoad(spark, dir)
+    // replay replaced, not duplicated: exactly one row per vector
+    assert(cells.count() == emb.count())
+    // accumulated deltas == one-shot assignment over the union
+    val oneShot = Similarity.withIvfCell(emb, col("vec_id"), col("embedding"), cents)
+    assert(cells.select("vec_id", "cell")
+      .exceptAll(oneShot.select("vec_id", "cell")).count() == 0)
+    // probes over the LOADED index equal probes over the one-shot frame
+    val qv = emb.filter($"vec_id" === 0).select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    val a = Similarity.annIvf(cells, qv, cb, nProbe = 2, k = 5).collect().toSeq
+    val b = Similarity.annIvf(oneShot, qv, cents, nProbe = 2, k = 5).collect().toSeq
+    assert(a == b, s"$a vs $b")
+    // appending under a DIFFERENT codebook is corruption — rejected
+    val drifted = cents.map(_.map(_ + 0.25))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(emb.limit(1), col("vec_id"), col("embedding"),
+        drifted, dir, 9L)
+    }
+    assert(ex.getMessage.contains("codebook mismatch"), ex.getMessage)
+  }
+
+  test("semanticDedupOnCells over two-level cells drops exactly the planted exact dups") {
+    val e = emb.select("vec_id", "embedding")
+    val corpus = e.unionByName(e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val coarse = Similarity.seededCentroids(e, col("vec_id"), col("embedding"),
+      Seq(1L, 2L, 3L, 4L))
+    val fines = Similarity.seededFineCodebooks(e, col("vec_id"),
+      col("embedding"), coarse, kFine = 2)
+    val cells = Similarity.withIvfCell2(corpus, col("vec_id"), col("embedding"),
+      coarse, fines, fineStride = 2).cache()
+    val dropped = Similarity.semanticDedupOnCells(cells, threshold = 1.0)
+      .filter($"status" === "dropped").select("vec_id").as[Long].collect().toSet
+    cells.unpersist()
+    // exact duplicates ALWAYS share a composite cell → all 5 planted
+    // copies drop (higher id loses); nothing else is cosine-1.0-identical
+    assert(dropped == (100000L until 100005L).toSet, dropped.toString)
+  }
+
   test("nearDupPairs finds exactly the planted duplicates") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.union(e.filter($"vec_id" < 5)

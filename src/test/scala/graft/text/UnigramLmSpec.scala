@@ -86,6 +86,24 @@ class UnigramLmSpec extends SparkSpec {
     assert(viaDocs == viaWords)
   }
 
+  test("trainFromWords leaves a caller-cached word table cached (no eviction side effect)") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Seq("aa ab ba", "ab ab aa").toDF("text")
+    val words = UnigramLm.wordCounts(docs, col("text")).cache()
+    words.count()
+    UnigramLm.trainFromWords(words, maxPieceLen = 2, seedSize = 10,
+      vocabSize = 8, rounds = 1).collect()
+    assert(words.storageLevel != StorageLevel.NONE,
+      "caller's persistence was evicted")
+    words.unpersist()
+    // and an UNcached input is not left pinned by the call
+    val cold = UnigramLm.wordCounts(docs, col("text"))
+    UnigramLm.trainFromWords(cold, maxPieceLen = 2, seedSize = 10,
+      vocabSize = 8, rounds = 1).collect()
+    assert(cold.storageLevel == StorageLevel.NONE,
+      "function must release the cache it introduced")
+  }
+
   test("training and encoding are partitioning-invariant") {
     val docs = Seq("aa ab ba", "ab ab aa", "ba aa ab").toDF("text")
     def run(df: org.apache.spark.sql.DataFrame) =
