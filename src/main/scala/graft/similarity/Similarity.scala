@@ -464,6 +464,27 @@ object Similarity {
         graft.functions.Native.twoLevelArgMin(col("v"), coarse, fine, fineStride))
   }
 
+  /** Composite-centroid table for probing TWO-LEVEL cells with the
+    * existing flat probe machinery: entry `c·fineStride + f` is fine
+    * centroid f of coarse cell c, so [[annIvf]]/[[annIvfBatch]] rank
+    * composite cell ids directly against it (their probe list is
+    * driver-side distance-rank over this array — identical code path
+    * as flat IVF, the cells frame just carries [[withIvfCell2]] ids).
+    * Stride slots past a sub-codebook's end get a far-sentinel filler
+    * (no vector ever assigns there; +∞ distance keeps them out of any
+    * probe list). Recall trade identical to the assignment's: a true
+    * neighbor hiding across a coarse boundary needs its composite cell
+    * probed — raising nProbe recovers it exactly as with flat IVF. */
+  def compositeCentroids(coarse: Array[Array[Double]],
+                         fine: Array[Array[Array[Double]]],
+                         fineStride: Int): Array[Array[Double]] =
+    Array.tabulate(coarse.length * fineStride) { id =>
+      val c = id / fineStride
+      val f = id % fineStride
+      if (f < fine(c).length) fine(c)(f)
+      else coarse(c).map(_ => Double.MaxValue / 4) // unprobeable filler
+    }
+
   /** Deterministic fine sub-codebooks for [[withIvfCell2]]: per coarse
     * cell, the `kFine` LOWEST-id member vectors (the [[seededCentroids]]
     * rule applied per cell — oracle-replayable as a rank window, unlike

@@ -144,6 +144,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("codebook mismatch"), ex.getMessage)
   }
 
+  test("two-level cells probe through annIvfBatch via compositeCentroids; full probe == brute") {
+    val e = emb.select("vec_id", "embedding")
+    val coarse = Similarity.seededCentroids(e, col("vec_id"), col("embedding"),
+      Seq(1L, 2L, 3L, 4L))
+    val fines = Similarity.seededFineCodebooks(e, col("vec_id"),
+      col("embedding"), coarse, kFine = 2)
+    val comp = Similarity.compositeCentroids(coarse, fines, fineStride = 2)
+    assert(comp.length == 8)
+    val cells2 = Similarity.withIvfCell2(e, col("vec_id"), col("embedding"),
+      coarse, fines, fineStride = 2).cache()
+    val qv = Seq(5L, 9L).map(i => i ->
+      e.filter($"vec_id" === i).select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray)
+    // probing EVERY composite cell is brute force — must equal knnBatch
+    val full = Similarity.annIvfBatch(cells2, qv, comp, nProbe = 8, k = 5)
+      .select("query_id", "vec_id", "cos_sim").collect().toSet
+    val brute = Similarity.knnBatch(e, col("vec_id"), col("embedding"),
+        e.filter($"vec_id".isin(5L, 9L))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        col("query_id"), col("qv"), 5)
+      .select("query_id", "vec_id", "cos_sim").collect().toSet
+    assert(full == brute)
+    // a 2-cell probe list never contains a filler slot and returns k rows
+    val narrow = Similarity.annIvfBatch(cells2, qv, comp, nProbe = 2, k = 5)
+    assert(narrow.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+    cells2.unpersist()
+  }
+
   test("semanticDedupOnCells over two-level cells drops exactly the planted exact dups") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.unionByName(e.filter($"vec_id" < 5)
