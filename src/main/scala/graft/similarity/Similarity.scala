@@ -464,6 +464,46 @@ object Similarity {
         graft.functions.Native.twoLevelArgMin(col("v"), coarse, fine, fineStride))
   }
 
+  /** Lloyd refinement of the FINE codebooks under a FIXED coarse level —
+    * [[kmeansRefine]]'s distributed shape applied per coarse cell. Each
+    * iteration is one [[withIvfCell2]] pass (map-side, no shuffle) plus
+    * one grouped mean over the posexploded assignment; only the
+    * (composite cell, dim, sum, count) frame — k₀·kFine·d rows, the
+    * codebook itself — reaches the driver (codebooks are driver-side by
+    * contract in this module; at the 256×156×64 production config that
+    * collect is ~2.5M skinny rows per iteration, paid at BUILD time
+    * only). Coarse stays fixed: refining only the fine level keeps
+    * coarse routing (and any persisted coarse assignment) stable while
+    * the fine cells adapt to their region's true density — the standard
+    * residual-quantizer training split. Empty composite cells keep
+    * their previous centroid (the Lloyd empty-cell rule); the
+    * deterministic [[withIvfCell2]] argmin makes the whole fit
+    * replayable. */
+  def refineFineCodebooks(vectors: DataFrame, idCol: Column, vecCol: Column,
+                          coarse: Array[Array[Double]],
+                          init: Array[Array[Array[Double]]],
+                          fineStride: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var fines = init
+    for (_ <- 1 to iters) {
+      val stats = withIvfCell2(vectors, idCol, vecCol, coarse, fines, fineStride)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2) / r.getLong(3)))
+        .toMap
+      fines = fines.zipWithIndex.map { case (book, c) =>
+        book.zipWithIndex.map { case (old, f) =>
+          val cid = c * fineStride + f
+          if (stats.contains((cid, 0)))
+            old.indices.map(d => stats((cid, d))).toArray
+          else old // empty composite cell: keep previous centroid
+        }
+      }
+    }
+    fines
+  }
+
   /** Composite-centroid table for probing TWO-LEVEL cells with the
     * existing flat probe machinery: entry `c·fineStride + f` is fine
     * centroid f of coarse cell c, so [[annIvf]]/[[annIvfBatch]] rank

@@ -173,6 +173,41 @@ class SimilaritySpec extends SparkSpec {
     cells2.unpersist()
   }
 
+  test("refineFineCodebooks: SSE non-increasing, coarse routing untouched, shapes stable") {
+    val e = emb.select("vec_id", "embedding")
+    val coarse = Similarity.seededCentroids(e, col("vec_id"), col("embedding"),
+      Seq(1L, 2L, 3L, 4L))
+    val init = Similarity.seededFineCodebooks(e, col("vec_id"),
+      col("embedding"), coarse, kFine = 3)
+    def sse(fines: Array[Array[Array[Double]]]): Double =
+      Similarity.withIvfCell2(e, col("vec_id"), col("embedding"), coarse, fines, 3)
+        .collect().map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val cid = r.getInt(2)
+          val c = fines(cid / 3)(cid % 3)
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.sum
+    val refined = Similarity.refineFineCodebooks(e, col("vec_id"),
+      col("embedding"), coarse, init, fineStride = 3, iters = 3)
+    // Lloyd never increases within-cell SSE (assignment AND update both
+    // monotone); strict improvement expected on real data
+    assert(sse(refined) <= sse(init) + 1e-9, s"${sse(refined)} vs ${sse(init)}")
+    assert(refined.length == init.length &&
+      refined.zip(init).forall { case (a, b) => a.length == b.length })
+    // coarse level untouched — composite ids still route by the SAME
+    // coarse argmin (cell div stride equals flat withIvfCell's cell)
+    val flat = Similarity.withIvfCell(e, col("vec_id"), col("embedding"), coarse)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twoL = Similarity.withIvfCell2(e, col("vec_id"), col("embedding"),
+      coarse, refined, 3).select("vec_id", "cell").collect()
+    assert(twoL.forall(r => r.getInt(1) / 3 == flat(r.getLong(0))))
+    // 0 iters is the identity
+    val zero = Similarity.refineFineCodebooks(e, col("vec_id"),
+      col("embedding"), coarse, init, fineStride = 3, iters = 0)
+    assert(zero.zip(init).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
   test("semanticDedupOnCells over two-level cells drops exactly the planted exact dups") {
     val e = emb.select("vec_id", "embedding")
     val corpus = e.unionByName(e.filter($"vec_id" < 5)
