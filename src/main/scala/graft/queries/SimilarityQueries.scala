@@ -526,7 +526,16 @@ object SimilarityQueries {
         val e = emb(s, dir)
         val cents = Similarity.seededCentroids(e, col("vec_id"),
           col("embedding"), 1L to 8L)
-        val ix = java.nio.file.Files.createTempDirectory("ivf_ix").toString
+        // lazily-read parquet means the dir must OUTLIVE this builder
+        // (the returned frame re-reads it at every action) — cleanup is
+        // a JVM shutdown hook, not an eager delete, and repeated
+        // invocations (bench passes) would otherwise each leak a full
+        // copy of the corpus assignments to disk
+        val ixPath = java.nio.file.Files.createTempDirectory("graft_ivf_ix")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try graft.streaming.EventsStream.deleteRecursively(ixPath)
+          catch { case _: Throwable => () }))
+        val ix = ixPath.toString
         def ingest(m: Int, batchId: Long): Unit =
           Similarity.ivfIndexAppend(e.filter(col("vec_id") % 3 === m),
             col("vec_id"), col("embedding"), cents, ix, batchId)

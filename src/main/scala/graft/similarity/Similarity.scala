@@ -132,11 +132,7 @@ object Similarity {
     require(topN > 0, s"topN must be > 0, got $topN")
     val s = src.select(srcIdCol.as("src_id"), srcVecCol.cast("array<double>").as("v"))
     val t = tgt.select(tgtIdCol.as("tgt_id"), tgtVecCol.cast("array<double>").as("tv"))
-    val scored = scope.persist(s.crossJoin(broadcast(t))
-      .withColumn("cos_micro",
-        floor(round(cosine(col("v"), col("tv")), 4) * 10000 + lit(0.001))
-          .cast("long"))
-      .select("src_id", "tgt_id", "cos_micro"))
+    val scored = scope.persist(bitextScored(s, t))
     val wx = Window.partitionBy(col("src_id"))
       .orderBy(col("cos_micro").desc, col("tgt_id"))
     val ax = scored.withColumn("rk", row_number().over(wx))
@@ -153,7 +149,37 @@ object Similarity {
     // survivors per target reduce to the final top-k sum + count.
     // Tie-safe by construction: the sum only ever adds VALUES, and
     // values tied at the k boundary are equal whichever row is kept.
-    val ay = scored
+    val ay = bitextAy(scored, nnK)
+    bitextMargin(scored, ax, ay)
+      .orderBy(col("margin_micro").desc, col("src_id"), col("tgt_id"))
+      .limit(topN)
+      .select("src_id", "tgt_id", "cos_micro", "margin_micro")
+  }
+
+  /** The [[bitextMine]] scoring kernel, shared verbatim with
+    * [[bitextMineBatched]] so the two mine bit-identical pairs:
+    * |src|×|tgt| cross join (tgt broadcast) with the micro-quantized
+    * cosine (q124 floor nudge). */
+  private def bitextScored(s: DataFrame, t: DataFrame): DataFrame =
+    s.crossJoin(broadcast(t))
+      .withColumn("cos_micro",
+        floor(round(cosine(col("v"), col("tv")), 4) * 10000 + lit(0.001))
+          .cast("long"))
+      .select("src_id", "tgt_id", "cos_micro")
+
+  /** Per-TARGET top-k sum + count (the ay side of the margin). A
+    * tgt-keyed window would funnel all |src| rows of a target through
+    * ONE task (|tgt| is the mining batch — a handful of keys), so this
+    * is the classic two-level top-k instead: salted partial top-k per
+    * (tgt, hash(src) mod 64) — salting on xxhash64 so ANY src id type
+    * spreads (a raw `src_id mod 64` casts non-numeric ids to null,
+    * collapsing every target back into the one-salt-group funnel) —
+    * then the 64·k survivors per target reduce to the final top-k sum
+    * + count. Tie-safe by construction: the sum only ever adds VALUES,
+    * and values tied at the k boundary are equal whichever row is
+    * kept. */
+  private def bitextAy(scored: DataFrame, nnK: Int): DataFrame =
+    scored
       .groupBy(col("tgt_id"), pmod(xxhash64(col("src_id")), lit(64L)).as("_s"))
       .agg(slice(sort_array(collect_list(col("cos_micro")), asc = false),
         1, nnK).as("cand"))
@@ -163,19 +189,93 @@ object Similarity {
       .select(col("tgt_id"),
         aggregate(col("cand"), lit(0L), (acc, x) => acc + x).as("ay_sum"),
         size(col("cand")).cast("long").as("ny"))
-    // cos_micro > 0: a non-positive cosine is never a translation pair,
-    // and keeping the numerator positive makes the integer division
-    // direction-identical across engines (Spark `div` truncates toward
-    // zero, DuckDB `//` floors — they only agree on non-negatives).
-    // Margin 2·cos / (ax_sum/nx + ay_sum/ny) cleared of inner divisions:
-    // 2·nx·ny·cos / (ax_sum·ny + ay_sum·nx) — exact when a side has
-    // fewer than nnK candidates (nx/ny are the ACTUAL counts).
+
+  /** The margin stage shared by [[bitextMine]] / [[bitextMineBatched]].
+    * cos_micro > 0: a non-positive cosine is never a translation pair,
+    * and keeping the numerator positive makes the integer division
+    * direction-identical across engines (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — they only agree on non-negatives).
+    * Margin 2·cos / (ax_sum/nx + ay_sum/ny) cleared of inner divisions:
+    * 2·nx·ny·cos / (ax_sum·ny + ay_sum·nx) — exact when a side has
+    * fewer than nnK candidates (nx/ny are the ACTUAL counts). */
+  private def bitextMargin(scored: DataFrame, ax: DataFrame,
+                           ay: DataFrame): DataFrame =
     scored.join(ax, "src_id").join(broadcast(ay), "tgt_id")
       .filter(col("cos_micro") > 0 &&
         col("ax_sum") * col("ny") + col("ay_sum") * col("nx") > 0)
       .withColumn("margin_micro",
         expr("(2 * nx * ny * cos_micro * 1000000) div (ax_sum * ny + ay_sum * nx)"))
-      .orderBy(col("margin_micro").desc, col("src_id"), col("tgt_id"))
+
+  /** [[bitextMine]] in target SUB-BATCHES — the single-box scratch
+    * ceiling, operatorized (round-17: the 10M probe died persisting a
+    * 640M-row scored frame to ~74 GB of local scratch; the mitigation
+    * lived in prose). The target set splits into `tgtBatches`
+    * deterministic hash batches and NO corpus×batch scored frame is
+    * ever persisted — each is recomputed per consumer instead
+    * (compute-for-scratch trade: ~3 scoring scans per batch — ax tree,
+    * ay tree, margin pass — versus one scan + a scored frame on disk
+    * that grows with |src|·|tgt| and killed the one-shot at 10M).
+    *
+    * EXACTLY ≡ one-shot [[bitextMine]] (spec-pinned), because every
+    * cross-batch quantity merges losslessly: the src-side top-`nnK`
+    * over all targets is the re-topped merge of per-batch top-`nnK`
+    * lists (global top-k ⊆ union of batch top-k; ties at the boundary
+    * contribute equal VALUES so the sum is unchanged — the same
+    * argument as the salted ay reduction); each target lives in
+    * exactly ONE batch, so ay is a disjoint union; and the global
+    * top-`topN` margin cut is the re-limited union of per-batch
+    * top-`topN` cuts under the same total order. ax and ay are
+    * persisted via `scope` and forced ONCE (they are joined back per
+    * batch in the margin pass — left lazy, each batch join would
+    * re-run the whole 2B-scan tree).
+    *
+    * At cluster scale the per-node share of a scored frame is trivial
+    * and one-shot [[bitextMine]] with a persisted frame is the faster
+    * plan; this entry point is for the single-node / small-scratch
+    * regime, and for bounding peak shuffle footprint at any scale —
+    * `tgtBatches = 1` degrades to the one-shot semantics (still
+    * unpersisted scoring). */
+  def bitextMineBatched(src: DataFrame, srcIdCol: Column, srcVecCol: Column,
+                        tgt: DataFrame, tgtIdCol: Column, tgtVecCol: Column,
+                        nnK: Int, topN: Int, tgtBatches: Int,
+                        scope: graft.operators.CacheScope =
+                          graft.operators.CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nnK > 0, s"nnK must be > 0, got $nnK")
+    require(nnK <= 10000, s"nnK must be <= 10000, got $nnK")
+    require(topN > 0, s"topN must be > 0, got $topN")
+    require(tgtBatches >= 1, s"tgtBatches must be >= 1, got $tgtBatches")
+    val s = src.select(srcIdCol.as("src_id"), srcVecCol.cast("array<double>").as("v"))
+    val t = tgt.select(tgtIdCol.as("tgt_id"), tgtVecCol.cast("array<double>").as("tv"))
+    val batches = (0 until tgtBatches).map(b =>
+      t.filter(pmod(xxhash64(col("tgt_id")), lit(tgtBatches.toLong)) === b))
+    val wx = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_micro").desc, col("tgt_id"))
+    // src-side: per-batch top-nnK VALUE lists, merged and re-topped —
+    // the salted-ay reduction shape with batches playing the salt role
+    val ax = scope.persist(
+      batches.map(tb => bitextScored(s, tb)
+          .withColumn("rk", row_number().over(wx))
+          .filter(col("rk") <= nnK)
+          .groupBy("src_id")
+          .agg(collect_list(col("cos_micro")).as("cand")))
+        .reduce(_.unionByName(_))
+        .groupBy("src_id")
+        .agg(slice(sort_array(flatten(collect_list(col("cand"))), asc = false),
+          1, nnK).as("cand"))
+        .select(col("src_id"),
+          aggregate(col("cand"), lit(0L), (acc, x) => acc + x).as("ax_sum"),
+          size(col("cand")).cast("long").as("nx")))
+    // tgt-side: disjoint union of per-batch ay frames (|tgt| rows total)
+    val ay = scope.persist(
+      batches.map(tb => bitextAy(bitextScored(s, tb), nnK))
+        .reduce(_.unionByName(_)))
+    ax.count(); ay.count() // force: see scaladoc
+    val order = Seq(col("margin_micro").desc, col("src_id"), col("tgt_id"))
+    batches.map(tb => bitextMargin(bitextScored(s, tb), ax, ay)
+        .orderBy(order: _*).limit(topN))
+      .reduce(_.unionByName(_))
+      .orderBy(order: _*)
       .limit(topN)
       .select("src_id", "tgt_id", "cos_micro", "margin_micro")
   }
@@ -486,7 +586,12 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     var fines = init
     for (_ <- 1 to iters) {
+      // cell IS NULL = the argmin's totality rule fired (NULL vector,
+      // null element, or dim mismatch — see CentroidArgMin). Such rows
+      // must not train any centroid: an unboxed null Int aliases to
+      // cell 0 and would silently replace cell 0's refined centroid.
       val stats = withIvfCell2(vectors, idCol, vecCol, coarse, fines, fineStride)
+        .filter(col("cell").isNotNull)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(sum("x").as("s"), count(lit(1)).as("n"))
         .collect()
@@ -522,7 +627,15 @@ object Similarity {
       val c = id / fineStride
       val f = id % fineStride
       if (f < fine(c).length) fine(c)(f)
-      else coarse(c).map(_ => Double.MaxValue / 4) // unprobeable filler
+      // Unprobeable filler. INVARIANT: this sentinel is only safe under
+      // the SQUARED-EUCLIDEAN probe ranking Σ(cᵢ−qᵢ)² that annIvf /
+      // annIvfBatch actually compute — every term overflows to +∞, +∞
+      // sums stay +∞, and the filler sorts last. Under the expanded
+      // form ‖c‖²−2⟨v,c⟩ a positive query yields ∞−∞ = NaN, whose IEEE
+      // sort position is arbitrary — if the probe ranking is ever
+      // rewritten to the expanded form, replace this sentinel with an
+      // explicit validity mask consulted at probe time.
+      else coarse(c).map(_ => Double.MaxValue / 4)
     }
 
   /** Deterministic fine sub-codebooks for [[withIvfCell2]]: per coarse
@@ -540,7 +653,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(kFine >= 1, s"kFine must be >= 1, got $kFine")
     val w = Window.partitionBy("cell").orderBy("vec_id")
+    // NULL cells (malformed vectors under the argmin totality rule)
+    // are excluded BEFORE the rank window: a null cell otherwise forms
+    // its own window group and its lowest-id malformed vector would be
+    // collected, then alias into cell 0's book via Int unboxing.
     val seeds = withIvfCell(vectors, idCol, vecCol, coarse)
+      .filter(col("cell").isNotNull)
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= kFine)
       .select("cell", "_rk", "v")
@@ -570,7 +688,18 @@ object Similarity {
     * codebook to match the saved one exactly: silently mixing codebooks
     * is the real corruption mode of incremental ANN indexes (cells stop
     * meaning the same region, recall decays invisibly). Re-codebooking
-    * is a rebuild, not an append. */
+    * is a rebuild, not an append.
+    *
+    * Crash ordering: the first append writes its CELLS partition first
+    * and the codebook LAST — the codebook's presence is the index's
+    * commit marker ([[ivfIndexLoad]] fails loudly without it), so a
+    * failure mid-first-append leaves a cells-only directory that the
+    * retried append simply overwrites (same batch id → same partition)
+    * before committing the codebook. SINGLE-WRITER semantics: appends
+    * to one index dir must be serialized by the caller — two concurrent
+    * FIRST appends can both observe a missing codebook and race the
+    * final codebook write (later batches are safe: distinct batch ids
+    * write distinct partitions). */
   def ivfIndexAppend(batch: DataFrame, idCol: Column, vecCol: Column,
                      centroids: Array[Array[Double]], dir: String,
                      batchId: Long): Unit = {
@@ -584,14 +713,16 @@ object Similarity {
         s"codebook mismatch vs $dir/codebook: an IVF index is only " +
           "consistent under ONE codebook — rebuild instead of appending")
     }
+    withIvfCell(batch, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$dir/cells/batch_id=$batchId")
+    // codebook last = commit marker (see the crash-ordering contract in
+    // the scaladoc): a codebook-only index can never be left behind
     if (saved.isEmpty) {
       import spark.implicits._
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "cv").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/codebook")
     }
-    withIvfCell(batch, idCol, vecCol, centroids)
-      .write.mode("overwrite").parquet(s"$dir/cells/batch_id=$batchId")
   }
 
   private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
@@ -614,6 +745,11 @@ object Similarity {
     * cell filter, TakeOrdered — no corpus shuffle. */
   def annIvf(cellAssigned: DataFrame, queryVec: Array[Double],
              centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    // d2 MUST stay in the direct squared-difference form: the
+    // compositeCentroids filler sentinel (Double.MaxValue/4 per dim)
+    // relies on (c−q)² overflowing to +∞ so fillers rank last; the
+    // algebraically-equal ‖c‖²−2⟨q,c⟩ form would produce ∞−∞ = NaN
+    // there and NaN's sort position is arbitrary.
     def d2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val t = c(i) - queryVec(i); s += t * t; i += 1 }
@@ -649,6 +785,8 @@ object Similarity {
                   centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
     val spark = cellAssigned.sparkSession
     import spark.implicits._
+    // same invariant as annIvf's d2: direct squared-difference form only
+    // (the compositeCentroids filler sentinel depends on it — see there)
     def d2(c: Array[Double], q: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val t = c(i) - q(i); s += t * t; i += 1 }
@@ -866,14 +1004,16 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, idCol: Column, vecCol: Column,
                     centroids: Array[Array[Double]], threshold: Double,
                     scope: graft.operators.CacheScope =
-                      graft.operators.CacheScope.unmanaged): DataFrame = {
+                      graft.operators.CacheScope.unmanaged,
+                    maxCell: Long = Long.MaxValue): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs a non-empty codebook")
     // persisted: the assignment feeds both pair-join sides AND the final
     // status join — without the barrier each consumer re-scans the corpus
     // and re-evaluates the codebook argmin (same rationale as the LSH
     // pipeline's signature persist; see nearDuplicates' cache NOTE)
     semanticDedupOnCells(
-      scope.persist(withIvfCell(vectors, idCol, vecCol, centroids)), threshold)
+      scope.persist(withIvfCell(vectors, idCol, vecCol, centroids)),
+      threshold, maxCell)
   }
 
   /** [[semanticDedup]] over PRE-ASSIGNED cells `(vec_id, v, cell)` —
@@ -882,10 +1022,37 @@ object Similarity {
     * constant-cell-size path at 10M+), or a loaded persisted index
     * ([[ivfIndexLoad]] — assignment paid once at ingest, never again).
     * The caller owns persistence of `cells` (it is consumed three
-    * times: both join sides + the status join). */
-  def semanticDedupOnCells(cells: DataFrame, threshold: Double): DataFrame = {
-    val a = cells.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
-    val b = cells.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))
+    * times: both join sides + the status join).
+    *
+    * `maxCell` is the [[graft.dedup.Dedup.capBands]] discipline applied
+    * to the semantic family: the pair join is quadratic IN EACH CELL,
+    * and one pathological hot cell of size m (a degenerate embedding
+    * region — zero vectors, boilerplate collapsed to one point) emits
+    * m² pairs with no bound. Cells with more than `maxCell` members
+    * are excluded from PAIRING — every member reports `kept` — and the
+    * paired [[semanticCellAudit]] names exactly which cells were
+    * capped (drop-and-REPORT, never silent; a capped cell is itself a
+    * data-quality signal: the codebook is too small for that region,
+    * or the region is boilerplate). The default (`Long.MaxValue`)
+    * changes nothing — the uncapped plan is byte-identical, so the
+    * q95/q221 oracle hashes are untouched. */
+  def semanticDedupOnCells(cells: DataFrame, threshold: Double,
+                           maxCell: Long = Long.MaxValue): DataFrame = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val joinable =
+      if (maxCell == Long.MaxValue) cells
+      else {
+        // ok-cell list is codebook-sized (≤ k rows of one int) — AQE
+        // broadcasts the semi-join side; cells of 1 member are pruned
+        // too (they can emit no pair — pure join-input savings)
+        val ok = cells.groupBy("cell")
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") >= 2 && col("_n") <= maxCell)
+          .select("cell")
+        cells.join(ok, "cell")
+      }
+    val a = joinable.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
+    val b = joinable.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))
     val dropped = a.join(b, "cell")
       .filter(col("d1") < col("d2"))
       .filter(round(cosine(col("v1"), col("v2")), 4) >= threshold)
@@ -894,6 +1061,22 @@ object Similarity {
     cells.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("_drop").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
+
+  /** The audit artifact of [[semanticDedupOnCells]]'s `maxCell` cap
+    * ([[graft.dedup.Dedup.bandPostingAudit]]'s shape for the semantic
+    * family): one row per cell with ≥2 members —
+    * `(cell, n_members, capped)` — where `capped` marks the cells the
+    * cap excluded from pairing. A release pipeline files this next to
+    * the dedup output so capped mass is REPORTED, not silently
+    * vanished; `n_members²` of a capped row is exactly the pair mass
+    * the cap avoided. */
+  def semanticCellAudit(cells: DataFrame, maxCell: Long): DataFrame = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    cells.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .withColumn("capped", col("n_members") > maxCell)
   }
 
   /** [[semanticDedup]] with TRUE sequential-greedy semantics: within
@@ -908,11 +1091,16 @@ object Similarity {
     * knob, exactly as for the pair join; a cell that doesn't fit its
     * task is a codebook too small for the corpus either way).
     * Deterministic: same cell assignment, same id order, same rounded
-    * cosine as [[semanticDedup]] and its oracle. */
+    * cosine as [[semanticDedup]] and its oracle. `maxCell` applies the
+    * same cap semantics as [[semanticDedupOnCells]] (over-cap cell =
+    * all kept, reported by [[semanticCellAudit]]), bounding the walk's
+    * per-task memory AND its m² comparisons. */
   def semanticDedupGreedy(vectors: DataFrame, idCol: Column, vecCol: Column,
                           centroids: Array[Array[Double]],
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          maxCell: Long = Long.MaxValue): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupGreedy needs a non-empty codebook")
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
     val spark = vectors.sparkSession
     import spark.implicits._
     withIvfCell(vectors, idCol, vecCol, centroids)
@@ -922,6 +1110,12 @@ object Similarity {
       .groupByKey(_._2)
       .flatMapGroups { (cell, it) =>
         val members = it.toArray.sortBy(_._1)
+        // maxCell: same cap semantics as the pair join — an over-cap
+        // cell is excluded from COMPARISON entirely (all kept, audit
+        // reports it), bounding the walk's m² worst case
+        if (members.length > maxCell)
+          members.iterator.map { case (id, _, _) => (id, cell, "kept") }
+        else {
         val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         members.iterator.map { case (id, _, v) =>
           // replicate the pair join's comparison exactly: Spark's
@@ -943,6 +1137,7 @@ object Similarity {
           }
           if (!isDup) kept += v
           (id, cell, if (isDup) "dropped" else "kept")
+        }
         }
       }
       .toDF("vec_id", "cell", "status")

@@ -692,4 +692,68 @@ class SimilaritySpec extends SparkSpec {
     assert(got(("s1", "t1")) == ((10000L, 1111111L)), got.toString)
     assert(got(("s2", "t1")) == ((6000L, 857142L)), got.toString)
   }
+
+  test("bitextMineBatched ≡ one-shot bitextMine at any batch count") {
+    // real corpus shapes: src = the embeddings table, tgt = a 25-row
+    // mining batch (reshifted ids so src/tgt ids differ). Every
+    // cross-batch merge is exercised: the src-side top-nnK re-top (a
+    // src's neighbors straddle batches), the disjoint ay union, and
+    // the global re-limit of per-batch margin cuts.
+    val e = emb.select("vec_id", "embedding")
+    val tgt = e.filter($"vec_id" <= 25)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    def run(df: => org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val oneShot = run(Similarity.bitextMine(e, col("vec_id"), col("embedding"),
+      tgt, col("vec_id"), col("embedding"), nnK = 4, topN = 40))
+    assert(oneShot.size == 40, "fixture must fill topN so the cut is exercised")
+    for (b <- Seq(1, 3, 7, 40)) { // 40 > |tgt|: some batches empty
+      val batched = run(Similarity.bitextMineBatched(e, col("vec_id"),
+        col("embedding"), tgt, col("vec_id"), col("embedding"),
+        nnK = 4, topN = 40, tgtBatches = b))
+      assert(batched == oneShot, s"tgtBatches=$b must be exact: " +
+        s"got ${batched.take(3)}... want ${oneShot.take(3)}...")
+    }
+  }
+
+  test("semanticDedup maxCell: a hot cell binds the cap, audit flags exactly it") {
+    // cell 0 = 12 exact copies (the pathological hot cell: m² = 144
+    // pairs with no guard), cell 1 = one dup pair. Cap 10 binds on
+    // cell 0 only: its members are excluded from PAIRING (all kept,
+    // never silently vanished — the audit reports the cell), while
+    // cell 1 keeps normal dedup semantics.
+    val hot = (1L to 12L).map(i => (i, Array(1.0, 0.0)))
+    val pair = Seq((101L, Array(0.0, 1.0)), (102L, Array(0.0, 1.0)))
+    val corpus = (hot ++ pair).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def statuses(maxCell: Long): Map[Long, String] =
+      Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"),
+          cents, 0.99, maxCell = maxCell)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val capped = statuses(10L)
+    assert(capped.size == 14, "one status row per vector, capped cell included")
+    assert((1L to 12L).forall(capped(_) == "kept"),
+      s"over-cap cell members must all be kept: $capped")
+    assert(capped(101L) == "kept" && capped(102L) == "dropped",
+      s"under-cap cells keep normal dedup semantics: $capped")
+    // audit names exactly the capped cell, with the pair mass it avoided
+    val audit = Similarity.semanticCellAudit(
+        Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"), cents), 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(audit == Set((0, 12L, true), (1, 2L, false)), audit.toString)
+    // a cap above the max cell size is a no-op: identical to uncapped
+    val uncapped = statuses(Long.MaxValue)
+    assert(statuses(12L) == uncapped, "cap >= max cell size must change nothing")
+    assert((2L to 12L).forall(uncapped(_) == "dropped"),
+      s"uncapped must drop the whole hot cell's tail: $uncapped")
+    // greedy shares the cap semantics
+    val g = Similarity.semanticDedupGreedy(corpus, col("vec_id"),
+        col("embedding"), cents, 0.99, maxCell = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(g == capped, s"greedy cap must agree with the pair join's: $g")
+    val gFull = Similarity.semanticDedupGreedy(corpus, col("vec_id"),
+        col("embedding"), cents, 0.99)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(gFull == uncapped, "greedy default stays uncapped")
+  }
 }
