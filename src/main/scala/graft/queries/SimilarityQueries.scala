@@ -603,6 +603,99 @@ object SimilarityQueries {
             count(lit(1)).as("n_vecs"),
             sum("vec_id").cast("long").as("sum_id"),
             min("vec_id").cast("long").as("min_id"))
+      }),
+
+    // CAPPED SemDeDup (Similarity.semanticDedupOnCells maxCell — r18):
+    // the q95 pipeline with the capBands discipline applied to the
+    // semantic pair join. Cells with more than maxCell members are
+    // excluded from PAIRING (every member kept — reported by
+    // semanticCellAudit, never silently vanished): one pathological
+    // hot cell of size m otherwise emits m² pairs with no bound (r17
+    // observed max|cell| = 10,201 at 10M ≈ 52M pairs from one cell).
+    // The cap is sized RELATIVE to the corpus (⌈1.5·N/8⌉ — binds on
+    // above-average cells at every sf) and the oracle replays the
+    // bound as the same cell-count filter, so the row pins that
+    // capped-cell members classify kept while under-cap cells keep
+    // exact q95 dedup semantics, tri-scale.
+    Q("q234_semantic_dedup_capped",
+      Some(s"""WITH $eCte,
+              |base AS (SELECT vec_id, v FROM e
+              |  UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id < 20),
+              |c AS (SELECT CAST(vec_id - 1 AS INT) AS cell, v AS cv
+              |  FROM e WHERE vec_id BETWEEN 1 AND 8),
+              |asgn AS (SELECT vec_id, cell, v FROM (
+              |    SELECT base.vec_id, base.v, c.cell,
+              |      row_number() OVER (PARTITION BY base.vec_id
+              |        ORDER BY (${Similarity.dotSql("cv", "cv")}) - 2*(${Similarity.dotSql("v", "cv")}), c.cell) AS rn
+              |    FROM base CROSS JOIN c) WHERE rn = 1),
+              |cap AS (SELECT CAST(ceil(1.5 * count(*) / 8) AS BIGINT) AS mx FROM base),
+              |ok AS (SELECT cell FROM asgn GROUP BY cell
+              |  HAVING count(*) >= 2 AND count(*) <= (SELECT mx FROM cap)),
+              |drp AS (SELECT DISTINCT b2.vec_id FROM asgn a1 JOIN asgn b2
+              |  ON a1.cell = b2.cell AND a1.vec_id < b2.vec_id
+              |  WHERE a1.cell IN (SELECT cell FROM ok)
+              |    AND round(${Similarity.cosineSql("a1.v", "b2.v")}, 4) >= 0.99)
+              |SELECT a.vec_id, a.cell,
+              |  CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+              |FROM asgn a LEFT JOIN drp d USING (vec_id)""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir).select("vec_id", "embedding")
+        val corpus = e.union(
+          e.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
+        // corpus-relative cap, replayed by the oracle's `cap` CTE; the
+        // count is ONE scalar action over the (persist-free) union
+        val mx = math.ceil(1.5 * corpus.count() / 8).toLong
+        Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"),
+          cents, 0.99, maxCell = mx)
+      }),
+
+    // BATCHED bitext mining (Similarity.bitextMineBatched — r18): the
+    // q180 margin computation in 3 target hash sub-batches with NO
+    // corpus-sized scored frame ever persisted (each sub-batch is
+    // re-scored per consumer — the compute-for-scratch trade that
+    // completes at 10M where the one-shot's persisted frame died on
+    // local disk). The SAME q180 oracle replays it because the batched
+    // merges are lossless: per-batch top-k value lists re-top exactly,
+    // ay unions disjointly, and the margin cut re-limits under the
+    // same total order — batched ≡ one-shot is the property this row
+    // pins against an independent engine.
+    Q("q235_bitext_batched",
+      Some(s"""WITH $eCte,
+              |s AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+              |t AS (SELECT vec_id AS tgt_id, v AS tv FROM e
+              |  WHERE vec_id % 2 = 1 AND vec_id <= 80),
+              |m AS (SELECT src_id, tgt_id,
+              |    CAST(floor(round(${Similarity.cosineSql("v", "tv")}, 4)
+              |      * 10000 + 0.001) AS BIGINT) AS cos_micro
+              |  FROM s CROSS JOIN t),
+              |ax AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS ax_sum,
+              |    CAST(count(*) AS BIGINT) AS nx
+              |  FROM (SELECT src_id, tgt_id, cos_micro FROM m
+              |    QUALIFY row_number() OVER (PARTITION BY src_id
+              |      ORDER BY cos_micro DESC, tgt_id) <= 4)
+              |  GROUP BY src_id),
+              |ay AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS ay_sum,
+              |    CAST(count(*) AS BIGINT) AS ny
+              |  FROM (SELECT src_id, tgt_id, cos_micro FROM m
+              |    QUALIFY row_number() OVER (PARTITION BY tgt_id
+              |      ORDER BY cos_micro DESC, src_id) <= 4)
+              |  GROUP BY tgt_id)
+              |SELECT m.src_id, m.tgt_id, m.cos_micro,
+              |  (2 * nx * ny * m.cos_micro * 1000000)
+              |    // (ax_sum * ny + ay_sum * nx) AS margin_micro
+              |FROM m JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+              |WHERE m.cos_micro > 0 AND ax_sum * ny + ay_sum * nx > 0
+              |ORDER BY margin_micro DESC, m.src_id, m.tgt_id
+              |LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.bitextMineBatched(
+          e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") % 2 === 1 && col("vec_id") <= 80),
+          col("vec_id"), col("embedding"),
+          nnK = 4, topN = 50, tgtBatches = 3)
       })
   )
 }

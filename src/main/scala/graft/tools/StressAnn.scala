@@ -177,6 +177,28 @@ object StressAnn {
       println(s"[ann]   " + st.map(r => s"${r.getString(0)}=${"%,d".format(r.getLong(1))}")
         .mkString(", "))
     }
+    // CAPPED pair mass (r18): maxCell at 3× the mean cell size — on
+    // this corpus the cap binds on the occupancy tail, and the audit's
+    // Σ|capped cell|² is EXACTLY the pair mass the join no longer pays.
+    // One pathological hot cell (r17 saw max|cell| = 10,201 → ~52M
+    // pairs from that one cell) is bounded by construction.
+    val meanCell = math.max(2L, n / math.max(1L, occ.getLong(0)))
+    val capAt = 3L * meanCell
+    time(s"semanticDedup CAPPED pair join (maxCell=$capAt)") {
+      val audit = Similarity.semanticCellAudit(cells2, capAt)
+        .filter(col("capped"))
+        .agg(count(lit(1)).as("cells"),
+          sum(col("n_members") * col("n_members")).as("pairMass"),
+          max("n_members").as("maxM")).head
+      val cappedCells = audit.getLong(0)
+      println(s"[ann]   capped cells = ${"%,d".format(cappedCells)}, " +
+        s"avoided pair mass = ${if (audit.isNullAt(1)) 0L else "%,d".format(audit.getLong(1))}, " +
+        s"max capped |cell| = ${if (audit.isNullAt(2)) 0L else "%,d".format(audit.getLong(2))}")
+      val st = Similarity.semanticDedupOnCells(cells2, 0.999, maxCell = capAt)
+        .groupBy("status").count().orderBy("status").collect()
+      println(s"[ann]   " + st.map(r => s"${r.getString(0)}=${"%,d".format(r.getLong(1))}")
+        .mkString(", "))
+    }
     // ANN retrieval THROUGH the two-level cells: probe the composite
     // table at the same corpus fraction flat-256/nProbe=8 scans (8/256
     // = 3.1% → nProbe2 = 8·kFine of the 256·kFine composite cells) —
@@ -192,16 +214,70 @@ object StressAnn {
     var tlHits = 0L
     tlSets.foreach { case (qid, s1) => tlHits += (s1 & bruteSets(qid)).size }
     println(f"[ann] two-level recall@$k vs brute (same 3.1%% scan): ${tlHits.toDouble / (nQ * k)}%.3f")
-    cells2.unpersist()
 
-    // Bitext margin mining (r11): the full 1M-corpus src side against a
+    // Two-level END TO END (r18): Lloyd-refine the FINE books under the
+    // fixed coarse routing, re-assign, and probe the refined composite
+    // table at the SAME scan fraction — the before/after-refinement
+    // recall comparison the residual-quantizer training split is for.
+    val finesR = time("refineFineCodebooks: 2 fine-only Lloyd iters") {
+      Similarity.refineFineCodebooks(corpus, col("vec_id"), col("embedding"),
+        centroids, fines, kFine, iters = 2)
+    }
+    val cells2R = time("two-level re-assignment (refined fines)") {
+      val c = Similarity.withIvfCell2(corpus, col("vec_id"), col("embedding"),
+        centroids, finesR, kFine).cache()
+      c.count(); c
+    }
+    cells2.unpersist()
+    val compR = Similarity.compositeCentroids(centroids, finesR, kFine)
+    val tTlR = System.nanoTime()
+    val tlrSets = Similarity.annIvfBatch(cells2R, qVecs.toSeq, compR,
+        nProbe = 8 * kFine, k = k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    println(f"[ann] IVF batched over REFINED two-level      ${(System.nanoTime() - tTlR) / 1e9}%8.2f s")
+    var tlrHits = 0L
+    tlrSets.foreach { case (qid, s1) => tlrHits += (s1 & bruteSets(qid)).size }
+    println(f"[ann] refined two-level recall@$k vs brute (same scan): ${tlrHits.toDouble / (nQ * k)}%.3f")
+    val occR = cells2R.groupBy("cell").count()
+      .agg(count(lit(1)), max("count"), sum(col("count") * col("count"))).head
+    println(s"[ann] refined occupancy: cells = ${"%,d".format(occR.getLong(0))}, " +
+      s"max|cell| = ${"%,d".format(occR.getLong(1))}, " +
+      s"sum|cell|^2 = ${"%,d".format(occR.getLong(2))}")
+    cells2R.unpersist()
+
+    // Bitext margin mining (r11): the full corpus src side against a
     // 64-vector target batch — one corpus scan into the scored frame,
-    // both neighbor ranks, the margin division, the global top cut
-    val tgtBatch = corpus.filter(pmod(col("vec_id"), lit(15625L)) === 7L)
-    time(s"bitext margin mine (64-target batch)") {
-      val mined = Similarity.bitextMine(corpus, col("vec_id"), col("embedding"),
-        tgtBatch, col("vec_id"), col("embedding"), nnK = 4, topN = 100)
-      println(s"[ann]   mined pairs = ${mined.count()} (top-100 cut)")
+    // both neighbor ranks, the margin division, the global top cut.
+    // The ONE-SHOT form persists the |src|×|tgt| scored frame: at 10M
+    // src that frame killed the r17 probe on ~74 GB of local scratch,
+    // so it only runs here below 4M; the BATCHED form (r18) never
+    // persists corpus-sized state — it recomputes the per-batch scoring
+    // per consumer — and is the shape that completes at 10M.
+    val tgtBatch = corpus.filter(pmod(col("vec_id"), lit(n / 64)) === 7L)
+    val oneShotTop: Option[Seq[(Long, Long, Long, Long)]] =
+      if (n <= 4000000L) Some {
+        var out: Seq[(Long, Long, Long, Long)] = null
+        time(s"bitext ONE-SHOT mine (64-target batch)") {
+          out = Similarity.bitextMine(corpus, col("vec_id"), col("embedding"),
+              tgtBatch, col("vec_id"), col("embedding"), nnK = 4, topN = 100)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toSeq.sorted
+          println(s"[ann]   mined pairs = ${out.size} (top-100 cut)")
+        }
+        out
+      } else { println("[ann] bitext one-shot SKIPPED at this N (r17: scored-frame persist exceeds local scratch)"); None }
+    var batchedTop: Seq[(Long, Long, Long, Long)] = null
+    time(s"bitext BATCHED mine (64 targets, 8 sub-batches)") {
+      batchedTop = Similarity.bitextMineBatched(corpus, col("vec_id"), col("embedding"),
+          tgtBatch, col("vec_id"), col("embedding"), nnK = 4, topN = 100, tgtBatches = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      println(s"[ann]   mined pairs = ${batchedTop.size} (top-100 cut)")
+    }
+    oneShotTop.foreach { os =>
+      println(s"[ann] batched == one-shot: ${if (os == batchedTop) "EXACT" else "MISMATCH"}")
     }
     spark.stop()
   }
