@@ -227,8 +227,11 @@ object Bench {
     // deterministic, so round-over-round per-query deltas can be
     // normalized mechanically (2× calibration ≈ 2× box, not 2× code).
     // Runs AFTER the JIT warmup above so it measures the box, not the
-    // compiler; partition count is pinned (NOT cpus) so the field means
-    // the same thing under any SPARK_GRAFT_CPUS.
+    // compiler. Partition count is pinned at 32 so the WORK is
+    // identical every round; wall time still scales with the thread
+    // count, so compare calibration_secs only across records with the
+    // same `cpus` field (the driver always runs 32 — the comparison
+    // that matters).
     def calibrationOnce(): Double = {
       val t0 = System.nanoTime()
       // pmod before the sum: raw xxhash64 values are full-range longs
@@ -354,6 +357,7 @@ object Bench {
     // normalization.
     def summaryFields(scale: Int): String = Seq(
       s""""metric":"total"""",
+      s""""cpus":$cpus""",
       s""""value":${fmt(total, scale)}""",
       s""""quiet_estimate":${fmt(total, scale)}""",
       s""""unit":"sec"""",

@@ -23,6 +23,13 @@ object StressAnn {
     val k = 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // a >120 s full-GC pause under a 10M-row stage trips the default
+      // heartbeat timeout, and in LOCAL mode "removing" the executor
+      // deregisters its BlockManager — whose shuffle dirs then get
+      // cleaned under running tasks (FileNotFound mid-write, fatal).
+      // A probe JVM has no liveness concern a heartbeat protects.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // deterministic clustered corpus: vector i sits near center

@@ -35,6 +35,10 @@ object StressMedia {
     val flood = 50000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // see StressAnn: local-mode heartbeat timeout under a long GC
+      // pause deletes live shuffle dirs — a probe JVM needs no liveness
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -144,6 +144,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("codebook mismatch"), ex.getMessage)
   }
 
+  test("ivfIndexAppend crash ordering: a cells-only dir self-heals on retry") {
+    // simulate a first append that died between its two writes: since
+    // r18 the codebook is written LAST (the commit marker), so the
+    // crash leaves a cells-only dir — ivfIndexLoad must fail LOUDLY on
+    // it (a half-index must never read as an empty-but-valid one), and
+    // a straight retry of the same append must complete the index with
+    // no special-casing (same batch id overwrites its own partition).
+    val cents = Similarity.seededCentroids(emb, col("vec_id"), col("embedding"),
+      Seq(1L, 2L, 3L, 4L))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    Similarity.ivfIndexAppend(emb, col("vec_id"), col("embedding"), cents, dir, 0L)
+    // "crash": delete the commit marker, leaving only the cells
+    graft.streaming.EventsStream.deleteRecursively(
+      java.nio.file.Paths.get(dir, "codebook"))
+    val ex = intercept[Exception] { Similarity.ivfIndexLoad(spark, dir)._1.count() }
+    assert(ex.getMessage != null, "half-index load must throw, not read empty")
+    // retry self-heals: same batch id, same codebook
+    Similarity.ivfIndexAppend(emb, col("vec_id"), col("embedding"), cents, dir, 0L)
+    val (cells, cb) = Similarity.ivfIndexLoad(spark, dir)
+    assert(cells.count() == emb.count(), "retried append must complete the index")
+    assert(cb.length == cents.length &&
+      cb.zip(cents).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("two-level cells probe through annIvfBatch via compositeCentroids; full probe == brute") {
     val e = emb.select("vec_id", "embedding")
     val coarse = Similarity.seededCentroids(e, col("vec_id"), col("embedding"),
