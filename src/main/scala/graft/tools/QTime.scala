@@ -1,21 +1,34 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Time one registry query (driver-side tooling): runMain graft.tools.QTime <name> [sfDir] [reps] */
+/** Time registry queries (driver-side tooling):
+  *   runMain graft.tools.QTime <name>[,<name>...] [sfDir] [reps]
+  * Comma-separate names to time a subset in ONE JVM (the fast loop for
+  * conf A/Bs — JVM spinup would otherwise dominate). Reps interleave
+  * across the set (pass semantics like Bench) and rep1 is cold: read
+  * rep2+. Extra spark confs come in via SPARK_GRAFT_EXTRA_JAVA_OPTS
+  * -D passthrough (build.sbt).
+  */
 object QTime {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val q = graft.SparkEntry.queries(name)
-    for (r <- 1 to reps) {
+    val qs = names.map(n => n -> graft.SparkEntry.queries(n))
+    val best = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+    for (r <- 1 to reps; (name, q) <- qs) {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       q(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[qtime] $name rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (r > 1) best(name) = math.min(best(name), secs)
+      println(f"[qtime] $name rep$r $secs%8.2f s")
     }
+    if (reps > 1) for ((n, _) <- qs)
+      println(f"[qtime-min] $n ${best(n)}%8.2f s (min of warm reps)")
     spark.stop()
   }
 }
