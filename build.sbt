@@ -30,4 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // config-experiment passthrough (e.g. A/B an AQE knob on one query):
   // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.x=y -Dspark.sql.z=w"
-  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -603,13 +603,18 @@ object Dedup {
                           maxIter: Int = 25, switchAfter: Int = 8): DataFrame = {
     // the symmetric edge list is re-joined every round — materialize it
     // once instead of replaying the (possibly expensive) pairs pipeline
+    // eager=false throughout this loop: every checkpoint is followed by
+    // an action that materializes it (the changed-count below), so the
+    // lazy form fuses "materialize the round" and "count the changes"
+    // into ONE job instead of two — the count would otherwise re-scan
+    // the partitions the eager checkpoint just cached.
     val edges = pairs.select(d1.as("src"), d2.as("dst"))
       .union(pairs.select(d2.as("src"), d1.as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("canon", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var it = 0
     var changed = 1L
     while (changed > 0 && it < math.min(switchAfter, maxIter)) {
@@ -621,7 +626,7 @@ object Dedup {
         .select(col("node"),
           least(col("canon"), coalesce(col("nbr_canon"), col("canon"))).as("canon"),
           (coalesce(col("nbr_canon"), col("canon")) < col("canon")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       it += 1
@@ -660,12 +665,15 @@ object Dedup {
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // every node ever seen — from the UNFILTERED input, so a node whose
     // only edge is a self-loop still gets its (x, x) row, matching the
-    // propagation path's labeling (the filtered frame would drop it)
+    // propagation path's labeling (the filtered frame would drop it).
+    // eager=false: materialized by its first consumer (same job-fusion
+    // discipline as connectedComponents' loop).
     val allNodes = edges0.select(col("src").as("node"))
-      .union(edges0.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(edges0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     var it = 0
     var converged = false
     while (!converged) {
@@ -691,7 +699,7 @@ object Dedup {
         .union(j.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // next.count() below materializes it
       converged = next.count() == e.count() &&
         next.join(e, Seq("src", "dst"), "left_anti").isEmpty
       e = next

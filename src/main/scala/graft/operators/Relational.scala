@@ -521,12 +521,16 @@ object Relational extends org.apache.spark.internal.Logging {
     val isRoot = parentCol.isNull || parentCol === idCol
     // state of an UNFINISHED walk: after `d` hops from `node` it stands
     // at `anc`; roots resolve immediately into `done` with depth 0
+    // eager=false: every checkpoint here is materialized by the round's
+    // convergence count (or the first hop join that reads it), fusing
+    // "materialize" and "count" into one job per round — the eager form
+    // paid a full extra cached-pass + job launch each round.
     var done: List[DataFrame] = List(
       df.filter(isRoot).select(idCol.as("node"), idCol.as("anc"),
-        lit(0L).as("d")).localCheckpoint())
+        lit(0L).as("d")).localCheckpoint(eager = false))
     var open = df.filter(!isRoot)
       .select(idCol.as("node"), parentCol.as("anc"), lit(1L).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var round = 0
     var openCount = open.count()
     while (openCount > 0 && round < maxDoubling) {
@@ -543,9 +547,13 @@ object Relational extends org.apache.spark.internal.Logging {
           coalesce(col("j_anc"), col("anc")).as("anc"),
           (col("d") + coalesce(col("j_d"), lit(0L))).as("d"),
           coalesce(col("j_fin"), lit(false)).as("fin"))
-        .localCheckpoint()
-      done ::= advanced.filter(col("fin")).drop("fin").localCheckpoint()
-      open = advanced.filter(!col("fin")).drop("fin").localCheckpoint()
+        .localCheckpoint(eager = false)
+      // done/open are plain filters over the checkpointed `advanced` —
+      // constant-depth lineage already, so checkpointing them again
+      // would only add two more materialization jobs per round. The
+      // openCount action below computes + caches `advanced` once.
+      done ::= advanced.filter(col("fin")).drop("fin")
+      open = advanced.filter(!col("fin")).drop("fin")
       openCount = open.count()
       round += 1
     }

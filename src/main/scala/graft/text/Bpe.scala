@@ -104,7 +104,11 @@ object Bpe {
   def learnMerges(vocab0: DataFrame, k: Int): Seq[(String, String, Long)] = {
     require(k >= 0, "merge count must be non-negative")
     val merges = ArrayBuffer.empty[(String, String, Long)]
-    var vocab = vocab0.localCheckpoint()
+    // eager=false: each round's argmax collect materializes the vocab it
+    // scores, so the rewrite + the argmax fuse into one job — and the
+    // FINAL round's rewrite (whose vocab nothing ever reads; only the
+    // merge list is returned) is never computed at all.
+    var vocab = vocab0.localCheckpoint(eager = false)
     var done = false
     for (_ <- 1 to k if !done) {
       val top = pairCounts(vocab)
@@ -115,7 +119,7 @@ object Bpe {
         merges += ((a, b, c))
         vocab = vocab.withColumn("seq",
           replace(col("seq"), lit(L + a + R + L + b + R), lit(L + a + b + R)))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
     }
     merges.toSeq

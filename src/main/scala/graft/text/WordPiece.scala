@@ -91,7 +91,11 @@ object WordPiece {
   def learnMerges(vocab0: DataFrame, k: Int): Seq[Merge] = {
     require(k >= 0, "merge count must be non-negative")
     val merges = ArrayBuffer.empty[Merge]
-    var vocab = vocab0.localCheckpoint()
+    // eager=false: the argmax collect each round materializes the vocab,
+    // fusing rewrite + argmax into one job; the final round's rewrite
+    // (read by nothing — only merges are returned) never runs. Same
+    // discipline as Bpe.learnMerges.
+    var vocab = vocab0.localCheckpoint(eager = false)
     var done = false
     for (_ <- 1 to k if !done) {
       val syms = symbolCounts(vocab)
@@ -114,7 +118,7 @@ object WordPiece {
         vocab = vocab.withColumn("seq",
           replace(col("seq"), lit(L + m.pa + R + L + m.pb + R),
             lit(L + m.merged + R)))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
     }
     merges.toSeq
