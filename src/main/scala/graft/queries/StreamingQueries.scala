@@ -24,8 +24,12 @@ object StreamingQueries {
         val agg = EventsStream.tumblingCounts(EventsStream.read(s, dir))
         // Complete mode emits every window over the static input; a unique
         // sink name keeps repeated invocations in one session independent.
+        // statePartitions=8: the bench's runToNoop sizing (see its
+        // scaladoc) applied to the verify path too — identical rows,
+        // 4× less per-batch state-store open/commit overhead.
         val out = EventsStream.runToMemory(agg,
-          s"q28_stream_${runId.incrementAndGet()}", OutputMode.Complete())
+          s"q28_stream_${runId.incrementAndGet()}", OutputMode.Complete(),
+          statePartitions = Some(8))
         out.select(col("window.start").as("ws"), col("event_type"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
       }),
@@ -45,7 +49,8 @@ object StreamingQueries {
       (s, dir) => {
         val joined = EventsStream.clickPurchaseJoin(EventsStream.read(s, dir))
         EventsStream.runToMemory(joined,
-          s"q58_join_${runId.incrementAndGet()}", OutputMode.Append())
+          s"q58_join_${runId.incrementAndGet()}", OutputMode.Append(),
+          statePartitions = Some(8))
       }),
 
     // Native session_window aggregation (batch surface of the

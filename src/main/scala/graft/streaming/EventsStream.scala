@@ -470,10 +470,19 @@ object EventsStream {
   }
 
   /** Drive a stream to completion against static input and return the
-    * result (memory sink) — the synchronous harness for tests/verify. */
-  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    * result (memory sink) — the synchronous harness for tests/verify.
+    * `statePartitions` is the same state-store sizing knob as on
+    * [[runToNoop]] (set for the stream, restored after): emitted rows
+    * are identical at any setting — only the state-store partition
+    * count changes — but every microbatch pays one store open/commit
+    * per partition, so oversizing it dominates small streams. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode,
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
     val ckpt = tempCkpt("graft-mem-ckpt")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
       val q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt.toString)
         .outputMode(outputMode).start()
@@ -481,6 +490,7 @@ object EventsStream {
       q.stop()
       df.sparkSession.table(name)
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       deleteRecursively(ckpt)
     }
   }
