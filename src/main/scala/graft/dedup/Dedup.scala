@@ -392,7 +392,7 @@ object Dedup {
     // scan running once per band-join side — the 26 s → 8 s fix.
     val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
     val cand = scope.persist(lshCandidates(sigs, cfg))
-    exactVerifyPairs(df, idCol, textCol, cand, threshold, cfg)
+    exactVerifyPairs(df, idCol, textCol, cand, threshold, cfg, scope)
   }
 
   /** Exact-Jaccard verification of a (d1, d2) candidate frame: the
@@ -400,10 +400,16 @@ object Dedup {
     * [[nearDuplicatesEstimateVerify]] — re-shingles ONLY the candidate
     * docs (the LSH point: \|candidates\| ≪ \|corpus\|), so the md5
     * cost is bounded. `cand` should be persisted by the caller (read
-    * for the doc broadcast and the pair join). */
+    * for the doc broadcast and the pair join). shSets is deliberately
+    * NOT persisted: its two join-side reads share the aggregation's
+    * input exchange via ReuseExchange (only the cheap final merge
+    * re-runs), and an A/B measured the persist as a net LOSS
+    * (q155 3.45→3.82 s, q91 +0.26 s — array materialization overhead
+    * exceeds the saved re-aggregation). */
   private def exactVerifyPairs(df: DataFrame, idCol: Column, textCol: Column,
                                cand: DataFrame, threshold: Double,
-                               cfg: MinHashConfig): DataFrame = {
+                               cfg: MinHashConfig,
+                               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val candDocs = cand.select(col("d1").as("cdoc"))
       .union(cand.select(col("d2").as("cdoc"))).distinct()
     val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
@@ -444,7 +450,7 @@ object Dedup {
     val pruned = scope.persist(
       nearDuplicatesEstimatedFromSigs(sigs, minAgree, cfg, scope)
         .select("d1", "d2"))
-    exactVerifyPairs(df, idCol, textCol, pruned, threshold, cfg)
+    exactVerifyPairs(df, idCol, textCol, pruned, threshold, cfg, scope)
   }
 
   /** MinHash-LSH near-dup with ESTIMATED similarity: banded candidates
@@ -608,8 +614,15 @@ object Dedup {
     // lazy form fuses "materialize the round" and "count the changes"
     // into ONE job instead of two — the count would otherwise re-scan
     // the partitions the eager checkpoint just cached.
-    val edges = pairs.select(d1.as("src"), d2.as("dst"))
-      .union(pairs.select(d2.as("src"), d1.as("dst")))
+    // ONE pass over `pairs` (explode both orientations per row), not a
+    // union of two projections: the union form replayed the whole pairs
+    // pipeline — for the dedup family that is the LSH verify tail
+    // (candidate re-shingle + two joins) — once per side.
+    val edges = pairs
+      .select(explode(array(
+        struct(d1.as("src"), d2.as("dst")),
+        struct(d2.as("src"), d1.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -670,9 +683,11 @@ object Dedup {
     // only edge is a self-loop still gets its (x, x) row, matching the
     // propagation path's labeling (the filtered frame would drop it).
     // eager=false: materialized by its first consumer (same job-fusion
-    // discipline as connectedComponents' loop).
-    val allNodes = edges0.select(col("src").as("node"))
-      .union(edges0.select(col("dst").as("node"))).distinct()
+    // discipline as connectedComponents' loop). One pass over edges0
+    // (explode both endpoints), not a union of two projections — edges0
+    // may be an expensive uncheckpointed frame on direct calls.
+    val allNodes = edges0
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(eager = false)
     var it = 0
     var converged = false

@@ -1916,13 +1916,24 @@ object TextQueries {
             .unionByName(fam(4, 0, (10.0, 10.0))(array(ft("x"), ft("y"))))
         val queries = qs.select(col("qid"),
           array(kt("a"), kt("b"), kt("c")).as("qtoks"))
-        val sp = Retrieval.bm25TopK(corp, col("doc"), col("tk"),
-            queries, col("qid"), col("qtoks"), k = 5, k1 = Bm25K1, b = Bm25B)
-          .select("qid", "doc", "rank")
+        // persist the planted corpus and the two rank lists: corp feeds
+        // four consumers (index, stats, rerank vectors, grade join) and
+        // each re-derives the 4-way union over the docs scan without it;
+        // sp is read three times (rerank candidates, fusion, sys) and dn
+        // twice — k·|queries| rows each, but every un-persisted read
+        // replays the whole BM25 / rerank stack (measured: 74 exchanges,
+        // only 12 reused, in the un-persisted executed plan).
+        val scope = graft.operators.CacheScope.unmanaged
+        val corpP = scope.persist(corp)
+        val sp = scope.persist(
+          Retrieval.bm25TopK(corpP, col("doc"), col("tk"),
+              queries, col("qid"), col("qtoks"), k = 5, k1 = Bm25K1, b = Bm25B)
+            .select("qid", "doc", "rank"))
         val qv = qs.select(col("qid"), array(lit(1.0), lit(1.0)).as("qv"))
-        val dn = Retrieval.rerankDense(sp.select("qid", "doc"), qv,
-            corp.select(col("doc"), col("v")), k = 5)
-          .select("qid", "doc", "rank")
+        val dn = scope.persist(
+          Retrieval.rerankDense(sp.select("qid", "doc"), qv,
+              corpP.select(col("doc"), col("v")), k = 5)
+            .select("qid", "doc", "rank"))
         val rr = Retrieval.rrfFuse(Seq(sp, dn), k = 5, k0 = RrfK0)
           .select("qid", "doc", "rank")
         val sys = sp.withColumn("ranker", lit("bm25"))
