@@ -41,9 +41,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = EngineConf.coalescing(SparkSession.builder()
+    val spark = EngineConf.localHarness(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        // byte-derived, NOT cpus — see EngineConf.harnessShufflePartitions
+        .config("spark.sql.shuffle.partitions",
+          EngineConf.harnessShufflePartitions(sfDir))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -79,12 +81,12 @@ object Bench {
           "q28_stream_tumbling" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
               EventsStream.tumblingCounts(EventsStream.read(s, sfDir)),
-              statePartitions = Some(8)))
+              statePartitions = EventsStream.harnessStatePartitions))
         case ("q58_stream_interval_join", _) =>
           "q58_stream_interval_join" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
               EventsStream.clickPurchaseJoin(EventsStream.read(s, sfDir)),
-              statePartitions = Some(8)))
+              statePartitions = EventsStream.harnessStatePartitions))
         case (name, fn) => name -> toNoop(fn)
       }
     val fastPath: Seq[(String, SparkSession => Unit)] = Seq(

@@ -18,13 +18,18 @@ import org.apache.spark.sql.SparkSession
   *    per-task launch/fetch overhead dominates every small stage (the
   *    measured q74 profile: 964 tasks, 18 s of task time for 5 s of
   *    wall on 32 cores).
-  *  - `advisoryPartitionSizeInBytes=1m` (env-tunable) — the byte target.
-  *    1 MB keeps KB-scale shuffles at 1 task while leaving MB-scale
-  *    CPU-dense stages (exact quantiles, array set-ops) 8-32-wide, which
-  *    the 64 MB default would collapse to a single task at this corpus
-  *    size — measured +0.9..+1.6 s each on q29/q37/q59/q77. On a real
-  *    cluster with TB-scale shuffles set SPARK_GRAFT_AQE_ADVISORY=64m
-  *    (Spark's default, sized to amortize IO chunking, not task launch).
+  *  - `advisoryPartitionSizeInBytes` (env-tunable) — the byte target.
+  *    The CODE default is 64m (Spark's own default, sized to amortize IO
+  *    chunking at TB-scale shuffles) so a production deployment that
+  *    builds a session through [[coalescing]] gets the 100 TB-safe value
+  *    with no env set. The LOCAL harnesses (Bench/Verify/tools — the
+  *    sf0.1 single-box regime) go through [[localHarness]], which
+  *    defaults the same knob to 1m: at KB-scale shuffles 1 MB keeps tiny
+  *    stages at 1 task while leaving MB-scale CPU-dense stages (exact
+  *    quantiles, array set-ops) 8-32-wide, which 64m would collapse to a
+  *    single task at this corpus size — measured +0.9..+1.6 s each on
+  *    q29/q37/q59/q77 (round 18). SPARK_GRAFT_AQE_ADVISORY overrides
+  *    either default.
   *  - `canChangeCachedPlanOutputPartitioning=true` — lets AQE apply the
   *    same coalescing to stages that read persisted frames; the
   *    iterative operators (graph loops, LSH pipelines) persist their
@@ -37,11 +42,48 @@ import org.apache.spark.sql.SparkSession
   * row sets don't (re-verified tri-scale against the DuckDB oracle).
   */
 object EngineConf {
-  def coalescing(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Production posture: 64m advisory (the 100 TB-safe code default). */
+  def coalescing(b: SparkSession.Builder,
+                 advisoryDefault: String = "64m"): SparkSession.Builder = b
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
       sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", advisoryDefault))
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
       sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPLAN", "true"))
+
+  /** The single-box harness posture (Bench/Verify/tools): identical knobs,
+    * 1m advisory default — the measured-right target for this fixture's
+    * KB-scale shuffles (see the scaladoc above). Every harness session
+    * must go through ONE of these two entry points so a timing measured
+    * in one tool is the timing the others see. */
+  def localHarness(b: SparkSession.Builder): SparkSession.Builder =
+    coalescing(b, advisoryDefault = "1m")
+
+  /** Initial `spark.sql.shuffle.partitions` for a harness session,
+    * derived from the INPUT DIRECTORY's bytes instead of the core count
+    * (r19 — verdict item 1): ceil(dirBytes / 2 MB), clamped to [2, 4096].
+    * The core-pinned width (partitions = cpus) made every pre-AQE shuffle
+    * `cpus` buckets wide regardless of data volume; at 32 threads on the
+    * sf0.1 fixture that cost 15-25% per query over the byte-derived width
+    * (min-of-6 A/B: q155 3.50→2.79 s, q91 2.11→1.83, q179 2.42→2.02,
+    * q200 2.75→2.56, q124 1.49→1.30) and was why 8 cores beat 32 across
+    * the whole r18 suite. AQE still coalesces every post-shuffle stage by
+    * actual bytes (EngineConf advisory); this sets only the upper bound
+    * and the map-side bucket count. Scale-honest: the width grows with
+    * the input (sf0.01 → 2, sf0.1 → 9, 10 GB → 4096 cap) and NEVER reads
+    * the core count; a production deployment sizes its own conf
+    * (SPARK_GRAFT_SHUFFLE_PARTITIONS overrides, or set
+    * spark.sql.shuffle.partitions directly — the engine's operators
+    * never touch this knob, only the local harnesses do). */
+  def harnessShufflePartitions(inputDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+      val dir = new java.io.File(inputDir)
+      val bytes =
+        if (dir.isDirectory)
+          dir.listFiles().filter(_.isFile).map(_.length()).sum
+        else 0L
+      val target = 2L << 20
+      math.max(2L, math.min(4096L, (bytes + target - 1) / target)).toString
+    })
 }

@@ -15,9 +15,10 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.findFirstIn(name).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = EngineConf.coalescing(SparkSession.builder()
+    val spark = EngineConf.localHarness(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions",
+          EngineConf.harnessShufflePartitions(sfDir))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false"))
       .getOrCreate()

@@ -392,7 +392,7 @@ object Dedup {
     // scan running once per band-join side — the 26 s → 8 s fix.
     val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
     val cand = scope.persist(lshCandidates(sigs, cfg))
-    exactVerifyPairs(df, idCol, textCol, cand, threshold, cfg, scope)
+    exactVerifyPairs(df, idCol, textCol, cand, threshold, cfg)
   }
 
   /** Exact-Jaccard verification of a (d1, d2) candidate frame: the
@@ -405,11 +405,12 @@ object Dedup {
     * input exchange via ReuseExchange (only the cheap final merge
     * re-runs), and an A/B measured the persist as a net LOSS
     * (q155 3.45→3.82 s, q91 +0.26 s — array materialization overhead
-    * exceeds the saved re-aggregation). */
+    * exceeds the saved re-aggregation). Because nothing here persists,
+    * the method takes no CacheScope (r18 advisor: the dead parameter
+    * misled readers into thinking the verify tail was scope-cached). */
   private def exactVerifyPairs(df: DataFrame, idCol: Column, textCol: Column,
                                cand: DataFrame, threshold: Double,
-                               cfg: MinHashConfig,
-                               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                               cfg: MinHashConfig): DataFrame = {
     val candDocs = cand.select(col("d1").as("cdoc"))
       .union(cand.select(col("d2").as("cdoc"))).distinct()
     val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
@@ -450,7 +451,7 @@ object Dedup {
     val pruned = scope.persist(
       nearDuplicatesEstimatedFromSigs(sigs, minAgree, cfg, scope)
         .select("d1", "d2"))
-    exactVerifyPairs(df, idCol, textCol, pruned, threshold, cfg, scope)
+    exactVerifyPairs(df, idCol, textCol, pruned, threshold, cfg)
   }
 
   /** MinHash-LSH near-dup with ESTIMATED similarity: banded candidates
@@ -602,9 +603,12 @@ object Dedup {
     * alternating large-star/small-star contraction, O(log n) rounds on
     * any topology — instead of grinding out diameter-many rounds.
     * `maxIter` still bounds the fallback; hitting it throws rather than
-    * silently returning a partial clustering. `localCheckpoint` truncates
-    * the per-round lineage (the changed-count action pays the
-    * materialization anyway). */
+    * silently returning a partial clustering. Per-round lineage is
+    * truncated through [[graft.operators.Checkpoints.truncate]] (local
+    * checkpoint by default — fast, not executor-loss-tolerant; set
+    * `spark.graft.reliableCheckpoints=true` + a checkpoint dir on real
+    * clusters); the changed-count action pays the materialization
+    * anyway. */
   def connectedComponents(pairs: DataFrame, d1: Column, d2: Column,
                           maxIter: Int = 25, switchAfter: Int = 8): DataFrame = {
     // the symmetric edge list is re-joined every round — materialize it
@@ -624,10 +628,10 @@ object Dedup {
         struct(d2.as("src"), d1.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Checkpoints.truncate(_, eager = false))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("canon", col("node"))
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Checkpoints.truncate(_, eager = false))
     var it = 0
     var changed = 1L
     while (changed > 0 && it < math.min(switchAfter, maxIter)) {
@@ -639,7 +643,7 @@ object Dedup {
         .select(col("node"),
           least(col("canon"), coalesce(col("nbr_canon"), col("canon"))).as("canon"),
           (coalesce(col("nbr_canon"), col("canon")) < col("canon")).as("chg"))
-        .localCheckpoint(eager = false)
+        .transform(graft.operators.Checkpoints.truncate(_, eager = false))
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       it += 1
@@ -678,7 +682,7 @@ object Dedup {
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Checkpoints.truncate(_, eager = false))
     // every node ever seen — from the UNFILTERED input, so a node whose
     // only edge is a self-loop still gets its (x, x) row, matching the
     // propagation path's labeling (the filtered frame would drop it).
@@ -688,7 +692,7 @@ object Dedup {
     // may be an expensive uncheckpointed frame on direct calls.
     val allNodes = edges0
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Checkpoints.truncate(_, eager = false))
     var it = 0
     var converged = false
     while (!converged) {
@@ -714,7 +718,7 @@ object Dedup {
         .union(j.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(eager = false) // next.count() below materializes it
+        .transform(graft.operators.Checkpoints.truncate(_, eager = false)) // next.count() below materializes it
       converged = next.count() == e.count() &&
         next.join(e, Seq("src", "dst"), "left_anti").isEmpty
       e = next

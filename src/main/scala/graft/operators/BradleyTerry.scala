@@ -64,9 +64,9 @@ object BradleyTerry {
     val k = wins.count().toDouble
     require(k > 0, "BradleyTerry.fit over an empty comparison set")
 
-    var p = wins.select(col("item"), lit(1.0 / k).as("p")).localCheckpoint()
+    var p = wins.select(col("item"), lit(1.0 / k).as("p")).transform(graft.operators.Checkpoints.truncate(_))
     for (_ <- 1 to iterations)
-      p = iteration(games, wins, p).localCheckpoint()
+      p = iteration(games, wins, p).transform(graft.operators.Checkpoints.truncate(_))
     p.select(col("item"), col("p").as("strength"))
   }
 

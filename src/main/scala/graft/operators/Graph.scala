@@ -36,10 +36,12 @@ object Graph {
     * again; only the rank frame (8-byte id + double) shuffles into the
     * contribution join, followed by one `groupBy(dst)` partial-agg
     * shuffle. The dangling mass is a 1-row aggregate crossed back in by
-    * broadcast — never a driver collect. `localCheckpoint` truncates
-    * lineage each iteration (same discipline as connectedComponents /
-    * hierarchyDepth); the driver sees one scalar count up front (N) and
-    * nothing else.
+    * broadcast — never a driver collect. Per-iteration lineage is truncated
+    * through [[Checkpoints.truncate]] (local checkpoint by default; set
+    * `spark.graft.reliableCheckpoints=true` + a checkpoint dir for the
+    * executor-loss-tolerant cluster posture — same discipline as
+    * connectedComponents / hierarchyDepth); the driver sees one scalar
+    * count up front (N) and nothing else.
     */
   def pageRank(nodes: DataFrame, nodeCol: Column,
                edges: DataFrame, srcCol: Column, dstCol: Column,
@@ -66,7 +68,7 @@ object Graph {
     // (1−d)/N and dmass/N by an ulp, which the floor-quantized output
     // would surface as a flipped micro-digit.
     var ranks = nodeDf.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.truncate(_))
     for (_ <- 1 to iterations) {
       val contribs = outE
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -82,7 +84,7 @@ object Graph {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n))
             .as("rank"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.truncate(_))
     }
     ranks
   }
@@ -144,7 +146,7 @@ object Graph {
     val outE = scope.persist(e.join(deg, "src").repartition(col("src")))
 
     var ranks = p.select(col("node"), col("p").as("rank"), col("p"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.truncate(_))
     for (_ <- 1 to iterations) {
       val contribs = outE
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
@@ -161,7 +163,7 @@ object Graph {
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("p")))
             .as("rank"),
           col("p"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.truncate(_))
     }
     ranks.select("node", "rank")
   }
@@ -203,7 +205,7 @@ object Graph {
         .repartition(col("src")))
 
     var labels = seeds.select(col("node"), col("seed_label").as("label"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.truncate(_))
     for (_ <- 1 to iterations) {
       val neighborCounts = und
         .join(labels.filter(col("label").isNotNull)
@@ -221,7 +223,7 @@ object Graph {
         .join(mode, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed_label"), col("mode_label"), col("prev")).as("label"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.truncate(_))
     }
     labels
   }
@@ -265,9 +267,9 @@ object Graph {
       hitsEdges(nodes, nodeCol, edges, srcCol, dstCol, scope)
     var scores = nodeDf
       .select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.truncate(_))
     for (_ <- 1 to iterations)
-      scores = hitsIteration(nodeDf, eSrc, eByDst, scores).localCheckpoint()
+      scores = hitsIteration(nodeDf, eSrc, eByDst, scores).transform(graft.operators.Checkpoints.truncate(_))
     scores
   }
 
@@ -297,7 +299,7 @@ object Graph {
   private[graft] def hitsIteration(nodeDf: DataFrame, eSrc: DataFrame,
                                    eByDst: DataFrame, scores: DataFrame): DataFrame =
     hitsHubUpdate(nodeDf, eByDst,
-      hitsAuthUpdate(nodeDf, eSrc, scores).localCheckpoint())
+      hitsAuthUpdate(nodeDf, eSrc, scores).transform(graft.operators.Checkpoints.truncate(_)))
 
   /** Auth half-update (un-checkpointed): join current hubs into the
     * src-partitioned edge copy, aggregate on dst, max-normalize. */

@@ -527,10 +527,10 @@ object Relational extends org.apache.spark.internal.Logging {
     // paid a full extra cached-pass + job launch each round.
     var done: List[DataFrame] = List(
       df.filter(isRoot).select(idCol.as("node"), idCol.as("anc"),
-        lit(0L).as("d")).localCheckpoint(eager = false))
+        lit(0L).as("d")).transform(graft.operators.Checkpoints.truncate(_, eager = false)))
     var open = df.filter(!isRoot)
       .select(idCol.as("node"), parentCol.as("anc"), lit(1L).as("d"))
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Checkpoints.truncate(_, eager = false))
     var round = 0
     var openCount = open.count()
     while (openCount > 0 && round < maxDoubling) {
@@ -547,7 +547,7 @@ object Relational extends org.apache.spark.internal.Logging {
           coalesce(col("j_anc"), col("anc")).as("anc"),
           (col("d") + coalesce(col("j_d"), lit(0L))).as("d"),
           coalesce(col("j_fin"), lit(false)).as("fin"))
-        .localCheckpoint(eager = false)
+        .transform(graft.operators.Checkpoints.truncate(_, eager = false))
       // done/open are plain filters over the checkpointed `advanced` —
       // constant-depth lineage already, so checkpointing them again
       // would only add two more materialization jobs per round. The

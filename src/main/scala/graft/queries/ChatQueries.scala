@@ -193,7 +193,7 @@ object ChatQueries {
             graft.streaming.EventsStream.read(s, dir)).toDF(),
           s"q158_chat_${runId.incrementAndGet()}",
           org.apache.spark.sql.streaming.OutputMode.Append(),
-          statePartitions = Some(8))
+          statePartitions = graft.streaming.EventsStream.harnessStatePartitions)
         val events = ev(s, dir)
         val bounds = Instruct.turns(events)
           .groupBy("user_id", "session_id")

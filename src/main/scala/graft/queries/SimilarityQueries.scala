@@ -644,11 +644,16 @@ object SimilarityQueries {
           e.filter(col("vec_id") < 20)
             .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         val cents = Similarity.seededCentroids(e, col("vec_id"), col("embedding"), 1L to 8L)
-        // corpus-relative cap, replayed by the oracle's `cap` CTE; the
-        // count is ONE scalar action over the (persist-free) union
-        val mx = math.ceil(1.5 * corpus.count() / 8).toLong
-        Similarity.semanticDedup(corpus, col("vec_id"), col("embedding"),
-          cents, 0.99, maxCell = mx)
+        // corpus-relative cap, replayed by the oracle's `cap` CTE —
+        // derived INSIDE the plan (r19): ceil(1.5·N/8) comes from a 1-row
+        // broadcast aggregate over the persisted cell frame, so sizing
+        // the cap no longer pays an eager full-corpus count() per
+        // invocation
+        val scope = graft.operators.CacheScope.unmanaged
+        val cells = scope.persist(Similarity.withIvfCell(
+          corpus, col("vec_id"), col("embedding"), cents))
+        Similarity.semanticDedupOnCellsRelativeCap(cells, 0.99,
+          capFactor = 1.5, nCells = cents.length)
       }),
 
     // BATCHED bitext mining (Similarity.bitextMineBatched — r18): the

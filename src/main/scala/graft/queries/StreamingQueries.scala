@@ -29,7 +29,7 @@ object StreamingQueries {
         // 4× less per-batch state-store open/commit overhead.
         val out = EventsStream.runToMemory(agg,
           s"q28_stream_${runId.incrementAndGet()}", OutputMode.Complete(),
-          statePartitions = Some(8))
+          statePartitions = EventsStream.harnessStatePartitions)
         out.select(col("window.start").as("ws"), col("event_type"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
       }),
@@ -50,7 +50,7 @@ object StreamingQueries {
         val joined = EventsStream.clickPurchaseJoin(EventsStream.read(s, dir))
         EventsStream.runToMemory(joined,
           s"q58_join_${runId.incrementAndGet()}", OutputMode.Append(),
-          statePartitions = Some(8))
+          statePartitions = EventsStream.harnessStatePartitions)
       }),
 
     // Native session_window aggregation (batch surface of the

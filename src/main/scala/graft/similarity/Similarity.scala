@@ -212,9 +212,11 @@ object Similarity {
     * lived in prose). The target set splits into `tgtBatches`
     * deterministic hash batches and NO corpus×batch scored frame is
     * ever persisted — each is recomputed per consumer instead
-    * (compute-for-scratch trade: ~3 scoring scans per batch — ax tree,
-    * ay tree, margin pass — versus one scan + a scored frame on disk
-    * that grows with |src|·|tgt| and killed the one-shot at 10M).
+    * (compute-for-scratch trade: 2 scoring scans per batch — one fused
+    * ax+ay top-k pass (r19: a tagged explode scores each batch once for
+    * BOTH margin sides; was 3 scans with separate ax/ay trees) plus the
+    * margin pass — versus one scan + a scored frame on disk that grows
+    * with |src|·|tgt| and killed the one-shot at 10M).
     *
     * EXACTLY ≡ one-shot [[bitextMine]] (spec-pinned), because every
     * cross-batch quantity merges losslessly: the src-side top-`nnK`
@@ -240,7 +242,6 @@ object Similarity {
                         nnK: Int, topN: Int, tgtBatches: Int,
                         scope: graft.operators.CacheScope =
                           graft.operators.CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nnK > 0, s"nnK must be > 0, got $nnK")
     require(nnK <= 10000, s"nnK must be <= 10000, got $nnK")
     require(topN > 0, s"topN must be > 0, got $topN")
@@ -249,16 +250,48 @@ object Similarity {
     val t = tgt.select(tgtIdCol.as("tgt_id"), tgtVecCol.cast("array<double>").as("tv"))
     val batches = (0 until tgtBatches).map(b =>
       t.filter(pmod(xxhash64(col("tgt_id")), lit(tgtBatches.toLong)) === b))
-    val wx = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos_micro").desc, col("tgt_id"))
-    // src-side: per-batch top-nnK VALUE lists, merged and re-topped —
+    // ONE scoring pass per batch feeds BOTH margin sides (r19 — the
+    // deferred ax+ay fusion): each scored row explodes into an x-record
+    // (keyed by src_id; no salt — src keys are plentiful) and a y-record
+    // (keyed by tgt_id, salted by hash(src) mod 64 — the mega-key guard
+    // bitextAy documents), and one grouped aggregation computes every
+    // per-(side, key, salt) top-nnK VALUE list. The ax tree and the ay
+    // tree previously re-scored the batch separately: 3 scoring scans
+    // per batch, now 2 (this fused pass + the margin pass below). The
+    // per-batch aggregate is persisted (ax and ay both read it) at
+    // ≤ nnK longs per key — k-bounded, nothing |src|×|tgt|-sized, so
+    // the r17 scratch ceiling stays respected.
+    //
+    // Exactness: the x-side slice keeps the nnK LARGEST VALUES per
+    // (src, batch) — the window row_number formulation kept the top-nnK
+    // ROWS by (cos desc, tgt_id), whose values are the same multiset
+    // (boundary ties contribute equal values whichever row is kept —
+    // the scaladoc's merge argument); the y-side is bitextAy's salted
+    // two-level reduction verbatim, first level fused into this pass.
+    val sT = s.schema("src_id").dataType
+    val tT = t.schema("tgt_id").dataType
+    val sideTops = batches.map { tb =>
+      scope.persist(bitextScored(s, tb)
+        .select(explode(array(
+          struct(lit(0).as("side"), col("src_id").as("skey"),
+            lit(null).cast(tT).as("tkey"), lit(0L).as("salt"),
+            col("cos_micro").as("c")),
+          struct(lit(1).as("side"), lit(null).cast(sT).as("skey"),
+            col("tgt_id").as("tkey"),
+            pmod(xxhash64(col("src_id")), lit(64L)).as("salt"),
+            col("cos_micro").as("c")))).as("r"))
+        .select(col("r.side").as("side"), col("r.skey").as("skey"),
+          col("r.tkey").as("tkey"), col("r.salt").as("salt"),
+          col("r.c").as("c"))
+        .groupBy("side", "skey", "tkey", "salt")
+        .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, nnK)
+          .as("cand")))
+    }
+    // src-side: per-batch top-nnK value lists, merged and re-topped —
     // the salted-ay reduction shape with batches playing the salt role
     val ax = scope.persist(
-      batches.map(tb => bitextScored(s, tb)
-          .withColumn("rk", row_number().over(wx))
-          .filter(col("rk") <= nnK)
-          .groupBy("src_id")
-          .agg(collect_list(col("cos_micro")).as("cand")))
+      sideTops.map(_.filter(col("side") === 0)
+          .select(col("skey").as("src_id"), col("cand")))
         .reduce(_.unionByName(_))
         .groupBy("src_id")
         .agg(slice(sort_array(flatten(collect_list(col("cand"))), asc = false),
@@ -267,8 +300,15 @@ object Similarity {
           aggregate(col("cand"), lit(0L), (acc, x) => acc + x).as("ax_sum"),
           size(col("cand")).cast("long").as("nx")))
     // tgt-side: disjoint union of per-batch ay frames (|tgt| rows total)
+    // — the second level of bitextAy's salted reduction
     val ay = scope.persist(
-      batches.map(tb => bitextAy(bitextScored(s, tb), nnK))
+      sideTops.map(_.filter(col("side") === 1)
+          .groupBy(col("tkey").as("tgt_id"))
+          .agg(slice(sort_array(flatten(collect_list(col("cand"))), asc = false),
+            1, nnK).as("cand"))
+          .select(col("tgt_id"),
+            aggregate(col("cand"), lit(0L), (acc, x) => acc + x).as("ay_sum"),
+            size(col("cand")).cast("long").as("ny")))
         .reduce(_.unionByName(_)))
     ax.count(); ay.count() // force: see scaladoc
     val order = Seq(col("margin_micro").desc, col("src_id"), col("tgt_id"))
@@ -1051,6 +1091,37 @@ object Similarity {
           .select("cell")
         cells.join(ok, "cell")
       }
+    semanticDropByPairs(cells, joinable, threshold)
+  }
+
+  /** [[semanticDedupOnCells]] with a CORPUS-RELATIVE cap, derived inside
+    * the plan: maxCell = ceil(capFactor · N / nCells) where N is the cell
+    * frame's own row count — computed as a 1-row broadcast aggregate over
+    * the (caller-persisted) cells frame, so sizing the cap costs NO extra
+    * corpus scan and NO driver-side count() (r19: the q234 builder
+    * previously ran an eager `corpus.count()` per invocation just to
+    * compute this constant). Same drop semantics as a caller passing the
+    * identical precomputed `maxCell`: both engines evaluate
+    * ceil(capFactor·N/nCells) over the same exact integers. */
+  def semanticDedupOnCellsRelativeCap(cells: DataFrame, threshold: Double,
+                                      capFactor: Double, nCells: Int): DataFrame = {
+    require(capFactor > 0, s"capFactor must be > 0, got $capFactor")
+    require(nCells > 0, s"nCells must be > 0, got $nCells")
+    val cap = cells.agg(
+      ceil(lit(capFactor) * count(lit(1)) / lit(nCells)).cast("long").as("_mx"))
+    val ok = cells.groupBy("cell")
+      .agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(cap))
+      .filter(col("_n") >= 2 && col("_n") <= col("_mx"))
+      .select("cell")
+    semanticDropByPairs(cells, cells.join(ok, "cell"), threshold)
+  }
+
+  /** Shared pair-join + status tail of the semantic-dedup family:
+    * `joinable` is the (possibly cap-pruned) subset of `cells` allowed
+    * to pair; every `cells` row is classified. */
+  private def semanticDropByPairs(cells: DataFrame, joinable: DataFrame,
+                                  threshold: Double): DataFrame = {
     val a = joinable.select(col("vec_id").as("d1"), col("cell"), col("v").as("v1"))
     val b = joinable.select(col("vec_id").as("d2"), col("cell"), col("v").as("v2"))
     val dropped = a.join(b, "cell")

@@ -84,13 +84,32 @@ object Tables {
     * cores the cluster has (extra byte-range splits of one row group read
     * zero rows), which serializes every CPU-bound per-row stage downstream
     * — per-token hashing over `documents` was running on 1 of 32 cores.
-    * When the scan already has >= defaultParallelism splits (any real
-    * multi-file corpus, e.g. the 100 TB case) this is a no-op; otherwise
-    * one cheap round-robin exchange of the raw rows buys full-width
-    * parallelism for everything after it. Filters/pruning still reach the
-    * scan — Catalyst pushes both through a Repartition. */
+    * When the scan already has enough splits (any real multi-file corpus,
+    * e.g. the 100 TB case) this is a no-op; otherwise one cheap
+    * round-robin exchange of the raw rows buys parallelism for everything
+    * after it. Filters/pruning still reach the scan — Catalyst pushes
+    * both through a Repartition.
+    *
+    * The repair width is derived from INPUT BYTES, not pinned to the core
+    * count (r19 — the 32-slower-than-8 fix): ceil(scanBytes /
+    * SPARK_GRAFT_SCAN_TASK_BYTES, default 32 KB of parquet per task — the
+    * shingle/md5 pipelines cost ~2-4 µs of CPU per compressed byte, so a
+    * 32 KB slice is a ~100 ms task), capped at defaultParallelism. A
+    * core-pinned width made EVERY documents-derived stage `cpus` tasks
+    * wide regardless of data volume; at 32 threads on this fixture the
+    * per-task launch+serde overhead made whole families measurably slower
+    * than the same code at 8 threads (BENCH_r18_c8 vs r18: every scaling
+    * ratio ≤ 1.09; the min-of-6 A/B behind this change: q155 4.06→3.42 s,
+    * q179 2.78→2.41 s, q124 1.83→1.64 s at 32 threads). Byte-derived, the
+    * width grows with the corpus until the core cap binds — at which
+    * point a real cluster's scan has that many native splits anyway. */
   private def balanced(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val cores = BigInt(spark.sparkContext.defaultParallelism)
+    val perTask = BigInt(sys.env.get("SPARK_GRAFT_SCAN_TASK_BYTES")
+      .map(_.toLong).getOrElse(32L << 10))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = ((bytes + perTask - 1) / perTask).min(cores).max(BigInt(1)).toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 

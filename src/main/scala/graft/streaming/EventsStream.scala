@@ -436,6 +436,19 @@ object EventsStream {
     }
   }
 
+  /** State-store partition count for the harness's in-query streams
+    * (q28/q58/q158): `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides, the
+    * default is sized to the fixture's keyed-state volume (r18 profiled
+    * 32 partitions paying 3× the query in per-partition store
+    * open/commit; r19 re-measured 1/2/8 — see OPTIMIZATION_r19.md).
+    * Production sizes state partitions to keys × retention per the
+    * [[runToNoop]] scaladoc, and the count is frozen into the checkpoint
+    * at first start — this knob is the single place the harness's choice
+    * lives instead of a constant repeated per query builder. */
+  private[graft] def harnessStatePartitions: Option[Int] =
+    Some(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(8))
+
   /** Drive a stream to completion into the noop sink in Append mode — the
     * BENCH harness. Append + a distributed sink is the shape that scales:
     * the watermark actually evicts window state (it is inert in Complete
@@ -475,7 +488,15 @@ object EventsStream {
     * [[runToNoop]] (set for the stream, restored after): emitted rows
     * are identical at any setting — only the state-store partition
     * count changes — but every microbatch pays one store open/commit
-    * per partition, so oversizing it dominates small streams. */
+    * per partition, so oversizing it dominates small streams.
+    *
+    * CONCURRENCY CONSTRAINT (both runners): `statePartitions` mutates the
+    * session-global `spark.sql.shuffle.partitions` for the stream's
+    * duration (set/restore is exception-safe). A batch query planned
+    * CONCURRENTLY on the same session would silently plan with the
+    * stream's width — fine for the strictly sequential Bench/Verify
+    * harnesses; a parallel harness must scope the conf via a cloned
+    * session (`spark.newSession()`). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode,
                   statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession

@@ -108,7 +108,7 @@ object Bpe {
     // scores, so the rewrite + the argmax fuse into one job — and the
     // FINAL round's rewrite (whose vocab nothing ever reads; only the
     // merge list is returned) is never computed at all.
-    var vocab = vocab0.localCheckpoint(eager = false)
+    var vocab = vocab0.transform(graft.operators.Checkpoints.truncate(_, eager = false))
     var done = false
     for (_ <- 1 to k if !done) {
       val top = pairCounts(vocab)
@@ -119,7 +119,7 @@ object Bpe {
         merges += ((a, b, c))
         vocab = vocab.withColumn("seq",
           replace(col("seq"), lit(L + a + R + L + b + R), lit(L + a + b + R)))
-          .localCheckpoint(eager = false)
+          .transform(graft.operators.Checkpoints.truncate(_, eager = false))
       }
     }
     merges.toSeq

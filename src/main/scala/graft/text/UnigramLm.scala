@@ -184,7 +184,7 @@ object UnigramLm {
     counts.count()
     for (_ <- 1 to rounds)
       counts = emRound(words, scoresFromCounts(counts), maxPieceLen)
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.truncate(_))
     val kept = counts
       .withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window

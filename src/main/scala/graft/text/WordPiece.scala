@@ -95,7 +95,7 @@ object WordPiece {
     // fusing rewrite + argmax into one job; the final round's rewrite
     // (read by nothing — only merges are returned) never runs. Same
     // discipline as Bpe.learnMerges.
-    var vocab = vocab0.localCheckpoint(eager = false)
+    var vocab = vocab0.transform(graft.operators.Checkpoints.truncate(_, eager = false))
     var done = false
     for (_ <- 1 to k if !done) {
       val syms = symbolCounts(vocab)
@@ -118,7 +118,7 @@ object WordPiece {
         vocab = vocab.withColumn("seq",
           replace(col("seq"), lit(L + m.pa + R + L + m.pb + R),
             lit(L + m.merged + R)))
-          .localCheckpoint(eager = false)
+          .transform(graft.operators.Checkpoints.truncate(_, eager = false))
       }
     }
     merges.toSeq

@@ -22,9 +22,10 @@ object JobProfile {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.EngineConf.coalescing(
+    val spark = graft.EngineConf.localHarness(
       SparkSession.builder().master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions",
+          graft.EngineConf.harnessShufflePartitions(dir))
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -33,6 +34,9 @@ object JobProfile {
     val tasks = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
     val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    val serMs = new AtomicLong(0L)
+    val schedMs = new AtomicLong(0L)
     val shufReadB = new AtomicLong(0L)
     val shufWriteB = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -46,6 +50,9 @@ object JobProfile {
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
           cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          serMs.addAndGet(m.resultSerializationTime + m.executorDeserializeTime)
+          schedMs.addAndGet(math.max(0L, t.taskInfo.finishTime - t.taskInfo.launchTime - m.executorRunTime - m.executorDeserializeTime - m.resultSerializationTime))
           shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
@@ -57,15 +64,27 @@ object JobProfile {
       spark.catalog.clearCache()
       jobs.set(0); stages.set(0); tasks.set(0)
       taskMs.set(0L); cpuNs.set(0L); shufReadB.set(0L); shufWriteB.set(0L)
+      gcMs.set(0L); serMs.set(0L); schedMs.set(0L)
       val t0 = System.nanoTime()
       q(spark, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async (private API to drain); a short sleep is
-      // enough for a profiling tool — counters settle in well under 1 s
-      Thread.sleep(800)
+      // listener bus is async (draining it is a private API); poll the
+      // task counter until it is stable across two 200 ms windows (max
+      // 3 s) instead of one fixed sleep — a loaded box could otherwise
+      // deliver task-end events after the print and bleed them into the
+      // next rep's counters (advisor r18)
+      var settled = false
+      var waited = 0
+      while (!settled && waited < 3000) {
+        val before = tasks.get
+        Thread.sleep(200); waited += 200
+        settled = tasks.get == before && waited >= 400
+      }
       println(f"[prof] $name rep$r wall=$wall%7.2fs jobs=${jobs.get}%3d " +
         f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +
         f"taskTime=${taskMs.get / 1000.0}%8.2fs cpu=${cpuNs.get / 1e9}%8.2fs " +
+        f"gc=${gcMs.get / 1000.0}%6.2fs ser=${serMs.get / 1000.0}%6.2fs " +
+        f"other=${schedMs.get / 1000.0}%6.2fs " +
         f"shufR=${shufReadB.get / 1048576.0}%7.1fMB shufW=${shufWriteB.get / 1048576.0}%7.1fMB")
     }
     spark.stop()

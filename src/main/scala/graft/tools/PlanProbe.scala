@@ -9,9 +9,10 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q01_pricing_summary")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = graft.EngineConf.coalescing(
+    val spark = graft.EngineConf.localHarness(
       SparkSession.builder().master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions",
+          graft.EngineConf.harnessShufflePartitions(sfDir))
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -15,19 +15,22 @@ import org.apache.spark.sql.execution.ExplainMode
   * Writes `<outDir>/<query>.txt` (formatted plan) and
   * `<outDir>/SUMMARY.tsv`. Plans are the pre-execution view (AQE not yet
   * applied) — the same thing `df.explain("formatted")` prints, which is
-  * what plans/r18/ commits. Iterative builders (pageRank, CC, …) execute
-  * their loop during construction (localCheckpoint is eager), so their
-  * plan shows the final frame over checkpointed inputs; their loop-body
-  * plans are audited by the dedicated specs/probes instead.
+  * what the plans/rNN commits hold. Iterative builders (pageRank, CC, …)
+  * execute their loop during construction (each round runs a convergence
+  * count/argmax or checkpoint-materializing action, independent of
+  * checkpoint eagerness), so their plan shows the final frame over
+  * checkpointed inputs; their loop-body plans are audited by the
+  * dedicated specs/probes instead.
   */
 object PlanSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/plans_r18"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.EngineConf.coalescing(SparkSession.builder()
+    val spark = graft.EngineConf.localHarness(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions",
+          graft.EngineConf.harnessShufflePartitions(sfDir))
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,7 +52,11 @@ object PlanSweep {
           // is the §6 signal; count scans whose PushedFilters is [].
           val emptyPushed = count(p, "PushedFilters: \\[\\]")
           Seq(q.name,
-            count(p, "Exchange "),
+            // shuffle exchanges only — "Exchange " alone also matches the
+            // substring inside "BroadcastExchange " rows (advisor r18),
+            // double-counting broadcasts vs the broadcast_exch column
+            count(p, "Exchange (hashpartitioning|rangepartitioning|" +
+              "SinglePartition|RoundRobinPartitioning)"),
             count(p, "BroadcastExchange"),
             count(p, "SortMergeJoin"),
             count(p, "BroadcastHashJoin"),

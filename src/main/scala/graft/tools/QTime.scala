@@ -13,9 +13,11 @@ object QTime {
     val names = args(0).split(",").toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = graft.EngineConf.coalescing(
-      SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.EngineConf.localHarness(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions",
+          graft.EngineConf.harnessShufflePartitions(dir))
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))

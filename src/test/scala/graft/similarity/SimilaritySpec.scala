@@ -740,6 +740,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bitextMineBatched: string ids through the fused ax+ay pass (type seam)") {
+    // the r19 fused side-pass carries BOTH id columns (one null per side)
+    // in a single exploded struct — this pins the non-numeric-id surface:
+    // string keys must group, salt (xxhash64), and join back identically
+    // to the one-shot operator
+    val src = Seq(("s1", Array(1.0, 0.0)), ("s2", Array(0.6, 0.8)),
+      ("s3", Array(0.0, 1.0))).toDF("id", "vec")
+    val tgt = Seq(("t1", Array(1.0, 0.0)), ("t2", Array(0.8, 0.6)))
+      .toDF("id", "vec")
+    def run(df: => org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Long)] =
+      df.as[(String, String, Long, Long)].collect().toSeq.sorted
+    val oneShot = run(Similarity.bitextMine(src, col("id"), col("vec"),
+      tgt, col("id"), col("vec"), nnK = 3, topN = 10))
+    for (b <- Seq(1, 2, 5)) {
+      val batched = run(Similarity.bitextMineBatched(src, col("id"), col("vec"),
+        tgt, col("id"), col("vec"), nnK = 3, topN = 10, tgtBatches = b))
+      assert(batched == oneShot, s"tgtBatches=$b: $batched != $oneShot")
+    }
+  }
+
   test("semanticDedup maxCell: a hot cell binds the cap, audit flags exactly it") {
     // cell 0 = 12 exact copies (the pathological hot cell: m² = 144
     // pairs with no guard), cell 1 = one dup pair. Cap 10 binds on
@@ -779,5 +799,26 @@ class SimilaritySpec extends SparkSpec {
         col("embedding"), cents, 0.99)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(gFull == uncapped, "greedy default stays uncapped")
+  }
+
+  test("semanticDedupOnCellsRelativeCap ≡ precomputed maxCell (in-plan sizing)") {
+    // 14 vectors over 2 cells: capFactor·N/nCells = 1.5·14/2 = 21 →
+    // cap 21 (binds nothing here), and 0.5·14/2 = 3.5 → ceil 4 (binds
+    // the 12-member hot cell) — both must equal the driver-side
+    // formula the q234 builder used before r19
+    val hot = (1L to 12L).map(i => (i, Array(1.0, 0.0)))
+    val pair = Seq((101L, Array(0.0, 1.0)), (102L, Array(0.0, 1.0)))
+    val corpus = (hot ++ pair).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val cells = Similarity.withIvfCell(corpus, col("vec_id"), col("embedding"), cents)
+    for (f <- Seq(1.5, 0.5)) {
+      val mx = math.ceil(f * 14 / 2).toLong
+      val expect = Similarity.semanticDedupOnCells(cells, 0.99, maxCell = mx)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val got = Similarity.semanticDedupOnCellsRelativeCap(cells, 0.99,
+          capFactor = f, nCells = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == expect, s"capFactor=$f (mx=$mx): $got != $expect")
+    }
   }
 }
