@@ -74,19 +74,19 @@ object Bench {
         // Bench the streaming agg the way it scales: Append mode into the
         // noop sink (watermark bounds state; nothing collects on the
         // driver). The Complete-mode memory sink stays in Verify only.
-        // statePartitions=8: state-store partition count sized to the
+        // statePartitions: byte-derived state-store count sized to the
         // events stream's state volume (see runToNoop scaladoc) — at 32,
         // per-partition state-store open/commit costs 3× the query.
         case ("q28_stream_tumbling", _) =>
           "q28_stream_tumbling" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
               EventsStream.tumblingCounts(EventsStream.read(s, sfDir)),
-              statePartitions = EventsStream.harnessStatePartitions))
+              statePartitions = EventsStream.harnessStatePartitions(sfDir)))
         case ("q58_stream_interval_join", _) =>
           "q58_stream_interval_join" -> ((s: SparkSession) =>
             EventsStream.runToNoop(
               EventsStream.clickPurchaseJoin(EventsStream.read(s, sfDir)),
-              statePartitions = EventsStream.harnessStatePartitions))
+              statePartitions = EventsStream.harnessStatePartitions(sfDir)))
         case (name, fn) => name -> toNoop(fn)
       }
     val fastPath: Seq[(String, SparkSession => Unit)] = Seq(

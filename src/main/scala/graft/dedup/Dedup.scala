@@ -89,12 +89,20 @@ object Dedup {
     * aggregation with a min() per permutation — map-side partials make the
     * shuffle carry |perms| longs per doc regardless of document size. */
   def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column,
-                        cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+                        cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame =
+    signaturesFromShingles(
+      shingleHashes(df, idCol, textCol, cfg.shingleK, cfg.portable), cfg)
+
+  /** The signature aggregation alone, over an existing (doc, sh) frame —
+    * the shape [[nearDuplicates]] uses so the shingle Generate runs ONCE
+    * per corpus and both its consumers (this aggregation and the verify
+    * tail's shingle sets) read the same persisted rows. min() is
+    * multiplicity-blind, so the frame needs no distinct. */
+  private def signaturesFromShingles(sh: DataFrame, cfg: MinHashConfig): DataFrame = {
     val aggs = cfg.perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * (col("sh") % MinHashP) + lit(b)) % MinHashP).as(s"mh$i")
     }
-    shingleHashes(df, idCol, textCol, cfg.shingleK, cfg.portable)
-      .groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: candidate pairs whose signatures collide on at least one
@@ -381,41 +389,51 @@ object Dedup {
                      threshold: Double,
                      cfg: MinHashConfig = MinHashConfig.OraclePinned,
                      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // The per-token hash scan is the expensive stage, and the plan reads
-    // its result four times (band self-join ×2, candidate-doc broadcast,
-    // pair join). Persist the *signature* frame — |perms| longs per doc,
-    // the smallest per-doc frame in the pipeline — so every consumer
-    // replays the corpus scan from cache; persist the candidate pairs too
-    // (|candidates| ≪ |corpus| by LSH design) so the candidate-doc
-    // broadcast and the verify join don't re-run the band self-join.
-    // Round 1 instead cache+counted only `cand`, which left the corpus
-    // scan running once per band-join side — the 26 s → 8 s fix.
-    val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
+    // ONE shingle pass for the whole pipeline (r19 — the band join and
+    // the verify tail previously each ran their own corpus scan + shingle
+    // Generate; the per-token hashing is the operator's expensive map
+    // stage, and the verify tail's re-scan was the second full read of
+    // document text). Persist the flat (doc, sh) rows — 16 bytes/row,
+    // the same volume the signature aggregation shuffles anyway, and the
+    // §8 "lightweight proxy" frame (buildIndex materializes exactly this
+    // content per doc for the same reason). Signatures aggregate from the
+    // cached rows; the verify tail derives its candidate shingle sets
+    // from them too, so corpus TEXT is read exactly once.
+    // Persist the signature frame as well — |perms| longs per doc, the
+    // smallest per-doc frame here (round 1 cached only `cand`, which left
+    // the shingle scan running once per band-join side — the 26 s → 8 s
+    // fix) — and the candidate pairs (|candidates| ≪ |corpus| by LSH
+    // design) so the candidate-doc broadcast and the pair join don't
+    // re-run the band self-join.
+    val sh = scope.persist(
+      shingleHashes(df, idCol, textCol, cfg.shingleK, cfg.portable))
+    val sigs = scope.persist(signaturesFromShingles(sh, cfg))
     val cand = scope.persist(lshCandidates(sigs, cfg))
-    exactVerifyPairs(df, idCol, textCol, cand, threshold, cfg)
+    exactVerifyPairs(sh, cand, threshold)
   }
 
   /** Exact-Jaccard verification of a (d1, d2) candidate frame: the
     * shared tail of [[nearDuplicates]] and
-    * [[nearDuplicatesEstimateVerify]] — re-shingles ONLY the candidate
-    * docs (the LSH point: \|candidates\| ≪ \|corpus\|), so the md5
-    * cost is bounded. `cand` should be persisted by the caller (read
-    * for the doc broadcast and the pair join). shSets is deliberately
-    * NOT persisted: its two join-side reads share the aggregation's
-    * input exchange via ReuseExchange (only the cheap final merge
-    * re-runs), and an A/B measured the persist as a net LOSS
-    * (q155 3.45→3.82 s, q91 +0.26 s — array materialization overhead
-    * exceeds the saved re-aggregation). Because nothing here persists,
-    * the method takes no CacheScope (r18 advisor: the dead parameter
-    * misled readers into thinking the verify tail was scope-cached). */
-  private def exactVerifyPairs(df: DataFrame, idCol: Column, textCol: Column,
-                               cand: DataFrame, threshold: Double,
-                               cfg: MinHashConfig): DataFrame = {
-    val candDocs = cand.select(col("d1").as("cdoc"))
-      .union(cand.select(col("d2").as("cdoc"))).distinct()
-    val candCorpus = df.join(broadcast(candDocs), idCol === col("cdoc"), "left_semi")
-    val shSets = shingleHashes(candCorpus, idCol, textCol, cfg.shingleK, cfg.portable)
-      .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
+    * [[nearDuplicatesEstimateVerify]]. `sh` is the pipeline's ONE
+    * (doc, sh) shingle frame (persisted by the caller — r19: the tail
+    * previously re-scanned corpus text and re-ran the shingle Generate
+    * for candidate docs; now it semi-joins the already-cached rows, so
+    * text is never read twice). The semi-join still prunes to candidate
+    * docs BEFORE collect_set (the LSH point: \|candidates\| ≪ \|corpus\|
+    * — shingle arrays only materialize for candidates). `cand` should be
+    * persisted by the caller (read for the doc broadcast and the pair
+    * join). shSets itself is deliberately NOT persisted: its two
+    * join-side reads share the aggregation's input exchange via
+    * ReuseExchange (only the cheap final merge re-runs), and an r18 A/B
+    * measured that persist as a net LOSS (q155 3.45→3.82 s, q91
+    * +0.26 s — array materialization overhead exceeds the saved
+    * re-aggregation). */
+  private def exactVerifyPairs(sh: DataFrame, cand: DataFrame,
+                               threshold: Double): DataFrame = {
+    val candDocs = cand
+      .select(explode(array(col("d1"), col("d2"))).as("cdoc")).distinct()
+    val candSh = sh.join(broadcast(candDocs), col("doc") === col("cdoc"), "left_semi")
+    val shSets = candSh.groupBy("doc").agg(collect_set(col("sh")).as("shs"))
     cand
       .join(shSets.select(col("doc").as("d1"), col("shs").as("s1")), "d1")
       .join(shSets.select(col("doc").as("d2"), col("shs").as("s2")), "d2")
@@ -447,11 +465,16 @@ object Dedup {
                                    threshold: Double, minAgree: Int,
                                    cfg: MinHashConfig = MinHashConfig.OraclePinned,
                                    scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val sigs = scope.persist(minhashSignatures(df, idCol, textCol, cfg))
+    // same one-shingle-pass discipline as [[nearDuplicates]]: the
+    // estimate prunes candidates from signatures, the verify tail reads
+    // its shingle sets from the SAME cached (doc, sh) rows.
+    val sh = scope.persist(
+      shingleHashes(df, idCol, textCol, cfg.shingleK, cfg.portable))
+    val sigs = scope.persist(signaturesFromShingles(sh, cfg))
     val pruned = scope.persist(
       nearDuplicatesEstimatedFromSigs(sigs, minAgree, cfg, scope)
         .select("d1", "d2"))
-    exactVerifyPairs(df, idCol, textCol, pruned, threshold, cfg)
+    exactVerifyPairs(sh, pruned, threshold)
   }
 
   /** MinHash-LSH near-dup with ESTIMATED similarity: banded candidates
@@ -559,8 +582,10 @@ object Dedup {
     // ~13 s materializing ~600 MB of text nobody re-read in bulk, and
     // at 100 TB the shape is disqualifying). TEXT is only needed for
     // the rep corpus — |distinct texts| rows, the collapse's point —
-    // re-derived from the source by one rep-id semi-join and persisted
-    // at THAT size for nearDuplicates' two scans (sigs + verify).
+    // re-derived from the source by one rep-id semi-join. (r19: the
+    // rep corpus is no longer persisted — nearDuplicates now reads its
+    // input exactly ONCE, its shared shingle pass, so the persist would
+    // materialize text into cache for a single read.)
     val src = df.select(idCol.as("doc"), textCol.as("text"))
     val keyed = scope.persist(src.select(col("doc"), md5(col("text")).as("h")))
     val Seq(nRows, nTexts) = keyed
@@ -573,8 +598,8 @@ object Dedup {
       val exact = keyed.join(reps, "h")
         .filter(col("doc") =!= col("rep"))
         .select(col("rep").as("d1"), col("doc").as("d2"), lit(1.0).as("jaccard"))
-      val repCorpus = scope.persist(src.join(
-        reps.select(col("rep").as("doc")), Seq("doc"), "left_semi"))
+      val repCorpus = src.join(
+        reps.select(col("rep").as("doc")), Seq("doc"), "left_semi")
       val near = nearDuplicates(repCorpus, col("doc"), col("text"),
         threshold, cfg, scope)
       exact.union(near)
@@ -790,11 +815,18 @@ object Dedup {
     * anywhere. */
   def sourceOverlapMatrix(df: DataFrame, idCol: Column, textCol: Column,
                           sourceCol: Column,
-                          cfg: MinHashConfig = MinHashConfig.OraclePinned): DataFrame = {
+                          cfg: MinHashConfig = MinHashConfig.OraclePinned,
+                          scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val p = df.select(sourceCol.as("source"), idCol.as("_id"), textCol.as("_t"))
-    val sh = shingleHashes(p, col("_id"), col("_t"), cfg.shingleK, cfg.portable)
-      .join(p.select(col("_id").as("doc"), col("source")), "doc")
-      .select("source", "sh").distinct()
+    // (source, sh) is read three times (per-source sizes + both sides of
+    // the overlap self-join); unpersisted, each read re-ran the shingle
+    // Generate and the doc→source join over the corpus (r19, guide §5).
+    // 16 bytes/row — the same proxy-frame discipline as nearDuplicates'
+    // shared shingle pass.
+    val sh = scope.persist(
+      shingleHashes(p, col("_id"), col("_t"), cfg.shingleK, cfg.portable)
+        .join(p.select(col("_id").as("doc"), col("source")), "doc")
+        .select("source", "sh").distinct())
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = sh.select(col("source").as("s1"), col("sh"))
       .join(sh.select(col("source").as("s2"), col("sh")), "sh")

@@ -257,6 +257,13 @@ object Sampling {
     * allocation table; document bodies never enter the shuffle (callers
     * semi-join the returned ids when they need full rows).
     */
+  /** NOTE the input is read twice — by the allocation's class count and
+    * by the rank window. For a cheap scan that is the right trade (an
+    * r19 A/B persisting the projection inside this operator made raw-scan
+    * callers like q132 ~0.1 s SLOWER — materialization cost with nothing
+    * saved). A caller feeding an EXPENSIVE derived frame (q135's
+    * unigram-surprisal buckets) should persist that frame itself — see
+    * the q135 builder. */
   def temperatureDraw(df: DataFrame, classCol: Column, idCol: Column,
                       budget: Long, alpha: Double = 0.5): DataFrame = {
     val alloc = temperatureAllocation(df, classCol, budget, alpha)

@@ -184,7 +184,8 @@ object ChatQueries {
               |WHERE last_epoch + 3601 < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
               |                           FROM events)""".stripMargin),
       (s, dir) => {
-        // statePartitions=8: state volume is (user, session) keys — the
+        // statePartitions: byte-derived (see harnessStatePartitions);
+        // state volume is (user, session) keys — the
         // q28/q58 sizing (see runToNoop scaladoc); at 32 the per-batch
         // state-store open/commit overhead costs ~3× the query. Emitted
         // rows are identical at any setting.
@@ -193,7 +194,7 @@ object ChatQueries {
             graft.streaming.EventsStream.read(s, dir)).toDF(),
           s"q158_chat_${runId.incrementAndGet()}",
           org.apache.spark.sql.streaming.OutputMode.Append(),
-          statePartitions = graft.streaming.EventsStream.harnessStatePartitions)
+          statePartitions = graft.streaming.EventsStream.harnessStatePartitions(dir))
         val events = ev(s, dir)
         val bounds = Instruct.turns(events)
           .groupBy("user_id", "session_id")

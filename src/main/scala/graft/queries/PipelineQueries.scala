@@ -491,8 +491,13 @@ object PipelineQueries {
       (s, dir) => {
         val sp = LanguageModel.unigramSurprisal(
           docs(s, dir), col("doc_id"), tokens(col("text")))
-        val bucketed = sp.select(col("doc"),
-          floor(col("surprisal") * 2).cast("long").as("bucket"))
+        // temperatureDraw reads its input twice (allocation count + rank
+        // window); unpersisted, each read replays the whole surprisal
+        // pipeline (the plan carried 58 exchanges). Persist the 16-byte
+        // (doc, bucket) rows so the expensive subtree runs once (§5);
+        // released by the harness's per-query clearCache.
+        val bucketed = graft.operators.CacheScope.unmanaged.persist(sp.select(col("doc"),
+          floor(col("surprisal") * 2).cast("long").as("bucket")))
         graft.operators.Sampling.temperatureDraw(
             bucketed, col("bucket"), col("doc"), budget = 150)
           .select(col("class").as("bucket"), col("sid"), col("rk"))

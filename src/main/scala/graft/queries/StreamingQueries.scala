@@ -24,12 +24,13 @@ object StreamingQueries {
         val agg = EventsStream.tumblingCounts(EventsStream.read(s, dir))
         // Complete mode emits every window over the static input; a unique
         // sink name keeps repeated invocations in one session independent.
-        // statePartitions=8: the bench's runToNoop sizing (see its
+        // statePartitions: byte-derived (see harnessStatePartitions) —
+        // the bench's runToNoop sizing (see its
         // scaladoc) applied to the verify path too — identical rows,
         // 4× less per-batch state-store open/commit overhead.
         val out = EventsStream.runToMemory(agg,
           s"q28_stream_${runId.incrementAndGet()}", OutputMode.Complete(),
-          statePartitions = EventsStream.harnessStatePartitions)
+          statePartitions = EventsStream.harnessStatePartitions(dir))
         out.select(col("window.start").as("ws"), col("event_type"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
       }),
@@ -50,7 +51,7 @@ object StreamingQueries {
         val joined = EventsStream.clickPurchaseJoin(EventsStream.read(s, dir))
         EventsStream.runToMemory(joined,
           s"q58_join_${runId.incrementAndGet()}", OutputMode.Append(),
-          statePartitions = EventsStream.harnessStatePartitions)
+          statePartitions = EventsStream.harnessStatePartitions(dir))
       }),
 
     // Native session_window aggregation (batch surface of the

@@ -437,17 +437,28 @@ object EventsStream {
   }
 
   /** State-store partition count for the harness's in-query streams
-    * (q28/q58/q158): `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides, the
-    * default is sized to the fixture's keyed-state volume (r18 profiled
-    * 32 partitions paying 3× the query in per-partition store
-    * open/commit; r19 re-measured 1/2/8 — see OPTIMIZATION_r19.md).
-    * Production sizes state partitions to keys × retention per the
-    * [[runToNoop]] scaladoc, and the count is frozen into the checkpoint
-    * at first start — this knob is the single place the harness's choice
-    * lives instead of a constant repeated per query builder. */
-  private[graft] def harnessStatePartitions: Option[Int] =
+    * (q28/q58/q158): `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides;
+    * the default derives from the stream input's BYTES —
+    * ceil(events.parquet bytes / 1 MB), clamped to [2, 4096] — the same
+    * byte-derived-width discipline as EngineConf.harnessShufflePartitions,
+    * never the core count (r18 profiled 32 partitions paying 3× the
+    * query in per-partition store open/commit). r19 measured the sf0.1
+    * fixture (2 MB of events → 2) across 1/2/4/8: q58 3.63/2.16/2.35/
+    * 2.78/3.63 s at 8/2/4/1/8 — 1 over-serializes the join, 8 pays 4×
+    * the open/commits; the byte rule lands on the measured-best value
+    * and GROWS with input volume. Production sizes state partitions to
+    * keys × retention per the [[runToNoop]] scaladoc, and the count is
+    * frozen into the checkpoint at first start — this method is the
+    * single place the harness's choice lives instead of a constant
+    * repeated per query builder. */
+  private[graft] def harnessStatePartitions(dir: String,
+                                            glob: String = "events.parquet"): Option[Int] =
     Some(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-      .map(_.toInt).getOrElse(8))
+      .map(_.toInt).getOrElse {
+        val f = new java.io.File(dir, glob)
+        val bytes = if (f.exists) f.length else 0L
+        (((bytes + (1L << 20) - 1) / (1L << 20)) max 2L min 4096L).toInt
+      })
 
   /** Drive a stream to completion into the noop sink in Append mode — the
     * BENCH harness. Append + a distributed sink is the shape that scales:

@@ -39,7 +39,8 @@ object PlanSweep {
     def count(p: String, needle: String): Int = needle.r.findAllIn(p).size
 
     val rows = new StringBuilder
-    rows ++= Seq("query", "exchanges", "broadcast_exch", "smj", "bhj", "shj",
+    rows ++= Seq("query", "exchanges", "broadcast_exch", "reused_exch",
+      "smj", "bhj", "shj",
       "bnlj", "cartesian", "sorts", "windows", "generates", "aggs",
       "scans", "empty_pushed_filters", "err").mkString("\t") + "\n"
     for (q <- graft.SparkEntry.registry.sortBy(_.name)) {
@@ -52,12 +53,16 @@ object PlanSweep {
           // is the §6 signal; count scans whose PushedFilters is [].
           val emptyPushed = count(p, "PushedFilters: \\[\\]")
           Seq(q.name,
-            // shuffle exchanges only — "Exchange " alone also matches the
-            // substring inside "BroadcastExchange " rows (advisor r18),
-            // double-counting broadcasts vs the broadcast_exch column
-            count(p, "Exchange (hashpartitioning|rangepartitioning|" +
-              "SinglePartition|RoundRobinPartitioning)"),
-            count(p, "BroadcastExchange"),
+            // shuffle exchanges only, counted on the details-section header
+            // lines ("(5) Exchange"): formatted mode puts the partitioning
+            // on a separate Arguments: line, so the r18 substring patterns
+            // ("Exchange hashpartitioning", then "Exchange (hash…)") both
+            // matched NOTHING and the column read 0 for every plan. Each
+            // operator appears once in the tree and once in the details;
+            // counting details-header lines counts each exactly once.
+            count(p, "(?m)^\\(\\d+\\) Exchange$"),
+            count(p, "(?m)^\\(\\d+\\) BroadcastExchange$"),
+            count(p, "(?m)^\\(\\d+\\) ReusedExchange"),
             count(p, "SortMergeJoin"),
             count(p, "BroadcastHashJoin"),
             count(p, "ShuffledHashJoin"),
@@ -71,7 +76,7 @@ object PlanSweep {
             emptyPushed, "").mkString("\t")
         } catch {
           case e: Throwable =>
-            Seq(q.name, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+            Seq(q.name, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
               e.getClass.getSimpleName + ": " +
                 Option(e.getMessage).getOrElse("").take(80)).mkString("\t")
         }
