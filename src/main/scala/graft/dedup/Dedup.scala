@@ -160,22 +160,31 @@ object Dedup {
     val baseHashes = base.select(md5(baseText).as("bh")).distinct()
     val exactIds = d.join(baseHashes, md5(col("text")) === col("bh"), "left_semi")
       .select(col("doc_id")).withColumn("_exact", lit(1))
-    // near: delta bands ⋈ base bands → candidate (delta, base) pairs
-    val dSigs = minhashSignatures(d, col("doc_id"), col("text"), cfg)
-    val bSigs = minhashSignatures(base, baseId, baseText, cfg)
+    // near: delta bands ⋈ base bands → candidate (delta, base) pairs.
+    // ONE shingle pass per side (the nearDuplicates r19 discipline):
+    // signatures and the verify tail's shingle sets both read the
+    // persisted (doc, sh) rows, so each side's text feeds the shingle
+    // Generate exactly once (base text is still md5-scanned by the
+    // exact check — 2 base text reads total, down from 3; the
+    // amortized multi-batch shape that never re-reads base is
+    // [[buildIndex]] + [[incrementalDedupAgainstIndex]]).
+    val dSh = scope.persist(
+      shingleHashes(d, col("doc_id"), col("text"), cfg.shingleK, cfg.portable))
+    val bSh = scope.persist(
+      shingleHashes(base, baseId, baseText, cfg.shingleK, cfg.portable))
+    val dSigs = signaturesFromShingles(dSh, cfg)
+    val bSigs = signaturesFromShingles(bSh, cfg)
     val cand = scope.persist(
       bandRows(dSigs, cfg).withColumnRenamed("doc", "ddoc")
         .join(bandRows(bSigs, cfg).withColumnRenamed("doc", "bdoc"),
           Seq("band_idx", "band_key"))
         .select("ddoc", "bdoc").distinct())
     // exact-Jaccard verification on candidate docs only (|cand| ≪ corpus)
-    val candD = d.join(broadcast(cand.select(col("ddoc").as("cdoc")).distinct()),
-      col("doc_id") === col("cdoc"), "left_semi")
-    val candB = base.join(broadcast(cand.select(col("bdoc").as("cdoc")).distinct()),
-      baseId === col("cdoc"), "left_semi")
-    val dSets = shingleHashes(candD, col("doc_id"), col("text"), cfg.shingleK, cfg.portable)
+    val dSets = dSh.join(broadcast(cand.select(col("ddoc").as("cdoc")).distinct()),
+        col("doc") === col("cdoc"), "left_semi")
       .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
-    val bSets = shingleHashes(candB, baseId, baseText, cfg.shingleK, cfg.portable)
+    val bSets = bSh.join(broadcast(cand.select(col("bdoc").as("cdoc")).distinct()),
+        col("doc") === col("cdoc"), "left_semi")
       .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
     val nearIds = cand
       .join(dSets.select(col("doc").as("ddoc"), col("shs").as("s1")), "ddoc")
@@ -248,16 +257,20 @@ object Dedup {
     val exactIds = d.join(index.select(col("content_hash").as("bh")).distinct(),
         md5(col("text")) === col("bh"), "left_semi")
       .select(col("doc_id")).withColumn("_exact", lit(1))
-    val dSigs = minhashSignatures(d, col("doc_id"), col("text"), cfg)
+    // one shingle pass over the delta (the nearDuplicates r19
+    // discipline): signatures and the verify-side shingle sets share
+    // the persisted (doc, sh) rows
+    val dSh = scope.persist(
+      shingleHashes(d, col("doc_id"), col("text"), cfg.shingleK, cfg.portable))
+    val dSigs = signaturesFromShingles(dSh, cfg)
     val sigCols = col("doc") +: cfg.perms.indices.map(i => col(s"mh$i"))
     val bBands = bandRows(index.filter(col("mh0").isNotNull).select(sigCols: _*), cfg)
     val cand = scope.persist(
       bandRows(dSigs, cfg).withColumnRenamed("doc", "ddoc")
         .join(bBands.withColumnRenamed("doc", "bdoc"), Seq("band_idx", "band_key"))
         .select("ddoc", "bdoc").distinct())
-    val candD = d.join(broadcast(cand.select(col("ddoc").as("cdoc")).distinct()),
-      col("doc_id") === col("cdoc"), "left_semi")
-    val dSets = shingleHashes(candD, col("doc_id"), col("text"), cfg.shingleK, cfg.portable)
+    val dSets = dSh.join(broadcast(cand.select(col("ddoc").as("cdoc")).distinct()),
+        col("doc") === col("cdoc"), "left_semi")
       .groupBy("doc").agg(collect_set(col("sh")).as("shs"))
     val nearIds = cand
       .join(dSets.select(col("doc").as("ddoc"), col("shs").as("s1")), "ddoc")

@@ -111,7 +111,9 @@ object Eval {
     * the ≤|classes|² confusion frame; every join/window after it is
     * class-domain. Output: one row per class. */
   def confusionMetrics(df: DataFrame, labelCol: Column,
-                       predCol: Column): DataFrame = {
+                       predCol: Column,
+                       scope: graft.operators.CacheScope =
+                         graft.operators.CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     val raw = df.select(labelCol.as("label"), predCol.as("pred"))
     val canon = raw.schema.fields.map { f =>
@@ -120,9 +122,13 @@ object Eval {
         case _ => col(f.name).cast("string").as(f.name)
       }
     }
-    val cm = raw.select(canon.toSeq: _*)
+    // the ≤|classes|² confusion frame feeds SIX readers (classes ×2,
+    // tp, support, predicted, totals) — persisted so the corpus
+    // aggregation provably runs once (r19; un-persisted, each reader
+    // re-ran the reduce side and the plan carried 19 exchanges)
+    val cm = scope.persist(raw.select(canon.toSeq: _*)
       .filter(col("label").isNotNull && col("pred").isNotNull)
-      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n")))
     val classes = cm.select(col("label").as("class"))
       .unionByName(cm.select(col("pred").as("class"))).distinct()
     val tp = cm.filter(col("label") === col("pred"))
